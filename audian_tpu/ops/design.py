@@ -1,0 +1,191 @@
+"""Host-side IIR filter design.
+
+Filter *design* is tiny, data-independent work that belongs on the host
+(numpy/scipy); only the *data path* runs on TPU.  This module wraps
+Butterworth design and precomputes everything the TPU kernels in
+:mod:`audian_tpu.ops.sos` need:
+
+- the second-order-section (SOS) cascade coefficients,
+- steady-state initial conditions (``sosfilt_zi`` semantics),
+- the cascade's state-space form and truncated impulse/state responses used
+  by the fast FIR (MXU convolution) execution strategy.
+
+Behavioral contract mirrored from the reference (cited for parity checks,
+not copied): the highpass/lowpass/bandpass/passthrough selection logic of
+`src/audian/bufferedfilter.py:39-53` and the envelope filter design of
+`src/audian/bufferedenvelope.py:44-55`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+from scipy.signal import butter, sosfilt_zi
+
+
+def design_filter(rate, highpass_cutoff=0.0, lowpass_cutoff=None, order=2):
+    """Design the trace filter the way the reference's filter node does.
+
+    Returns ``None`` when the cutoffs make the filter a pass-through
+    (highpass below 0.1% of Nyquist and lowpass at/above Nyquist), a
+    lowpass, highpass, or bandpass Butterworth SOS cascade otherwise
+    (reference parity: `src/audian/bufferedfilter.py:39-53`).
+    """
+    nyq = rate / 2
+    if lowpass_cutoff is None:
+        lowpass_cutoff = nyq
+    if highpass_cutoff < 0.001 * nyq and lowpass_cutoff >= nyq - 1e-8:
+        return None
+    if highpass_cutoff < 0.001 * nyq:
+        return butter(order, lowpass_cutoff, "lowpass", fs=rate, output="sos")
+    if lowpass_cutoff >= nyq - 1e-8:
+        return butter(order, highpass_cutoff, "highpass", fs=rate, output="sos")
+    return butter(
+        order, (highpass_cutoff, lowpass_cutoff), "bandpass", fs=rate, output="sos"
+    )
+
+
+def design_envelope_filter(rate, envelope_cutoff=500.0, highpass_cutoff=0.0, order=2):
+    """Envelope smoothing filter; ``None`` when the design is infeasible
+    (reference parity: `src/audian/bufferedenvelope.py:44-55`)."""
+    try:
+        if highpass_cutoff > 0:
+            return butter(
+                order, (highpass_cutoff, envelope_cutoff), "bandpass",
+                fs=rate, output="sos",
+            )
+        return butter(order, envelope_cutoff, "lowpass", fs=rate, output="sos")
+    except ValueError:
+        return None
+
+
+def sos_pole_radius(sos):
+    """Largest pole magnitude of an SOS cascade (stability / decay rate)."""
+    sos = np.asarray(sos, dtype=np.float64)
+    rmax = 0.0
+    for sec in sos:
+        a1, a2 = sec[4], sec[5]
+        roots = np.roots([1.0, a1, a2]) if (a1 != 0 or a2 != 0) else np.zeros(1)
+        if len(roots):
+            rmax = max(rmax, float(np.max(np.abs(roots))))
+    return rmax
+
+
+def effective_impulse_length(sos, eps=1e-7, max_len=1 << 20):
+    """Number of samples after which the cascade's impulse response has
+    decayed below ``eps`` (relative).  Used to size the truncated-FIR fast
+    path; the truncation error is then bounded by ``eps``."""
+    r = sos_pole_radius(sos)
+    if r <= 0.0:
+        return 2 * len(np.atleast_2d(sos)) + 1
+    if r >= 1.0:
+        return max_len
+    n = int(np.ceil(np.log(eps) / np.log(r)))
+    return int(min(max(n, 8), max_len))
+
+
+def _cascade_state_space(sos):
+    """Single state-space (A, B, C, D) for the whole SOS cascade in
+    transposed direct form II coordinates (states stacked per section)."""
+    sos = np.asarray(sos, dtype=np.float64)
+    ns = len(sos)
+    A = np.zeros((2 * ns, 2 * ns))
+    B = np.zeros((2 * ns,))
+    C = np.zeros((2 * ns,))
+    D = 1.0
+    # Per-section DF2T: y = b0 x + z1 ; z1' = (b1-a1 b0) x - a1 y_sec... the
+    # cascade is built by chaining sections: input of section k is output of
+    # section k-1, which is itself affine in (x, states of previous sections).
+    for k, sec in enumerate(sos):
+        b0, b1, b2, _, a1, a2 = sec
+        # Section-local matrices, input u -> output y:
+        # s' = M s + K u ;  y = b0 u + [1, 0] s
+        M = np.array([[-a1, 1.0], [-a2, 0.0]])
+        K = np.array([b1 - a1 * b0, b2 - a2 * b0])
+        i = 2 * k
+        # u_k = C x + D-chain applied so far (affine in global state + input)
+        # New global A/B/C/D after appending this section:
+        A[i : i + 2, i : i + 2] = M
+        A[i : i + 2, :i] = np.outer(K, C[:i])
+        B[i : i + 2] = K * D
+        C_new = np.zeros_like(C)
+        C_new[:i] = b0 * C[:i]
+        C_new[i] = 1.0
+        C = C_new
+        D = b0 * D
+    return A, B, C, D
+
+
+@dataclasses.dataclass(frozen=True)
+class FirKernels:
+    """Precomputed (host, float64) responses for the truncated-FIR strategy.
+
+    Attributes
+    ----------
+    h : (T,) impulse response of the cascade, truncated at the effective
+        length.
+    state_out : (T, 2*nsec) zero-input output response: output at step n for
+        a unit initial value in each state component.
+    input_state : (T, 2*nsec) final-state contribution of an input applied
+        ``n`` steps before the block end (column j = state component).
+    A_pow_T : (2*nsec, 2*nsec) ``A**T`` for carrying very old state (usually
+        negligible by construction).
+    """
+
+    h: np.ndarray
+    state_out: np.ndarray
+    input_state: np.ndarray
+    A_pow_T: np.ndarray
+    eps: float
+
+    @property
+    def length(self):
+        return len(self.h)
+
+
+def fir_kernels(sos, eps=1e-7, max_len=1 << 20):
+    """Precompute the truncated impulse/state responses of an SOS cascade.
+
+    Uses repeated doubling of the cascade state matrix so design cost is
+    ``O(T log T)`` vectorized numpy work, independent of the signal.
+    """
+    sos = np.atleast_2d(np.asarray(sos, dtype=np.float64))
+    T = effective_impulse_length(sos, eps, max_len)
+    A, B, C, D = _cascade_state_space(sos)
+    n = A.shape[0]
+    # powers[k] = A**k for k in [0, T): fill by doubling.
+    powers = np.empty((T, n, n))
+    powers[0] = np.eye(n)
+    m = 1
+    Am = A.copy()  # A**m
+    while m < T:
+        k = min(m, T - m)
+        powers[m : m + k] = powers[:k] @ Am
+        Am = Am @ Am
+        m *= 2
+    # h[0] = D, h[k] = C A**(k-1) B
+    h = np.empty(T)
+    h[0] = D
+    if T > 1:
+        h[1:] = (powers[: T - 1] @ B) @ C
+    state_out = np.einsum("tij,i->tj", powers, C)  # row k = C @ A**k
+    # state after the block from input x[N-1-j]: A**j B
+    input_state = powers @ B  # (T, n)
+    A_pow_T = powers[-1] @ A
+    return FirKernels(h=h, state_out=state_out, input_state=input_state,
+                      A_pow_T=A_pow_T, eps=eps)
+
+
+def sos_initial_conditions(sos):
+    """Steady-state step-response initial conditions, identical to
+    ``scipy.signal.sosfilt_zi`` (shape ``(nsec, 2)``)."""
+    return sosfilt_zi(np.atleast_2d(np.asarray(sos, dtype=np.float64)))
+
+
+def filtfilt_padlen(sos):
+    """Default edge padding length used by ``scipy.signal.sosfiltfilt``."""
+    sos = np.atleast_2d(np.asarray(sos))
+    ntaps = 2 * len(sos) + 1
+    ntaps -= min((sos[:, 2] == 0).sum(), (sos[:, 5] == 0).sum())
+    return 3 * ntaps

@@ -1,0 +1,91 @@
+"""Playback mix-down kernels: channel averaging, heterodyne shifting,
+anti-alias decimation, and fades.
+
+Reference behavior (`src/audian/databrowser.py:1702-1742`): the selected
+channels are averaged into at most two output channels (first half ->
+left, second half -> right); with heterodyning enabled the mix is
+multiplied by ``sin(2 pi f t)``, low-passed at 20 kHz with a zero-phase
+filter and decimated to bring ultrasonic content into the audible band;
+finally audioio-style 0.1 s fades are applied.  All of it runs as one
+jitted TPU program producing the playback buffer the host hands to the
+sound device.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .sos import sosfiltfilt
+from . import design
+
+__all__ = ["stereo_mixdown", "heterodyne", "fade", "prepare_playback"]
+
+HETERODYNE_CUTOFF = 20000.0  # Hz, reference `databrowser.py:1723`
+
+
+def stereo_mixdown(x, channels=None):
+    """Average channels into <=2 playback channels: first half of the shown
+    channels to the left, the rest to the right
+    (`src/audian/databrowser.py:1713-1717`)."""
+    x = jnp.asarray(x)
+    if x.ndim == 1:
+        x = x[:, None]
+    if channels is not None:
+        x = x[:, jnp.asarray(channels)]
+    nch = x.shape[1]
+    if nch == 1:
+        return x
+    n2 = (nch + 1) // 2
+    left = jnp.mean(x[:, :n2], axis=1)
+    right = jnp.mean(x[:, n2:], axis=1)
+    return jnp.stack([left, right], axis=1)
+
+
+def heterodyne(x, rate, freq):
+    """Multiply with a ``sin(2 pi freq t)`` carrier to shift ultrasonic
+    bands down into the audible range
+    (`src/audian/databrowser.py:1718-1721`)."""
+    x = jnp.asarray(x)
+    t = jnp.arange(x.shape[0], dtype=x.dtype) / rate
+    carrier = jnp.sin(2.0 * jnp.pi * freq * t)
+    return x * carrier.reshape((-1,) + (1,) * (x.ndim - 1))
+
+
+def fade(x, rate, fade_time=0.1):
+    """Sine-squared fade-in and fade-out over ``fade_time`` seconds
+    (audioio ``fade`` semantics used at `src/audian/databrowser.py:1731`)."""
+    x = jnp.asarray(x)
+    n = x.shape[0]
+    nf = min(int(round(fade_time * rate)), n // 2)
+    if nf <= 0:
+        return x
+    ramp = jnp.sin(0.5 * jnp.pi * jnp.arange(nf, dtype=x.dtype) / nf) ** 2
+    shape = (nf,) + (1,) * (x.ndim - 1)
+    ramp = ramp.reshape(shape)
+    x = x.at[:nf].multiply(ramp)
+    x = x.at[n - nf :].multiply(ramp[::-1])
+    return x
+
+
+def prepare_playback(x, rate, channels=None, use_heterodyne=False,
+                     heterodyne_freq=0.0, rate_fac=1.0, fade_time=0.1):
+    """Full playback pipeline; returns ``(playdata, playback_rate)``.
+
+    The decimation factor and the anti-alias filter depend only on the
+    (static) sample rate, so interactive heterodyne-frequency changes stay
+    recompile-free.
+    """
+    play = stereo_mixdown(x, channels)
+    out_rate = rate
+    if use_heterodyne:
+        play = heterodyne(play, rate, heterodyne_freq)
+        sos = design.design_filter(rate, lowpass_cutoff=HETERODYNE_CUTOFF,
+                                   order=2)
+        nstep = max(1, int(np.round(rate / (2 * HETERODYNE_CUTOFF))))
+        if sos is not None:
+            play = sosfiltfilt(sos, play, axis=0)
+        play = play[::nstep]
+        out_rate = rate / nstep
+    play = fade(play, out_rate / rate_fac, fade_time)
+    return play, out_rate / rate_fac

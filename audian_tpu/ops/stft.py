@@ -1,0 +1,125 @@
+"""TPU-native STFT power spectrogram and dB conversion.
+
+The reference computes spectrograms with thunderlab's mlab-style
+``spectrogram`` on the host (`src/audian/bufferedspectrogram.py:45-66`) and
+converts to dB with thunderlab's ``decibel`` (`src/audian/specitem.py:33-39`).
+Here both are pure JAX: frames are gathered with a static index matrix,
+windowed, transformed with XLA's batched real FFT, and scaled as a one-sided
+power spectral density — all of which XLA fuses and tiles for TPU.  Batched
+over channels; ``jax.vmap`` over NFFT-sweep configurations gives the
+multi-resolution interactive path.
+
+Semantics: density-scaled PSD with a periodic Hann window and no
+detrending, i.e. ``scipy.signal.spectrogram(x, fs, window='hann',
+nperseg=nfft, noverlap=nfft-hop, detrend=False, scaling='density',
+mode='psd')``; frame count is ``(n - nfft)//hop + 1`` which matches the
+reference's buffer sizing ``nsource = (ndest-1)*hop + nfft``
+(`src/audian/bufferedspectrogram.py:46-48`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+__all__ = [
+    "hann_window",
+    "frame_signal",
+    "spectrogram",
+    "spectrogram_frequencies",
+    "num_frames",
+    "decibel",
+    "inverse_decibel",
+]
+
+
+def hann_window(nfft, dtype=jnp.float32):
+    """Periodic Hann window (scipy ``get_window('hann', nfft)``)."""
+    n = jnp.arange(nfft, dtype=dtype)
+    return 0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * n / nfft)
+
+
+def num_frames(n, nfft, hop):
+    """Number of full STFT frames in ``n`` samples."""
+    if n < nfft:
+        return 0
+    return (n - nfft) // hop + 1
+
+
+def spectrogram_frequencies(rate, nfft):
+    """One-sided frequency axis, ``nfft//2 + 1`` bins up to Nyquist
+    (reference parity: `src/audian/bufferedspectrogram.py:36-38`)."""
+    return np.arange(nfft // 2 + 1) * (rate / nfft)
+
+
+def frame_signal(x, nfft, hop, nframes=None):
+    """Slice ``x`` (time on axis 0) into overlapping frames.
+
+    Returns shape ``(nframes, nfft) + x.shape[1:]``.
+    """
+    n = x.shape[0]
+    if nframes is None:
+        nframes = num_frames(n, nfft, hop)
+    idx = np.arange(nframes)[:, None] * hop + np.arange(nfft)[None, :]
+    return x[idx]
+
+
+def spectrogram(x, rate, nfft, hop, window=None, detrend=False):
+    """One-sided PSD spectrogram.
+
+    Parameters
+    ----------
+    x : (n,) or (n, channels) signal, time on axis 0.
+    rate : sample rate in Hz (static python float).
+    nfft, hop : frame length and hop in samples (static).
+    window : optional (nfft,) window; periodic Hann by default.
+    detrend : False or 'constant' (subtract per-frame mean).
+
+    Returns
+    -------
+    Sxx : (nframes, ..., nfft//2 + 1) power spectral density in
+        ``unit**2/Hz`` — time first, frequency last, matching the derived
+        trace buffer layout ``(frames, channels, freqs)``.
+    """
+    x = jnp.asarray(x)
+    dtype = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
+    x = x.astype(dtype)
+    if window is None:
+        window = hann_window(nfft, dtype)
+    else:
+        window = jnp.asarray(window, dtype)
+    frames = frame_signal(x, nfft, hop)              # (nf, nfft, ...)
+    if detrend == "constant":
+        frames = frames - jnp.mean(frames, axis=1, keepdims=True)
+    wshape = (1, nfft) + (1,) * (frames.ndim - 2)
+    frames = frames * window.reshape(wshape)
+    spec = jnp.fft.rfft(frames, n=nfft, axis=1)      # (nf, nbins, ...)
+    psd = (spec.real * spec.real + spec.imag * spec.imag).astype(dtype)
+    scale = 1.0 / (rate * float(np.sum(np.asarray(window, np.float64) ** 2)))
+    # One-sided doubling (not DC; not Nyquist when nfft is even):
+    nbins = nfft // 2 + 1
+    dbl = np.full(nbins, 2.0, np.float64)
+    dbl[0] = 1.0
+    if nfft % 2 == 0:
+        dbl[-1] = 1.0
+    factors = jnp.asarray(dbl * scale, dtype).reshape(wshape[:1] + (nbins,) + wshape[2:])
+    psd = psd * factors
+    # time first, frequency last:
+    return jnp.moveaxis(psd, 1, -1)
+
+
+def decibel(power, ref_power=1.0, min_power=1e-20):
+    """Convert power to dB: ``10*log10(power/ref)``; values at or below
+    ``min_power`` map to ``-inf`` (thunderlab ``decibel`` semantics, used by
+    the reference at `src/audian/specitem.py:33-39` and
+    `src/audian/bufferedspectrogram.py:109-126`)."""
+    power = jnp.asarray(power)
+    if ref_power is None:
+        ref_power = jnp.max(power)
+    safe = jnp.where(power <= min_power, 1.0, power / ref_power)
+    return jnp.where(power <= min_power, -jnp.inf, 10.0 * jnp.log10(safe))
+
+
+def inverse_decibel(db, ref_power=1.0):
+    """Inverse of :func:`decibel` for finite values."""
+    return ref_power * jnp.power(10.0, jnp.asarray(db) / 10.0)
