@@ -1,0 +1,152 @@
+"""Compile-once chunk executor for the trace DAG.
+
+The reference recomputes each derived trace with per-node Python/scipy
+calls on the GUI thread, chunk by chunk (`src/audian/buffereddata.py:91-109`
+driving `process()` per node).  Here the *entire active chain* for one
+chunk geometry is traced into a single XLA program: filter -> envelope /
+spectrogram fuse into one device launch, and all node parameters (filter
+designs, STFT windows) enter as traced arguments so interactive parameter
+changes re-run the same compiled program.
+
+Compiled programs are cached by (chunk geometry, node static config);
+hosts schedulers keep geometry fixed (fixed window sizes, hop-aligned
+offsets), so steady-state scrubbing hits one cache entry.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import numpy as np
+
+from .graph import RAW, TraceGraph
+
+
+@dataclasses.dataclass(frozen=True)
+class _NodeGeometry:
+    """Static slice geometry of one node for one chunk execution."""
+
+    rel_s0: int   # source-buffer-relative slice start
+    rel_s1: int   # source-buffer-relative slice end
+    lead: int     # warm-up source frames before the first output frame
+    o0: int       # absolute output frame offset
+    n_out: int    # output frames produced
+
+
+class GraphExecutor:
+    """Executes a :class:`TraceGraph` over raw chunks on the device."""
+
+    def __init__(self, graph: TraceGraph):
+        self.graph = graph
+        self._compiled = {}
+
+    def clear_cache(self):
+        self._compiled.clear()
+
+    @property
+    def cache_size(self):
+        return len(self._compiled)
+
+    # -- geometry ---------------------------------------------------------------
+
+    def _plan(self, raw_offset, raw_frames, active):
+        """Host-side geometry pass: walk the DAG forward from the raw
+        window and derive each active node's slice/output ranges."""
+        ranges = {RAW: (raw_offset, raw_offset + raw_frames)}
+        plan = {}
+        for node in self.graph.order:
+            name = node.name.lower()
+            if name not in active:
+                continue
+            sname = node.source_name.lower()
+            if sname not in ranges:
+                continue  # source inactive -> cannot compute
+            s_avail0, s_avail1 = ranges[sname]
+            o0, o1 = node.out_range_for_source(s_avail0, s_avail1)
+            if o1 <= o0:
+                continue
+            s0, s1, lead = node.source_range(o0, o1)
+            s0 = max(s0, s_avail0)
+            s1 = min(s1, s_avail1)
+            lead = min(lead, s1 - s0)
+            plan[name] = _NodeGeometry(
+                rel_s0=s0 - s_avail0, rel_s1=s1 - s_avail0,
+                lead=lead, o0=o0, n_out=o1 - o0,
+            )
+            ranges[name] = (o0, o1)
+        return plan, ranges
+
+    # -- compile + run ------------------------------------------------------------
+
+    def _key(self, plan, raw_frames, dtype):
+        parts = [raw_frames, str(dtype)]
+        for node in self.graph.order:
+            name = node.name.lower()
+            if name in plan:
+                g = plan[name]
+                parts.append((name, g.rel_s0, g.rel_s1, g.lead, g.n_out,
+                              self._static_key(node)))
+        return tuple(parts)
+
+    @staticmethod
+    def _static_key(node):
+        return node.static_key()
+
+    def _build(self, plan):
+        nodes = [n for n in self.graph.order if n.name.lower() in plan]
+
+        def fn(raw, params):
+            bufs = {RAW: raw}
+            for node in nodes:
+                name = node.name.lower()
+                g = plan[name]
+                src = bufs[node.source_name.lower()][g.rel_s0 : g.rel_s1]
+                bufs[name] = node.compute(src, g.lead, g.n_out, params[name])
+            return bufs
+
+        return jax.jit(fn)
+
+    def run(self, raw_chunk, raw_offset=0, targets=None, device=True):
+        """Compute all (or the ``targets`` subtree of) derived traces from
+        one raw chunk.
+
+        Parameters
+        ----------
+        raw_chunk : (n, channels) raw frames starting at absolute frame
+            ``raw_offset``.
+        targets : iterable of trace names to produce (plus ancestors);
+            all nodes by default.  This is the laziness gate — invisible
+            traces are simply not in the program
+            (`src/audian/buffereddata.py:131-146` analog).
+        device : keep outputs as device arrays (True) or pull to numpy.
+
+        Returns
+        -------
+        dict name -> (offset, array): the absolute output frame offset and
+        the computed frames for every produced trace, including ``"data"``.
+        """
+        if targets is None:
+            targets = [n.name for n in self.graph.order]
+        active = self.graph.active_set(targets)
+        raw_frames = int(raw_chunk.shape[0])
+        plan, ranges = self._plan(int(raw_offset), raw_frames, active)
+        key = self._key(plan, raw_frames, raw_chunk.dtype)
+        compiled = self._compiled.get(key)
+        if compiled is None:
+            compiled = self._build(plan)
+            self._compiled[key] = compiled
+        params = {
+            n.name.lower(): n.params()
+            for n in self.graph.order if n.name.lower() in plan
+        }
+        bufs = compiled(raw_chunk, params)
+        out = {}
+        for name, buf in bufs.items():
+            if name == RAW:
+                out[name] = (int(raw_offset), buf if device else np.asarray(buf))
+            else:
+                out[name] = (
+                    plan[name].o0, buf if device else np.asarray(buf)
+                )
+        return out

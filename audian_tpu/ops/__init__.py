@@ -10,12 +10,20 @@ from .design import (
     design_envelope_filter,
     fir_kernels,
     FirKernels,
+    FilterDesign,
     effective_impulse_length,
     sos_pole_radius,
     sos_initial_conditions,
     filtfilt_padlen,
 )
-from .sos import sosfilt, sosfilt_fir, sosfiltfilt, sosfilt_zi, odd_ext
+from .sos import (
+    sosfilt,
+    sosfilt_fir,
+    sosfiltfilt,
+    sosfiltfilt_fir,
+    sosfilt_zi,
+    odd_ext,
+)
 from .stft import (
     spectrogram,
     spectrogram_frequencies,
@@ -37,9 +45,11 @@ from .mix import stereo_mixdown, heterodyne, fade, prepare_playback
 
 __all__ = [
     "design_filter", "design_envelope_filter", "fir_kernels", "FirKernels",
+    "FilterDesign",
     "effective_impulse_length", "sos_pole_radius", "sos_initial_conditions",
     "filtfilt_padlen",
-    "sosfilt", "sosfilt_fir", "sosfiltfilt", "sosfilt_zi", "odd_ext",
+    "sosfilt", "sosfilt_fir", "sosfiltfilt", "sosfiltfilt_fir", "sosfilt_zi",
+    "odd_ext",
     "spectrogram", "spectrogram_frequencies", "hann_window", "frame_signal",
     "num_frames", "decibel", "inverse_decibel",
     "envelope",

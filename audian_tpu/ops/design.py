@@ -21,6 +21,7 @@ from __future__ import annotations
 import dataclasses
 
 import numpy as np
+import jax
 from scipy.signal import butter, sosfilt_zi
 
 
@@ -141,17 +142,39 @@ class FirKernels:
 
     @property
     def length(self):
-        return len(self.h)
+        return self.h.shape[0]
 
 
-def fir_kernels(sos, eps=1e-7, max_len=1 << 20):
+# FirKernels is a pytree (arrays traced, eps static) so a whole design can
+# be a jit *argument*: interactive redesigns re-run, never recompile, as
+# long as the pow2-bucketed kernel length is unchanged.
+jax.tree_util.register_pytree_node(
+    FirKernels,
+    lambda k: ((k.h, k.state_out, k.input_state, k.A_pow_T), k.eps),
+    lambda eps, ch: FirKernels(*ch, eps=eps),
+)
+
+
+def fir_kernels(sos, eps=1e-7, max_len=1 << 20, pad_to_pow2=False,
+                pad_to=None):
     """Precompute the truncated impulse/state responses of an SOS cascade.
 
     Uses repeated doubling of the cascade state matrix so design cost is
     ``O(T log T)`` vectorized numpy work, independent of the signal.
+
+    With ``pad_to_pow2`` the responses are extended to the next power of
+    two; ``pad_to`` extends to an exact length.  Kernels of equal length
+    share compiled programs (they are traced arguments of the jitted data
+    path), so fixing the length makes interactive cutoff scrubbing
+    recompile-free.  Extension is exact (the responses keep decaying), not
+    zero-padding.
     """
     sos = np.atleast_2d(np.asarray(sos, dtype=np.float64))
     T = effective_impulse_length(sos, eps, max_len)
+    if pad_to is not None:
+        T = max(T, int(pad_to))
+    if pad_to_pow2:
+        T = 1 << (T - 1).bit_length()
     A, B, C, D = _cascade_state_space(sos)
     n = A.shape[0]
     # powers[k] = A**k for k in [0, T): fill by doubling.
@@ -183,9 +206,42 @@ def sos_initial_conditions(sos):
     return sosfilt_zi(np.atleast_2d(np.asarray(sos, dtype=np.float64)))
 
 
+@dataclasses.dataclass(frozen=True)
+class FilterDesign:
+    """Complete host-side design bundle for one SOS filter: everything the
+    TPU data path needs, ready to be fed as traced arguments.
+
+    ``None``-valued designs represent the reference's pass-through filter
+    state (`src/audian/bufferedfilter.py:41-42`).
+    """
+
+    sos: np.ndarray          # (nsec, 6)
+    zi0: np.ndarray          # (nsec, 2) steady-state ICs (sosfilt_zi)
+    padlen: int              # sosfiltfilt edge padding
+    fir: FirKernels          # truncated responses (pow2-bucketed)
+
+    @classmethod
+    def from_sos(cls, sos, eps=1e-7, max_len=1 << 20, pad_to=None):
+        sos = np.atleast_2d(np.asarray(sos, dtype=np.float64))
+        return cls(
+            sos=sos,
+            zi0=sos_initial_conditions(sos),
+            padlen=filtfilt_padlen(sos),
+            fir=fir_kernels(sos, eps=eps, max_len=max_len, pad_to=pad_to,
+                            pad_to_pow2=True),
+        )
+
+
+jax.tree_util.register_pytree_node(
+    FilterDesign,
+    lambda d: ((d.sos, d.zi0, d.fir), d.padlen),
+    lambda padlen, ch: FilterDesign(ch[0], ch[1], padlen, ch[2]),
+)
+
+
 def filtfilt_padlen(sos):
     """Default edge padding length used by ``scipy.signal.sosfiltfilt``."""
     sos = np.atleast_2d(np.asarray(sos))
     ntaps = 2 * len(sos) + 1
     ntaps -= min((sos[:, 2] == 0).sum(), (sos[:, 5] == 0).sum())
-    return 3 * ntaps
+    return int(3 * ntaps)

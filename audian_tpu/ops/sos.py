@@ -351,3 +351,45 @@ def sosfilt_fir(kernels, x, zi=None, axis=0, return_zf=None):
     else:
         zf = jnp.moveaxis(zf, 1, 1 + axis)
     return out, zf
+
+
+def sosfiltfilt_fir(kernels, x, zi0, padlen, axis=0):
+    """Zero-phase filtering on the FIR fast path (scipy-``sosfiltfilt``
+    semantics: odd edge padding, steady-state initial conditions scaled by
+    the edge samples).
+
+    This is the production path for the envelope node: in float32 the
+    forward-backward scan loses precision for low cutoffs while the FIR
+    formulation stays at ~1e-7 (see test_sos.py).
+
+    Parameters
+    ----------
+    kernels : :class:`audian_tpu.ops.design.FirKernels` (traced-friendly).
+    zi0 : (nsec, 2) steady-state IC coefficients (``sosfilt_zi``), also
+        traced-friendly.
+    padlen : static edge padding length
+        (:func:`audian_tpu.ops.design.filtfilt_padlen`).
+    """
+    x = jnp.asarray(x)
+    dtype = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
+    x = x.astype(dtype)
+    xt = jnp.moveaxis(x, axis, 0)
+    if xt.shape[0] <= padlen:
+        raise ValueError(
+            f"The length of the input vector x must be greater than padlen, "
+            f"which is {padlen}."
+        )
+    ext = odd_ext(xt, padlen, axis=0)
+    zi0 = jnp.asarray(zi0, dtype)
+    bshape = zi0.shape + (1,) * (xt.ndim - 1)
+
+    def _zi_for(edge):
+        return zi0.reshape(bshape) * edge[None, None]
+
+    y = sosfilt_fir(kernels, ext, zi=_zi_for(ext[0]), axis=0, return_zf=False)
+    y = y[::-1]
+    y = sosfilt_fir(kernels, y, zi=_zi_for(y[0]), axis=0, return_zf=False)
+    y = y[::-1]
+    if padlen:
+        y = y[padlen:-padlen]
+    return jnp.moveaxis(y, 0, axis)

@@ -95,14 +95,17 @@ def spectrogram(x, rate, nfft, hop, window=None, detrend=False):
     frames = frames * window.reshape(wshape)
     spec = jnp.fft.rfft(frames, n=nfft, axis=1)      # (nf, nbins, ...)
     psd = (spec.real * spec.real + spec.imag * spec.imag).astype(dtype)
-    scale = 1.0 / (rate * float(np.sum(np.asarray(window, np.float64) ** 2)))
+    # density scaling; window may be traced, so keep this in-graph
+    scale = 1.0 / (rate * jnp.sum(window * window))
     # One-sided doubling (not DC; not Nyquist when nfft is even):
     nbins = nfft // 2 + 1
     dbl = np.full(nbins, 2.0, np.float64)
     dbl[0] = 1.0
     if nfft % 2 == 0:
         dbl[-1] = 1.0
-    factors = jnp.asarray(dbl * scale, dtype).reshape(wshape[:1] + (nbins,) + wshape[2:])
+    factors = (jnp.asarray(dbl, dtype) * scale.astype(dtype)).reshape(
+        wshape[:1] + (nbins,) + wshape[2:]
+    )
     psd = psd * factors
     # time first, frequency last:
     return jnp.moveaxis(psd, 1, -1)
