@@ -24,4 +24,31 @@ Layering (mirrors SURVEY.md section 1 of the rebuild plan):
 
 from .version import __version__, __year__, audian_dirs
 
-__all__ = ["__version__", "__year__", "audian_dirs"]
+__all__ = ["__version__", "__year__", "audian_dirs",
+           "enable_compilation_cache"]
+
+_cache_enabled = False
+
+
+def enable_compilation_cache(path=None):
+    """Enable JAX's persistent compilation cache in the audian-tpu user
+    cache directory.
+
+    First compilation of the interactive chain costs tens of seconds on
+    TPU; with the persistent cache every later session reuses it.  Called
+    automatically by :meth:`audian_tpu.data.Data.open` and the CLIs.
+    """
+    global _cache_enabled
+    if _cache_enabled:
+        return
+    import jax
+
+    if path is None:
+        path = audian_dirs.user_cache_path / "xla-cache"
+    try:
+        path.mkdir(parents=True, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(path))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _cache_enabled = True
+    except Exception:
+        pass

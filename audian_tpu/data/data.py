@@ -1,0 +1,528 @@
+"""The ``Data`` registry: raw loader + derived-trace DAG + windowed updates.
+
+Public API parity with the reference's ``Data`` class
+(`src/audian/data.py:14-236`): dict-like access by trace name,
+``get_region``, ``add_trace``/``remove_trace``, ``update_times``, halo-aware
+buffer sizing — but the derived traces are computed on the TPU through
+:class:`audian_tpu.graph.GraphExecutor` instead of per-node scipy calls on
+the GUI thread.
+"""
+
+from __future__ import annotations
+
+import math
+from pathlib import Path
+
+import numpy as np
+
+from ..graph import (
+    TraceGraph,
+    TraceSpec,
+    GraphExecutor,
+    FilterNode,
+    EnvelopeNode,
+    SpectrogramNode,
+    RAW,
+)
+from . import wavio
+from .loader import AudioLoader
+
+
+class Trace:
+    """Host-side windowed view of one trace (raw or derived).
+
+    Exposes the reference's ``BufferedData`` consumer surface — ``rate,
+    channels, frames, shape, offset, buffer, buffer_changed, name, panel,
+    color...`` plus ``__getitem__`` that serves any range, computing out-of
+    -window requests on demand (`src/audian/buffereddata.py` analog).
+    Node attributes (``nfft``, ``frequencies``, cutoffs, ...) are reachable
+    through attribute delegation.
+    """
+
+    def __init__(self, node, data):
+        self._node = node
+        self._data = data
+        self.offset = 0
+        self.buffer = np.zeros((0,), np.float32)
+        self.buffer_changed = np.zeros(node.spec.channels, dtype=bool)
+        self.plot_items = [None] * node.spec.channels
+        self._visible = True
+
+    # identity ---------------------------------------------------------------
+
+    @property
+    def name(self):
+        return self._node.name
+
+    @property
+    def source_name(self):
+        return self._node.source_name
+
+    @property
+    def spec(self):
+        return self._node.spec
+
+    @property
+    def rate(self):
+        return self._node.spec.rate
+
+    @property
+    def channels(self):
+        return self._node.spec.channels
+
+    @property
+    def frames(self):
+        return self._node.spec.frames
+
+    @property
+    def shape(self):
+        return self._node.spec.shape
+
+    @property
+    def ndim(self):
+        return self._node.spec.ndim
+
+    @property
+    def unit(self):
+        return self._node.spec.unit
+
+    @property
+    def ampl_min(self):
+        return self._node.spec.ampl_min
+
+    @property
+    def ampl_max(self):
+        return self._node.spec.ampl_max
+
+    def __getattr__(self, attr):
+        # delegate node-specific API (nfft, frequencies, cutoffs, update...)
+        return getattr(self._node, attr)
+
+    def __len__(self):
+        return self.frames
+
+    # visibility (laziness gate) ----------------------------------------------
+
+    def is_visible(self):
+        vis = [pi.isVisible() for pi in self.plot_items if pi is not None]
+        if vis:
+            return any(vis)
+        return self._visible
+
+    def set_visible(self, show):
+        self._visible = bool(show)
+        for pi in self.plot_items:
+            if pi is not None:
+                pi.setVisible(show)
+
+    # data access ---------------------------------------------------------------
+
+    def _set_window(self, offset, array):
+        self.offset = int(offset)
+        self.buffer = array
+        self.buffer_changed[:] = True
+
+    def __getitem__(self, key):
+        if isinstance(key, tuple):
+            frame_key, rest = key[0], key[1:]
+        else:
+            frame_key, rest = key, ()
+        if isinstance(frame_key, slice):
+            start, stop, step = frame_key.indices(self.frames)
+            data = self._range(start, stop)[::step]
+            return data[(slice(None),) + rest] if rest else data
+        idx = int(frame_key)
+        if idx < 0:
+            idx += self.frames
+        row = self._range(idx, idx + 1)[0]
+        return row[rest] if rest else row
+
+    def _range(self, start, stop):
+        start = max(0, min(start, self.frames))
+        stop = max(start, min(stop, self.frames))
+        if start >= self.offset and stop <= self.offset + len(self.buffer):
+            part = self.buffer[start - self.offset : stop - self.offset]
+            # device-resident window: transfer only the requested slice
+            return np.asarray(part)
+        return self._data._compute_range(self.name, start, stop)
+
+    def update(self, **kwargs):
+        """Host-side parameter update (filter cutoffs, NFFT, ...);
+        triggers downstream recompute of the current window
+        (`src/audian/bufferedfilter.py:39-53` analog)."""
+        changed = self._node.update(**kwargs)
+        self._data._after_update(self.name, geometry_changed=changed)
+        return changed
+
+
+class RawTrace:
+    """Adapter presenting the raw loader as trace number 0 named "data"
+    (`src/audian/data.py:180-195`)."""
+
+    name = RAW
+    source_name = None
+    panel = "trace"
+    panel_type = "trace"
+    color = "#0000ee"
+    lw_thin = 1.1
+    lw_thick = 2
+
+    def __init__(self, loader):
+        self._loader = loader
+        self.plot_items = [None] * loader.channels
+        self._visible = True
+
+    def __getattr__(self, attr):
+        return getattr(self._loader, attr)
+
+    def __len__(self):
+        return self._loader.frames
+
+    def __getitem__(self, key):
+        return self._loader[key]
+
+    def is_visible(self):
+        vis = [pi.isVisible() for pi in self.plot_items if pi is not None]
+        if vis:
+            return any(vis)
+        return self._visible
+
+    def set_visible(self, show):
+        self._visible = bool(show)
+        for pi in self.plot_items:
+            if pi is not None:
+                pi.setVisible(show)
+
+    @property
+    def spec(self):
+        ld = self._loader
+        return TraceSpec(rate=ld.rate, channels=ld.channels, frames=ld.frames,
+                         ampl_min=ld.ampl_min, ampl_max=ld.ampl_max,
+                         unit=ld.unit)
+
+
+class Data:
+    """Owns the raw loader plus the derived-trace DAG and drives windowed
+    updates (reference parity: `src/audian/data.py:14-236`)."""
+
+    def __init__(self, file_path, buffer_time=60.0, back_time=20.0,
+                 follow_time=0.0, **load_kwargs):
+        self.file_path = file_path
+        self.load_kwargs = load_kwargs
+        self.buffer_time = buffer_time
+        self.back_time = back_time
+        self.follow_time = follow_time
+        self.data = None          # AudioLoader
+        self.rate = None
+        self.channels = 0
+        self.frames = 0
+        self.start_time = None
+        self.meta_data = {}
+        self.tbefore = 0.0
+        self.tafter = 0.0
+        self.graph = TraceGraph()
+        self.executor = None
+        self._traces = {}         # name -> Trace (derived only)
+        self._raw = None
+
+    # -- trace registry ----------------------------------------------------------
+
+    def add_trace(self, node):
+        self.graph.add(node)
+        if self.data is not None:
+            self._reopen_graph()
+        return node
+
+    def remove_trace(self, name):
+        self.graph.remove(name)
+        self._traces.pop(name.lower(), None)
+        if self.data is not None:
+            self._reopen_graph()
+
+    def clear_traces(self):
+        self.graph.clear()
+        self._traces = {}
+
+    def setup_traces(self):
+        """Validate/order the DAG (raises MissingSourceError on dangling
+        sources — the reference prints and drops,
+        `src/audian/data.py:121-147`)."""
+        return [n.name for n in self.graph.order]
+
+    @property
+    def traces(self):
+        out = []
+        if self._raw is not None:
+            out.append(self._raw)
+        out.extend(self._traces[n.name.lower()] for n in self.graph.order
+                   if n.name.lower() in self._traces)
+        return out
+
+    def __len__(self):
+        return len(self.traces)
+
+    def __getitem__(self, key):
+        key = key.lower()
+        if key == RAW:
+            return self._raw
+        return self._traces.get(key)
+
+    def __contains__(self, key):
+        return self[key] is not None
+
+    def keys(self):
+        return [t.name for t in self.traces]
+
+    def get_trace_names(self, node_class):
+        return [self._traces[n.name.lower()].name
+                for n in self.graph.order
+                if isinstance(n, node_class) and n.name.lower() in self._traces]
+
+    # -- visibility --------------------------------------------------------------
+
+    def is_visible(self, name):
+        t = self[name]
+        return t.is_visible() if t is not None else False
+
+    def set_visible(self, name, show):
+        t = self[name]
+        if t is None:
+            return False
+        changed = t.is_visible() != show
+        t.set_visible(show)
+        return changed
+
+    def set_need_update(self):
+        """Reference-API shim: laziness is recomputed per update from the
+        visible set (`src/audian/data.py:213-222`)."""
+        return self.visible_traces()
+
+    def visible_traces(self):
+        return [t.name for t in self.traces if t.is_visible()]
+
+    # -- lifecycle ----------------------------------------------------------------
+
+    def open(self, unwrap=0.0, unwrap_clip=False):
+        from .. import enable_compilation_cache
+
+        enable_compilation_cache()
+        if self.data is not None:
+            self.data.close()
+        self.data = AudioLoader(
+            self.file_path,
+            buffer_time=self.buffer_time,
+            back_time=self.back_time,
+            **self.load_kwargs,
+        )
+        if unwrap or unwrap_clip:
+            thresh = unwrap if unwrap else 1.5
+            self.data.set_unwrap(thresh, bool(unwrap_clip))
+        self.data.follow = int(self.follow_time * self.data.rate)
+        self._raw = RawTrace(self.data)
+        self.file_path = self.data.filepath
+        self.rate = self.data.rate
+        self.channels = self.data.channels
+        self.frames = self.data.frames
+        self.meta_data = dict(Format=self.data.format_dict())
+        self.meta_data.update(self.data.metadata())
+        self.start_time = wavio.get_datetime(self.meta_data)
+        self._reopen_graph()
+        return self
+
+    def _reopen_graph(self):
+        self.tbefore, self.tafter = self.graph.open(self._raw.spec)
+        self.executor = GraphExecutor(self.graph)
+        new = {}
+        for node in self.graph.order:
+            key = node.name.lower()
+            new[key] = self._traces.get(key) or Trace(node, self)
+            new[key]._node = node
+        self._traces = new
+        # buffer sizing happens lazily per update window
+        self._resize_raw_buffer()
+
+    def _resize_raw_buffer(self):
+        tbuffer = self.buffer_time + self.tbefore + self.tafter
+        tback = self.back_time + self.tbefore
+        self.data.bufferframes = int(tbuffer * self.data.rate)
+        self.data.backframes = int(tback * self.data.rate)
+
+    def close(self):
+        if self.data is not None:
+            self.data.close()
+            self.data = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    # -- updates ------------------------------------------------------------------
+
+    def _after_update(self, name, geometry_changed=False):
+        self.tbefore, self.tafter = self.graph.refold()
+        self._resize_raw_buffer()
+        self._recompute_buffer()
+
+    def _recompute_buffer(self):
+        """Re-run the fused program over the raw buffer already in memory —
+        the parameter-change hot path (`src/audian/buffereddata.py:149-153`
+        recompute_all analog).  Same chunk geometry as the last scroll, so
+        this is always a cache hit."""
+        if self.data is None or len(self.data.buffer) == 0:
+            return
+        visible = self.visible_traces()
+        targets = [n for n in visible if n != RAW] or None
+        if not targets:
+            return
+        out = self.executor.run(self.data.buffer, self.data.offset,
+                                targets=targets, device=True)
+        for name, (off, arr) in out.items():
+            if name != RAW:
+                self._traces[name]._set_window(off, arr)
+
+    def buffered_region(self):
+        """Interior (halo-excluded) window currently buffered, in seconds —
+        the range parameter changes recompute over."""
+        if self.data is None or len(self.data.buffer) == 0:
+            return (0.0, 0.0)
+        t0 = self.data.offset / self.data.rate + self.tbefore
+        t1 = ((self.data.offset + len(self.data.buffer)) / self.data.rate
+              - self.tafter)
+        return (min(t0, t1), t1)
+
+    def update_times(self, t0, t1):
+        """Move the shown window to [t0, t1]: fetch raw with halos, run the
+        fused device program for all visible traces, refresh the host
+        windows (`src/audian/data.py:225-236` + the per-trace
+        ``load_buffer`` cascade, all in one device launch)."""
+        if self.data is None:
+            return None
+        visible = self.visible_traces()
+        targets = [n for n in visible if n != RAW] or None
+        self.data.update_time(max(t0 - self.tbefore, 0.0),
+                              min(t1 + self.tafter, self.frames / self.rate))
+        if targets:
+            # outputs stay on the device; host code pulls only the slices
+            # it renders (min/max tiles, dB tiles), not whole traces
+            out = self.executor.run(self.data.buffer, self.data.offset,
+                                    targets=targets, device=True)
+            for name, (off, arr) in out.items():
+                if name == RAW:
+                    continue
+                self._traces[name]._set_window(off, arr)
+        self._raw.buffer_changed[:] = True
+        i0 = min(int(t0 * self.data.rate), self.data.frames - 1)
+        fp, _ = self.data.get_file_index(i0)
+        return self.data.basename(fp)
+
+    #: on-demand ranges are quantized (aligned start, power-of-two length)
+    #: so repeated region queries reuse a handful of compiled programs
+    _range_align = 1 << 12
+
+    def _compute_range(self, name, start, stop, targets=None):
+        """On-demand computation of an arbitrary output range of one trace
+        (serves region analysis/export without moving the view window).
+
+        The request is widened to a quantized raw window first — compile
+        once, then every region query of similar size is a re-run.
+        """
+        node = self.graph[name]
+        if node is None:
+            raise KeyError(name)
+        # widen the request in raw-frame space to a quantized window
+        step_total = round(self.rate / node.spec.rate)
+        r0 = start * step_total
+        r1 = stop * step_total
+        hb = int(math.ceil(self.tbefore * self.rate))
+        ha = int(math.ceil(self.tafter * self.rate))
+        a = self._range_align
+        q0 = max(((r0 - hb) // a) * a, 0)
+        want = r1 + ha - q0
+        n = a
+        while n < want:
+            n *= 2
+        if q0 + n > self.frames:
+            q0 = max(0, ((self.frames - n) // a) * a)
+            n = min(n, self.frames - q0)
+        raw = self.data._read(q0, n)
+        out = self.executor.run(raw, q0, targets=targets or [name],
+                                device=False)
+        off, arr = out[name.lower()]
+        lo = start - off
+        if lo < 0 or lo + (stop - start) > len(arr):
+            raise IndexError(
+                f"{name}: frames [{start}, {stop}) not computable "
+                f"(produced [{off}, {off + len(arr)}))"
+            )
+        return arr[lo : lo + (stop - start)]
+
+    # -- regions -------------------------------------------------------------------
+
+    def get_region(self, t0, t1, channel):
+        """Time-sliced arrays of all traces for a selected region
+        (`src/audian/data.py:102-118` semantics: i1 is inclusive+1,
+        spectrogram traces add their frequency axis).
+
+        All derived traces come from ONE fused device run over a quantized
+        raw window (the reference loops per trace on the host).
+        """
+        derived = [n.name for n in self.graph.order]
+        computed = {}
+        if derived:
+            finest = max(self.traces[1:], key=lambda t: t.rate, default=None)
+            if finest is not None:
+                i0 = max(int(t0 * finest.rate), 0)
+                i1 = min(int(t1 * finest.rate) + 1, len(finest))
+                computed = self._compute_region(derived, i0, i1, finest.rate)
+        out = {}
+        for t in self.traces:
+            i0 = max(int(t0 * t.rate), 0)
+            i1 = min(int(t1 * t.rate) + 1, len(t))
+            time = np.arange(i0, i1) / t.rate
+            if t.name in computed:
+                off, arr = computed[t.name]
+                lo = i0 - off
+                if 0 <= lo and lo + (i1 - i0) <= len(arr):
+                    data = arr[lo : lo + (i1 - i0), channel]
+                else:
+                    data = t[i0:i1, channel]
+            else:
+                data = t[i0:i1, channel]
+            if isinstance(getattr(t, "_node", None), SpectrogramNode):
+                out[t.name] = (time, t.frequencies, data)
+            else:
+                out[t.name] = (time, data)
+        return out
+
+    def _compute_region(self, names, i0, i1, rate):
+        """One quantized fused run producing all ``names`` over a window
+        covering frames [i0, i1) at ``rate``."""
+        hb = int(math.ceil(self.tbefore * self.rate))
+        ha = int(math.ceil(self.tafter * self.rate))
+        a = self._range_align
+        r0 = int(i0 * self.rate / rate)
+        r1 = int(math.ceil(i1 * self.rate / rate))
+        q0 = max(((r0 - hb) // a) * a, 0)
+        want = r1 + ha - q0
+        n = a
+        while n < want:
+            n *= 2
+        if q0 + n > self.frames:
+            q0 = max(0, ((self.frames - n) // a) * a)
+            n = min(n, self.frames - q0)
+        raw = self.data._read(q0, n)
+        out = self.executor.run(raw, q0, targets=names, device=False)
+        return {self._traces[k]._node.name if k in self._traces else k: v
+                for k, v in out.items() if k != RAW}
+
+
+def default_traces():
+    """The default derived-trace chain the reference's plugin system
+    installs (`src/audian/plugins.py:11-13`)."""
+    return [
+        FilterNode("filtered", "data"),
+        EnvelopeNode("envelope", "filtered"),
+        SpectrogramNode("spectrogram", "filtered"),
+    ]

@@ -1,0 +1,246 @@
+"""Out-of-core audio loading with a sliding buffer window.
+
+Replaces the audioio/thunderlab ``DataLoader``/``BufferedArray`` stack the
+reference builds on (`src/audian/data.py:9,172`): a windowed view over one
+or more (concatenated) WAV files that keeps only ``buffer_time`` seconds in
+memory with ``back_time`` seconds retained behind the cursor
+(`src/audian/data.py:17-18,168-174`), loading frames on demand.
+
+The loader is host-side by design — file decode feeds the TPU through
+chunk windows.  Bulk decode can go through the C++ fast path in
+:mod:`audian_tpu.native` when built.
+"""
+
+from __future__ import annotations
+
+import math
+from pathlib import Path
+
+import numpy as np
+
+from . import wavio
+from .. import native
+
+
+class AudioLoader:
+    """Windowed, multi-file, unwrap-capable audio source.
+
+    API surface matches what the reference consumes from audioio's
+    ``DataLoader``: ``rate, channels, frames, shape, offset, buffer,
+    bufferframes, backframes, follow, buffer_changed, unit, ampl_min,
+    ampl_max, encoding, file_paths, filepath, end_indices``, methods
+    ``update_time, load_buffer, __getitem__, __len__, metadata, markers,
+    format_dict, set_unwrap, get_file_index, basename, close``.
+    """
+
+    def __init__(self, file_paths, buffer_time=60.0, back_time=20.0,
+                 verbose=0, rate=None, channels=None, unit=None,
+                 amax=None, end_indices=None, dtype=np.float32):
+        if isinstance(file_paths, (str, Path)):
+            file_paths = [file_paths]
+        self.file_paths = [Path(p) for p in file_paths]
+        if not self.file_paths:
+            raise ValueError("no files")
+        self.verbose = verbose
+        self.dtype = np.dtype(dtype)
+        self._infos = [wavio.wav_info(p) for p in self.file_paths]
+        rates = {i[0] for i in self._infos}
+        chans = {i[1] for i in self._infos}
+        if len(rates) > 1 or len(chans) > 1:
+            raise ValueError(
+                f"files disagree in rate/channels: rates={sorted(rates)}, "
+                f"channels={sorted(chans)}"
+            )
+        self.rate = rate or self._infos[0][0]
+        self.channels = channels or self._infos[0][1]
+        self.encoding = self._infos[0][3]
+        if end_indices is not None:
+            self.end_indices = np.asarray(end_indices, dtype=np.int64)
+        else:
+            self.end_indices = np.cumsum([i[2] for i in self._infos])
+        self.frames = int(self.end_indices[-1])
+        self.shape = (self.frames, self.channels)
+        self.ndim = 2
+        self.size = self.frames * self.channels
+        self.unit = unit or "a.u."
+        self.ampl_min = -(amax or 1.0)
+        self.ampl_max = amax or 1.0
+        self.filepath = self.file_paths[0]
+        # windowed buffer state
+        self.bufferframes = int(buffer_time * self.rate)
+        self.backframes = int(back_time * self.rate)
+        self.follow = 0
+        self.offset = 0
+        self.buffer = np.zeros((0, self.channels), self.dtype)
+        self.buffer_changed = np.zeros(self.channels, dtype=bool)
+        # unwrap config (reference CLI -u/-U, audian.py:1485-1490)
+        self.unwrap_thresh = 0.0
+        self.unwrap_clips = False
+        if verbose:
+            for p, info in zip(self.file_paths, self._infos):
+                print(f"opened {p} ({info[2]} frames @ {info[0]:.0f} Hz)")
+
+    # -- identity / metadata ---------------------------------------------------
+
+    def __len__(self):
+        return self.frames
+
+    def metadata(self):
+        return wavio.metadata(self.file_paths[0])
+
+    def markers(self):
+        locs_all, labels_all = [], []
+        start = 0
+        for k, p in enumerate(self.file_paths):
+            locs, labels = wavio.markers(p)
+            if len(locs):
+                locs = locs.copy()
+                locs[:, 0] += start
+                locs_all.append(locs)
+                labels_all.append(labels)
+            start = int(self.end_indices[k])
+        if locs_all:
+            return np.concatenate(locs_all), np.concatenate(labels_all)
+        return (np.zeros((0, 2), dtype=np.int64),
+                np.zeros((0, 2), dtype=object))
+
+    def format_dict(self):
+        return dict(format="WAV", encoding=self.encoding,
+                    rate=f"{self.rate:.0f}Hz", channels=str(self.channels),
+                    frames=str(self.frames),
+                    duration=f"{self.frames / self.rate:.3f}s")
+
+    def get_file_index(self, index):
+        """(file_path, frame index within that file) for a global frame
+        (`src/audian/data.py:233-236` consumes this for per-file time
+        display)."""
+        index = min(max(int(index), 0), self.frames - 1)
+        k = int(np.searchsorted(self.end_indices, index, side="right"))
+        start = 0 if k == 0 else int(self.end_indices[k - 1])
+        return self.file_paths[k], index - start
+
+    def basename(self, path=None):
+        return Path(path if path is not None else self.filepath).name
+
+    def set_unwrap(self, thresh, clips=False, down_scale=False, unit=""):
+        self.unwrap_thresh = float(thresh)
+        self.unwrap_clips = bool(clips)
+        if thresh > 1e-3 and not clips:
+            # unwrapped data can reach twice the input range, then is
+            # scaled down by two: amplitude range stays, values shrink
+            self.ampl_max = self.ampl_max
+        return self
+
+    def close(self):
+        self.buffer = np.zeros((0, self.channels), self.dtype)
+
+    # -- raw reads ----------------------------------------------------------------
+
+    def _read(self, start, nframes):
+        """Read [start, start+nframes) across file boundaries."""
+        start = max(0, min(int(start), self.frames))
+        nframes = max(0, min(int(nframes), self.frames - start))
+        out = np.empty((nframes, self.channels), self.dtype)
+        pos = 0
+        while pos < nframes:
+            g = start + pos
+            k = int(np.searchsorted(self.end_indices, g, side="right"))
+            fstart = 0 if k == 0 else int(self.end_indices[k - 1])
+            local = g - fstart
+            avail = int(self.end_indices[k]) - g
+            n = min(nframes - pos, avail)
+            info = self._infos[k]
+            chunk = None
+            if self.dtype == np.float32:
+                # native C++ read+decode fast path
+                chunk = native.read_frames(self.file_paths[k], info[4],
+                                           info[3], info[1], local, n)
+            if chunk is None:
+                chunk = wavio.read_frames(self.file_paths[k], local, n, info)
+            m = min(len(chunk), n)
+            out[pos : pos + m] = chunk[:m]
+            if m < n:  # file shorter than header claims: zero-fill
+                out[pos + m : pos + n] = 0.0
+            pos += n
+        if self.unwrap_thresh > 1e-3:
+            out = wavio.unwrap(out, self.unwrap_thresh, self.unwrap_clips,
+                               self.ampl_max).astype(self.dtype)
+        return out
+
+    def load_buffer(self, offset, nframes, buffer):
+        """Fill ``buffer`` with frames [offset, offset+nframes) — the
+        worker-side API of the reference's decimation pipeline
+        (`src/audian/compresseddata.py:47`)."""
+        buffer[:] = self._read(offset, nframes)
+
+    # -- windowed buffer ------------------------------------------------------------
+
+    #: buffer offsets snap to this grid so downstream chunk geometry (and
+    #: therefore compiled XLA programs) recur across scroll positions
+    align = 1 << 12
+
+    def update_time(self, t0, t1):
+        """Ensure [t0, t1) (seconds) is in the buffer, retaining
+        ``back_time`` behind t0 (`src/audian/data.py:225-236` driver).
+
+        The window is placed on an aligned grid with a *fixed* length
+        (``bufferframes``, or the next power of two of the requested span
+        when larger), so interior scrolling always produces the same chunk
+        shape — one compiled program instead of one per scroll position.
+        """
+        i0 = max(0, int(math.floor(t0 * self.rate)) - self.backframes)
+        i1 = min(self.frames, int(math.ceil(t1 * self.rate)))
+        span = max(i1 - i0, 0)
+        n = self.bufferframes
+        while n < span + self.align:
+            n *= 2
+        i0 = (i0 // self.align) * self.align
+        if i0 + n > self.frames:
+            i0 = max(0, ((self.frames - n) // self.align) * self.align)
+        n = min(n, self.frames - i0)
+        self.move_buffer(i0, n)
+
+    def move_buffer(self, offset, nframes):
+        offset = max(0, min(int(offset), self.frames))
+        nframes = max(0, min(int(nframes), self.frames - offset))
+        if offset >= self.offset and offset + nframes <= self.offset + len(self.buffer):
+            return  # already covered
+        new = np.empty((nframes, self.channels), self.dtype)
+        # reuse overlap with the current buffer
+        o0 = max(offset, self.offset)
+        o1 = min(offset + nframes, self.offset + len(self.buffer))
+        if o1 > o0:
+            new[o0 - offset : o1 - offset] = self.buffer[
+                o0 - self.offset : o1 - self.offset]
+            if o0 > offset:
+                new[: o0 - offset] = self._read(offset, o0 - offset)
+            if o1 < offset + nframes:
+                new[o1 - offset :] = self._read(o1, offset + nframes - o1)
+        else:
+            new[:] = self._read(offset, nframes)
+        self.offset = offset
+        self.buffer = new
+        self.buffer_changed[:] = True
+
+    def __getitem__(self, key):
+        """Serve any index — from the buffer when covered, else straight
+        from disk (without disturbing the window)."""
+        if isinstance(key, tuple):
+            frame_key, rest = key[0], key[1:]
+        else:
+            frame_key, rest = key, ()
+        if isinstance(frame_key, slice):
+            start, stop, step = frame_key.indices(self.frames)
+            if start >= self.offset and stop <= self.offset + len(self.buffer):
+                data = self.buffer[start - self.offset : stop - self.offset : step]
+            else:
+                data = self._read(start, max(stop - start, 0))[::step]
+            return data[(slice(None),) + rest] if rest else data
+        idx = int(frame_key)
+        if idx < 0:
+            idx += self.frames
+        if self.offset <= idx < self.offset + len(self.buffer):
+            row = self.buffer[idx - self.offset]
+        else:
+            row = self._read(idx, 1)[0]
+        return row[rest] if rest else row

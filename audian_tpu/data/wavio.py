@@ -1,0 +1,518 @@
+"""WAV file I/O with metadata and markers.
+
+Self-contained replacement for the audioio functions the reference relies
+on (`load_audio`, `write_audio`, `metadata`, `markers`, `get_datetime`,
+`update_starttime`, `bext_history_str`, `add_history`, `unwrap` — see
+`src/audian/databrowser.py:23-26`, `src/audian/compresseddata.py:17-19`).
+Pure numpy/stdlib on the host (file decode is host work; the TPU consumes
+chunk windows).  A C++ fast path for bulk PCM decode + min/max pyramids
+lives in :mod:`audian_tpu.native`.
+
+Supported encodings: PCM_16, PCM_24, PCM_32, FLOAT, DOUBLE (DOUBLE is what
+the fulltrace pyramid cache uses, `src/audian/compresseddata.py:151-155`).
+Metadata: RIFF LIST-INFO tags and the broadcast-wave ``bext`` chunk
+(incl. CodingHistory).  Markers: ``cue`` chunk plus LIST-adtl ``labl`` /
+``note`` / ``ltxt`` entries, exposed as ``(locs (n,2) [pos, span],
+labels (n,2) [label, text])`` arrays — the audioio convention the
+reference consumes at `src/audian/databrowser.py:318-319`.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import struct
+from pathlib import Path
+
+import numpy as np
+
+__all__ = [
+    "load_audio",
+    "write_audio",
+    "metadata",
+    "markers",
+    "load_wav",
+    "get_datetime",
+    "update_starttime",
+    "bext_history_str",
+    "add_history",
+    "unwrap",
+    "available_formats",
+    "available_encodings",
+]
+
+
+_ENCODINGS = {
+    "PCM_16": (1, 16),
+    "PCM_24": (1, 24),
+    "PCM_32": (1, 32),
+    "FLOAT": (3, 32),
+    "DOUBLE": (3, 64),
+}
+
+_INFO_TAGS = {
+    "INAM": "Title", "IART": "Artist", "ICMT": "Comment", "ICRD": "Date",
+    "IENG": "Engineer", "IGNR": "Genre", "IKEY": "Keywords",
+    "IPRD": "Product", "ISFT": "Software", "ISRC": "Source",
+    "ICOP": "Copyright", "ISBJ": "Subject",
+}
+_INFO_TAGS_INV = {v: k for k, v in _INFO_TAGS.items()}
+
+_BEXT_FIELDS = [
+    ("Description", 256), ("Originator", 32), ("OriginatorReference", 32),
+    ("OriginationDate", 10), ("OriginationTime", 8),
+]
+
+
+def available_formats():
+    return ["WAV"]
+
+
+def available_encodings(format="WAV"):
+    return list(_ENCODINGS)
+
+
+# ---------------------------------------------------------------------------
+# reading
+# ---------------------------------------------------------------------------
+
+
+class WavError(ValueError):
+    pass
+
+
+def _iter_chunks(buf):
+    """Yield (chunk_id, offset, size) over a RIFF payload."""
+    pos = 12  # past 'RIFF' size 'WAVE'
+    n = len(buf)
+    while pos + 8 <= n:
+        cid = buf[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", buf, pos + 4)
+        yield cid, pos + 8, size
+        pos += 8 + size + (size & 1)
+
+
+def _parse_fmt(buf, off, size):
+    tag, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", buf, off)
+    if tag == 0xFFFE and size >= 40:  # WAVE_FORMAT_EXTENSIBLE
+        (tag,) = struct.unpack_from("<H", buf, off + 24)
+    return tag, channels, rate, bits
+
+
+def _decode(raw, tag, bits, channels):
+    if tag == 3:
+        dtype = np.float32 if bits == 32 else np.float64
+        data = np.frombuffer(raw, dtype="<f4" if bits == 32 else "<f8")
+        data = data.astype(dtype, copy=False)
+    elif tag == 1:
+        if bits == 16:
+            data = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 2 ** 15
+        elif bits == 32:
+            data = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2 ** 31
+        elif bits == 24:
+            b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+            ints = (
+                b[:, 0].astype(np.int32)
+                | (b[:, 1].astype(np.int32) << 8)
+                | (b[:, 2].astype(np.int32) << 16)
+            )
+            ints = np.where(ints >= 1 << 23, ints - (1 << 24), ints)
+            data = ints.astype(np.float64) / 2 ** 23
+        elif bits == 8:
+            data = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+                    - 128.0) / 128.0
+        else:
+            raise WavError(f"unsupported PCM bit depth: {bits}")
+    else:
+        raise WavError(f"unsupported WAV format tag: {tag}")
+    frames = len(data) // channels
+    return data[: frames * channels].reshape(frames, channels)
+
+
+def _cstr(b):
+    return b.split(b"\x00", 1)[0].decode("latin-1", "replace").strip()
+
+
+def _parse_bext(buf, off, size):
+    md = {}
+    pos = off
+    for name, n in _BEXT_FIELDS:
+        md[name] = _cstr(buf[pos : pos + n])
+        pos += n
+    lo, hi = struct.unpack_from("<II", buf, pos)
+    md["TimeReference"] = (hi << 32) | lo
+    pos += 8
+    (md["Version"],) = struct.unpack_from("<H", buf, pos)
+    pos += 2
+    pos += 64  # UMID
+    pos += 10  # loudness
+    pos += 180  # reserved
+    if pos < off + size:
+        md["CodingHistory"] = _cstr(buf[pos : off + size])
+    return {k: v for k, v in md.items() if v not in ("", 0)}
+
+
+def _parse_list(buf, off, size):
+    kind = buf[off : off + 4]
+    entries = {}
+    pos = off + 4
+    end = off + size
+    while pos + 8 <= end:
+        cid = buf[pos : pos + 4]
+        (csize,) = struct.unpack_from("<I", buf, pos + 4)
+        body = buf[pos + 8 : pos + 8 + csize]
+        entries.setdefault(cid.decode("latin-1"), []).append(body)
+        pos += 8 + csize + (csize & 1)
+    return kind, entries
+
+
+def load_wav(path, return_buffer=False):
+    """Parse a WAV file fully.
+
+    Returns ``(data, rate, md, locs, labels)`` with data normalized to
+    [-1, 1] floats, metadata as a nested dict (INFO tags at top level,
+    broadcast-wave fields under ``"BEXT"``), and markers as the audioio
+    ``locs``/``labels`` arrays.
+    """
+    buf = Path(path).read_bytes()
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise WavError(f"{path}: not a RIFF/WAVE file")
+    fmt = None
+    data = None
+    md = {}
+    cues = {}      # id -> position
+    lengths = {}   # id -> span (from ltxt)
+    names = {}     # id -> label (labl)
+    notes = {}     # id -> text (note)
+    for cid, off, size in _iter_chunks(buf):
+        if cid == b"fmt ":
+            fmt = _parse_fmt(buf, off, size)
+        elif cid == b"data":
+            tag, channels, rate, bits = fmt
+            data = _decode(buf[off : off + size], tag, bits, channels)
+        elif cid == b"bext":
+            md["BEXT"] = _parse_bext(buf, off, size)
+        elif cid == b"LIST":
+            kind, entries = _parse_list(buf, off, size)
+            if kind == b"INFO":
+                for tag4, bodies in entries.items():
+                    key = _INFO_TAGS.get(tag4, tag4)
+                    md[key] = _cstr(bodies[0])
+            elif kind == b"adtl":
+                for body in entries.get("labl", []):
+                    (cue_id,) = struct.unpack_from("<I", body, 0)
+                    names[cue_id] = _cstr(body[4:])
+                for body in entries.get("note", []):
+                    (cue_id,) = struct.unpack_from("<I", body, 0)
+                    notes[cue_id] = _cstr(body[4:])
+                for body in entries.get("ltxt", []):
+                    cue_id, length = struct.unpack_from("<II", body, 0)
+                    lengths[cue_id] = length
+        elif cid == b"cue ":
+            (ncues,) = struct.unpack_from("<I", buf, off)
+            for k in range(ncues):
+                base = off + 4 + 24 * k
+                cue_id, _, _, _, _, pos = struct.unpack_from("<IIIIII", buf, base)
+                cues[cue_id] = pos
+    if fmt is None or data is None:
+        raise WavError(f"{path}: missing fmt/data chunk")
+    ids = sorted(cues)
+    locs = np.array(
+        [[cues[i], lengths.get(i, 0)] for i in ids], dtype=np.int64
+    ).reshape(-1, 2)
+    labels = np.array(
+        [[names.get(i, ""), notes.get(i, "")] for i in ids], dtype=object
+    ).reshape(-1, 2)
+    rate = float(fmt[2])
+    if return_buffer:
+        return data, rate, md, locs, labels, buf
+    return data, rate, md, locs, labels
+
+
+def load_audio(path):
+    """(data, rate) like audioio's ``load_audio``."""
+    data, rate, _, _, _ = load_wav(path)
+    return data, rate
+
+
+def metadata(path):
+    _, _, md, _, _ = load_wav(path)
+    return md
+
+
+def markers(path):
+    _, _, _, locs, labels = load_wav(path)
+    return locs, labels
+
+
+def wav_info(path):
+    """Cheap header scan: (rate, channels, frames, encoding, data_offset).
+
+    Reads only the chunk headers — used by the out-of-core loader to avoid
+    decoding whole files.
+    """
+    p = Path(path)
+    with p.open("rb") as f:
+        head = f.read(12)
+        if head[:4] != b"RIFF" or head[8:12] != b"WAVE":
+            raise WavError(f"{path}: not a RIFF/WAVE file")
+        fmt = None
+        while True:
+            hdr = f.read(8)
+            if len(hdr) < 8:
+                break
+            cid = hdr[:4]
+            (size,) = struct.unpack("<I", hdr[4:])
+            if cid == b"fmt ":
+                body = f.read(size + (size & 1))
+                tag, channels, rate, _, _, bits = struct.unpack_from(
+                    "<HHIIHH", body, 0)
+                if tag == 0xFFFE and size >= 40:
+                    (tag,) = struct.unpack_from("<H", body, 24)
+                fmt = (tag, channels, rate, bits)
+            elif cid == b"data":
+                if fmt is None:
+                    raise WavError(f"{path}: data before fmt")
+                tag, channels, rate, bits = fmt
+                frames = size // (channels * (bits // 8))
+                enc = {(1, 16): "PCM_16", (1, 24): "PCM_24",
+                       (1, 32): "PCM_32", (3, 32): "FLOAT",
+                       (3, 64): "DOUBLE"}.get((tag, bits), f"tag{tag}/{bits}")
+                return float(rate), channels, frames, enc, f.tell()
+            else:
+                f.seek(size + (size & 1), 1)
+    raise WavError(f"{path}: missing fmt/data chunk")
+
+
+def read_frames(path, start, nframes, info=None):
+    """Read a frame range from a WAV file without decoding the rest."""
+    if info is None:
+        info = wav_info(path)
+    rate, channels, frames, enc, data_off = info
+    tag, bits = _ENCODINGS.get(enc, (None, None))
+    if tag is None:
+        raise WavError(f"{path}: unsupported encoding {enc}")
+    bpf = channels * (bits // 8)
+    start = max(0, min(start, frames))
+    nframes = max(0, min(nframes, frames - start))
+    with Path(path).open("rb") as f:
+        f.seek(data_off + start * bpf)
+        raw = f.read(nframes * bpf)
+    return _decode(raw, tag, bits, channels)
+
+
+# ---------------------------------------------------------------------------
+# writing
+# ---------------------------------------------------------------------------
+
+
+def _encode(data, encoding):
+    tag, bits = _ENCODINGS[encoding]
+    data = np.asarray(data)
+    if data.ndim == 1:
+        data = data[:, None]
+    if tag == 3:
+        return data.astype("<f4" if bits == 32 else "<f8").tobytes(), tag, bits
+    clipped = np.clip(data, -1.0, 1.0 - 2.0 ** (1 - bits))
+    scaled = np.round(clipped * 2 ** (bits - 1)).astype(np.int64)
+    if bits == 16:
+        return scaled.astype("<i2").tobytes(), tag, bits
+    if bits == 32:
+        return scaled.astype("<i4").tobytes(), tag, bits
+    if bits == 24:
+        ints = scaled.astype(np.int64) & 0xFFFFFF
+        b = np.empty(ints.shape + (3,), np.uint8)
+        b[..., 0] = ints & 0xFF
+        b[..., 1] = (ints >> 8) & 0xFF
+        b[..., 2] = (ints >> 16) & 0xFF
+        return b.tobytes(), tag, bits
+    raise WavError(f"unsupported encoding {encoding}")
+
+
+def _chunk(cid, body):
+    if len(body) & 1:
+        body += b"\x00"
+    return cid + struct.pack("<I", len(body) - (len(body) & 1)) + body
+
+
+def _chunk_exact(cid, body):
+    pad = b"\x00" if len(body) & 1 else b""
+    return cid + struct.pack("<I", len(body)) + body + pad
+
+
+def _build_bext(bext):
+    body = b""
+    for name, n in _BEXT_FIELDS:
+        body += str(bext.get(name, ""))[:n].encode("latin-1", "replace").ljust(n, b"\x00")
+    tr = int(bext.get("TimeReference", 0))
+    body += struct.pack("<II", tr & 0xFFFFFFFF, tr >> 32)
+    body += struct.pack("<H", int(bext.get("Version", 1)))
+    body += b"\x00" * 64   # UMID
+    body += b"\x00" * 10   # loudness
+    body += b"\x00" * 180  # reserved
+    hist = str(bext.get("CodingHistory", ""))
+    if hist:
+        body += hist.encode("latin-1", "replace")
+        if not body.endswith(b"\r\n"):
+            body += b"\r\n"
+    return body
+
+
+def write_audio(path, data, rate, metadata=None, locs=None, labels=None,
+                encoding="PCM_16", format="WAV"):
+    """Write a WAV file with optional metadata and markers.
+
+    API shape follows audioio's ``write_audio``; the reference's region
+    export goes through this (`src/audian/databrowser.py:1913-1918`).
+    """
+    if format and format.upper() != "WAV":
+        raise ValueError(f"unsupported format: {format}")
+    data = np.asarray(data)
+    if data.ndim == 1:
+        data = data[:, None]
+    raw, tag, bits = _encode(data, encoding)
+    channels = data.shape[1]
+    bpf = channels * (bits // 8)
+    chunks = [
+        _chunk_exact(
+            b"fmt ",
+            struct.pack("<HHIIHH", tag, channels, int(round(rate)),
+                        int(round(rate)) * bpf, bpf, bits),
+        )
+    ]
+    md = dict(metadata or {})
+    bext = md.pop("BEXT", None)
+    if bext:
+        chunks.append(_chunk_exact(b"bext", _build_bext(bext)))
+    info_entries = b""
+    for key, val in md.items():
+        if isinstance(val, dict):
+            continue  # non-INFO sections are not representable
+        tag4 = _INFO_TAGS_INV.get(key, key if len(key) == 4 else None)
+        if tag4 is None:
+            continue
+        body = str(val).encode("latin-1", "replace") + b"\x00"
+        info_entries += _chunk_exact(tag4.encode("latin-1"), body)
+    if info_entries:
+        chunks.append(_chunk_exact(b"LIST", b"INFO" + info_entries))
+    if locs is not None and len(locs):
+        locs = np.asarray(locs)
+        if locs.ndim == 1:
+            locs = np.stack([locs, np.zeros_like(locs)], axis=1)
+        cue = struct.pack("<I", len(locs))
+        adtl = b""
+        for k, (pos, span) in enumerate(locs):
+            cue += struct.pack("<IIIIII", k + 1, int(pos), 0x61746164, 0, 0,
+                               int(pos))
+            label, text = "", ""
+            if labels is not None and k < len(labels):
+                pair = np.atleast_1d(labels[k])
+                label = str(pair[0]) if len(pair) > 0 and pair[0] else ""
+                text = str(pair[1]) if len(pair) > 1 and pair[1] else ""
+            if label:
+                adtl += _chunk_exact(
+                    b"labl", struct.pack("<I", k + 1)
+                    + label.encode("latin-1", "replace") + b"\x00")
+            if text:
+                adtl += _chunk_exact(
+                    b"note", struct.pack("<I", k + 1)
+                    + text.encode("latin-1", "replace") + b"\x00")
+            if span:
+                adtl += _chunk_exact(
+                    b"ltxt",
+                    struct.pack("<II", k + 1, int(span)) + b"\x00" * 12)
+        chunks.append(_chunk_exact(b"cue ", cue))
+        if adtl:
+            chunks.append(_chunk_exact(b"LIST", b"adtl" + adtl))
+    chunks.append(_chunk_exact(b"data", raw))
+    payload = b"WAVE" + b"".join(chunks)
+    with Path(path).open("wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", len(payload)) + payload)
+
+
+# ---------------------------------------------------------------------------
+# metadata helpers (audioio API surface used by the reference)
+# ---------------------------------------------------------------------------
+
+
+def get_datetime(md):
+    """Recording start datetime from metadata (BEXT OriginationDate/Time or
+    INFO ICRD/Date), or None."""
+    bext = md.get("BEXT", {})
+    date = bext.get("OriginationDate")
+    time = bext.get("OriginationTime", "00:00:00")
+    if date:
+        try:
+            return dt.datetime.fromisoformat(f"{date}T{time}")
+        except ValueError:
+            pass
+    date = md.get("Date") or md.get("ICRD")
+    if date:
+        try:
+            return dt.datetime.fromisoformat(str(date))
+        except ValueError:
+            pass
+    return None
+
+
+def update_starttime(md, deltat, rate):
+    """Shift the recording start time by ``deltat`` seconds (used when a
+    region is cut out, `src/audian/databrowser.py:1892`)."""
+    start = get_datetime(md)
+    if start is not None:
+        new = start + dt.timedelta(seconds=float(deltat))
+        if "BEXT" in md and "OriginationDate" in md["BEXT"]:
+            md["BEXT"]["OriginationDate"] = new.date().isoformat()
+            md["BEXT"]["OriginationTime"] = new.time().strftime("%H:%M:%S")
+        if "Date" in md:
+            md["Date"] = new.isoformat()
+    bext = md.get("BEXT")
+    if bext and "TimeReference" in bext:
+        bext["TimeReference"] = int(bext["TimeReference"]) + int(
+            round(float(deltat) * rate))
+    return md
+
+
+def bext_history_str(encoding, rate, channels, text=None):
+    """One BWF CodingHistory line, ``A=PCM,F=...,W=...,M=...``."""
+    enc = str(encoding or "PCM_16").upper()
+    bits = {"PCM_16": 16, "PCM_24": 24, "PCM_32": 32,
+            "FLOAT": 32, "DOUBLE": 64}.get(enc, 16)
+    mode = {1: "mono", 2: "stereo"}.get(int(channels), f"{channels}ch")
+    s = f"A=PCM,F={int(round(rate))},W={bits},M={mode}"
+    if text:
+        s += f",T={text}"
+    return s
+
+
+def add_history(md, history, key="CodingHistory", pre_history=None):
+    """Append a history line to the metadata under ``key`` (dotted path
+    allowed), seeding with ``pre_history`` if the field was empty."""
+    d = md
+    parts = key.split(".")
+    for p in parts[:-1]:
+        d = d.setdefault(p, {})
+    field = parts[-1]
+    old = d.get(field, "")
+    if not old and pre_history:
+        old = pre_history
+    d[field] = (old + "\r\n" + history) if old else history
+    return md
+
+
+def unwrap(data, thresh=1.5, clips=False, ampl_max=1.0):
+    """Unwrap data that wrapped around the ADC range: where consecutive
+    samples jump by more than ``thresh*ampl_max``, shift by the full range.
+    Then either clip to the range or scale down by two (the reference's
+    ``-U`` vs ``-u`` CLI flags, `src/audian/audian.py:1485-1490`)."""
+    data = np.array(data, dtype=np.float64, copy=True)
+    rng = 2.0 * ampl_max
+    d = np.diff(data, axis=0)
+    steps = np.zeros_like(data)
+    steps[1:] = -rng * np.where(d > thresh * ampl_max, 1.0,
+                                np.where(d < -thresh * ampl_max, -1.0, 0.0))
+    data += np.cumsum(steps, axis=0)
+    if clips:
+        np.clip(data, -ampl_max, ampl_max, out=data)
+    else:
+        data *= 0.5
+    return data

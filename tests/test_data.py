@@ -1,0 +1,197 @@
+"""Headless Data API tests (SURVEY.md section 4 item 5): the model layer
+drives the whole pipeline without any GUI, matching the reference ``Data``
+semantics (`src/audian/data.py`)."""
+
+import numpy as np
+import pytest
+import scipy.signal as sps
+
+from audian_tpu.data import Data, AudioLoader, default_traces, wavio
+from audian_tpu.graph import SpectrogramNode, FilterNode, MissingSourceError, EnvelopeNode
+
+
+RATE = 44100.0
+
+
+@pytest.fixture(scope="module")
+def wav_file(tmp_path_factory, cricket_like):
+    x, rate = cricket_like
+    p = tmp_path_factory.mktemp("data") / "cricket.wav"
+    md = {"BEXT": {"OriginationDate": "2026-03-04",
+                   "OriginationTime": "10:00:00"}}
+    locs = np.array([[1000, 0], [40000, 2000]])
+    labels = np.array([["start", ""], ["song", "chirp"]], dtype=object)
+    wavio.write_audio(p, x, rate, metadata=md, locs=locs, labels=labels,
+                      encoding="FLOAT")
+    return p
+
+
+@pytest.fixture(scope="module")
+def multi_files(tmp_path_factory, cricket_like):
+    x, rate = cricket_like
+    d = tmp_path_factory.mktemp("multi")
+    n = len(x) // 3
+    paths = []
+    for k in range(3):
+        p = d / f"part{k}.wav"
+        wavio.write_audio(p, x[k * n : (k + 1) * n], rate, encoding="FLOAT")
+        paths.append(p)
+    return paths, x[: 3 * n], rate
+
+
+def open_data(wav_file, **kwargs):
+    d = Data(wav_file, **kwargs)
+    for node in default_traces():
+        d.add_trace(node)
+    d.open()
+    return d
+
+
+def test_loader_basics(wav_file, cricket_like):
+    x, rate = cricket_like
+    ld = AudioLoader(wav_file)
+    assert ld.rate == rate
+    assert ld.channels == 2
+    assert ld.frames == len(x)
+    np.testing.assert_allclose(ld[100:200], x[100:200], atol=1e-7)
+    np.testing.assert_allclose(ld[100:200, 1], x[100:200, 1], atol=1e-7)
+    np.testing.assert_allclose(ld[5, 0], x[5, 0], atol=1e-7)
+
+
+def test_loader_window_management(wav_file):
+    ld = AudioLoader(wav_file, buffer_time=0.5, back_time=0.1)
+    ld.update_time(1.0, 1.2)
+    assert ld.offset <= int(0.9 * ld.rate)
+    assert ld.offset + len(ld.buffer) >= int(1.2 * ld.rate)
+    # in-buffer access does not move the window
+    off = ld.offset
+    _ = ld[int(1.05 * ld.rate) : int(1.1 * ld.rate)]
+    assert ld.offset == off
+    # out-of-buffer access reads through without moving it
+    head = ld[0:10]
+    assert ld.offset == off and head.shape == (10, 2)
+
+
+def test_multi_file_concatenation(multi_files):
+    paths, x, rate = multi_files
+    ld = AudioLoader(paths)
+    assert ld.frames == len(x)
+    np.testing.assert_allclose(ld[0 : len(x) : 1000], x[::1000], atol=1e-7)
+    # straddle a file boundary
+    b = int(ld.end_indices[0])
+    np.testing.assert_allclose(ld[b - 5 : b + 5], x[b - 5 : b + 5], atol=1e-7)
+    fp, local = ld.get_file_index(b + 3)
+    assert fp == paths[1] and local == 3
+
+
+def test_data_open_and_registry(wav_file):
+    d = open_data(wav_file)
+    assert d.rate == RATE and d.channels == 2
+    assert set(d.keys()) == {"data", "filtered", "envelope", "spectrogram"}
+    assert d["FILTERED"] is d["filtered"]
+    assert "envelope" in d and "nope" not in d
+    assert len(d) == 4
+    assert d.start_time is not None and d.start_time.hour == 10
+    assert d.meta_data["Format"]["format"] == "WAV"
+    assert d.get_trace_names(SpectrogramNode) == ["spectrogram"]
+    d.remove_trace("envelope")
+    assert "envelope" not in d
+    d.close()
+
+
+def test_data_missing_source(wav_file):
+    d = Data(wav_file)
+    d.add_trace(EnvelopeNode("envelope", "missing"))
+    with pytest.raises(MissingSourceError):
+        d.open()
+
+
+def test_update_times_computes_visible(wav_file, cricket_like):
+    x, rate = cricket_like
+    d = open_data(wav_file)
+    d["filtered"].update(highpass_cutoff=2000.0, lowpass_cutoff=10000.0)
+    name = d.update_times(0.5, 1.0)
+    assert name == "cricket.wav"
+    f = d["filtered"]
+    i0, i1 = int(0.5 * rate), int(1.0 * rate)
+    got = f[i0:i1]
+    sos = f.design.sos
+    want = sps.sosfilt(sos, x.astype(np.float32), axis=0)[i0:i1]
+    np.testing.assert_allclose(got, want, atol=2e-5)
+    # spectrogram window present and aligned
+    s = d["spectrogram"]
+    assert s.offset <= int(0.5 * s.rate)
+    assert s.buffer.shape[1:] == (2, 129)
+    d.close()
+
+
+def test_trace_on_demand_range(wav_file, cricket_like):
+    """Random access outside the buffered window computes on demand."""
+    x, rate = cricket_like
+    d = open_data(wav_file)
+    d.update_times(0.0, 0.2)
+    env = d["envelope"]
+    seg = env[60000:60500]  # ~1.4 s, outside the window
+    esos = env.design.sos
+    base = sps.sosfilt(d["filtered"].design.sos if d["filtered"].design else None,
+                       x, axis=0) if d["filtered"].design else x
+    want = sps.sosfiltfilt(esos, (np.pi / 2) * np.abs(base), axis=0)
+    want[want < 0] = 0
+    np.testing.assert_allclose(seg, want[60000:60500], atol=2e-5)
+    d.close()
+
+
+def test_get_region_shapes(wav_file):
+    d = open_data(wav_file)
+    d.update_times(0.0, 0.5)
+    region = d.get_region(0.1, 0.2, channel=0)
+    t, y = region["filtered"]
+    assert len(t) == len(y) == int(0.2 * RATE) + 1 - int(0.1 * RATE)
+    ts, fs, sxx = region["spectrogram"]
+    assert len(fs) == 129
+    assert sxx.shape == (len(ts), 129)
+    d.close()
+
+
+def test_laziness_gate(wav_file):
+    d = open_data(wav_file)
+    d.set_visible("spectrogram", False)
+    d.set_visible("envelope", False)
+    d.update_times(0.2, 0.4)
+    assert len(d["filtered"].buffer) > 0
+    assert len(d["spectrogram"].buffer) == 0  # never computed
+    d.close()
+
+
+def test_param_update_refreshes_window(wav_file, cricket_like):
+    x, rate = cricket_like
+    d = open_data(wav_file)
+    d.update_times(0.5, 1.0)
+    d["filtered"].update(highpass_cutoff=3000.0, lowpass_cutoff=9000.0)
+    f = d["filtered"]
+    i0 = int(0.6 * rate)
+    want = sps.sosfilt(f.design.sos, x.astype(np.float32), axis=0)
+    np.testing.assert_allclose(f[i0 : i0 + 100], want[i0 : i0 + 100],
+                               atol=2e-5)
+    # NFFT change propagates geometry
+    d["spectrogram"].update(nfft=512)
+    s = d["spectrogram"]
+    assert s.spec.more_shape == (257,)
+    assert s.frequencies.shape == (257,)
+    d.close()
+
+
+def test_unwrap_path(tmp_path):
+    # unwrap detection requires the true per-sample slope to stay below the
+    # threshold, so use a slow signal that overdrives the ADC range
+    rate = 44100.0
+    t = np.arange(int(rate)) / rate
+    x = 0.9 * np.sin(2 * np.pi * 4.0 * t)[:, None]
+    wrapped = np.where(np.abs(2 * x) > 1.0, 2 * x - np.sign(x) * 2.0, 2 * x)
+    p = tmp_path / "w.wav"
+    wavio.write_audio(p, wrapped, rate, encoding="FLOAT")
+    d = Data(p)
+    d.open(unwrap=1.5)
+    got = d["data"][0 : len(x)]
+    np.testing.assert_allclose(got, x, atol=1e-4)
+    d.close()

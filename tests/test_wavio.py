@@ -1,0 +1,109 @@
+"""WAV I/O roundtrip tests: encodings, metadata, markers, helpers."""
+
+import numpy as np
+import pytest
+
+from audian_tpu.data import wavio
+
+
+@pytest.fixture
+def signal(rng):
+    return (0.4 * rng.standard_normal((2000, 2))).clip(-1, 1)
+
+
+@pytest.mark.parametrize("encoding,atol", [
+    ("PCM_16", 2 ** -15), ("PCM_24", 2 ** -23), ("PCM_32", 2 ** -30),
+    ("FLOAT", 1e-7), ("DOUBLE", 0),
+])
+def test_roundtrip_encodings(tmp_path, signal, encoding, atol):
+    p = tmp_path / "x.wav"
+    wavio.write_audio(p, signal, 44100, encoding=encoding)
+    data, rate = wavio.load_audio(p)
+    assert rate == 44100
+    assert data.shape == signal.shape
+    np.testing.assert_allclose(data, signal, atol=atol * 1.01 + 1e-12)
+
+
+def test_roundtrip_mono(tmp_path, signal):
+    p = tmp_path / "m.wav"
+    wavio.write_audio(p, signal[:, 0], 8000, encoding="FLOAT")
+    data, rate = wavio.load_audio(p)
+    assert data.shape == (len(signal), 1)
+
+
+def test_metadata_roundtrip(tmp_path, signal):
+    p = tmp_path / "md.wav"
+    md = {
+        "Title": "cricket song",
+        "Comment": "field recording",
+        "BEXT": {
+            "Description": "audian-tpu test",
+            "Originator": "pytest",
+            "OriginationDate": "2026-08-16",
+            "OriginationTime": "05:00:00",
+            "TimeReference": 12345,
+            "CodingHistory": "A=PCM,F=44100,W=16,M=stereo",
+        },
+    }
+    wavio.write_audio(p, signal, 44100, metadata=md, encoding="PCM_16")
+    got = wavio.metadata(p)
+    assert got["Title"] == "cricket song"
+    assert got["Comment"] == "field recording"
+    assert got["BEXT"]["OriginationDate"] == "2026-08-16"
+    assert got["BEXT"]["TimeReference"] == 12345
+    assert "A=PCM" in got["BEXT"]["CodingHistory"]
+
+
+def test_markers_roundtrip(tmp_path, signal):
+    p = tmp_path / "mk.wav"
+    locs = np.array([[100, 0], [500, 250], [1500, 0]])
+    labels = np.array([["start", ""], ["song", "nice one"], ["end", ""]],
+                      dtype=object)
+    wavio.write_audio(p, signal, 44100, locs=locs, labels=labels)
+    glocs, glabels = wavio.markers(p)
+    np.testing.assert_array_equal(glocs, locs)
+    assert list(glabels[:, 0]) == ["start", "song", "end"]
+    assert glabels[1, 1] == "nice one"
+
+
+def test_wav_info_and_partial_read(tmp_path, signal):
+    p = tmp_path / "pr.wav"
+    wavio.write_audio(p, signal, 48000, encoding="FLOAT")
+    rate, channels, frames, enc, off = wavio.wav_info(p)
+    assert (rate, channels, frames, enc) == (48000, 2, 2000, "FLOAT")
+    part = wavio.read_frames(p, 100, 50)
+    np.testing.assert_allclose(part, signal[100:150], atol=1e-7)
+    # reads are clamped at EOF
+    tail = wavio.read_frames(p, 1990, 100)
+    assert tail.shape == (10, 2)
+
+
+def test_get_datetime_and_starttime_shift():
+    md = {"BEXT": {"OriginationDate": "2026-01-02",
+                   "OriginationTime": "03:04:05",
+                   "TimeReference": 1000}}
+    t = wavio.get_datetime(md)
+    assert t.hour == 3 and t.second == 5
+    wavio.update_starttime(md, 61.0, 100.0)
+    t2 = wavio.get_datetime(md)
+    assert (t2 - t).total_seconds() == 61
+    assert md["BEXT"]["TimeReference"] == 1000 + 6100
+
+
+def test_history(tmp_path):
+    md = {"BEXT": {"CodingHistory": "A=PCM,F=44100,W=16,M=stereo"}}
+    code = wavio.bext_history_str("PCM_16", 44100, 2)
+    assert code == "A=PCM,F=44100,W=16,M=stereo"
+    wavio.add_history(md, code + ",T=cut", "BEXT.CodingHistory")
+    assert md["BEXT"]["CodingHistory"].count("A=PCM") == 2
+
+
+def test_unwrap():
+    # a ramp that wraps at +1 -> jumps to -1
+    t = np.linspace(0, 4, 1000)
+    true = 1.8 * np.sin(2 * np.pi * 0.5 * t)
+    wrapped = np.where(true > 1.0, true - 2.0, np.where(true < -1.0, true + 2.0, true))
+    fixed = wavio.unwrap(wrapped[:, None], thresh=1.5, clips=False)
+    np.testing.assert_allclose(fixed[:, 0], true / 2, atol=1e-9)
+    clipped = wavio.unwrap(wrapped[:, None], thresh=1.5, clips=True)
+    np.testing.assert_allclose(clipped[:, 0], np.clip(true, -1, 1), atol=1e-9)
