@@ -12,6 +12,8 @@ from .design import (
     FirKernels,
     FilterDesign,
     effective_impulse_length,
+    impulse_response,
+    filtfilt_sym_kernel,
     sos_pole_radius,
     sos_initial_conditions,
     filtfilt_padlen,
@@ -21,6 +23,7 @@ from .sos import (
     sosfilt_fir,
     sosfiltfilt,
     sosfiltfilt_fir,
+    sosfiltfilt_sym,
     sosfilt_zi,
     odd_ext,
 )
@@ -46,10 +49,10 @@ from .mix import stereo_mixdown, heterodyne, fade, prepare_playback
 __all__ = [
     "design_filter", "design_envelope_filter", "fir_kernels", "FirKernels",
     "FilterDesign",
-    "effective_impulse_length", "sos_pole_radius", "sos_initial_conditions",
-    "filtfilt_padlen",
-    "sosfilt", "sosfilt_fir", "sosfiltfilt", "sosfiltfilt_fir", "sosfilt_zi",
-    "odd_ext",
+    "effective_impulse_length", "impulse_response", "filtfilt_sym_kernel",
+    "sos_pole_radius", "sos_initial_conditions", "filtfilt_padlen",
+    "sosfilt", "sosfilt_fir", "sosfiltfilt", "sosfiltfilt_fir",
+    "sosfiltfilt_sym", "sosfilt_zi", "odd_ext",
     "spectrogram", "spectrogram_frequencies", "hann_window", "frame_signal",
     "num_frames", "decibel", "inverse_decibel",
     "envelope",

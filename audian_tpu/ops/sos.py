@@ -276,35 +276,79 @@ def _toeplitz_bank(h, block):
     return hp[idx]
 
 
-def _conv1d_same_causal(x, h, block=1024):
+def _pick_block(T):
+    """Toeplitz block size tuned on TPU v5e: small kernels want small
+    blocks (less zero padding in the bank), long kernels amortize."""
+    return 256 if T <= 384 else 512
+
+
+def _conv1d_same_causal(x, h, block=None, precision=lax.Precision.HIGHEST):
     """Causal convolution ``y[n] = sum_j h[j] x[n-j]`` along axis 0 of a
     (n, channels) array, as overlap-save block *matmuls* so the work lands
     on the TPU MXU (a rank-1 ``lax.conv`` stays on the VPU and measured
     ~100x slower).
 
-    Precision.HIGHEST is required: the MXU's default f32 mode runs bf16
-    passes, which costs ~3 decimal digits — measured 2.9e-3 error vs
-    3.9e-8 with full f32 accumulation.
+    Precision: the MXU's default f32 mode runs one bf16 pass (~3.6e-3
+    error); HIGH three passes (~1.5e-5); HIGHEST (~1e-7, default) honors
+    the 1e-5 scipy-oracle budget with margin at ~half HIGH's speed.
     """
     n, c = x.shape
     T = h.shape[0]
+    if block is None:
+        block = _pick_block(T)
     H = _toeplitz_bank(h, block)                    # (B, B+T-1)
     nblocks = -(-n // block)
     halo = T - 1
-    xp = jnp.pad(x, [(halo, nblocks * block - n), (0, 0)])
-    # frame b covers x[b*B - halo : b*B + B] (original indexing)
-    starts = np.arange(nblocks)[:, None] * block
-    offs = np.arange(block + halo)[None, :]
-    frames = xp[starts + offs]                      # (nb, B+T-1, C)
+    # frame b covers x[b*B - halo : b*B + B] (original indexing); build the
+    # overlapped frames from block-aligned reshapes + shifted views instead
+    # of an index-matrix gather (gathers embed huge constants -> slow
+    # compiles and slow execution on TPU)
+    width = block + halo
+    k = -(-width // block)
+    nrows = nblocks + k - 1
+    xp = jnp.pad(x, [(halo, nrows * block - halo - n), (0, 0)])
+    rows = xp.reshape(nrows, block, c)
+    frames = jnp.concatenate(
+        [rows[j : j + nblocks] for j in range(k)], axis=1
+    )[:, :width]                                     # (nb, B+T-1, C)
     y = jnp.einsum(
         "ok,bkc->boc", H, frames,
-        precision=lax.Precision.HIGHEST,
+        precision=precision,
         preferred_element_type=x.dtype,
     )
     return y.reshape(nblocks * block, c)[:n]
 
 
-def sosfilt_fir(kernels, x, zi=None, axis=0, return_zf=None):
+def sosfiltfilt_sym(g, delay, x, axis=0, precision=lax.Precision.HIGHEST):
+    """Zero-phase filtering as ONE symmetric convolution.
+
+    ``g, delay`` come from
+    :func:`audian_tpu.ops.design.filtfilt_sym_kernel`.  Matches
+    ``sosfiltfilt`` on interior samples (to the design's truncation
+    ``eps``); within ``delay`` frames of the array ends the edges follow
+    zero-padding rather than scipy's odd reflection, so callers must carry
+    halos — this is the batch/sharded fast path, not the scipy-exact API.
+    """
+    x = jnp.asarray(x)
+    dtype = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
+    x = x.astype(dtype)
+    g = jnp.asarray(g, dtype)
+    xt = jnp.moveaxis(x, axis, 0)
+    squeeze = xt.ndim == 1
+    if squeeze:
+        xt = xt[:, None]
+    flat = xt.reshape(xt.shape[0], -1)
+    n = flat.shape[0]
+    ext = jnp.pad(flat, [(0, delay), (0, 0)])
+    y = _conv1d_same_causal(ext, g, precision=precision)[delay:]
+    out = y.reshape(xt.shape)
+    if squeeze:
+        out = out[:, 0]
+    return jnp.moveaxis(out, 0, axis)
+
+
+def sosfilt_fir(kernels, x, zi=None, axis=0, return_zf=None,
+                precision=lax.Precision.HIGHEST):
     """Causal SOS filtering via truncated impulse response (MXU fast path).
 
     ``kernels`` is a :class:`audian_tpu.ops.design.FirKernels` precomputed
@@ -327,7 +371,7 @@ def sosfilt_fir(kernels, x, zi=None, axis=0, return_zf=None):
     flat = xt.reshape(xt.shape[0], -1)
     n = flat.shape[0]
     h = jnp.asarray(kernels.h, dtype=dtype)
-    y = _conv1d_same_causal(flat, h)
+    y = _conv1d_same_causal(flat, h, precision=precision)
     nstate = kernels.state_out.shape[1]
     if zi is not None:
         zi_t = jnp.moveaxis(jnp.asarray(zi, dtype=dtype), 1 + axis, 1)

@@ -55,13 +55,29 @@ def spectrogram_frequencies(rate, nfft):
 def frame_signal(x, nfft, hop, nframes=None):
     """Slice ``x`` (time on axis 0) into overlapping frames.
 
+    Built from reshapes and shifted views, not a gather: an index-matrix
+    gather embeds an O(nframes*nfft) constant into the program (measured
+    ~70 s XLA compiles and ~50x slower execution on TPU for minute-long
+    chunks).
+
     Returns shape ``(nframes, nfft) + x.shape[1:]``.
     """
     n = x.shape[0]
     if nframes is None:
         nframes = num_frames(n, nfft, hop)
-    idx = np.arange(nframes)[:, None] * hop + np.arange(nfft)[None, :]
-    return x[idx]
+    if nframes <= 0:
+        return jnp.zeros((0, nfft) + x.shape[1:], x.dtype)
+    k = -(-nfft // hop)  # hop-rows per frame
+    nrows = nframes + k - 1
+    need = nrows * hop
+    if need > n:
+        x = jnp.pad(x, [(0, need - n)] + [(0, 0)] * (x.ndim - 1))
+    rows = x[:need].reshape((nrows, hop) + x.shape[1:])
+    parts = [rows[j : j + nframes] for j in range(k)]
+    frames = jnp.concatenate(parts, axis=1)  # (nframes, k*hop, ...)
+    if k * hop != nfft:
+        frames = frames[:, :nfft]
+    return frames
 
 
 def spectrogram(x, rate, nfft, hop, window=None, detrend=False):

@@ -1,0 +1,102 @@
+"""audian-tpu headline benchmark.
+
+BASELINE.md target: full NFFT-256/50% spectrogram + 2-40 kHz bandpass +
+envelope over a 1 hour x 16 channel x 96 kHz recording in under 2 s on one
+TPU v5e chip.  This measures the device compute path (the chunked chain
+exactly as the batch/sharded runtimes execute it, halos included, f32 at
+MXU Precision.HIGHEST so outputs stay within the 1e-5 scipy-oracle
+budget); audio is synthesized on device so the host link (a network tunnel
+in this environment) doesn't pollute the kernel numbers.
+
+Timing note: on this backend ``block_until_ready`` does not actually block,
+so completion is forced by pulling a (tiny) reduced result to the host —
+executions complete in order, so the final pull fences the whole queue.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": seconds, "unit": "s", "vs_baseline": target/value}
+"""
+
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+RATE = 96000.0
+CHANNELS = 16
+HOURS = 1.0
+NFFT, HOP = 256, 128
+TARGET_S = 2.0
+CHUNK = 1 << 22  # ~43.7 s of audio per device chunk
+
+
+def main():
+    import audian_tpu
+    audian_tpu.enable_compilation_cache()
+    from audian_tpu.ops import (design_filter, design_envelope_filter,
+                                fir_kernels, filtfilt_sym_kernel,
+                                sosfilt_fir, sosfiltfilt_sym, spectrogram,
+                                hann_window)
+
+    filt = fir_kernels(design_filter(RATE, 2000.0, 40000.0), eps=1e-7)
+    env_sos = design_envelope_filter(RATE, 500.0)
+    g, delay = filtfilt_sym_kernel(env_sos, eps=1e-7)
+    window = hann_window(NFFT)
+    hb = filt.length + delay + 1
+    hb = -(-hb // HOP) * HOP
+    ha = max(delay + 1, NFFT - HOP)
+    ha = -(-ha // HOP) * HOP
+
+    total_frames = int(HOURS * 3600 * RATE)
+    nchunks = -(-total_frames // CHUNK)
+
+    @jax.jit
+    def make_chunk(seed):
+        key = jax.random.fold_in(jax.random.PRNGKey(0), seed)
+        shape = (hb + CHUNK + ha, CHANNELS)
+        t = (jnp.arange(shape[0], dtype=jnp.float32) / RATE)[:, None]
+        tone = jnp.sin(2 * jnp.pi * 30000.0 * t) * (
+            jnp.sin(2 * jnp.pi * 5.0 * t) > 0)
+        return (0.5 * tone + 0.05 * jax.random.normal(key, shape)
+                ).astype(jnp.float32)
+
+    @jax.jit
+    def chain(ext):
+        y = sosfilt_fir(filt, ext, axis=0, return_zf=False)
+        rect = (jnp.pi / 2) * jnp.abs(y)
+        e = jnp.maximum(sosfiltfilt_sym(g, delay, rect, axis=0), 0.0)
+        seg = y[hb : hb + CHUNK + NFFT - HOP]
+        s = spectrogram(seg, RATE, NFFT, HOP, window=window)
+        # fold outputs so the bench isn't bound by materializing ~5 GB of
+        # outputs per chunk it would never keep (real runtimes stream
+        # results onward); reductions touch every produced value
+        return (jnp.sum(y[hb : hb + CHUNK] ** 2, axis=0),
+                jnp.sum(e[hb : hb + CHUNK], axis=0),
+                jnp.sum(s, axis=0))
+
+    # distinct pre-generated chunks, device-resident
+    chunks = [make_chunk(i) for i in range(4)]
+    _ = [np.asarray(c[0, 0]) for c in chunks]
+
+    # warm-up / compile
+    _ = np.asarray(chain(chunks[0])[0])
+
+    t0 = time.perf_counter()
+    out = None
+    for i in range(nchunks):
+        out = chain(chunks[i % len(chunks)])
+    _ = np.asarray(out[0])  # fences the in-order queue
+    elapsed = time.perf_counter() - t0
+
+    print(json.dumps({
+        "metric": "spectrogram+bandpass+envelope 1h x 16ch x 96kHz wall",
+        "value": round(elapsed, 4),
+        "unit": "s",
+        "vs_baseline": round(TARGET_S / elapsed, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

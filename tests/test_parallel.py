@@ -1,0 +1,105 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh
+(SURVEY.md section 4 item 4): halo exchange, sharded-vs-whole equivalence,
+channel sharding."""
+
+import numpy as np
+import pytest
+import scipy.signal as sps
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from audian_tpu.ops import FilterDesign, design_filter, design_envelope_filter
+from audian_tpu.parallel import make_mesh, halo_exchange, ShardedPipeline
+
+
+RATE = 48000.0
+
+
+@pytest.fixture(scope="module")
+def signal(rng):
+    n = 1 << 17
+    t = np.arange(n) / RATE
+    x = np.sin(2 * np.pi * 5000.0 * t) * (np.sin(2 * np.pi * 4.0 * t) > 0)
+    x = x + 0.05 * rng.standard_normal(n)
+    return np.stack([x, 0.5 * x], axis=1).astype(np.float32)
+
+
+def test_halo_exchange_roundtrip():
+    mesh = make_mesh(seq=8, ch=1)
+    n, b, a = 64, 5, 3
+    x = np.arange(n * 8, dtype=np.float32).reshape(8 * n, 1)
+
+    fn = jax.jit(jax.shard_map(
+        lambda xs: halo_exchange(xs, b, a, "seq"),
+        mesh=mesh, in_specs=P("seq", None), out_specs=P("seq", None),
+    ))
+    out = np.asarray(fn(x)).reshape(8, n + b + a)
+    # interior shard 3: full halos from both neighbors
+    np.testing.assert_array_equal(
+        out[3], np.arange(3 * n - b, 4 * n + a, dtype=np.float32))
+    # first shard: zero left halo
+    assert np.all(out[0][:b] == 0)
+    np.testing.assert_array_equal(out[0][b:], np.arange(0, n + a))
+    # last shard: zero right halo
+    assert np.all(out[7][-a:] == 0)
+
+
+@pytest.mark.parametrize("seq,ch", [(8, 1), (4, 2)])
+def test_sharded_pipeline_matches_whole(signal, seq, ch):
+    mesh = make_mesh(seq=seq, ch=ch)
+    filt = FilterDesign.from_sos(design_filter(RATE, 1000.0, 8000.0))
+    env = FilterDesign.from_sos(design_envelope_filter(RATE, 500.0))
+    pipe = ShardedPipeline(mesh, RATE, filt=filt, env=env, nfft=256,
+                           minmax_step=512)
+    out = pipe(signal)
+    n = len(signal)
+
+    want_f = sps.sosfilt(filt.sos, signal.astype(np.float64), axis=0)
+    got_f = np.asarray(out["filtered"])[:n]
+    np.testing.assert_allclose(got_f, want_f, atol=1e-5)
+
+    want_e = sps.sosfiltfilt(env.sos, (np.pi / 2) * np.abs(want_f), axis=0)
+    want_e[want_e < 0] = 0
+    got_e = np.asarray(out["envelope"])[:n]
+    # global head/tail: zero-pad vs scipy's odd reflection — a documented
+    # bounded edge artifact within one envelope halo of the recording ends;
+    # the interior must agree strictly
+    edge = 2 * (env.fir.length + env.padlen)
+    np.testing.assert_allclose(got_e[edge:-edge], want_e[edge:-edge],
+                               atol=1e-5)
+    assert np.all(np.isfinite(got_e))
+
+    _, _, want_s = sps.spectrogram(
+        want_f, fs=RATE, window="hann", nperseg=256, noverlap=128,
+        detrend=False, scaling="density", mode="psd", axis=0)
+    got_s = np.asarray(out["spectrogram"])
+    nf = want_s.shape[2]
+    np.testing.assert_allclose(got_s[:nf], want_s.transpose(2, 1, 0),
+                               rtol=1e-4, atol=1e-9)
+
+    mm = np.asarray(out["minmax"])
+    assert mm.shape == (2 * pipe.padded_length(n) // 512, 2)
+    np.testing.assert_allclose(mm[0, 0], signal[:512, 0].min(), atol=1e-7)
+    np.testing.assert_allclose(mm[1, 0], signal[:512, 0].max(), atol=1e-7)
+
+
+def test_sharded_pipeline_no_filter(signal):
+    mesh = make_mesh(seq=8, ch=1)
+    pipe = ShardedPipeline(mesh, RATE, filt=None, env=None, nfft=512)
+    out = pipe(signal)
+    assert set(out) == {"filtered", "spectrogram"}
+    n = len(signal)
+    np.testing.assert_allclose(np.asarray(out["filtered"])[:n], signal,
+                               atol=0)
+
+
+def test_output_shardings(signal):
+    mesh = make_mesh(seq=8, ch=1)
+    filt = FilterDesign.from_sos(design_filter(RATE, 1000.0, 8000.0))
+    pipe = ShardedPipeline(mesh, RATE, filt=filt, env=None)
+    out = pipe(signal)
+    shard = out["filtered"].sharding
+    assert shard.spec == P("seq", "ch")
+    assert len(out["filtered"].devices()) == 8

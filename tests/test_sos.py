@@ -185,6 +185,29 @@ def test_sosfilt_traced_coefficients_no_recompile(signal):
     )
 
 
+def test_sosfiltfilt_sym_interior_matches_scipy(sos, signal):
+    from audian_tpu.ops import filtfilt_sym_kernel, sosfiltfilt_sym
+
+    g, delay = filtfilt_sym_kernel(sos, eps=1e-9)
+    got = np.asarray(sosfiltfilt_sym(g, delay, signal))
+    want = sps.sosfiltfilt(sos, signal)
+    assert got.shape == want.shape
+    # edges follow zero padding; interior must match tightly
+    np.testing.assert_allclose(got[delay:-delay], want[delay:-delay],
+                               atol=1e-6)
+
+
+def test_sosfiltfilt_sym_multichannel(sos, signal):
+    from audian_tpu.ops import filtfilt_sym_kernel, sosfiltfilt_sym
+
+    g, delay = filtfilt_sym_kernel(sos, eps=1e-9)
+    x = np.stack([signal, 0.5 * signal[::-1]], axis=1)
+    got = np.asarray(sosfiltfilt_sym(g, delay, x, axis=0))
+    want = sps.sosfiltfilt(sos, x, axis=0)
+    np.testing.assert_allclose(got[delay:-delay], want[delay:-delay],
+                               atol=1e-6)
+
+
 # --- FIR fast path ---------------------------------------------------------
 
 
