@@ -1,0 +1,138 @@
+"""Fused strided-window matmul Pallas kernel.
+
+The two hot ops of the whole framework — FIR filtering (Toeplitz block
+matmul) and the STFT (windowed DFT matmul) — are both instances of::
+
+    y[f] = x[:, f*S : f*S + K] @ w        f = 0 .. nframes-1
+
+In plain XLA the overlapped windows must be materialized (a concat of
+shifted views), costing 2-4x the input size in HBM traffic and dominating
+runtime (measured 10-18 ms per 44 s audio chunk where the MXU work alone
+is 2-6 ms).  This kernel streams ``x`` through VMEM via two adjacent
+block views (so Pallas double-buffers the loads across grid steps), builds
+the overlapped window block in VMEM (on-chip bandwidth), and feeds the MXU
+directly: HBM traffic drops to ``read x + write y``.
+
+Layout: channels-first ``x (C, n)`` so the window block ``F`` has shape
+``(G*C, K)`` — a fat matmul M dimension regardless of channel count.
+
+Precision: Mosaic supports DEFAULT (single bf16 pass) and HIGHEST (full
+f32); HIGHEST is the default here — the framework's 1e-5 oracle contract
+needs it.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["window_matmul"]
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+def _kernel(xa, xb, w_ref, out_ref, xcat, fv, *, G, S, K, C, precision,
+            premap, out_layout):
+    span = xa.shape[1]
+    if premap is None:
+        xcat[:, :span] = xa[:, :]
+        xcat[:, span:] = xb[:, :]
+    else:
+        xcat[:, :span] = premap(xa[:, :])
+        xcat[:, span:] = premap(xb[:, :])
+    for g in range(G):
+        fv[g * C : (g + 1) * C, :] = xcat[:, g * S : g * S + K]
+    y = jax.lax.dot_general(
+        fv[:, :], w_ref[:, :],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    O = y.shape[-1]
+    if out_layout == "fco":
+        out_ref[0] = y.reshape(G, C, O)
+    else:  # channels-first stream: (C, G*O)
+        out_ref[:, :] = y.reshape(G, C, O).transpose(1, 0, 2).reshape(C, G * O)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("stride", "nframes", "frames_per_block", "precision",
+                     "premap", "out_layout"),
+)
+def window_matmul(x, w, stride, nframes, frames_per_block=32,
+                  precision=lax.Precision.HIGHEST, premap=None,
+                  out_layout="fco"):
+    """Compute ``y[f] = x[:, f*stride : f*stride + K] @ w`` for all frames.
+
+    Parameters
+    ----------
+    x : (C, n) float32, channels-first.  ``n`` must cover the last frame
+        (the host wrappers pad).
+    w : (K, O) float32 analysis matrix (Toeplitz bank or windowed DFT).
+    stride : frame hop S (static).
+    nframes : number of output frames (static).
+    frames_per_block : frames per kernel program; ``G*C`` is the matmul M
+        dimension.  Widened automatically until ``K <= (G+1)*S``.
+    premap : optional elementwise function applied to ``x`` on-chip while
+        building the window block (e.g. rectification for the envelope) —
+        fuses a whole HBM round trip away.
+    out_layout : "fco" returns (nframes, C, O); "cf" returns the
+        channels-first stream (C, nframes*O) — the natural input of a
+        following windowed op (no host-side transpose pass).
+
+    Returns (nframes, C, O) or (C, nframes*O) float32.
+    """
+    C, n = x.shape
+    K, O = w.shape
+    S = int(stride)
+    G = int(frames_per_block)
+    while (G + 1) * S < K:  # widen blocks until two spans cover a window
+        G *= 2
+    nprog = -(-nframes // G)
+    span = G * S
+    # program i reads spans i and i+1
+    need = (nprog + 1) * span
+    if need > n:
+        x = jnp.pad(x, [(0, 0), (0, need - n)])
+    else:
+        x = x[:, :need]
+    if out_layout == "fco":
+        out_spec = pl.BlockSpec((1, G, C, O), lambda i: (i, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((nprog, G, C, O), jnp.float32)
+    else:
+        out_spec = pl.BlockSpec((C, G * O), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((C, nprog * G * O), jnp.float32)
+    out = pl.pallas_call(
+        functools.partial(_kernel, G=G, S=S, K=K, C=C, precision=precision,
+                          premap=premap, out_layout=out_layout),
+        grid=(nprog,),
+        in_specs=[
+            pl.BlockSpec((C, span), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, span), lambda i: (0, i + 1),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, O), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_spec,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((C, 2 * span), jnp.float32),
+            pltpu.VMEM((G * C, K), jnp.float32),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(x, x, w)
+    if out_layout == "fco":
+        return out.reshape(nprog * G, C, O)[:nframes]
+    return out[:, : nframes * O]

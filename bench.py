@@ -35,19 +35,18 @@ CHUNK = 1 << 22  # ~43.7 s of audio per device chunk
 def main():
     import audian_tpu
     audian_tpu.enable_compilation_cache()
-    from audian_tpu.ops import (design_filter, design_envelope_filter,
-                                fir_kernels, filtfilt_sym_kernel,
-                                sosfilt_fir, sosfiltfilt_sym, spectrogram,
-                                hann_window)
+    from audian_tpu.ops import design_filter, design_envelope_filter
+    from audian_tpu.ops.fused import FusedChainCF
 
-    filt = fir_kernels(design_filter(RATE, 2000.0, 40000.0), eps=1e-7)
-    env_sos = design_envelope_filter(RATE, 500.0)
-    g, delay = filtfilt_sym_kernel(env_sos, eps=1e-7)
-    window = hann_window(NFFT)
-    hb = filt.length + delay + 1
-    hb = -(-hb // HOP) * HOP
-    ha = max(delay + 1, NFFT - HOP)
-    ha = -(-ha // HOP) * HOP
+    fused = FusedChainCF(
+        RATE,
+        filt_sos=design_filter(RATE, 2000.0, 40000.0),
+        env_sos=design_envelope_filter(RATE, 500.0),
+        nfft=NFFT, hop=HOP, eps=1e-7,
+    )
+    # chunk halos so chunked outputs equal whole-recording outputs
+    hb = -(-(fused.filt_halo + fused.env_halo) // HOP) * HOP
+    ha = -(-max(fused.env_halo, NFFT - HOP) // HOP) * HOP
 
     total_frames = int(HOURS * 3600 * RATE)
     nchunks = -(-total_frames // CHUNK)
@@ -55,8 +54,8 @@ def main():
     @jax.jit
     def make_chunk(seed):
         key = jax.random.fold_in(jax.random.PRNGKey(0), seed)
-        shape = (hb + CHUNK + ha, CHANNELS)
-        t = (jnp.arange(shape[0], dtype=jnp.float32) / RATE)[:, None]
+        shape = (CHANNELS, hb + CHUNK + ha)
+        t = (jnp.arange(shape[1], dtype=jnp.float32) / RATE)[None, :]
         tone = jnp.sin(2 * jnp.pi * 30000.0 * t) * (
             jnp.sin(2 * jnp.pi * 5.0 * t) > 0)
         return (0.5 * tone + 0.05 * jax.random.normal(key, shape)
@@ -64,16 +63,15 @@ def main():
 
     @jax.jit
     def chain(ext):
-        y = sosfilt_fir(filt, ext, axis=0, return_zf=False)
-        rect = (jnp.pi / 2) * jnp.abs(y)
-        e = jnp.maximum(sosfiltfilt_sym(g, delay, rect, axis=0), 0.0)
-        seg = y[hb : hb + CHUNK + NFFT - HOP]
-        s = spectrogram(seg, RATE, NFFT, HOP, window=window)
+        y = fused.filtered_cf(ext)
+        e = fused.envelope_cf(y)
+        nf = CHUNK // HOP
+        s = fused.spectrogram_fc(y[:, hb:], nframes=nf)
         # fold outputs so the bench isn't bound by materializing ~5 GB of
         # outputs per chunk it would never keep (real runtimes stream
         # results onward); reductions touch every produced value
-        return (jnp.sum(y[hb : hb + CHUNK] ** 2, axis=0),
-                jnp.sum(e[hb : hb + CHUNK], axis=0),
+        return (jnp.sum(y[:, hb : hb + CHUNK] ** 2, axis=1),
+                jnp.sum(e[:, hb : hb + CHUNK], axis=1),
                 jnp.sum(s, axis=0))
 
     # distinct pre-generated chunks, device-resident

@@ -1,0 +1,75 @@
+"""Fused channels-first Pallas chain vs scipy oracles (interpret mode on
+the CPU mesh; the same code compiles to Mosaic on TPU)."""
+
+import numpy as np
+import pytest
+import scipy.signal as sps
+
+from audian_tpu.ops import design_filter, design_envelope_filter
+from audian_tpu.ops.fused import FusedChainCF
+
+
+RATE = 48000.0
+
+
+@pytest.fixture(scope="module")
+def signal(rng):
+    n = 20000
+    t = np.arange(n) / RATE
+    x = np.sin(2 * np.pi * 5000.0 * t) * (np.sin(2 * np.pi * 6.0 * t) > 0)
+    x = x + 0.05 * rng.standard_normal(n)
+    return np.stack([x, 0.5 * x], axis=0).astype(np.float32)  # (C, n)
+
+
+@pytest.fixture(scope="module")
+def chain():
+    return FusedChainCF(
+        RATE,
+        filt_sos=design_filter(RATE, 1000.0, 8000.0),
+        env_sos=design_envelope_filter(RATE, 500.0),
+        nfft=256, hop=128, eps=1e-8,
+    )
+
+
+def test_filtered_matches_scipy(chain, signal):
+    got = np.asarray(chain.filtered_cf(signal))
+    want = sps.sosfilt(design_filter(RATE, 1000.0, 8000.0),
+                       signal.astype(np.float64), axis=1)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_envelope_matches_scipy_interior(chain, signal):
+    y = sps.sosfilt(design_filter(RATE, 1000.0, 8000.0),
+                    signal.astype(np.float64), axis=1)
+    want = sps.sosfiltfilt(design_envelope_filter(RATE, 500.0),
+                           (np.pi / 2) * np.abs(y), axis=1)
+    want[want < 0] = 0
+    got = np.asarray(chain.envelope_cf(jnp_array(y)))
+    d = chain.env_delay
+    np.testing.assert_allclose(got[:, d:-d], want[:, d:-d], atol=1e-5)
+
+
+def jnp_array(x):
+    import jax.numpy as jnp
+
+    return jnp.asarray(np.asarray(x, np.float32))
+
+
+def test_spectrogram_matches_scipy(chain, signal):
+    y = signal.astype(np.float64)
+    _, _, want = sps.spectrogram(
+        y, fs=RATE, window="hann", nperseg=256, noverlap=128,
+        detrend=False, scaling="density", mode="psd", axis=1)
+    got = np.asarray(chain.spectrogram_fc(jnp_array(y)))
+    # scipy axis=1 -> (C, freq, time); ours (time, C, freq)
+    np.testing.assert_allclose(got, want.transpose(2, 0, 1), rtol=1e-5,
+                               atol=1e-10)
+
+
+def test_full_chain_shapes(chain, signal):
+    out = chain(signal)
+    C, n = signal.shape
+    assert out["filtered"].shape == (C, n)
+    assert out["envelope"].shape == (C, n)
+    nf = (n - 256) // 128 + 1
+    assert out["spectrogram"].shape == (nf, C, 129)
