@@ -372,11 +372,14 @@ def write_audio(path, data, rate, metadata=None, locs=None, labels=None,
     raw, tag, bits = _encode(data, encoding)
     channels = data.shape[1]
     bpf = channels * (bits // 8)
+    # ByteRate is informational; clamp it for the huge synthetic rates the
+    # fulltrace cache uses (rate scaled by 1e6, compresseddata.py:198-202)
+    byte_rate = min(int(round(rate)) * bpf, 0xFFFFFFFF)
     chunks = [
         _chunk_exact(
             b"fmt ",
             struct.pack("<HHIIHH", tag, channels, int(round(rate)),
-                        int(round(rate)) * bpf, bpf, bits),
+                        byte_rate, bpf, bits),
         )
     ]
     md = dict(metadata or {})

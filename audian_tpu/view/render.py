@@ -1,0 +1,182 @@
+"""Device-side render tiles: min/max trace decimation and dB image tiles.
+
+The reference decimates the visible window to per-pixel min/max pairs on
+the host per redraw (`src/audian/traceitem.py:33-82`) and converts
+spectrogram power to dB on upload (`src/audian/specitem.py:33-39`).  Here
+both are tiny jitted device programs over the (device-resident) trace
+windows; only the pixel-sized tile crosses to the host.
+
+Every entry point is shape-bucketed: steps snap to powers of two and tile
+widths are fixed, so interactive zooming reuses a handful of compiled
+programs (on this backend each uncompiled eager op costs ~seconds through
+the compile path, so nothing here dispatches eagerly).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = ["TraceTiler", "SpecTiler", "pick_amplitude"]
+
+
+def _pow2_at_least(n):
+    return 1 << max(int(n) - 1, 0).bit_length() if n > 1 else 1
+
+
+@functools.partial(jax.jit, static_argnames=("step", "width"))
+def _minmax_tile(buf, start, step, width):
+    """Interleaved min/max of ``width`` segments of ``step`` frames
+    starting at ``start`` (buffer-relative, traced)."""
+    seg = jax.lax.dynamic_slice_in_dim(buf, start, width * step, axis=0)
+    shaped = seg.reshape((width, step) + buf.shape[1:])
+    mins = jnp.min(shaped, axis=1)
+    maxs = jnp.max(shaped, axis=1)
+    tile = jnp.stack([mins, maxs], axis=1)
+    return tile.reshape((2 * width,) + buf.shape[1:])
+
+
+@functools.partial(jax.jit, static_argnames=("width",))
+def _slice_tile(buf, start, width):
+    return jax.lax.dynamic_slice_in_dim(buf, start, width, axis=0)
+
+
+class TraceTiler:
+    """Min/max decimation of a windowed trace to screen pixels.
+
+    Reference semantics (`src/audian/traceitem.py:36-82`): ``step =
+    (visible frames)//max_pixels`` floored at 1; segment starts aligned to
+    step multiples; interleaved min/max values plotted at half-step times.
+    Steps are bucketed to powers of two here so zoom levels share compiled
+    programs (the visual result is identical at sub-pixel scale).
+    """
+
+    def __init__(self, max_pixels=1920):
+        self.max_pixels = int(max_pixels)
+
+    def tile(self, trace, t0, t1, channel=None):
+        """Render tile for view range [t0, t1].
+
+        Parameters
+        ----------
+        trace : object with ``rate, frames, offset, buffer`` (a
+            :class:`audian_tpu.data.Data` trace view).
+        channel : channel to extract; None returns all channels.
+
+        Returns ``(times, values)`` numpy arrays; for ``step > 1`` values
+        are interleaved min/max at half-step positions.
+        """
+        rate = trace.rate
+        start = max(0, int(t0 * rate))
+        tstop = int(t1 * rate + 1)
+        stop = min(trace.frames, tstop)
+        if stop <= start:
+            shape = (0,) if channel is not None else (0, trace.channels)
+            return np.zeros(0), np.zeros(shape, np.float32)
+        step = max(1, (tstop - start) // self.max_pixels)
+        buf = trace.buffer
+        boff = trace.offset
+        if step > 1:
+            step = _pow2_at_least(step)
+            start = (start // step) * step
+            # clamp into the loaded window, step-aligned
+            lo = boff + ((-boff) % step) if boff % step else boff
+            while start < lo:
+                start += step
+            stop = min(stop, boff + len(buf))
+            width = max((stop - start) // step, 0)
+            if width == 0:
+                shape = (0,) if channel is not None else (0, trace.channels)
+                return np.zeros(0), np.zeros(shape, np.float32)
+            tile = _minmax_tile(jnp.asarray(buf), start - boff, step, width)
+            values = np.asarray(tile)
+            half = step / 2
+            times = (start + np.arange(2 * width) * half) / rate
+        else:
+            start = max(start, boff)
+            stop = min(stop, boff + len(buf))
+            width = max(stop - start, 0)
+            values = np.asarray(_slice_tile(jnp.asarray(buf),
+                                            start - boff, width))
+            times = (start + np.arange(width)) / rate
+        if channel is not None:
+            values = values[:, channel]
+        return times, values
+
+
+def pick_amplitude(trace, t, y, t1=None, channel=0):
+    """Nearest-extremum amplitude at cursor position — used by the
+    crosshair snap (`src/audian/traceitem.py:85-104` semantics)."""
+    rate = trace.rate
+    idx = int(round(t * rate))
+    step = 1
+    if t1 is not None:
+        step = max(1, int(round(t1 * rate)) - idx)
+    if step > 1:
+        idx = (idx // step) * step
+        block = np.asarray(trace[idx : idx + step, channel])
+        if block.size == 0:
+            return idx / rate, 0.0
+        mini = int(np.argmin(block))
+        maxi = int(np.argmax(block))
+        amin, amax = float(block[mini]), float(block[maxi])
+        if abs(y - amax) < abs(y - amin):
+            return (idx + maxi) / rate, amax
+        return (idx + mini) / rate, amin
+    idx = min(max(idx, 0), trace.frames - 1)
+    return idx / rate, float(np.asarray(trace[idx, channel]))
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _db_tile(power, zmin, zmax):
+    safe = jnp.maximum(power, 1e-20)
+    db = 10.0 * jnp.log10(safe)
+    return jnp.clip((db - zmin) / (zmax - zmin), 0.0, 1.0)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _db_tile_u8(power, zmin, zmax):
+    return jnp.round(255.0 * _db_tile(power, zmin, zmax)).astype(jnp.uint8)
+
+
+class SpecTiler:
+    """dB image tiles from a spectrogram trace window.
+
+    Produces normalized (or uint8-quantized) images clipped to the current
+    color levels, plus the buffer-extent rectangle the image maps onto
+    (`src/audian/specitem.py:23-39` + the `spec_rect` bookkeeping of
+    `src/audian/bufferedspectrogram.py:63-66`).
+    """
+
+    def tile(self, trace, channel, zmin, zmax, quantize=False, t0=None,
+             t1=None):
+        buf = trace.buffer
+        if len(buf) == 0:
+            return np.zeros((0, 0)), (0.0, 0.0, 0.0, 0.0)
+        rate = trace.rate
+        i0 = 0 if t0 is None else max(int(t0 * rate) - trace.offset, 0)
+        i1 = len(buf) if t1 is None else min(
+            int(t1 * rate + 1) - trace.offset, len(buf))
+        part = jnp.asarray(buf)[i0:i1, channel, :]
+        fn = _db_tile_u8 if quantize else _db_tile
+        img = np.asarray(fn(part, float(zmin), float(zmax)))
+        node = getattr(trace, "_node", trace)
+        fmax = node.frequencies[-1] + node.fresolution if hasattr(
+            node, "frequencies") else 0.0
+        rect = ((trace.offset + i0) / rate, 0.0, (i1 - i0) / rate, fmax)
+        return img, rect
+
+    def power_at(self, trace, t, f, channel):
+        """Per-pixel power lookup for the hover readout
+        (`src/audian/specitem.py:23-30`)."""
+        node = getattr(trace, "_node", trace)
+        i = int(t * trace.rate)
+        j = int(round(f / node.fresolution))
+        if not (0 <= i < trace.frames):
+            return None
+        nb = trace.spec.more_shape[0]
+        j = min(max(j, 0), nb - 1)
+        return float(np.asarray(trace[i, channel, j]))

@@ -1,0 +1,160 @@
+"""Headless DataBrowser controller: region verbs, analyzers, plugins,
+markers, playback — the reference DataBrowser's GUI-independent surface."""
+
+import numpy as np
+import pytest
+
+from audian_tpu.app import DataBrowser, MarkerData, MarkerLabel, secs_to_str
+from audian_tpu.analysis import Plugins, Analyzer
+from audian_tpu.data import wavio
+from audian_tpu.graph import EnvelopeNode
+
+
+RATE = 44100.0
+
+
+@pytest.fixture(scope="module")
+def wav_file(tmp_path_factory, cricket_like):
+    x, rate = cricket_like
+    p = tmp_path_factory.mktemp("browser") / "song.wav"
+    locs = np.array([[1000, 500]])
+    labels = np.array([["song", "a chirp"]], dtype=object)
+    md = {"BEXT": {"OriginationDate": "2026-05-05",
+                   "OriginationTime": "06:07:08"}}
+    wavio.write_audio(p, x, rate, metadata=md, locs=locs, labels=labels,
+                      encoding="PCM_16")
+    return p
+
+
+@pytest.fixture()
+def browser(wav_file):
+    plugins = Plugins()
+    plugins.add_trace_factory(
+        lambda b: b.add_trace(EnvelopeNode("envelope", "filtered")))
+    b = DataBrowser(wav_file, plugins=plugins).open()
+    yield b
+    b.close()
+
+
+def test_open_defaults(browser):
+    assert set(browser.data.keys()) == {"data", "filtered", "spectrogram",
+                                        "envelope"}
+    assert browser.show_channels == [0, 1]
+    assert browser.twindow == 2.0
+    # markers loaded from the file metadata
+    assert len(browser.marker_data) == 1
+    assert browser.marker_data.labels[0] == "song"
+    # analyzers: plain + statistics
+    names = [a.name for a in browser.analyzers]
+    assert names[:2] == ["plain", "statistics"]
+
+
+def test_time_verbs(browser):
+    browser.set_times(0.0, 1.0)
+    browser.time_page_down()
+    assert browser.toffset == pytest.approx(0.5)
+    browser.time_zoom_in()
+    assert browser.twindow == pytest.approx(0.5)
+    browser.time_end()
+    assert browser.toffset + browser.twindow == pytest.approx(2.0, abs=1e-3)
+    browser.time_home()
+    assert browser.toffset == 0.0
+
+
+def test_analyze_region(browser):
+    browser.update_filter(highpass_cutoff=2000.0, lowpass_cutoff=10000.0)
+    browser.analyze(0.5, 0.6, 0)
+    plain = browser.analyzers[0]
+    assert plain.data.rows[-1][:2] == [0.5, 0.6]
+    stats = browser.analyzers[1]
+    mean, std = stats.data.rows[-1]
+    assert abs(mean) < 0.1 and 0.0 < std < 1.0
+
+
+def test_custom_analyzer_events(browser):
+    class PeakAnalyzer(Analyzer):
+        def __init__(self, b):
+            super().__init__(b, "peaks", "filtered")
+            self.make_column("peak", "V", "%.3f")
+            self.make_trace_events("peaks", "filtered", "o", "red", 5)
+
+        def analyze(self, t0, t1, channel, traces):
+            t, y = traces["filtered"]
+            i = int(np.argmax(y))
+            self.store(float(y[i]))
+            self.set_events("peaks", channel, [t[i]], [y[i]])
+
+    pa = PeakAnalyzer(browser)
+    browser.analyze(0.1, 0.2, 1)
+    assert len(pa.data) == 1
+    assert len(pa.events["peaks"][1].x) == 1
+    assert len(pa.events["peaks"][0].x) == 0  # other channel cleared
+
+
+def test_playback(browser):
+    play, rate = browser.play_region(0.2, 0.4)
+    assert rate == RATE
+    assert play.shape == (int(0.2 * RATE), 2)
+    assert abs(play[0]).max() == 0.0  # faded in
+    browser.set_audio(use_heterodyne=True, heterodyne_freq=4800.0)
+    play2, rate2 = browser.play_region(0.2, 0.4)
+    assert rate2 == RATE  # no decimation below 40 kHz
+    assert play2.shape[1] == 2
+
+
+def test_save_region_roundtrip(browser, tmp_path):
+    out = browser.save_region(0.0, 0.1, tmp_path / "cut.wav")
+    data, rate, md, locs, labels, = wavio.load_wav(out)
+    assert rate == RATE
+    assert data.shape[0] == int(0.1 * RATE)
+    # history appended, start time kept (t0=0)
+    assert "cut out" in md["BEXT"]["CodingHistory"]
+    # marker at frames 1000-1500 is inside [0, 4410)
+    assert len(locs) == 1 and locs[0, 0] == 1000 and locs[0, 1] == 500
+    assert labels[0, 0] == "song"
+
+
+def test_save_region_shifts_markers_and_time(browser, tmp_path):
+    out = browser.save_region(0.01, 0.2, tmp_path / "cut2.wav")
+    _, _, md, locs, _ = wavio.load_wav(out)
+    assert locs[0, 0] == 1000 - int(round(0.01 * RATE))
+    t = wavio.get_datetime(md)
+    assert t.second == 8  # shifted by 0.01 s only -> still 06:07:08
+
+
+def test_render_tiles(browser):
+    browser.set_times(0.0, 1.0)
+    times, values = browser.trace_tile("filtered", 0)
+    assert len(times) == len(values) > 0
+    img, rect = browser.spec_tile(0)
+    assert img.ndim == 2 and img.shape[1] == 129
+    zmin, zmax = browser.estimate_power_levels(0)
+    assert 20 <= zmax - zmin <= 80
+
+
+def test_channels(browser):
+    browser.set_channels([1])
+    assert browser.show_channels == [1]
+    assert browser.current_channel == 1
+    browser.all_channels()
+    assert browser.show_channels == [0, 1]
+
+
+def test_marker_data_roundtrip(tmp_path):
+    md = MarkerData()
+    md.add_data(0, 1.5, delta_time=0.5, label="song", text="x")
+    md.add_data(1, 2.0, amplitude=0.3, frequency=4800.0, power=-20.0)
+    locs, labels = md.get_markers(1000.0)
+    assert locs[0].tolist() == [1000, 500]
+    md2 = MarkerData()
+    md2.set_markers(locs, labels, 1000.0)
+    assert md2.times[0] == pytest.approx(1.5)
+    path = md.save(tmp_path / "events.csv")
+    text = path.read_text()
+    assert "time/s" in text and "song" in text
+
+
+def test_secs_to_str():
+    assert secs_to_str(0) == "0s"
+    assert secs_to_str(65) == "1m05s"
+    assert secs_to_str(3605) == "1h00m05s"

@@ -1,0 +1,94 @@
+"""Render tiles vs the reference's decimation semantics."""
+
+import numpy as np
+import pytest
+
+from audian_tpu.view.render import TraceTiler, SpecTiler, pick_amplitude
+from audian_tpu.ops.minmax import reduceat_like
+
+
+class FakeTrace:
+    """Minimal trace: whole buffer resident at offset 0."""
+
+    def __init__(self, x, rate):
+        self.buffer = x.astype(np.float32)
+        self.rate = rate
+        self.frames = len(x)
+        self.offset = 0
+        self.channels = x.shape[1]
+
+    def __getitem__(self, key):
+        return self.buffer[key]
+
+
+@pytest.fixture(scope="module")
+def trace(rng):
+    x = rng.standard_normal((100000, 2))
+    return FakeTrace(x, 1000.0)
+
+
+def test_tile_minmax_matches_reduceat(trace):
+    tiler = TraceTiler(max_pixels=100)
+    times, values = tiler.tile(trace, 0.0, 99.0)
+    # step is bucketed to a power of two >= (frames//max_pixels)
+    n = len(values) // 2
+    step = int(round((times[1] - times[0]) * 2 * trace.rate))
+    assert step & (step - 1) == 0 and step >= 99000 // 100
+    want = reduceat_like(trace.buffer[: n * step], step)
+    np.testing.assert_array_equal(values, want[: 2 * n])
+    # interleaving: even rows are minima
+    assert np.all(values[0::2] <= values[1::2])
+
+
+def test_tile_full_resolution(trace):
+    tiler = TraceTiler(max_pixels=4000)
+    times, values = tiler.tile(trace, 0.0, 0.5)  # 500 frames < max_pixels
+    assert len(times) == len(values) == 501
+    np.testing.assert_array_equal(values, trace.buffer[:501])
+    np.testing.assert_allclose(times, np.arange(501) / trace.rate)
+
+
+def test_tile_respects_window(trace):
+    """Tiles clamp to the loaded buffer window."""
+    t = FakeTrace(trace.buffer[10000:20000], trace.rate)
+    t.offset = 10000
+    t.frames = 100000
+    tiler = TraceTiler(max_pixels=50)
+    times, values = tiler.tile(t, 0.0, 99.0)
+    assert times[0] >= 10000 / trace.rate - 1e-9
+    assert times[-1] <= 20000 / trace.rate + 1e-9
+
+
+def test_tile_channel_select(trace):
+    tiler = TraceTiler(max_pixels=100)
+    _, v_all = tiler.tile(trace, 0.0, 50.0)
+    _, v1 = tiler.tile(trace, 0.0, 50.0, channel=1)
+    np.testing.assert_array_equal(v1, v_all[:, 1])
+
+
+def test_pick_amplitude_extremum(trace):
+    # within a decimated block, picks the extremum nearest in amplitude
+    tt, aa = pick_amplitude(trace, 1.0, 10.0, t1=1.1)
+    block = trace.buffer[1000:1100, 0]
+    assert aa == pytest.approx(block.max())
+    tt, aa = pick_amplitude(trace, 1.0, -10.0, t1=1.1)
+    assert aa == pytest.approx(block.min())
+    # full resolution: exact sample
+    tt, aa = pick_amplitude(trace, 2.0, 0.0)
+    assert aa == pytest.approx(trace.buffer[2000, 0])
+
+
+def test_spec_tile_normalization():
+    class SpecTrace(FakeTrace):
+        pass
+
+    power = np.abs(np.random.default_rng(0).standard_normal((64, 2, 33))) + 1e-6
+    t = SpecTrace(power.reshape(64, -1), 10.0)
+    t.buffer = power.astype(np.float32)
+    tiler = SpecTiler()
+    img, rect = tiler.tile(t, channel=0, zmin=-40.0, zmax=0.0)
+    assert img.shape == (64, 33)
+    assert img.min() >= 0.0 and img.max() <= 1.0
+    img8, _ = tiler.tile(t, channel=0, zmin=-40.0, zmax=0.0, quantize=True)
+    assert img8.dtype == np.uint8
+    assert rect[0] == 0.0 and rect[2] == pytest.approx(6.4)
