@@ -1,0 +1,326 @@
+"""Event detection toolbox and the song-detection pipeline.
+
+Rebuild of the reference's ``songdetector.py`` processing chain
+(`songdetector.py:36-244,745-767`) plus the thunderlab ``eventdetection``
+helpers it imports (threshold crossings, merge/remove/widen events, peak
+frequencies).  The dense DSP (band-pass, squared-envelope, low-pass) runs
+as jitted TPU kernels from :mod:`audian_tpu.ops`; the event logic operates
+on the tiny decimated envelopes on the host.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.signal as sps
+import jax.numpy as jnp
+
+from ..ops import sosfiltfilt, spectrogram_frequencies
+from ..ops.stft import hann_window
+
+__all__ = [
+    "threshold_crossings", "merge_events", "remove_events", "widen_events",
+    "peak_freqs",
+    "bandpass_filter", "lowpass_filter", "square_envelope",
+    "threshold_estimates", "detect_songs", "env_freqs", "clean_env_freqs",
+    "filter_envelopes", "analyse_songs", "detect",
+]
+
+
+# ---------------------------------------------------------------------------
+# event primitives (thunderlab.eventdetection equivalents)
+# ---------------------------------------------------------------------------
+
+
+def threshold_crossings(data, threshold):
+    """Paired rising/falling threshold crossings: ``onsets[i] <=
+    offsets[i]``; an initial high segment starts at 0, a trailing one ends
+    at ``len(data)``."""
+    above = np.asarray(data) > threshold
+    if len(above) == 0:
+        return np.zeros(0, int), np.zeros(0, int)
+    d = np.diff(above.astype(np.int8))
+    onsets = np.nonzero(d > 0)[0] + 1
+    offsets = np.nonzero(d < 0)[0] + 1
+    if above[0]:
+        onsets = np.insert(onsets, 0, 0)
+    if above[-1]:
+        offsets = np.append(offsets, len(above))
+    return onsets, offsets
+
+
+def merge_events(onsets, offsets, min_gap):
+    """Merge consecutive events separated by fewer than ``min_gap``
+    samples (the envelope may wiggle around the threshold,
+    `songdetector.py:136-138`)."""
+    onsets = np.asarray(onsets)
+    offsets = np.asarray(offsets)
+    if len(onsets) == 0:
+        return onsets, offsets
+    keep_on = [onsets[0]]
+    keep_off = []
+    for k in range(1, len(onsets)):
+        if onsets[k] - offsets[k - 1] >= min_gap:
+            keep_off.append(offsets[k - 1])
+            keep_on.append(onsets[k])
+    keep_off.append(offsets[-1])
+    return np.asarray(keep_on), np.asarray(keep_off)
+
+
+def remove_events(onsets, offsets, min_duration):
+    """Drop events shorter than ``min_duration`` samples."""
+    onsets = np.asarray(onsets)
+    offsets = np.asarray(offsets)
+    sel = (offsets - onsets) >= min_duration
+    return onsets[sel], offsets[sel]
+
+
+def widen_events(onsets, offsets, max_len, width):
+    """Extend each event by ``width`` samples on both sides, clipped to
+    [0, max_len] (event count preserved)."""
+    width = int(width)
+    onsets = np.clip(np.asarray(onsets) - width, 0, max_len)
+    offsets = np.clip(np.asarray(offsets) + width, 0, max_len)
+    return onsets, offsets
+
+
+def peak_freqs(onsets, offsets, data, rate, freq_resolution=1.0,
+               min_nfft=16, thresh=10.0):
+    """Dominant frequency of each event snippet, NaN when no spectral peak
+    rises ``thresh`` dB above the median power."""
+    freqs = np.full(len(onsets), np.nan)
+    for k, (i0, i1) in enumerate(zip(onsets, offsets)):
+        snippet = np.asarray(data[int(i0):int(i1)], np.float64)
+        if len(snippet) < min_nfft:
+            continue
+        nfft = int(2 ** np.ceil(np.log2(rate / freq_resolution)))
+        nfft = max(min(nfft, len(snippet)), min_nfft)
+        f, psd = sps.welch(snippet - np.mean(snippet), fs=rate,
+                           nperseg=nfft, noverlap=nfft // 2)
+        if len(psd) < 3:
+            continue
+        db = 10 * np.log10(np.maximum(psd, 1e-30))
+        i = int(np.argmax(db[1:])) + 1  # skip DC
+        if db[i] - np.median(db) >= thresh:
+            freqs[k] = f[i]
+    return freqs
+
+
+# ---------------------------------------------------------------------------
+# pipeline stages (`songdetector.py:36-244`)
+# ---------------------------------------------------------------------------
+
+
+def _clamp_cutoff(freq, rate):
+    """Keep cutoffs strictly inside (0, Nyquist) — the reference relies on
+    callers for this; we clamp so default configs work at any rate."""
+    return min(max(freq, 1e-6), 0.4999 * rate)
+
+
+def bandpass_filter(data, rate, lowf=5500.0, highf=7500.0, order=1):
+    """Zero-phase Butterworth band-pass (`songdetector.py:36-46`), on
+    device."""
+    sos = sps.butter(order, (_clamp_cutoff(lowf, rate),
+                             _clamp_cutoff(highf, rate)), "bandpass",
+                     fs=rate, output="sos")
+    return np.asarray(sosfiltfilt(sos, jnp.asarray(data), axis=0))
+
+
+def lowpass_filter(data, rate, freq=100.0, order=1):
+    """Zero-phase low-pass (`songdetector.py:49-54`)."""
+    sos = sps.butter(order, _clamp_cutoff(freq, rate), "lowpass", fs=rate,
+                     output="sos")
+    return np.asarray(sosfiltfilt(sos, jnp.asarray(data), axis=0))
+
+
+def square_envelope(data, rate, freq=100.0):
+    """Squared-signal envelope, decimated to ~10x the cutoff
+    (`songdetector.py:57-69`): ``sqrt(2 * lowpass(x^2)) * sqrt(2)`` —
+    i.e. twice the running RMS (sqrt(2) times the amplitude of a tone);
+    distinct from the browser's pi/2-rectified envelope."""
+    sos = sps.butter(1, _clamp_cutoff(freq, rate), "lowpass", fs=rate,
+                     output="sos")
+    x = jnp.asarray(data)
+    e = 2.0 * sosfiltfilt(sos, x * x, axis=0)
+    e = jnp.maximum(e, 0.0)
+    envrate = min(freq * 10, rate)
+    step = int(np.round(rate / envrate))
+    env = jnp.sqrt(e[::step]) * np.sqrt(2.0)
+    # writable copy: filter_envelopes refines it in place
+    return np.array(env), rate / step
+
+
+def threshold_estimates(envelopes, fac=10.0):
+    """Histogram-based per-channel detection thresholds
+    (`songdetector.py:86-117`): estimate the noise mode, then place the
+    threshold between noise and signal clusters (or above everything when
+    no signal cluster exists)."""
+    envelopes = np.asarray(envelopes)
+    maxe = np.max(envelopes)
+    threshs = []
+    for c in range(envelopes.shape[1]):
+        h, b = np.histogram(envelopes[:, c], bins=np.linspace(0.0, maxe, 50))
+        mini = np.nonzero(h > 0)[0][0]
+        maxi = np.argmax(h) + 1
+        maxi = min(maxi + (maxi - mini), len(b) - 1)
+        lower = envelopes[envelopes[:, c] < b[maxi], c]
+        mean = np.mean(lower)
+        std = np.std(lower)
+        upper = envelopes[envelopes[:, c] > mean + 3.0 * std, c]
+        uppermean = np.mean(upper) if len(upper) else mean
+        if len(upper) and uppermean > mean + 6.0 * std:
+            threshs.append(0.5 * (mean + uppermean))
+        else:
+            threshs.append(maxe + std)
+    return threshs
+
+
+def detect_songs(envelopes, rate, thresholds, min_duration=0.1):
+    """Per-channel threshold crossings with merge + minimum duration
+    (`songdetector.py:130-143`)."""
+    songonsets, songoffsets = [], []
+    for c in range(envelopes.shape[1]):
+        on, off = threshold_crossings(envelopes[:, c], thresholds[c])
+        on, off = merge_events(on, off, int(min_duration * rate))
+        on, off = remove_events(on, off, int(min_duration * rate))
+        songonsets.append(on)
+        songoffsets.append(off)
+    return songonsets, songoffsets
+
+
+def env_freqs(onsets, offsets, envelopes, rate, freq_resolution=1.0,
+              min_nfft=16, thresh=10.0):
+    """Peak envelope frequency per event (`songdetector.py:146-152`)."""
+    return [
+        peak_freqs(onsets[c], offsets[c], envelopes[:, c], rate,
+                   freq_resolution, min_nfft, thresh)
+        for c in range(envelopes.shape[1])
+    ]
+
+
+def clean_env_freqs(onsets, offsets, freqs, fac=6.0):
+    """Remove songs with undefined or outlier envelope frequencies
+    (`songdetector.py:155-175`)."""
+    ffreqs = np.concatenate(freqs) if freqs else np.zeros(0)
+    if len(ffreqs) == 0:
+        return onsets, offsets, freqs
+    lq, uq = np.percentile(ffreqs[~np.isnan(ffreqs)], [25.0, 75.0]) \
+        if np.any(~np.isnan(ffreqs)) else (0.0, 0.0)
+    cf = ffreqs[(~np.isnan(ffreqs)) & (ffreqs >= lq) & (ffreqs <= uq)]
+    if len(cf):
+        m, s = np.mean(cf), np.std(cf)
+        for c in range(len(freqs)):
+            bad = (~np.isnan(freqs[c])) & ((freqs[c] < m - fac * s)
+                                           | (freqs[c] > m + fac * s))
+            freqs[c][bad] = np.nan
+    new_on, new_off, new_freqs = [], [], []
+    for c in range(len(onsets)):
+        ok = ~np.isnan(freqs[c])
+        new_on.append(onsets[c][ok])
+        new_off.append(offsets[c][ok])
+        new_freqs.append(freqs[c][ok])
+    return new_on, new_off, new_freqs
+
+
+def filter_envelopes(onsets, offsets, freqs, envelopes, rate,
+                     min_duration=0.1, mode="apply"):
+    """Per-event (or global-average) low-pass refinement of the envelope
+    (`songdetector.py:178-192`); modifies ``envelopes`` in place."""
+    if mode == "apply":
+        for c in range(envelopes.shape[1]):
+            on_w, off_w = widen_events(onsets[c], offsets[c],
+                                       len(envelopes[:, c]),
+                                       2.0 * min_duration * rate)
+            for i0, i1, fc in zip(on_w, off_w, freqs[c]):
+                if not np.isnan(fc):
+                    envelopes[i0:i1, c] = lowpass_filter(
+                        envelopes[i0:i1, c], rate, 4.0 * fc)
+    elif mode == "average":
+        allf = np.concatenate(freqs) if freqs else np.zeros(0)
+        if np.any(~np.isnan(allf)):
+            fc = np.nanmean(allf)
+            envelopes[:, :] = lowpass_filter(envelopes, rate, 4.0 * fc)
+
+
+def analyse_songs(onsets, offsets, envelopes, rate, envfreqs, thresholds,
+                  min_duration=0.1, min_thresh_fac=1.0):
+    """Per-event adaptive re-thresholding on the refined envelope
+    (`songdetector.py:195-244`): estimate a local threshold from the noise
+    just before/after each song and re-detect the song boundaries."""
+    songonsets, songoffsets = [], []
+    w = int(min_duration * rate)
+    for c in range(envelopes.shape[1]):
+        n = len(envelopes[:, c])
+        wide_on, wide_off = widen_events(onsets[c], offsets[c], n, w)
+        noise_on, noise_off = widen_events(onsets[c], offsets[c], n, 2 * w)
+        next_wide = np.hstack((wide_on[1:], [n]))
+        prev_wideoff = 0
+        thresh0 = thresh1 = thresholds[c]
+        new_on, new_off = [], []
+        for (non, won, son, soff, woff, noff, nxt, fc) in zip(
+                noise_on, wide_on, onsets[c], offsets[c], wide_off,
+                noise_off, next_wide, envfreqs[c]):
+            if np.isnan(fc):
+                prev_wideoff = woff
+                continue
+            if won - non < w:
+                non = max(won - w, prev_wideoff)
+            if noff - woff < w:
+                noff = min(woff + w, nxt)
+            if won - non > w / 2:
+                thresh0 = np.max(envelopes[non:won, c]) * 1.2
+            if noff - woff > w / 2:
+                thresh1 = np.max(envelopes[woff:noff, c]) * 1.2
+            thresh = max(max(thresh0, thresh1),
+                         min_thresh_fac * thresholds[c])
+            on, off = threshold_crossings(envelopes[won:woff, c], thresh)
+            if len(on) and len(off):
+                new_on.append(won + on[0])
+                new_off.append(won + off[-1])
+            prev_wideoff = woff
+        songonsets.append(np.asarray(new_on))
+        songoffsets.append(np.asarray(new_off))
+    return songonsets, songoffsets
+
+
+def detect(data, rate, highpassfreq=1000.0, lowpassfreq=10000.0,
+           envelopecutofffreq=500.0, envelopepeakthresh=10.0,
+           envelopefilter="apply", thresholdfactor=8.0, minthreshfac=1.0,
+           minduration=0.5, verbose=0):
+    """The full songdetector pipeline (`songdetector.py:745-767`).
+
+    Returns a dict with the filtered data, fast and slow envelopes,
+    envelope rate, thresholds, and per-channel song onset/offset times.
+    """
+    data = np.atleast_2d(np.asarray(data, np.float64))
+    if data.shape[0] < data.shape[1]:
+        data = data.T
+    log = print if verbose else (lambda *a, **k: None)
+    log("apply bandpass filter ...")
+    fdata = bandpass_filter(data, rate, highpassfreq, lowpassfreq)
+    log("compute envelope ...")
+    env, envrate = square_envelope(fdata, rate, envelopecutofffreq)
+    log("low-pass filter envelope ...")
+    slowenv = lowpass_filter(env, envrate, 1.0 / minduration)
+    log("estimate thresholds ...")
+    threshs = threshold_estimates(slowenv, thresholdfactor)
+    log("detect songs ...")
+    onsets, offsets = detect_songs(slowenv, envrate, threshs, minduration)
+    log("compute envelope frequencies ...")
+    envfreqs = env_freqs(onsets, offsets, env, envrate,
+                         thresh=envelopepeakthresh)
+    log("clean envelope frequencies ...")
+    onsets, offsets, envfreqs = clean_env_freqs(onsets, offsets, envfreqs)
+    if envelopefilter in ("apply", "average"):
+        log(f"filter envelope ({envelopefilter}) ...")
+        filter_envelopes(onsets, offsets, envfreqs, env, envrate,
+                         minduration, envelopefilter)
+    log("analyse songs ...")
+    onsets, offsets = analyse_songs(onsets, offsets, env, envrate, envfreqs,
+                                    threshs, minduration, minthreshfac)
+    return dict(
+        filtered=fdata, envelope=env, slow_envelope=slowenv,
+        envrate=envrate, thresholds=threshs,
+        onsets=[o / envrate for o in onsets],
+        offsets=[o / envrate for o in offsets],
+        onset_indices=onsets, offset_indices=offsets,
+    )

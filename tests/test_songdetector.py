@@ -1,0 +1,131 @@
+"""Song detection pipeline + CLI + ConfigFile."""
+
+import numpy as np
+import pytest
+
+from audian_tpu.config import ConfigFile
+from audian_tpu.analysis.events import (
+    threshold_crossings, merge_events, remove_events, widen_events,
+    peak_freqs, square_envelope, threshold_estimates, detect,
+)
+from audian_tpu.cli import songdetector
+from audian_tpu.data import wavio
+
+
+RATE = 20000.0
+
+
+def make_song_recording(rng, nsongs=5, carrier=6500.0, amfreq=30.0):
+    """Chirpy songs: AM-modulated carrier bursts over noise."""
+    dur = 20.0
+    n = int(dur * RATE)
+    t = np.arange(n) / RATE
+    x = 0.02 * rng.standard_normal(n)
+    onsets = []
+    for k in range(nsongs):
+        t0 = 2.0 + 3.3 * k
+        sel = (t >= t0) & (t < t0 + 1.2)
+        am = 0.5 * (1 + np.sin(2 * np.pi * amfreq * t[sel]))
+        x[sel] += 0.6 * am * np.sin(2 * np.pi * carrier * t[sel])
+        onsets.append(t0)
+    return np.stack([x, 0.5 * x], axis=1), onsets
+
+
+def test_threshold_crossings_edges():
+    on, off = threshold_crossings(np.array([0, 1, 1, 0, 1, 1]), 0.5)
+    assert on.tolist() == [1, 4]
+    assert off.tolist() == [3, 6]
+    on, off = threshold_crossings(np.array([1, 0, 0]), 0.5)
+    assert on.tolist() == [0] and off.tolist() == [1]
+    on, off = threshold_crossings(np.zeros(5), 0.5)
+    assert len(on) == 0 and len(off) == 0
+
+
+def test_merge_remove_widen():
+    on = np.array([10, 30, 100])
+    off = np.array([20, 40, 120])
+    mon, moff = merge_events(on, off, 15)
+    assert mon.tolist() == [10, 100] and moff.tolist() == [40, 120]
+    ron, roff = remove_events(mon, moff, 25)
+    assert ron.tolist() == [10] and roff.tolist() == [40]
+    won, woff = widen_events(ron, roff, 50, 15)
+    assert won.tolist() == [0] and woff.tolist() == [50]
+
+
+def test_peak_freqs(rng):
+    rate = 1000.0
+    t = np.arange(4000) / rate
+    x = np.sin(2 * np.pi * 30.0 * t) + 0.01 * rng.standard_normal(len(t))
+    f = peak_freqs([0], [4000], x, rate, freq_resolution=1.0)
+    assert f[0] == pytest.approx(30.0, abs=2.0)
+    # flat noise has no prominent peak
+    f = peak_freqs([0], [4000], rng.standard_normal(4000), rate, thresh=30.0)
+    assert np.isnan(f[0])
+
+
+def test_square_envelope_tracks_amplitude(rng):
+    t = np.arange(int(2 * RATE)) / RATE
+    x = 0.8 * np.sin(2 * np.pi * 5000.0 * t)[:, None]
+    env, envrate = square_envelope(x, RATE, 100.0)
+    assert envrate == pytest.approx(1000.0)
+    mid = env[len(env) // 4 : -len(env) // 4, 0]
+    # the songdetector envelope is 2x the running RMS: sqrt(2) x amplitude
+    assert np.median(mid) == pytest.approx(0.8 * np.sqrt(2), rel=0.05)
+
+
+def test_threshold_estimates_separates_clusters(rng):
+    quiet = 0.01 + 0.002 * rng.standard_normal(5000)
+    loud = 1.0 + 0.05 * rng.standard_normal(500)
+    env = np.concatenate([quiet, loud])[:, None]
+    th = threshold_estimates(env)
+    assert 0.1 < th[0] < 0.9
+
+
+def test_detect_pipeline_finds_songs(rng):
+    x, true_onsets = make_song_recording(rng)
+    result = detect(x, RATE, highpassfreq=5500.0, lowpassfreq=7500.0,
+                    envelopecutofffreq=100.0, minduration=0.5)
+    for c in range(2):
+        assert len(result["onsets"][c]) == len(true_onsets)
+        for got, want in zip(result["onsets"][c], true_onsets):
+            assert got == pytest.approx(want, abs=0.3)
+
+
+def test_config_roundtrip(tmp_path):
+    cfg = songdetector.default_config()
+    assert cfg.value("minduration") == 0.5
+    p = tmp_path / "song.cfg"
+    cfg.dump(p)
+    text = p.read_text()
+    assert "highpassfreq: 1000.0Hz" in text
+    cfg2 = songdetector.default_config()
+    p.write_text(text.replace("minduration: 0.5s", "minduration: 0.25s"))
+    cfg2.load(p)
+    assert cfg2.value("minduration") == 0.25
+
+
+def test_config_cascade(tmp_path):
+    d = tmp_path / "a" / "b"
+    d.mkdir(parents=True)
+    (tmp_path / "a" / "x.cfg").write_text("minduration: 0.3s\n")
+    (d / "x.cfg").write_text("minduration: 0.2s\n")
+    cfg = songdetector.default_config()
+    cfg.load_files("x.cfg", d / "data.wav", 3)
+    assert cfg.value("minduration") == 0.2  # deepest wins
+
+
+def test_songdetector_cli(tmp_path, rng, capsys):
+    x, true_onsets = make_song_recording(rng, nsongs=3)
+    p = tmp_path / "songs.wav"
+    wavio.write_audio(p, x, RATE, encoding="FLOAT")
+    cfg = tmp_path / "my.cfg"
+    assert songdetector.main(["-c", str(cfg)]) == 0
+    assert cfg.exists()
+    out = tmp_path / "events.csv"
+    assert songdetector.main([str(p), "-o", str(out),
+                              ]) == 0
+    lines = out.read_text().strip().splitlines()
+    assert lines[0].startswith("channel,tstart/s")
+    assert len(lines) == 1 + 2 * 3  # 3 songs x 2 channels
+    # missing file -> error status
+    assert songdetector.main([str(tmp_path / "nope.wav")]) == 1
