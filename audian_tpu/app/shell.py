@@ -1,0 +1,277 @@
+"""The multi-recording application shell (headless core).
+
+Rebuild of the GUI-independent part of the reference's ``Audian`` main
+window (`src/audian/audian.py:31-1544`): manages one
+:class:`~audian_tpu.app.browser.DataBrowser` per recording, dispatches
+linked state across them (time zoom/scroll, per-letter axis ranges,
+filter, envelope, resolution, channels, audio settings), loads files
+incrementally while tolerating failures (`audian.py:1339-1407`), and
+parses the reference's command line (`audian.py:1467-1523`).
+
+Frontends (matplotlib, Qt) attach their widgets to the browsers this
+shell owns.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+from pathlib import Path
+
+from ..version import __version__, __year__
+from ..analysis import Plugins
+from .browser import DataBrowser, Signal
+
+
+def parse_channels(spec):
+    """Parse the -c channel list: comma-separated, with ``a-b`` ranges
+    (`audian.py:1496-1506`)."""
+    channels = []
+    for part in str(spec).split(","):
+        part = part.strip()
+        if not part:
+            continue
+        lo, dash, hi = part.partition("-")
+        if dash:
+            channels.extend(range(int(lo), int(hi) + 1))
+        else:
+            channels.append(int(part))
+    return channels
+
+
+class Audian:
+    """Headless multi-recording shell."""
+
+    def __init__(self, file_paths=(), load_kwargs=None, plugins=None,
+                 channels=None, highpass_cutoff=None, lowpass_cutoff=None,
+                 unwrap=0.0, unwrap_clip=False, verbose=0):
+        self.plugins = plugins or Plugins()
+        self.load_kwargs = dict(load_kwargs or {})
+        self.channels = list(channels or [])
+        self.highpass_cutoff = highpass_cutoff
+        self.lowpass_cutoff = lowpass_cutoff
+        self.unwrap = unwrap
+        self.unwrap_clip = unwrap_clip
+        self.verbose = verbose
+        self.browsers = []
+        self.current = None
+        self.errors = []
+        # link state (`audian.py:54-63`)
+        self.link_timezoom = True
+        self.link_timescroll = False
+        self.link_ranges = {s: True for s in "xyufwpq"}
+        self.link_filter = True
+        self.link_envelope = True
+        self.link_channels = True
+        self.link_panels = True
+        self.link_audio = True
+        self.sigBrowserAdded = Signal()
+        self.sigBrowserFailed = Signal()
+        self._pending = list(file_paths)
+        self._dispatching = False
+
+    # -- loading (incremental, failure-tolerant: `audian.py:1339-1407`) ----------
+
+    def load_files(self, file_paths=None):
+        if file_paths is not None:
+            self._pending.extend(file_paths)
+        while self._pending:
+            self.load_next()
+        return self.browsers
+
+    def load_next(self):
+        """Open the next pending recording; a failure drops that file and
+        continues (`audian.py:1349-1356`)."""
+        if not self._pending:
+            return None
+        path = self._pending.pop(0)
+        browser = DataBrowser(path, channels=self.channels or None,
+                              plugins=self.plugins,
+                              load_kwargs=self.load_kwargs,
+                              unwrap=self.unwrap,
+                              unwrap_clip=self.unwrap_clip)
+        try:
+            browser.open()
+        except Exception as e:
+            self.errors.append((path, e))
+            self.sigBrowserFailed.emit(path, e)
+            if self.verbose:
+                print(f"failed to open {path}: {e}", file=sys.stderr)
+            return None
+        if self.highpass_cutoff is not None or self.lowpass_cutoff is not None:
+            browser.update_filter(self.highpass_cutoff, self.lowpass_cutoff)
+        self._connect(browser)
+        self.browsers.append(browser)
+        if self.current is None:
+            self.current = browser
+        self.sigBrowserAdded.emit(browser)
+        return browser
+
+    def close(self):
+        for b in self.browsers:
+            b.close()
+        self.browsers = []
+        self.current = None
+
+    def __len__(self):
+        return len(self.browsers)
+
+    def __getitem__(self, idx):
+        return self.browsers[idx]
+
+    def set_current(self, browser_or_index):
+        if isinstance(browser_or_index, int):
+            self.current = self.browsers[browser_or_index]
+        else:
+            self.current = browser_or_index
+
+    # -- cross-browser link dispatch (`audian.py:597-612,787-795,908-916`) --------
+
+    def _connect(self, browser):
+        browser.sigTimesChanged.connect(
+            lambda t0, tw, b=browser: self._dispatch_times(b, t0, tw))
+        browser.sigFilterChanged.connect(
+            lambda b=browser: self._dispatch_filter(b))
+        browser.sigEnvelopeChanged.connect(
+            lambda b=browser: self._dispatch_envelope(b))
+        browser.sigChannelsChanged.connect(
+            lambda ch, b=browser: self._dispatch_channels(b, ch))
+        browser.sigAudioChanged.connect(
+            lambda *a, b=browser: self._dispatch_audio(b, *a))
+
+    def _others(self, browser):
+        return [b for b in self.browsers if b is not browser]
+
+    def _dispatch(self, fn):
+        """Reentrancy guard: linked updates must not echo back
+        (the reference uses blockSignals, `audian.py:793-795`)."""
+        if self._dispatching:
+            return
+        self._dispatching = True
+        try:
+            fn()
+        finally:
+            self._dispatching = False
+
+    def _dispatch_times(self, browser, toffset, twindow):
+        def fan():
+            for b in self._others(browser):
+                b.set_times(toffset if self.link_timescroll else None,
+                            twindow if self.link_timezoom else None)
+        if self.link_timezoom or self.link_timescroll:
+            self._dispatch(fan)
+
+    def _dispatch_filter(self, browser):
+        if not self.link_filter or "filtered" not in browser.data:
+            return
+        f = browser.data["filtered"]
+
+        def fan():
+            for b in self._others(browser):
+                b.update_filter(f.highpass_cutoff, f.lowpass_cutoff)
+        self._dispatch(fan)
+
+    def _dispatch_envelope(self, browser):
+        if not self.link_envelope or "envelope" not in browser.data:
+            return
+        cutoff = browser.data["envelope"].envelope_cutoff
+
+        def fan():
+            for b in self._others(browser):
+                b.update_envelope(cutoff, dispatch=False)
+        self._dispatch(fan)
+
+    def _dispatch_channels(self, browser, channels):
+        if not self.link_channels:
+            return
+
+        def fan():
+            for b in self._others(browser):
+                b.set_channels(channels)
+        self._dispatch(fan)
+
+    def _dispatch_audio(self, browser, rate_fac, use_het, het_freq):
+        if not self.link_audio:
+            return
+
+        def fan():
+            for b in self._others(browser):
+                b.set_audio(rate_fac, use_het, het_freq, dispatch=False)
+        self._dispatch(fan)
+
+    # -- linked verbs (menu/keyboard surface) --------------------------------------
+
+    def apply_time(self, verb):
+        """Apply a time verb to the current browser; linking fans it out
+        through the times-changed signal (`audian.py:483-488`)."""
+        if self.current is not None:
+            getattr(self.current, verb)()
+
+    def toggle_link_timezoom(self):
+        self.link_timezoom = not self.link_timezoom
+
+    def toggle_link_timescroll(self):
+        self.link_timescroll = not self.link_timescroll
+
+
+def audian_cli(cargs=None, plugins=None, shell_cls=Audian):
+    """Parse the reference-compatible command line and build the shell
+    (`src/audian/audian.py:1467-1523`); returns the shell unopened so the
+    caller (GUI main) decides how to run it."""
+    parser = argparse.ArgumentParser(
+        description="Browse and analyze recordings of animal vocalizations.",
+        epilog=f"version {__version__} (audian-tpu, 2026-{__year__})",
+    )
+    parser.add_argument("--version", action="version", version=__version__)
+    parser.add_argument("-v", action="count", dest="verbose", default=0,
+                        help="print debug information")
+    parser.add_argument("-c", dest="channels", default="", type=str,
+                        metavar="CHANNELS",
+                        help="comma separated list of channels to display "
+                        "(first channel is 0, ranges like 2-5 allowed)")
+    parser.add_argument("-f", dest="highpass_cutoff", type=float,
+                        metavar="FREQ", default=None,
+                        help="cutoff frequency of highpass filter in Hz")
+    parser.add_argument("-l", dest="lowpass_cutoff", type=float,
+                        metavar="FREQ", default=None,
+                        help="cutoff frequency of lowpass filter in Hz")
+    parser.add_argument("-i", dest="load_kwargs", default=[],
+                        action="append", metavar="KWARGS",
+                        help="key-word arguments for the data loader")
+    parser.add_argument("-u", dest="unwrap", default=0, type=float,
+                        metavar="THRESH", const=1.5, nargs="?",
+                        help="unwrap clipped data and downscale by two")
+    parser.add_argument("-U", dest="unwrap_clip", default=0, type=float,
+                        metavar="THRESH", const=1.5, nargs="?",
+                        help="unwrap clipped data and clip")
+    parser.add_argument("files", nargs="*", default=[], type=str,
+                        help="files with the time series data")
+    # unknown args pass through to the GUI toolkit (`audian.py:1494`)
+    args, _gui_args = parser.parse_known_args(cargs)
+
+    from ..cli.compress import parse_load_kwargs
+
+    unwrap, unwrap_clip = args.unwrap, False
+    if args.unwrap_clip > 1e-3:
+        unwrap, unwrap_clip = args.unwrap_clip, True
+
+    files = []
+    for fn in args.files:
+        if os.name == "nt" and any(ch in fn for ch in "*?["):
+            files.extend(sorted(glob.glob(fn)))
+        else:
+            files.append(fn)
+
+    return shell_cls(
+        files,
+        load_kwargs=parse_load_kwargs(args.load_kwargs),
+        plugins=plugins,
+        channels=parse_channels(args.channels),
+        highpass_cutoff=args.highpass_cutoff,
+        lowpass_cutoff=args.lowpass_cutoff,
+        unwrap=unwrap,
+        unwrap_clip=unwrap_clip,
+        verbose=args.verbose,
+    )

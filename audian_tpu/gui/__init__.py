@@ -1,0 +1,2 @@
+"""GUI frontends: matplotlib (always available) and Qt/pyqtgraph
+(optional, ``audian-tpu[gui]``)."""

@@ -1,0 +1,159 @@
+"""Multi-recording shell: linked dispatch, CLI parsing, screenshot
+navigation, matplotlib frontend (Agg)."""
+
+import numpy as np
+import pytest
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+from audian_tpu.app import (Audian, audian_cli, parse_channels,
+                            parse_view_metadata, read_png_metadata)
+from audian_tpu.analysis import Plugins
+from audian_tpu.data import wavio
+from audian_tpu.graph import EnvelopeNode
+
+
+RATE = 44100.0
+
+
+@pytest.fixture(scope="module")
+def wav_files(tmp_path_factory, cricket_like):
+    x, rate = cricket_like
+    d = tmp_path_factory.mktemp("shell")
+    paths = []
+    for k in range(2):
+        p = d / f"rec{k}.wav"
+        wavio.write_audio(p, (0.7 ** k) * x, rate, encoding="PCM_16")
+        paths.append(p)
+    return paths
+
+
+@pytest.fixture()
+def shell(wav_files):
+    plugins = Plugins()
+    plugins.add_trace_factory(
+        lambda b: b.add_trace(EnvelopeNode("envelope", "filtered")))
+    sh = Audian([str(p) for p in wav_files], plugins=plugins)
+    sh.load_files()
+    yield sh
+    sh.close()
+
+
+def test_load_files_and_failures(wav_files, tmp_path):
+    sh = Audian([str(wav_files[0]), str(tmp_path / "missing.wav")])
+    sh.load_files()
+    assert len(sh) == 1
+    assert len(sh.errors) == 1
+    assert "missing.wav" in str(sh.errors[0][0])
+    sh.close()
+
+
+def test_linked_time_zoom(shell):
+    b0, b1 = shell.browsers
+    b0.set_times(0.2, 0.5)
+    # zoom is linked by default, scroll is not (`audian.py:54-55`)
+    assert b1.twindow == pytest.approx(0.5)
+    assert b1.toffset != pytest.approx(0.2)
+    shell.link_timescroll = True
+    b0.set_times(0.4, 0.25)
+    assert b1.toffset == pytest.approx(0.4)
+    assert b1.twindow == pytest.approx(0.25)
+
+
+def test_linked_filter_and_envelope(shell):
+    b0, b1 = shell.browsers
+    b0.update_filter(highpass_cutoff=3000.0, lowpass_cutoff=9000.0)
+    assert b1.data["filtered"].highpass_cutoff == 3000.0
+    b0.update_envelope(envelope_cutoff=250.0)
+    assert b1.data["envelope"].envelope_cutoff == 250.0
+    shell.link_filter = False
+    b0.update_filter(highpass_cutoff=1000.0)
+    assert b1.data["filtered"].highpass_cutoff == 3000.0
+
+
+def test_linked_channels_and_audio(shell):
+    b0, b1 = shell.browsers
+    b0.set_channels([1])
+    assert b1.show_channels == [1]
+    b0.all_channels()
+    b0.set_audio(rate_fac=2.0, use_heterodyne=True, heterodyne_freq=5000.0)
+    assert b1.audio_rate_fac == 2.0
+    assert b1.audio_use_heterodyne
+
+
+def test_parse_channels():
+    assert parse_channels("0, 2-4, 7") == [0, 2, 3, 4, 7]
+    assert parse_channels("") == []
+
+
+def test_audian_cli_args(wav_files):
+    sh = audian_cli(["-c", "0-1", "-f", "2000", "-l", "8000", "-u", "1.5",
+                     str(wav_files[0])])
+    assert sh.channels == [0, 1]
+    assert sh.highpass_cutoff == 2000.0
+    assert sh.unwrap == 1.5 and not sh.unwrap_clip
+    sh.load_files()
+    assert len(sh) == 1
+    f = sh.browsers[0].data["filtered"]
+    assert f.highpass_cutoff == 2000.0 and f.lowpass_cutoff == 8000.0
+    sh.close()
+
+
+def test_mpl_window_and_screenshot(shell, tmp_path):
+    from audian_tpu.gui.mpl import MplBrowserWindow
+
+    b = shell.browsers[0]
+    b.set_times(0.25, 0.5)
+    win = MplBrowserWindow(b)
+    out = tmp_path / "view.png"
+    win.savefig(out)
+    assert out.exists() and out.stat().st_size > 10000
+    # embedded navigation metadata round-trips
+    meta = parse_view_metadata(out)
+    assert meta["file"].endswith("rec0.wav")
+    assert meta["toffset"] == pytest.approx(0.25)
+    assert meta["twindow"] == pytest.approx(0.5)
+    assert meta["channels"] == [0, 1]
+    # key bindings drive the browser
+    class Ev:
+        key = "x"
+
+    win.on_key(Ev())
+    assert b.twindow == pytest.approx(0.25)
+    Ev.key = "right"
+    win.on_key(Ev())
+    assert b.toffset == pytest.approx(0.25 + 0.125)
+    win.plt.close(win.fig)
+
+
+def test_screenshot_restores_view(shell, tmp_path):
+    """A saved screenshot passed back as input restores its view
+    (`audian.py:232-260` behavior via the audian CLI)."""
+    from audian_tpu.gui.mpl import MplBrowserWindow
+    from audian_tpu.cli import audian as audian_cli_mod
+
+    b = shell.browsers[0]
+    b.set_times(0.6, 0.3)
+    win = MplBrowserWindow(b)
+    out = tmp_path / "nav.png"
+    win.savefig(out)
+    win.plt.close(win.fig)
+    shot = tmp_path / "shot.png"
+    rc = audian_cli_mod.main([str(out), "--screenshot", str(shot)])
+    assert rc == 0
+    meta = parse_view_metadata(shot)
+    assert meta["toffset"] == pytest.approx(0.6)
+    assert meta["twindow"] == pytest.approx(0.3)
+
+
+def test_non_view_png_metadata(tmp_path):
+    import matplotlib.pyplot as plt
+
+    fig = plt.figure()
+    p = tmp_path / "plain.png"
+    fig.savefig(p)
+    plt.close(fig)
+    assert parse_view_metadata(p) is None
+    assert isinstance(read_png_metadata(p), dict)
