@@ -60,3 +60,7 @@ __all__ = [
     "minmax_pyramid", "pyramid_levels",
     "stereo_mixdown", "heterodyne", "fade", "prepare_playback",
 ]
+
+from .sweep import spectrogram_sweep, db_quantize, SWEEP_NFFTS
+
+__all__ += ["spectrogram_sweep", "db_quantize", "SWEEP_NFFTS"]

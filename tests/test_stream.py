@@ -1,0 +1,74 @@
+"""Streaming prefetcher and the multi-resolution sweep."""
+
+import numpy as np
+import pytest
+
+from audian_tpu.stream import BlockPrefetcher
+from audian_tpu.ops import spectrogram_sweep, db_quantize, spectrogram
+
+
+class FakeSource:
+    def __init__(self, n=5000, channels=2):
+        self.frames = n
+        self.channels = channels
+        self.data = np.arange(n * channels, dtype=np.float32).reshape(
+            n, channels)
+        self.reads = 0
+
+    def _read(self, start, nframes):
+        self.reads += 1
+        return self.data[start : start + nframes]
+
+
+def test_prefetcher_correct_and_caching():
+    src = FakeSource()
+    pf = BlockPrefetcher(src, block_frames=1000, max_blocks=4, read_ahead=1)
+    out = pf.read(500, 1000)  # spans blocks 0 and 1
+    np.testing.assert_array_equal(out, src.data[500:1500])
+    pf.drain()
+    reads_after_first = src.reads
+    out2 = pf.read(600, 800)  # fully cached now
+    np.testing.assert_array_equal(out2, src.data[600:1400])
+    assert src.reads == reads_after_first
+    assert pf.hits > 0
+    # read-ahead fetched block 2 in the background
+    assert 2 in pf.cached_blocks()
+    pf.close()
+
+
+def test_prefetcher_lru_eviction():
+    src = FakeSource(n=10000)
+    pf = BlockPrefetcher(src, block_frames=1000, max_blocks=2, read_ahead=0)
+    pf.read(0, 500)
+    pf.read(3000, 500)
+    pf.read(8000, 500)
+    assert len(pf.cached_blocks()) <= 2
+    assert 0 not in pf.cached_blocks()
+    pf.close()
+
+
+def test_prefetcher_edges():
+    src = FakeSource(n=2500)
+    pf = BlockPrefetcher(src, block_frames=1000, read_ahead=2)
+    tail = pf.read(2300, 500)  # clamped at EOF
+    np.testing.assert_array_equal(tail, src.data[2300:2500])
+    assert pf.read(5000, 10).shape == (0, 2)
+    pf.close()
+
+
+def test_spectrogram_sweep_matches_individuals(rng):
+    rate = 48000.0
+    x = rng.standard_normal(20000).astype(np.float32)
+    sweep = spectrogram_sweep(x, rate, nffts=(128, 256, 512))
+    for nfft, sxx in sweep.items():
+        want = np.asarray(spectrogram(x, rate, nfft, nfft // 2))
+        np.testing.assert_allclose(np.asarray(sxx), want, rtol=1e-5,
+                                   atol=1e-10)
+        assert sxx.shape[-1] == nfft // 2 + 1
+
+
+def test_db_quantize():
+    p = np.array([1e-20, 1e-2, 1.0])
+    q = np.asarray(db_quantize(p, -40.0, 0.0))
+    assert q.dtype == np.uint8
+    assert q[0] == 0 and q[2] == 255 and 0 < q[1] < 255
