@@ -15,7 +15,15 @@ Key bindings (subset of the reference's ~60 actions, same keys):
     home/end                      f/F highpass up/down  l/L lowpass
     e/E envelope cutoff           r/R frequency resolution (NFFT)
     p play visible window         s save screenshot
-    q quit
+    o zoom / y play / a analyze / w save-region  (rect-selection mode)
+    b/B zoom history back/forward
+    m set marker at crosshair     q quit
+
+Mouse: drag a rectangle on any panel to apply the current region mode
+(zoom / play / analyze / save, `src/audian/databrowser.py:1614-1642`);
+click a panel to place the crosshair with time/amplitude/frequency
+readouts; click the overview to jump there
+(`src/audian/fulltraceplot.py:208-224`).
 """
 
 from __future__ import annotations
@@ -26,6 +34,8 @@ import numpy as np
 
 from ..app.browser import DataBrowser
 from ..app.screenshot import save_view_screenshot
+from ..view.zoom import Rect, ZoomHistory, SelectionModel
+from ..view.render import pick_amplitude
 
 __all__ = ["MplBrowserWindow", "show"]
 
@@ -57,7 +67,98 @@ class MplBrowserWindow:
                 k += 1
         self.overview_ax = axs[-1]
         self.fig.canvas.mpl_connect("key_press_event", self.on_key)
+        self.fig.canvas.mpl_connect("button_press_event", self.on_press)
+        self.fig.canvas.mpl_connect("button_release_event", self.on_release)
         self._zlevels = {}
+        self.region_mode = "zoom"  # zoom | play | analyze | save
+        self.zoom_history = ZoomHistory()
+        self.zoom_history.init(Rect(browser.toffset, 0,
+                                    browser.toffset + browser.twindow, 1))
+        self._selection = None
+        self.crosshair = None  # (channel, t, y, panel_kind)
+        self.status = ""
+        self.redraw()
+
+    def _axis_channel(self, ax):
+        """(kind, channel) of a clicked axes."""
+        for c, a in self.trace_axs.items():
+            if a is ax:
+                return "trace", c
+        for c, a in self.spec_axs.items():
+            if a is ax:
+                return "spec", c
+        if ax is self.overview_ax:
+            return "overview", self.browser.show_channels[0]
+        return None, None
+
+    # -- mouse ---------------------------------------------------------------------
+
+    def on_press(self, event):
+        if event.inaxes is None or event.xdata is None:
+            return
+        kind, channel = self._axis_channel(event.inaxes)
+        if kind == "overview":
+            # jump the view window to the clicked time
+            b = self.browser
+            b.set_times(event.xdata - b.twindow / 2)
+            self.redraw()
+            return
+        if kind is None:
+            return
+        self._selection = SelectionModel(channel, view=kind,
+                                         on_selected=self._region_selected)
+        self._selection.begin(event.xdata, event.ydata)
+
+    def on_release(self, event):
+        sel = self._selection
+        self._selection = None
+        if sel is None or event.xdata is None:
+            return
+        rect = Rect(sel.anchor[0], sel.anchor[1], event.xdata,
+                    event.ydata).normalized()
+        # small drags count as clicks: place the crosshair
+        if rect.right() - rect.left() < 1e-3 * self.browser.twindow:
+            self._set_crosshair(sel.view, sel.channel, event.xdata,
+                                event.ydata)
+            self.redraw()
+            return
+        sel.finish(event.xdata, event.ydata)
+
+    def _set_crosshair(self, kind, channel, t, y):
+        """Crosshair with snap-to-extremum on traces and power readout on
+        spectrograms (`src/audian/timeplot.py:126-146`,
+        `src/audian/spectrogramplot.py` hover semantics)."""
+        b = self.browser
+        if kind == "trace":
+            name = "filtered" if "filtered" in b.data else "data"
+            step_t = b.twindow / 1920
+            t, y = pick_amplitude(b.data[name], t, y, t + step_t, channel)
+            self.status = f"ch{channel}  t={t:.4f}s  a={y:.4f}"
+        else:
+            self.status = f"ch{channel}  t={t:.4f}s  f={y:.0f}Hz"
+        self.crosshair = (channel, t, y, kind)
+
+    def _region_selected(self, channel, kind, rect):
+        """Dispatch the selected rectangle to the current region mode
+        (`src/audian/databrowser.py:1614-1642`)."""
+        b = self.browser
+        t0, t1 = rect.left(), rect.right()
+        if self.region_mode == "zoom":
+            self.zoom_history.add(rect)
+            b.set_times(t0, t1 - t0)
+        elif self.region_mode == "play":
+            play, rate = b.play_region(t0, t1)
+            self._play(play, rate)
+        elif self.region_mode == "analyze":
+            b.analyze(t0, t1, channel)
+            rows = [f"{a.name}: {a.data.formatted(-1)}"
+                    for a in b.analyzers if len(a.data)]
+            self.status = " | ".join(rows)[:120]
+            print(self.status)
+        elif self.region_mode == "save":
+            path = b.save_region(t0, t1)
+            self.status = f"saved region to {path}"
+            print(self.status)
         self.redraw()
 
     # -- drawing ------------------------------------------------------------------
@@ -73,6 +174,21 @@ class MplBrowserWindow:
                 ax.plot(times, values, lw=0.6,
                         color=b.data[name].color if name != "data"
                         else "#0000ee")
+            if "envelope" in b.data and b.data.is_visible("envelope"):
+                etimes, evalues = b.trace_tile("envelope", c)
+                if len(etimes) > 1:
+                    ax.plot(etimes, evalues, lw=1.2,
+                            color=b.data["envelope"].color)
+            # markers (`markerdata.py` events shown on the traces)
+            for tm, ch in zip(b.marker_data.times, b.marker_data.channels):
+                if t0 <= tm <= t1 and (ch == c or ch < 0):
+                    ax.axvline(tm, color="yellow", lw=0.8, alpha=0.7)
+            # analyzer event markers
+            for a in b.analyzers:
+                for items in a.events.values():
+                    if c < len(items) and len(items[c].x):
+                        ax.scatter(items[c].x, items[c].y, s=16,
+                                   color=items[c].color or "red", zorder=5)
             ax.set_xlim(t0, t1)
             ax.set_ylabel(f"ch {c}")
         for c, ax in self.spec_axs.items():
@@ -88,13 +204,23 @@ class MplBrowserWindow:
                           interpolation="nearest", vmin=0, vmax=1)
             ax.set_xlim(t0, t1)
             ax.set_ylabel("f/Hz")
+        if self.crosshair is not None:
+            channel, tx, yx, kind = self.crosshair
+            axmap = self.trace_axs if kind == "trace" else self.spec_axs
+            ax = axmap.get(channel)
+            if ax is not None:
+                ax.axvline(tx, color="#cccc00", lw=0.8)
+                ax.axhline(yx, color="#cccc00", lw=0.8)
         self._draw_overview()
         title = Path(str(b.data.file_path)).name
         f = b.data["filtered"]
         if f is not None and f.design is not None:
             title += (f"   [{f.highpass_cutoff:.0f}-"
                       f"{f.lowpass_cutoff:.0f} Hz]")
-        self.fig.suptitle(title)
+        title += f"   mode:{self.region_mode}"
+        if self.status:
+            title += f"\n{self.status}"
+        self.fig.suptitle(title, fontsize=10)
         self.fig.canvas.draw_idle()
 
     def _draw_overview(self):
@@ -150,6 +276,22 @@ class MplBrowserWindow:
         elif key == "p":
             play, rate = b.play_visible()
             self._play(play, rate)
+        elif key in ("o", "y", "a", "w"):
+            self.region_mode = {"o": "zoom", "y": "play", "a": "analyze",
+                                "w": "save"}[key]
+            self.status = f"region mode: {self.region_mode}"
+        elif key in ("b", "B"):
+            rect = (self.zoom_history.back() if key == "b"
+                    else self.zoom_history.forward())
+            if rect is not None:
+                b.set_times(rect.left(), rect.right() - rect.left())
+        elif key == "m" and self.crosshair is not None:
+            channel, t, y, kind = self.crosshair
+            b.marker_data.add_data(channel, t,
+                                   amplitude=y if kind == "trace" else None,
+                                   frequency=y if kind == "spec" else None,
+                                   label="start")
+            self.status = f"marker at {t:.4f}s"
         elif key == "s":
             path = Path(str(b.data.file_path)).with_suffix(".view.png")
             save_view_screenshot(self.fig, b, path)

@@ -1,0 +1,118 @@
+"""Interactive surface of the matplotlib frontend (Agg, synthesized
+events): region modes, crosshair, zoom history, markers, overview nav."""
+
+import numpy as np
+import pytest
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+from audian_tpu.app import DataBrowser
+from audian_tpu.analysis import Plugins
+from audian_tpu.data import wavio
+from audian_tpu.graph import EnvelopeNode
+from audian_tpu.gui.mpl import MplBrowserWindow
+
+
+@pytest.fixture(scope="module")
+def browser(tmp_path_factory, cricket_like):
+    x, rate = cricket_like
+    p = tmp_path_factory.mktemp("gui") / "rec.wav"
+    wavio.write_audio(p, x, rate, encoding="FLOAT")
+    plugins = Plugins()
+    plugins.add_trace_factory(
+        lambda b: b.add_trace(EnvelopeNode("envelope", "filtered")))
+    b = DataBrowser(p, plugins=plugins).open()
+    yield b
+    b.close()
+
+
+@pytest.fixture()
+def win(browser):
+    browser.set_times(0.0, 1.0)
+    w = MplBrowserWindow(browser)
+    yield w
+    w.plt.close(w.fig)
+
+
+class Ev:
+    def __init__(self, ax, x, y, key=None):
+        self.inaxes = ax
+        self.xdata = x
+        self.ydata = y
+        self.key = key
+
+
+def test_rect_zoom_and_history(win, browser):
+    ax = win.trace_axs[0]
+    win.on_press(Ev(ax, 0.2, -0.5))
+    win.on_release(Ev(ax, 0.6, 0.5))
+    assert browser.toffset == pytest.approx(0.2)
+    assert browser.twindow == pytest.approx(0.4)
+
+    class K:
+        key = "b"
+
+    win.on_key(K())  # zoom back
+    assert browser.twindow == pytest.approx(1.0)
+    K.key = "B"
+    win.on_key(K())  # forward again
+    assert browser.twindow == pytest.approx(0.4)
+
+
+def test_click_sets_crosshair(win, browser):
+    ax = win.trace_axs[0]
+    win.on_press(Ev(ax, 0.3, 0.1))
+    win.on_release(Ev(ax, 0.3, 0.1))
+    assert win.crosshair is not None
+    channel, t, y, kind = win.crosshair
+    assert channel == 0 and kind == "trace"
+    assert t == pytest.approx(0.3, abs=0.01)
+    # marker key stores at the crosshair
+    class K:
+        key = "m"
+
+    n0 = len(browser.marker_data)
+    win.on_key(K())
+    assert len(browser.marker_data) == n0 + 1
+    assert browser.marker_data.times[-1] == pytest.approx(t)
+
+
+def test_analyze_region_mode(win, browser):
+    class K:
+        key = "a"
+
+    win.on_key(K())
+    assert win.region_mode == "analyze"
+    ax = win.trace_axs[1]
+    win.on_press(Ev(ax, 0.4, -1.0))
+    win.on_release(Ev(ax, 0.5, 1.0))
+    plain = browser.analyzers[0]
+    assert plain.data.rows[-1][:2] == pytest.approx([0.4, 0.5])
+    assert plain.data.rows[-1][3] == 1  # channel
+
+
+def test_save_region_mode(win, browser, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+
+    class K:
+        key = "w"
+
+    win.on_key(K())
+    ax = win.trace_axs[0]
+    win.on_press(Ev(ax, 0.1, -1.0))
+    win.on_release(Ev(ax, 0.2, 1.0))
+    assert "saved region" in win.status
+
+
+def test_overview_click_navigates(win, browser):
+    win.on_press(Ev(win.overview_ax, 1.5, 0.0))
+    assert browser.toffset == pytest.approx(1.5 - browser.twindow / 2)
+
+
+def test_spec_click_readout(win, browser):
+    ax = win.spec_axs[0]
+    win.on_press(Ev(ax, 0.3, 4800.0))
+    win.on_release(Ev(ax, 0.3, 4800.0))
+    assert "f=4800Hz" in win.status
