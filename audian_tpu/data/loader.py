@@ -20,6 +20,7 @@ import numpy as np
 
 from . import wavio
 from .. import native
+from ..utils import trace as _trace
 
 
 class AudioLoader:
@@ -140,6 +141,7 @@ class AudioLoader:
         """Read [start, start+nframes) across file boundaries."""
         start = max(0, min(int(start), self.frames))
         nframes = max(0, min(int(nframes), self.frames - start))
+        _trace.trace_event("loader.read", start=start, frames=nframes)
         out = np.empty((nframes, self.channels), self.dtype)
         pos = 0
         while pos < nframes:

@@ -21,6 +21,7 @@ import jax
 import numpy as np
 
 from .graph import RAW, TraceGraph
+from ..utils import trace as _trace
 
 
 @dataclasses.dataclass(frozen=True)
@@ -136,11 +137,17 @@ class GraphExecutor:
         if compiled is None:
             compiled = self._build(plan)
             self._compiled[key] = compiled
+            _trace.trace_event("graph.build", frames=raw_frames,
+                               nodes=",".join(sorted(plan)))
         params = {
             n.name.lower(): n.params()
             for n in self.graph.order if n.name.lower() in plan
         }
-        bufs = compiled(raw_chunk, params)
+        # the structured replacement for the reference's per-chunk print
+        # (`src/audian/buffereddata.py:92`)
+        with _trace.timed("graph.run", offset=int(raw_offset),
+                          frames=raw_frames, nodes=len(plan)):
+            bufs = compiled(raw_chunk, params)
         out = {}
         for name, buf in bufs.items():
             if name == RAW:
