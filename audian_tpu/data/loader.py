@@ -23,6 +23,25 @@ from .. import native
 from ..utils import trace as _trace
 
 
+class _RawReader:
+    """Prefetcher-facing view of a loader's direct read path (the
+    prefetcher caches ON TOP of the file reads, below the window)."""
+
+    def __init__(self, loader):
+        self._loader = loader
+
+    @property
+    def frames(self):
+        return self._loader.frames
+
+    @property
+    def channels(self):
+        return self._loader.channels
+
+    def _read(self, start, nframes):
+        return self._loader._read_direct(start, nframes)
+
+
 class AudioLoader:
     """Windowed, multi-file, unwrap-capable audio source.
 
@@ -36,7 +55,8 @@ class AudioLoader:
 
     def __init__(self, file_paths, buffer_time=60.0, back_time=20.0,
                  verbose=0, rate=None, channels=None, unit=None,
-                 amax=None, end_indices=None, dtype=np.float32):
+                 amax=None, end_indices=None, dtype=np.float32,
+                 prefetch=False):
         if isinstance(file_paths, (str, Path)):
             file_paths = [file_paths]
         self.file_paths = [Path(p) for p in file_paths]
@@ -77,6 +97,12 @@ class AudioLoader:
         # unwrap config (reference CLI -u/-U, audian.py:1485-1490)
         self.unwrap_thresh = 0.0
         self.unwrap_clips = False
+        # optional background read-ahead (audian_tpu.stream)
+        self._prefetcher = None
+        if prefetch:
+            from ..stream import BlockPrefetcher
+
+            self._prefetcher = BlockPrefetcher(_RawReader(self))
         if verbose:
             for p, info in zip(self.file_paths, self._infos):
                 print(f"opened {p} ({info[2]} frames @ {info[0]:.0f} Hz)")
@@ -133,12 +159,20 @@ class AudioLoader:
         return self
 
     def close(self):
+        if self._prefetcher is not None:
+            self._prefetcher.close()
         self.buffer = np.zeros((0, self.channels), self.dtype)
 
     # -- raw reads ----------------------------------------------------------------
 
     def _read(self, start, nframes):
-        """Read [start, start+nframes) across file boundaries."""
+        """Read [start, start+nframes) across file boundaries, through the
+        read-ahead cache when enabled."""
+        if self._prefetcher is not None:
+            return self._prefetcher.read(start, nframes)
+        return self._read_direct(start, nframes)
+
+    def _read_direct(self, start, nframes):
         start = max(0, min(int(start), self.frames))
         nframes = max(0, min(int(nframes), self.frames - start))
         _trace.trace_event("loader.read", start=start, frames=nframes)

@@ -72,3 +72,19 @@ def test_db_quantize():
     q = np.asarray(db_quantize(p, -40.0, 0.0))
     assert q.dtype == np.uint8
     assert q[0] == 0 and q[2] == 255 and 0 < q[1] < 255
+
+
+def test_loader_prefetch_integration(tmp_path, rng):
+    from audian_tpu.data import wavio
+    from audian_tpu.data.loader import AudioLoader
+
+    x = 0.1 * rng.standard_normal((50000, 2))
+    p = tmp_path / "pf.wav"
+    wavio.write_audio(p, x, 48000.0, encoding="FLOAT")
+    ld = AudioLoader(p, prefetch=True)
+    got = ld._read(1000, 3000)
+    np.testing.assert_allclose(got, x[1000:4000], atol=1e-7)
+    # windowed access goes through the cache too
+    ld.update_time(0.1, 0.3)
+    np.testing.assert_allclose(ld[9000:9100], x[9000:9100], atol=1e-7)
+    ld.close()
