@@ -97,6 +97,15 @@ def window_matmul(x, w, stride, nframes, frames_per_block=32,
     G = int(frames_per_block)
     while (G + 1) * S < K:  # widen blocks until two spans cover a window
         G *= 2
+    # stay inside the ~16 MB VMEM budget (F + xcat + double-buffered
+    # inputs + W + outputs)
+    def _vmem(g):
+        return 4 * (g * C * K            # F
+                    + 6 * C * g * S      # xcat + 2x double-buffered spans
+                    + K * O              # W
+                    + 3 * g * C * O)     # out block (+pipelining)
+    while G > 1 and _vmem(G) > 14 * (1 << 20) and (G // 2 + 1) * S >= K:
+        G //= 2
     nprog = -(-nframes // G)
     span = G * S
     # program i reads spans i and i+1
