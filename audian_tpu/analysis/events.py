@@ -14,8 +14,7 @@ import numpy as np
 import scipy.signal as sps
 import jax.numpy as jnp
 
-from ..ops import sosfiltfilt, spectrogram_frequencies
-from ..ops.stft import hann_window
+from ..ops import sosfiltfilt
 
 __all__ = [
     "threshold_crossings", "merge_events", "remove_events", "widen_events",

@@ -11,8 +11,6 @@ from __future__ import annotations
 import csv
 from pathlib import Path
 
-import numpy as np
-
 __all__ = ["ResultTable"]
 
 

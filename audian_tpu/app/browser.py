@@ -22,7 +22,6 @@ import numpy as np
 
 from ..data import Data, wavio
 from ..data.data import RAW
-from ..graph import SpectrogramNode, FilterNode, EnvelopeNode
 from ..ops import prepare_playback
 from ..analysis import (Plugins, PlainAnalyzer, StatisticsAnalyzer,
                         EventRecorder)

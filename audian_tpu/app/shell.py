@@ -18,8 +18,6 @@ import argparse
 import glob
 import os
 import sys
-from pathlib import Path
-
 from ..version import __version__, __year__
 from ..analysis import Plugins
 from .browser import DataBrowser, Signal

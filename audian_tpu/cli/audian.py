@@ -12,8 +12,6 @@ saved by the GUI can be passed back as the input file to restore its view
 from __future__ import annotations
 
 import sys
-from pathlib import Path
-
 from ..analysis import Plugins
 from ..app.shell import audian_cli
 from ..app.screenshot import parse_view_metadata

@@ -11,8 +11,6 @@ the GUI thread.
 from __future__ import annotations
 
 import math
-from pathlib import Path
-
 import numpy as np
 
 from ..graph import (

@@ -16,11 +16,9 @@ from __future__ import annotations
 import sys
 from pathlib import Path
 
-import numpy as np
-
 try:
     import pyqtgraph as pg
-    from PyQt5.QtCore import Qt, QTimer
+    from PyQt5.QtCore import Qt
     from PyQt5.QtWidgets import (QApplication, QMainWindow, QTabWidget,
                                  QWidget, QVBoxLayout)
     HAVE_QT = True

@@ -36,8 +36,6 @@ scipy exactly so outputs are oracle-comparable at 1e-5 or better.
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .stft import spectrogram, hann_window
+from .stft import spectrogram
 
 __all__ = ["spectrogram_sweep", "db_quantize", "SWEEP_NFFTS"]
 

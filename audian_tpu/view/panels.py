@@ -13,8 +13,6 @@ the matplotlib frontend, and Qt/pyqtgraph all plug in here.
 
 from __future__ import annotations
 
-import numpy as np
-
 __all__ = ["Panel", "Panels"]
 
 
