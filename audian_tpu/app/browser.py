@@ -393,6 +393,26 @@ class DataBrowser:
         return self.spec_tiler.tile(trace, channel, zmin, zmax,
                                     quantize=quantize)
 
+    def power_spectrum(self, channel, t0=None, t1=None):
+        """Mean power spectrum (dB) over the visible window — the data
+        behind the reference's per-spectrogram power side plot
+        (`src/audian/spectrogramplot.py:144-164`).
+
+        Returns ``(freqs, dB)``.
+        """
+        trace = self.data["spectrogram"]
+        if t0 is None:
+            t0, t1 = self.toffset, self.toffset + self.twindow
+        i0 = max(int(t0 * trace.rate) - trace.offset, 0)
+        i1 = min(int(t1 * trace.rate + 1) - trace.offset, len(trace.buffer))
+        if i1 <= i0:
+            return trace.frequencies, np.full(trace.spec.more_shape[0],
+                                              -np.inf)
+        part = np.asarray(trace.buffer[i0:i1, channel, :])
+        mean = part.mean(axis=0)
+        db = 10 * np.log10(np.maximum(mean, 1e-20))
+        return trace.frequencies, db
+
     def estimate_power_levels(self, channel):
         """Noise-floor based auto color levels
         (`src/audian/bufferedspectrogram.py:109-126` via

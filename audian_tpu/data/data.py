@@ -92,9 +92,25 @@ class Trace:
     def ampl_max(self):
         return self._node.spec.ampl_max
 
+    #: attributes that live on the Trace itself; everything else delegates
+    #: to the node so the reference idiom ``trace.highpass_cutoff = v;
+    #: trace.update()`` (`src/audian/databrowser.py:1271-1283`) works
+    _own_attrs = frozenset([
+        "_node", "_data", "offset", "buffer", "buffer_changed",
+        "plot_items", "_visible",
+    ])
+
     def __getattr__(self, attr):
         # delegate node-specific API (nfft, frequencies, cutoffs, update...)
         return getattr(self._node, attr)
+
+    def __setattr__(self, attr, value):
+        if attr in Trace._own_attrs or attr.startswith("__"):
+            object.__setattr__(self, attr, value)
+        elif hasattr(type(self), attr):
+            object.__setattr__(self, attr, value)
+        else:
+            setattr(self._node, attr, value)
 
     def __len__(self):
         return self.frames

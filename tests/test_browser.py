@@ -158,3 +158,11 @@ def test_secs_to_str():
     assert secs_to_str(0) == "0s"
     assert secs_to_str(65) == "1m05s"
     assert secs_to_str(3605) == "1h00m05s"
+
+
+def test_power_spectrum(browser):
+    browser.set_times(0.3, 0.8)
+    freqs, db = browser.power_spectrum(0)
+    assert len(freqs) == len(db) == 129
+    # the 4.8 kHz carrier dominates the spectrum
+    assert freqs[np.argmax(db)] == pytest.approx(4800.0, abs=200.0)

@@ -195,3 +195,29 @@ def test_unwrap_path(tmp_path):
     got = d["data"][0 : len(x)]
     np.testing.assert_allclose(got, x, atol=1e-4)
     d.close()
+
+
+def test_reference_update_idiom(wav_file, cricket_like):
+    """The reference mutates node attributes then calls update() with no
+    arguments (`src/audian/databrowser.py:1271-1283`); attribute writes
+    must reach the node through the Trace view."""
+    import scipy.signal as sps
+
+    x, rate = cricket_like
+    d = open_data(wav_file)
+    d.update_times(0.3, 0.6)
+    f = d["filtered"]
+    f.highpass_cutoff = 2500.0
+    f.lowpass_cutoff = 9000.0
+    f.update()
+    assert f._node.highpass_cutoff == 2500.0
+    assert f.design.sos.shape == (2, 6)
+    i0 = int(0.4 * rate)
+    want = sps.sosfilt(f.design.sos, x.astype(np.float32), axis=0)
+    np.testing.assert_allclose(f[i0 : i0 + 200], want[i0 : i0 + 200],
+                               atol=2e-5)
+    env = d["envelope"]
+    env.envelope_cutoff = 125.0
+    env.update()
+    assert env._node.envelope_cutoff == 125.0
+    d.close()
