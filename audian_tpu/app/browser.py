@@ -324,6 +324,37 @@ class DataBrowser:
     def play_visible(self):
         return self.play_region(self.toffset, self.toffset + self.twindow)
 
+    def mark_audio(self, dt=0.05):
+        """Advance the playback position marker one GUI tick (the
+        reference's 50 ms timer, `src/audian/databrowser.py:1745-1756`).
+        Returns the marker time or None when playback finished."""
+        if self.audio_time < 0:
+            return None
+        self.audio_time += dt / self.audio_rate_fac
+        if self.audio_time > self.audio_tmax:
+            self.audio_time = -1.0
+            return None
+        return self.audio_time
+
+    def time_info(self, t):
+        """Hover time rows: recording-relative, absolute, and per-file
+        times of ``t`` (`src/audian/timeplot.py:154-192` hover table)."""
+        from ..view.axes import format_time_ticks, REC_TIME, ABS_TIME
+
+        rows = []
+        _, units, strs, _ = format_time_ticks([t], 0.001)
+        rows.append(("REC", units, strs[0]))
+        if self.data.start_time is not None:
+            _, units, strs, _ = format_time_ticks(
+                [t], 0.001, mode=ABS_TIME, starttime=self.data.start_time,
+                add_date=True)
+            rows.append(("Time", units, strs[0]))
+        if len(self.data.data.file_paths) > 1:
+            fp, local = self.data.data.get_file_index(
+                int(t * self.data.rate))
+            rows.append(("File", str(fp.name), f"{local / self.data.rate:.4f}"))
+        return rows
+
     # -- regions ------------------------------------------------------------------
 
     def analyze(self, t0, t1, channel):

@@ -166,3 +166,27 @@ def test_power_spectrum(browser):
     assert len(freqs) == len(db) == 129
     # the 4.8 kHz carrier dominates the spectrum
     assert freqs[np.argmax(db)] == pytest.approx(4800.0, abs=200.0)
+
+
+def test_mark_audio_ticks(browser):
+    browser.play_region(0.5, 0.7)
+    assert browser.audio_time == pytest.approx(0.5)
+    t = browser.mark_audio()
+    assert t == pytest.approx(0.55)
+    browser.set_audio(rate_fac=2.0, dispatch=False)
+    t = browser.mark_audio()
+    assert t == pytest.approx(0.575)
+    browser.audio_time = 0.69
+    browser.set_audio(rate_fac=1.0, dispatch=False)
+    assert browser.mark_audio() is None  # past the end -> stopped
+    assert browser.audio_time == -1.0
+
+
+def test_time_info_rows(browser):
+    rows = browser.time_info(65.5)
+    kinds = [r[0] for r in rows]
+    assert kinds[0] == "REC"
+    assert rows[0][2].startswith("1:05.5")
+    assert "Time" in kinds  # file has a BEXT start time
+    abs_row = rows[kinds.index("Time")]
+    assert abs_row[2].startswith("2026-05-05 6:08:13")
