@@ -71,10 +71,19 @@ class DataBrowser:
 
     # region modes (`src/audian/databrowser.py:67-71`)
     zoom_region = 0
-    play_window = 1
-    analyze_region = 2
+    play_region_mode = 1
+    analyze_region_mode = 2
     save_region_mode = 3
     ask_region = 4
+
+    # spectrogram color maps (`src/audian/databrowser.py:53-65`); GUI
+    # frontends map these colorcet names onto their own colormap objects
+    color_maps = ["CET-R4", "CET-L8", "CET-L16", "CET-CBL2", "CET-L1",
+                  "CET-L3"]
+
+    # visible trace-panel height fraction per show_specs level
+    # (`src/audian/databrowser.py:118`)
+    trace_fracs = {0: 1, 1: 1, 2: 0.5, 3: 0.25, 4: 0.15}
 
     def __init__(self, file_path, channels=None, plugins=None,
                  buffer_time=60.0, back_time=20.0, load_kwargs=None,
@@ -91,8 +100,22 @@ class DataBrowser:
         self.selected_channels = []
         self.current_channel = 0
         self.analyzers = []
-        self.region_mode = DataBrowser.zoom_region
+        self.region_mode = DataBrowser.ask_region
         self.setting = False
+        # active spectrogram trace (`databrowser.py:122-124`)
+        self.spectrogram = ""
+        self.spectrogram_power = ""
+        # panel visibility state (`databrowser.py:126-131`)
+        self.grids = 0
+        self.show_traces = True
+        self.show_specs = 1
+        self.show_powers = False
+        self.show_cbars = False
+        self.show_fulldata = True
+        self.color_map = 0
+        # auto scroll (`databrowser.py:134`)
+        self.scroll_step = 0.0
+        self.scroll_active = False
         # view window state (the 't' plot range's role for time)
         self.toffset = 0.0
         self.twindow = 2.0
@@ -120,6 +143,9 @@ class DataBrowser:
         self.sigChannelsChanged = Signal()
         self.sigAudioChanged = Signal()
         self.sigAnalysisChanged = Signal()
+        self.sigColorMapChanged = Signal()
+        self.sigTraceChanged = Signal()
+        self.sigPanelsChanged = Signal()
         self.plugins.setup_traces(self)
         self.data.setup_traces()
 
@@ -159,6 +185,12 @@ class DataBrowser:
             if not any(l.label == lbl for l in self.marker_labels):
                 self.marker_labels.append(
                     MarkerLabel(str(lbl), str(lbl)[:1].lower(), "white"))
+        # active spectrogram trace (`databrowser.py:122-123`)
+        from ..graph.nodes import SpectrogramNode
+
+        specs = self.data.get_trace_names(SpectrogramNode)
+        self.spectrogram = specs[0] if specs else ""
+        self.show_specs = 1 if self.spectrogram else 0
         # analyzers: plain + statistics + plugins (`databrowser.py:613-615`)
         PlainAnalyzer(self)
         if "filtered" in self.data:
@@ -233,17 +265,65 @@ class DataBrowser:
             self.setting = False
         self.sigFilterChanged.emit()
 
-    def set_resolution(self, nfft=None, step_frac=None):
-        """NFFT / hop-fraction changes (`databrowser.py:1188-1222`)."""
-        if self.setting or "spectrogram" not in self.data:
+    def set_resolution(self, nfft=None, overlap_frac=None, dispatch=True,
+                       step_frac=None):
+        """NFFT / overlap changes (`databrowser.py:1188-1222`)."""
+        if self.setting or self.spectrogram not in self.data:
             return
         self.setting = True
         try:
-            overlap = None if step_frac is None else 1.0 - step_frac
-            self.data["spectrogram"].update(nfft=nfft, overlap_frac=overlap)
+            if overlap_frac is None and step_frac is not None:
+                overlap_frac = 1.0 - step_frac
+            self.data[self.spectrogram].update(nfft=nfft,
+                                               overlap_frac=overlap_frac)
         finally:
             self.setting = False
-        self.sigResolutionChanged.emit()
+        if dispatch:
+            self.sigResolutionChanged.emit()
+
+    # resolution step verbs (`databrowser.py:1225-1245`)
+    def freq_resolution_down(self):
+        if self.spectrogram in self.data:
+            self.set_resolution(nfft=self.data[self.spectrogram].nfft // 2)
+
+    def freq_resolution_up(self):
+        if self.spectrogram in self.data:
+            self.set_resolution(nfft=2 * self.data[self.spectrogram].nfft)
+
+    def overlap_frac_up(self):
+        if self.spectrogram in self.data:
+            hop_frac = 1 - self.data[self.spectrogram].overlap_frac
+            self.set_resolution(overlap_frac=1 - hop_frac / 2)
+
+    def overlap_frac_down(self):
+        if self.spectrogram in self.data:
+            hop_frac = 1 - self.data[self.spectrogram].overlap_frac
+            self.set_resolution(overlap_frac=1 - hop_frac * 2)
+
+    def set_spectrogram(self, checked, spec):
+        """Select which spectrogram trace the resolution verbs, power
+        readouts, and tiles act on (`databrowser.py:1180-1185`)."""
+        if checked and spec in self.data:
+            self.spectrogram = spec
+            self.set_resolution()
+
+    # -- color maps (`databrowser.py:1247-1261`) -----------------------------------
+
+    def set_color_map(self, color_map=None, dispatch=True):
+        if color_map is not None:
+            self.color_map = int(color_map) % len(self.color_maps)
+        if dispatch:
+            self.sigColorMapChanged.emit()
+
+    def color_map_cycler(self):
+        self.color_map += 1
+        if self.color_map >= len(self.color_maps):
+            self.color_map = 0
+        self.set_color_map()
+
+    @property
+    def color_map_name(self):
+        return self.color_maps[self.color_map]
 
     def update_envelope(self, envelope_cutoff=None, show_envelope=None,
                         dispatch=True):
@@ -263,25 +343,456 @@ class DataBrowser:
         if dispatch:
             self.sigEnvelopeChanged.emit()
 
+    # -- trace / analyzer management (`databrowser.py:197-260`) ----------------------
+
+    @property
+    def name(self):
+        """Recording base name (`databrowser.py:197-204`)."""
+        if self.data.data is not None:
+            return Path(self.data.data.basename()).stem
+        fp = self.data.file_path
+        if isinstance(fp, (list, tuple, np.ndarray)):
+            return Path(fp[0]).stem
+        return Path(fp).stem
+
+    def get_trace(self, name):
+        return self.data[name]
+
+    def remove_trace(self, name):
+        self.data.remove_trace(name)
+
+    def clear_traces(self):
+        self.data.clear_traces()
+
+    def get_analyzer(self, name):
+        for a in self.analyzers:
+            if name.lower() == a.name.lower():
+                return a
+        return None
+
+    def remove_analyzer(self, name):
+        for k, a in enumerate(self.analyzers):
+            if name.lower() == a.name.lower():
+                del self.analyzers[k]
+                return
+
+    def clear_analyzer(self):
+        self.analyzers = []
+
+    def toggle_trace(self, checked, name):
+        """Show/hide one derived trace; hidden traces stop computing
+        (`databrowser.py:248-252` — the laziness gate)."""
+        self.data.set_visible(name, checked)
+        self.set_times()
+        self.sigTraceChanged.emit(self, checked, name)
+
+    def set_trace(self, checked, name):
+        """Like :meth:`toggle_trace` but without dispatch
+        (`databrowser.py:254-260`)."""
+        self.data.set_visible(name, checked)
+
+    def metadata_rows(self):
+        """Flattened (indent-level, key, value) rows of the recording's
+        metadata — the data behind the reference's metadata dialog
+        (`databrowser.py:677-724`); GUI frontends render these."""
+
+        def walk(md, level, rows):
+            for k, v in md.items():
+                if isinstance(v, dict):
+                    rows.append((level, str(k), None))
+                    walk(v, level + 1, rows)
+                else:
+                    if isinstance(v, (list, tuple)):
+                        v = ", ".join(f"{x}" for x in v)
+                    rows.append((level, str(k), f"{v}"))
+            return rows
+
+        return walk(self.data.meta_data, 0, [])
+
+    def goto_time(self, file_name, time):
+        """Jump the view window to ``time`` within the named source file
+        (`databrowser.py:1108-1123`; used by screenshot drag-drop
+        navigation)."""
+        rate = self.data.rate
+        starts = np.concatenate(([0], self.data.data.end_indices[:-1]))
+        for start, fp in zip(starts, self.data.data.file_paths):
+            fp = Path(fp)
+            if (fp.name == file_name if "." in file_name
+                    else fp.stem.replace("-", "") == file_name):
+                self.set_times(start / rate + time)
+                return True
+        return False
+
     # -- channel selection (`databrowser.py:1317-1512`) ------------------------------
 
-    def set_channels(self, channels):
-        channels = [c for c in channels if 0 <= c < self.data.channels]
-        if channels:
-            self.show_channels = sorted(channels)
-            self.selected_channels = [c for c in self.selected_channels
-                                      if c in channels] or list(channels)
-            if self.current_channel not in channels:
-                self.current_channel = channels[0]
-            self.sigChannelsChanged.emit(self.show_channels)
+    def add_to_show_channels(self, channels):
+        if isinstance(channels, int):
+            channels = [channels]
+        for channel in channels:
+            if channel not in self.show_channels:
+                self.show_channels.append(channel)
+        self.show_channels.sort()
+
+    def add_to_selected_channels(self, channels):
+        if isinstance(channels, int):
+            channels = [channels]
+        for channel in channels:
+            if channel not in self.selected_channels:
+                self.selected_channels.append(channel)
+        self.selected_channels.sort()
+
+    def all_channels(self):
+        """Two-stage select-all (`databrowser.py:1335-1341`): first press
+        selects all shown channels, second extends to every channel."""
+        if self.selected_channels == self.show_channels:
+            self.selected_channels = list(range(self.data.channels))
+        else:
+            self.selected_channels = list(self.show_channels)
+
+    def next_channel(self):
+        """Make the next shown channel current, scrolling the shown-channel
+        window forward at its edge (`databrowser.py:1343-1361`)."""
+        idx = self.show_channels.index(self.current_channel)
+        if idx + 1 < len(self.show_channels):
+            self.current_channel = self.show_channels[idx + 1]
+            self.selected_channels = [self.current_channel]
+        else:
+            if self.show_channels[-1] < self.data.channels - 1:
+                n = len(self.show_channels)
+                if n > 1:
+                    n -= 1
+                if self.show_channels[-1] + n >= self.data.channels:
+                    n = self.data.channels - 1 - self.show_channels[-1]
+                self.add_to_show_channels(
+                    list(range(self.show_channels[-1] + 1,
+                               self.show_channels[-1] + 1 + n)))
+                del self.show_channels[:n]
+                self.current_channel += 1
+            self.selected_channels = [self.current_channel]
+            self.set_channels()
+
+    def previous_channel(self):
+        """(`databrowser.py:1364-1382`)"""
+        idx = self.show_channels.index(self.current_channel)
+        if idx > 0:
+            self.current_channel = self.show_channels[idx - 1]
+            self.selected_channels = [self.current_channel]
+        else:
+            if self.show_channels[0] > 0:
+                n = len(self.show_channels)
+                if n > 1:
+                    n -= 1
+                if self.show_channels[0] < n:
+                    n = self.show_channels[0]
+                self.add_to_show_channels(
+                    list(range(self.show_channels[0] - n,
+                               self.show_channels[0])))
+                del self.show_channels[-n:]
+                self.current_channel -= 1
+            self.selected_channels = [self.current_channel]
+            self.set_channels()
+
+    def select_next_channel(self):
+        """Extend the selection downward (`databrowser.py:1385-1405`)."""
+        shown_sel = [c for c in range(self.data.channels)
+                     if c in self.show_channels and c in self.selected_channels]
+        if shown_sel:
+            self.current_channel = shown_sel[-1]
+        idx = self.show_channels.index(self.current_channel)
+        if idx + 1 < len(self.show_channels):
+            self.current_channel = self.show_channels[idx + 1]
+            self.add_to_selected_channels(self.current_channel)
+        else:
+            if self.show_channels[-1] < self.data.channels - 1:
+                n = len(self.show_channels)
+                if self.show_channels[-1] + n >= self.data.channels:
+                    n = self.data.channels - 1 - self.show_channels[-1]
+                self.add_to_show_channels(
+                    list(range(self.show_channels[-1] + 1,
+                               self.show_channels[-1] + 1 + n)))
+                del self.show_channels[:n]
+            if self.current_channel < self.data.channels - 1:
+                self.current_channel += 1
+                self.add_to_selected_channels(self.current_channel)
+            self.set_channels()
+
+    def select_previous_channel(self):
+        """(`databrowser.py:1408-1428`)"""
+        shown_sel = [c for c in range(self.data.channels)
+                     if c in self.show_channels and c in self.selected_channels]
+        if shown_sel:
+            self.current_channel = shown_sel[0]
+        idx = self.show_channels.index(self.current_channel)
+        if idx > 0:
+            self.current_channel = self.show_channels[idx - 1]
+            self.add_to_selected_channels(self.current_channel)
+        else:
+            if self.show_channels[0] > 0:
+                n = len(self.show_channels)
+                if self.show_channels[0] < n:
+                    n = self.show_channels[0]
+                self.add_to_show_channels(
+                    list(range(self.show_channels[0] - n,
+                               self.show_channels[0])))
+                del self.show_channels[-n:]
+            if self.current_channel > 0:
+                self.current_channel -= 1
+                self.add_to_selected_channels(self.current_channel)
+            self.set_channels()
+
+    def set_channels(self, show_channels=None, selected_channels=None,
+                     current_channel=None):
+        """Normalize channel state and dispatch (`databrowser.py:1431-1460`):
+        the current channel is forced into the shown∩selected set."""
+        if self.setting:
+            return
+        self.setting = True
+        try:
+            if show_channels is not None:
+                self.show_channels = [c for c in show_channels
+                                      if 0 <= c < self.data.channels]
+            if selected_channels is not None:
+                self.selected_channels = [c for c in selected_channels
+                                          if 0 <= c < self.data.channels]
+            if current_channel is not None:
+                self.current_channel = current_channel
+            if not self.show_channels:
+                self.show_channels = [0]
+            if not self.selected_channels:
+                self.selected_channels = list(self.show_channels)
+            shown_sel = [c for c in range(self.data.channels)
+                         if c in self.show_channels
+                         and c in self.selected_channels]
+            if not shown_sel:
+                self.selected_channels = list(self.show_channels)
+                shown_sel = list(self.show_channels)
+            if self.current_channel not in shown_sel:
+                for c in shown_sel:
+                    if c >= self.current_channel:
+                        self.current_channel = c
+                        break
+                if self.current_channel not in shown_sel:
+                    self.current_channel = shown_sel[-1]
+        finally:
+            self.setting = False
+        self.sigChannelsChanged.emit(self.show_channels)
 
     def select_channels(self, channels):
         channels = [c for c in channels if c in self.show_channels]
         if channels:
             self.selected_channels = sorted(channels)
 
-    def all_channels(self):
-        self.set_channels(list(range(self.data.channels)))
+    def toggle_channel(self, channel, checked=None):
+        """Toggle one channel's visibility (`databrowser.py:1463-1494`).
+        ``checked`` overrides (the reference reads its menu action)."""
+        if self.setting or not 0 <= channel < self.data.channels:
+            return
+        if checked is None:
+            checked = channel not in self.show_channels
+        if checked:
+            self.add_to_show_channels(channel)
+            self.add_to_selected_channels(channel)
+            self.set_channels()
+        elif channel in self.show_channels:
+            self.show_channels.remove(channel)
+            if not self.show_channels:
+                c = channel + 1
+                if c >= self.data.channels:
+                    c = 0
+                self.show_channels = [c]
+                self.add_to_selected_channels(c)
+            if channel in self.selected_channels:
+                self.selected_channels.remove(channel)
+                if not self.selected_channels:
+                    for c in self.show_channels:
+                        if c < channel:
+                            self.current_channel = c
+                        else:
+                            break
+                    self.selected_channels = [self.current_channel]
+            self.set_channels()
+
+    def show_channel(self, channel):
+        """Show only ``channel``; a second press on the lone shown channel
+        restores all channels (`databrowser.py:1496-1505`)."""
+        if not 0 <= channel < self.data.channels:
+            return
+        if self.current_channel == channel and self.show_channels == [channel]:
+            self.set_channels(list(range(self.data.channels)))
+        else:
+            self.current_channel = channel
+            self.add_to_selected_channels(channel)
+            self.set_channels([channel])
+
+    def hide_deselected_channels(self):
+        """(`databrowser.py:1508-1512`)"""
+        show = [c for c in self.show_channels if c in self.selected_channels]
+        if not show:
+            show = [self.show_channels[0]]
+        self.set_channels(show)
+
+    # -- panel visibility (`databrowser.py:1515-1583`) --------------------------------
+
+    def set_panels(self, traces=None, specs=None, powers=None, cbars=None,
+                   fulldata=None):
+        """Apply the panel-visibility flags; hiding every spectrogram stops
+        its device compute (the laziness gate the reference wires through
+        panel visibility, `databrowser.py:1515-1545`)."""
+        if traces is not None:
+            self.show_traces = traces
+        if specs is not None:
+            self.show_specs = specs
+        if powers is not None:
+            self.show_powers = powers
+        if cbars is not None:
+            self.show_cbars = cbars
+        if fulldata is not None:
+            self.show_fulldata = fulldata
+        if self.spectrogram in self.data:
+            self.data.set_visible(self.spectrogram, self.show_specs > 0)
+        self.set_times()
+        self.sigPanelsChanged.emit()
+
+    def toggle_traces(self):
+        self.show_traces = not self.show_traces
+        if not self.show_traces:
+            self.show_specs = max(self.show_specs, 1)
+        self.set_panels()
+
+    def toggle_spectrograms(self):
+        """Cycle trace/spectrogram height splits 0..4
+        (`databrowser.py:1555-1561`)."""
+        self.show_specs += 1
+        if self.show_specs > 4:
+            self.show_specs = 0
+        if self.show_specs == 0:
+            self.show_traces = True
+        self.set_panels()
+
+    def toggle_colorbars(self):
+        self.show_cbars = not self.show_cbars
+        self.set_panels()
+
+    def toggle_powers(self):
+        self.show_powers = not self.show_powers
+        self.set_panels()
+
+    def toggle_fulldata(self):
+        self.show_fulldata = not self.show_fulldata
+        self.set_panels()
+
+    def toggle_grids(self):
+        """Cycle the 2-bit grid mask 3→2→1→0→3 (`databrowser.py:1579-1583`)."""
+        self.grids -= 1
+        if self.grids < 0:
+            self.grids = 3
+
+    # -- region modes (`databrowser.py:1586-1642`) -------------------------------------
+
+    def set_region_mode(self, mode):
+        self.region_mode = mode
+
+    def handle_region(self, channel, t0, t1, mode=None):
+        """Dispatch a selected time region to the active region mode —
+        the headless core of the reference's ``region_menu``
+        (`databrowser.py:1614-1642`).  Returns ``(verb, result)``; in
+        ``ask`` mode returns ``("ask", None)`` so the GUI can pop a menu.
+        """
+        mode = self.region_mode if mode is None else mode
+        if mode == DataBrowser.zoom_region:
+            self.set_times(t0, t1 - t0)
+            return "zoom", (self.toffset, self.twindow)
+        if mode == DataBrowser.play_region_mode:
+            return "play", self.play_region(t0, t1)
+        if mode == DataBrowser.analyze_region_mode:
+            return "analyze", self.analyze(t0, t1, channel)
+        if mode == DataBrowser.save_region_mode:
+            return "save", self.save_region(t0, t1)
+        return "ask", None
+
+    # -- auto scroll (`databrowser.py:1645-1680`) ---------------------------------------
+
+    def play_scroll(self):
+        """Space bar: stop auto-scroll if running, stop audio if playing,
+        else play the visible window (`databrowser.py:1645-1656`)."""
+        if self.scroll_active:
+            self.scroll_active = False
+            self.scroll_step /= 2
+            return "scroll-stopped", None
+        if self.audio_time >= 0:
+            self.audio_time = -1.0
+            return "audio-stopped", None
+        return "play", self.play_window()
+
+    def auto_scroll(self):
+        """Double the scroll speed; past 1 window/tick wraps to stopped
+        (`databrowser.py:1659-1670`)."""
+        if self.scroll_step == 0:
+            self.scroll_step = 0.005
+        elif self.scroll_step > 1.0:
+            self.scroll_active = False
+            self.scroll_step = 0
+            return
+        else:
+            self.scroll_step *= 2
+        self.scroll_active = True
+
+    def scroll_further(self):
+        """One 50 ms auto-scroll tick (`databrowser.py:1673-1680`)."""
+        tmax = self.data.frames / self.data.rate
+        if self.toffset + self.twindow >= tmax:
+            self.scroll_active = False
+            self.scroll_step /= 2
+        else:
+            self.set_times(self.toffset + self.twindow * self.scroll_step)
+
+    # -- analysis results (`databrowser.py:1777-1857`) ----------------------------------
+
+    def get_analysis_table(self):
+        """Merge all analyzers' result tables row-wise into a list of
+        dicts (`databrowser.py:1777-1792`)."""
+        table = []
+        r = 0
+        while True:
+            row = {}
+            for a in self.analyzers:
+                if r < len(a.data):
+                    hdr = a.data.header()
+                    for c, h in enumerate(hdr):
+                        row[h] = a.data[r][c]
+            if not row:
+                break
+            table.append(row)
+            r += 1
+        return table
+
+    def clear_analysis(self):
+        for a in self.analyzers:
+            a.clear()
+        self.sigAnalysisChanged.emit()
+
+    def save_analysis(self, file_path=None):
+        """Write the merged analysis table to CSV
+        (`databrowser.py:1834-1857`)."""
+        if not self.analyzers or not self.analyzers[0].data.labels:
+            return None
+        if file_path is None:
+            fp = Path(self.data.file_path)
+            name = fp.stem + "-analysis.csv"
+            file_path = (self.save_path / name if self.save_path
+                         else fp.with_name(name))
+        table = self.get_analysis_table()
+        import csv
+
+        file_path = Path(file_path)
+        with file_path.open("w", newline="") as f:
+            if table:
+                w = csv.DictWriter(f, fieldnames=list(table[0].keys()),
+                                   delimiter=";")
+                w.writeheader()
+                w.writerows(table)
+        self.save_path = file_path.parent
+        return file_path
 
     # -- audio --------------------------------------------------------------------
 
@@ -324,6 +835,14 @@ class DataBrowser:
     def play_visible(self):
         return self.play_region(self.toffset, self.toffset + self.twindow)
 
+    def play_window(self):
+        """(`databrowser.py:1741-1744`)"""
+        return self.play_visible()
+
+    def save_window(self):
+        """Save the visible window (`databrowser.py:1924-1926`)."""
+        return self.save_region(self.toffset, self.toffset + self.twindow)
+
     def mark_audio(self, dt=0.05):
         """Advance the playback position marker one GUI tick (the
         reference's 50 ms timer, `src/audian/databrowser.py:1745-1756`).
@@ -365,6 +884,11 @@ class DataBrowser:
             a.analyze(t0, t1, channel, traces)
         self.sigAnalysisChanged.emit()
         return traces
+
+    def analyze_region(self, t0, t1, channel):
+        """Reference-named alias of :meth:`analyze`
+        (`databrowser.py:1759`)."""
+        return self.analyze(t0, t1, channel)
 
     def save_region(self, t0, t1, file_path=None):
         """Export the selected region to a WAV with shifted start time,
@@ -416,7 +940,7 @@ class DataBrowser:
         return self.trace_tiler.tile(self.data[name], t0, t1, channel)
 
     def spec_tile(self, channel, zmin=None, zmax=None, quantize=False):
-        trace = self.data["spectrogram"]
+        trace = self.data[self.spectrogram]
         if zmin is None or zmax is None:
             azmin, azmax = self.estimate_power_levels(channel)
             zmin = azmin if zmin is None else zmin
@@ -431,7 +955,7 @@ class DataBrowser:
 
         Returns ``(freqs, dB)``.
         """
-        trace = self.data["spectrogram"]
+        trace = self.data[self.spectrogram]
         if t0 is None:
             t0, t1 = self.toffset, self.toffset + self.twindow
         i0 = max(int(t0 * trace.rate) - trace.offset, 0)
@@ -448,7 +972,7 @@ class DataBrowser:
         """Noise-floor based auto color levels
         (`src/audian/bufferedspectrogram.py:109-126` via
         `plotranges.py:461-478`)."""
-        trace = self.data["spectrogram"]
+        trace = self.data[self.spectrogram]
         buf = np.asarray(trace.buffer)
         if buf.size == 0:
             return (-100.0, 0.0)

@@ -138,6 +138,10 @@ class Audian:
             lambda ch, b=browser: self._dispatch_channels(b, ch))
         browser.sigAudioChanged.connect(
             lambda *a, b=browser: self._dispatch_audio(b, *a))
+        browser.sigColorMapChanged.connect(
+            lambda b=browser: self._dispatch_colormap(b))
+        browser.sigPanelsChanged.connect(
+            lambda b=browser: self._dispatch_panels(b))
 
     def _others(self, browser):
         return [b for b in self.browsers if b is not browser]
@@ -199,6 +203,62 @@ class Audian:
                 b.set_audio(rate_fac, use_het, het_freq, dispatch=False)
         self._dispatch(fan)
 
+    def _dispatch_colormap(self, browser):
+        """(`audian.py:767-771`)"""
+        def fan():
+            for b in self._others(browser):
+                b.set_color_map(browser.color_map, dispatch=False)
+        self._dispatch(fan)
+
+    def _dispatch_panels(self, browser):
+        """Linked panel-visibility fan-out (`audian.py:1104-1161`)."""
+        if not self.link_panels:
+            return
+
+        def fan():
+            for b in self._others(browser):
+                b.set_panels(browser.show_traces, browser.show_specs,
+                             browser.show_powers, browser.show_cbars,
+                             browser.show_fulldata)
+        self._dispatch(fan)
+
+    # -- linked channel verbs (`audian.py:940-995`) ---------------------------------
+
+    def _fan_channels(self):
+        cur = self.current
+        if self.link_channels and cur is not None and not cur.setting:
+            def fan():
+                for b in self._others(cur):
+                    b.set_channels(cur.show_channels, cur.selected_channels,
+                                   cur.current_channel)
+            self._dispatch(fan)
+
+    def select_channels(self, selectfunc):
+        """Apply a channel-selection verb by name on the current browser
+        and fan the resulting triplet state out (`audian.py:975-983`)."""
+        if self.current is None:
+            return
+        getattr(self.current, selectfunc)()
+        self._fan_channels()
+
+    def show_channel(self, channel):
+        if self.current is None:
+            return
+        self.current.show_channel(channel)
+        self._fan_channels()
+
+    def toggle_channel(self, channel, checked=None):
+        if self.current is None:
+            return
+        self.current.toggle_channel(channel, checked)
+        self._fan_channels()
+
+    def hide_deselected_channels(self):
+        if self.current is None:
+            return
+        self.current.hide_deselected_channels()
+        self._fan_channels()
+
     # -- linked verbs (menu/keyboard surface) --------------------------------------
 
     def apply_time(self, verb):
@@ -212,6 +272,35 @@ class Audian:
 
     def toggle_link_timescroll(self):
         self.link_timescroll = not self.link_timescroll
+
+    def toggle_link_filter(self):
+        self.link_filter = not self.link_filter
+
+    def toggle_link_envelope(self):
+        self.link_envelope = not self.link_envelope
+
+    def toggle_link_channels(self):
+        self.link_channels = not self.link_channels
+
+    def toggle_link_panels(self):
+        self.link_panels = not self.link_panels
+
+    def toggle_link_audio(self):
+        self.link_audio = not self.link_audio
+
+    def toggle_link_amplitude(self):
+        """(`audian.py:653-656` — per-amplitude-letter link flags)"""
+        for s in "xyu":
+            self.link_ranges[s] = not self.link_ranges[s]
+
+    def toggle_link_frequency(self):
+        for s in "fw":
+            self.link_ranges[s] = not self.link_ranges[s]
+
+    def toggle_link_power(self):
+        """(`audian.py:774-776`)"""
+        for s in "pq":
+            self.link_ranges[s] = not self.link_ranges[s]
 
 
 def audian_cli(cargs=None, plugins=None, shell_cls=Audian):

@@ -11,13 +11,17 @@ screenshots; the richer Qt/pyqtgraph frontend lives in
 :mod:`audian_tpu.gui.qt`.
 
 Key bindings (subset of the reference's ~60 actions, same keys):
-    right/left . page down/up     x/X zoom in/out (time)
+    right/left . ,                x/X zoom in/out (time)
     home/end                      f/F highpass up/down  l/L lowpass
     e/E envelope cutoff           r/R frequency resolution (NFFT)
     p play visible window         s save screenshot
     o zoom / y play / a analyze / w save-region  (rect-selection mode)
     b/B zoom history back/forward
     m set marker at crosshair     q quit
+    C cycle color map             g cycle grid mask
+    up/down previous/next channel pageup/pagedown extend selection
+    1..9,0 show only that channel (again restores all)
+    ! auto-scroll faster          space play / stop
 
 Mouse: drag a rectangle on any panel to apply the current region mode
 (zoom / play / analyze / save, `src/audian/databrowser.py:1614-1642`);
@@ -38,6 +42,11 @@ from ..view.zoom import Rect, ZoomHistory, SelectionModel
 from ..view.render import pick_amplitude
 
 __all__ = ["MplBrowserWindow", "show"]
+
+# nearest matplotlib equivalents of the reference's colorcet maps
+# (`src/audian/databrowser.py:53-65`)
+CET_TO_MPL = {"CET-R4": "turbo", "CET-L8": "plasma", "CET-L16": "viridis",
+              "CET-CBL2": "cividis", "CET-L1": "gray", "CET-L3": "inferno"}
 
 
 class MplBrowserWindow:
@@ -138,26 +147,31 @@ class MplBrowserWindow:
             self.status = f"ch{channel}  t={t:.4f}s  f={y:.0f}Hz"
         self.crosshair = (channel, t, y, kind)
 
+    # string ↔ DataBrowser region-mode constants
+    _mode_consts = {"zoom": DataBrowser.zoom_region,
+                    "play": DataBrowser.play_region_mode,
+                    "analyze": DataBrowser.analyze_region_mode,
+                    "save": DataBrowser.save_region_mode,
+                    "ask": DataBrowser.ask_region}
+
     def _region_selected(self, channel, kind, rect):
-        """Dispatch the selected rectangle to the current region mode
-        (`src/audian/databrowser.py:1614-1642`)."""
+        """Dispatch the selected rectangle to the current region mode via
+        the headless controller (`src/audian/databrowser.py:1614-1642`)."""
         b = self.browser
         t0, t1 = rect.left(), rect.right()
-        if self.region_mode == "zoom":
+        mode = self._mode_consts.get(self.region_mode, DataBrowser.zoom_region)
+        if mode == DataBrowser.zoom_region:
             self.zoom_history.add(rect)
-            b.set_times(t0, t1 - t0)
-        elif self.region_mode == "play":
-            play, rate = b.play_region(t0, t1)
-            self._play(play, rate)
-        elif self.region_mode == "analyze":
-            b.analyze(t0, t1, channel)
+        verb, result = b.handle_region(channel, t0, t1, mode)
+        if verb == "play":
+            self._play(*result)
+        elif verb == "analyze":
             rows = [f"{a.name}: {a.data.formatted(-1)}"
                     for a in b.analyzers if len(a.data)]
             self.status = " | ".join(rows)[:120]
             print(self.status)
-        elif self.region_mode == "save":
-            path = b.save_region(t0, t1)
-            self.status = f"saved region to {path}"
+        elif verb == "save":
+            self.status = f"saved region to {result}"
             print(self.status)
         self.redraw()
 
@@ -168,6 +182,7 @@ class MplBrowserWindow:
         t0, t1 = b.toffset, b.toffset + b.twindow
         name = "filtered" if "filtered" in b.data else "data"
         for c, ax in self.trace_axs.items():
+            ax.set_visible(c in b.show_channels and b.show_traces)
             ax.clear()
             times, values = b.trace_tile(name, c)
             if len(times) > 1:
@@ -192,6 +207,9 @@ class MplBrowserWindow:
             ax.set_xlim(t0, t1)
             ax.set_ylabel(f"ch {c}")
         for c, ax in self.spec_axs.items():
+            ax.set_visible(c in b.show_channels and b.show_specs > 0)
+            if not ax.get_visible():
+                continue
             ax.clear()
             if c not in self._zlevels:
                 self._zlevels[c] = b.estimate_power_levels(c)
@@ -200,7 +218,8 @@ class MplBrowserWindow:
             if img.size:
                 ax.imshow(img.T, origin="lower", aspect="auto",
                           extent=(rect[0], rect[0] + rect[2], rect[1],
-                                  rect[3]), cmap="magma",
+                                  rect[3]),
+                          cmap=CET_TO_MPL.get(b.color_map_name, "magma"),
                           interpolation="nearest", vmin=0, vmax=1)
             ax.set_xlim(t0, t1)
             ax.set_ylabel("f/Hz")
@@ -226,6 +245,9 @@ class MplBrowserWindow:
     def _draw_overview(self):
         b = self.browser
         ax = self.overview_ax
+        ax.set_visible(b.show_fulldata)
+        if not b.show_fulldata:
+            return
         ax.clear()
         ft = b.fulltrace
         if ft is not None and ft.datas is not None:
@@ -285,6 +307,30 @@ class MplBrowserWindow:
                     else self.zoom_history.forward())
             if rect is not None:
                 b.set_times(rect.left(), rect.right() - rect.left())
+        elif key == "C":
+            b.color_map_cycler()
+        elif key == "g":
+            b.toggle_grids()
+            for axs in (self.trace_axs, self.spec_axs):
+                for ax in axs.values():
+                    ax.grid((b.grids & 1) > 0, axis="x", alpha=0.4)
+                    ax.grid((b.grids & 2) > 0, axis="y", alpha=0.4)
+        elif key == "down":
+            b.next_channel()
+        elif key == "up":
+            b.previous_channel()
+        elif key == "pagedown":
+            b.select_next_channel()
+        elif key == "pageup":
+            b.select_previous_channel()
+        elif key is not None and len(key) == 1 and key.isdigit():
+            b.show_channel(int(key) - 1 if key != "0" else 9)
+        elif key == "!":
+            b.auto_scroll()
+        elif key == " ":
+            verb, result = b.play_scroll()
+            if verb == "play":
+                self._play(*result)
         elif key == "m" and self.crosshair is not None:
             channel, t, y, kind = self.crosshair
             b.marker_data.add_data(channel, t,

@@ -136,7 +136,9 @@ def test_channels(browser):
     browser.set_channels([1])
     assert browser.show_channels == [1]
     assert browser.current_channel == 1
-    browser.all_channels()
+    # second show_channel on the lone shown channel restores all
+    # (`src/audian/databrowser.py:1496-1505`)
+    browser.show_channel(1)
     assert browser.show_channels == [0, 1]
 
 
