@@ -129,6 +129,9 @@ class DataBrowser:
         self.trace_tiler = TraceTiler()
         self.spec_tiler = SpecTiler()
         self.fulltrace = None
+        # view model (Panels + PlotRanges over headless axes), built in open()
+        self.panels = None
+        self.plot_ranges = None
         # marker store
         self.marker_labels = [MarkerLabel("start", "s", "yellow"),
                               MarkerLabel("end", "e", "blue")]
@@ -146,6 +149,7 @@ class DataBrowser:
         self.sigColorMapChanged = Signal()
         self.sigTraceChanged = Signal()
         self.sigPanelsChanged = Signal()
+        self.sigRangesChanged = Signal()
         self.plugins.setup_traces(self)
         self.data.setup_traces()
 
@@ -196,6 +200,12 @@ class DataBrowser:
         if "filtered" in self.data:
             StatisticsAnalyzer(self)
         self.plugins.setup_analyzers(self)
+        # view model: panels + linked per-letter plot ranges over headless
+        # axes (`databrowser.py:263-442` builds the same structures over
+        # pyqtgraph plots)
+        from ..view.headless import build_view_model
+
+        self.panels, self.plot_ranges = build_view_model(self)
         # overview
         self.fulltrace = FullTraceData(self.data.data)
         if not self.fulltrace.load_data():
@@ -226,6 +236,9 @@ class DataBrowser:
                 self.toffset = max(0.0, tmax - self.twindow)
             fn = self.data.update_times(self.toffset,
                                         self.toffset + self.twindow)
+            if self.plot_ranges is not None:
+                self.plot_ranges["t"].set_ranges(
+                    self.toffset, self.toffset + self.twindow)
             self.sigFilenameChanged.emit(self, fn)
             self.sigTimesChanged.emit(self.toffset, self.twindow)
         finally:
@@ -250,6 +263,125 @@ class DataBrowser:
 
     def time_end(self):
         self.set_times(self.data.frames / self.data.rate - self.twindow)
+
+    # -- linked axis ranges (`databrowser.py:1092-1177`) ------------------------------
+
+    def apply_time_ranges(self, timefunc):
+        """Apply a time verb through the 't' plot range
+        (`databrowser.py:1139-1149`)."""
+        getattr(self.plot_ranges, timefunc)("t")
+        tr = self.plot_ranges["t"]
+        self.set_times(tr.r0[0], tr.r1[0] - tr.r0[0])
+
+    def set_ranges(self, axspec, r0=None, r1=None):
+        """Set one axis letter's range on the selected channels
+        (`databrowser.py:1152-1160`)."""
+        if self.setting:
+            return
+        self.setting = True
+        try:
+            self.plot_ranges[axspec].set_ranges(r0, r1, None,
+                                                self.selected_channels)
+        finally:
+            self.setting = False
+
+    def apply_ranges(self, amplitudefunc, axspec):
+        """Apply a range verb (zoom_in/out, up/down, auto, reset, center,
+        …) to every letter of ``axspec`` on the selected channels
+        (`databrowser.py:1162-1167`), then dispatch."""
+        if self.setting:
+            return
+        self.setting = True
+        try:
+            getattr(self.plot_ranges, amplitudefunc)(axspec,
+                                                     self.selected_channels)
+        finally:
+            self.setting = False
+        self._emit_ranges(axspec)
+
+    def auto_ampl(self, axspec="xyu"):
+        """Auto-scale amplitudes to the visible window's extrema
+        (`databrowser.py:1170-1177`)."""
+        if self.setting:
+            return
+        self.setting = True
+        try:
+            self.plot_ranges.auto(axspec, self.toffset,
+                                  self.toffset + self.twindow,
+                                  self.selected_channels)
+        finally:
+            self.setting = False
+        self._emit_ranges(axspec)
+
+    def set_powers(self):
+        """Noise-floor based spectrogram color levels on every power axis
+        (`plotranges.py:461-478` via `databrowser.py:1134`)."""
+        self.plot_ranges.set_powers()
+
+    def get_range(self, letter, channel=0):
+        """Current [r0, r1] of one axis letter (GUI read-back)."""
+        r = self.plot_ranges[letter]
+        return r.r0[channel], r.r1[channel]
+
+    def _emit_ranges(self, axspec):
+        """Emit (axspec, [(r0, r1), ...]) for link dispatch
+        (`databrowser.py:1092-1106` update_ranges → sigRangesChanged)."""
+        c = self.current_channel
+        arange = [self.get_range(s, c) for s in axspec]
+        self.sigRangesChanged.emit(self, axspec, arange)
+
+    # -- crosshair + stored marker (`plotranges.py:481-660`) ---------------------------
+
+    def set_crosshair(self, channel, t=None, amplitude=None, frequency=None,
+                      power=None, ampl_letter="x", freq_letter="f",
+                      power_letter="p"):
+        """Place the crosshair; each position lands on its axis letter's
+        shared range object so readouts work across panels."""
+        pr = self.plot_ranges
+        pr.clear_marker()
+        for letter, pos in (("t", t), (ampl_letter, amplitude),
+                            (freq_letter, frequency), (power_letter, power)):
+            if pos is not None:
+                pr[letter].set_marker(channel, None, pos)
+        pr.update_crosshair()
+
+    def crosshair_readout(self):
+        """(time, amplitude, frequency, power) positions plus deltas vs the
+        stored marker — the toolbar readout set
+        (`databrowser.py:851-906`)."""
+        pr = self.plot_ranges
+        return {
+            "time": pr.marker_time()[1],
+            "amplitude": pr.marker_amplitude()[1],
+            "frequency": pr.marker_frequency()[1],
+            "power": pr.marker_power()[1],
+            "delta_time": pr.marker_delta_time()[1],
+            "delta_amplitude": pr.marker_delta_amplitude()[1],
+            "delta_frequency": pr.marker_delta_frequency()[1],
+            "delta_power": pr.marker_delta_power()[1],
+        }
+
+    def store_marker(self, label="", text=""):
+        """Record the crosshair as a marker-table row with its deltas and
+        freeze it as the stored marker (`databrowser.py:909-939`
+        click-storing plus `markerdata.py` add_data)."""
+        pr = self.plot_ranges
+        t = pr.marker_time()[1]
+        if t is None:
+            return None
+        ro = self.crosshair_readout()
+        channel = next((pr[s].marker_channel for s in "txyufwpq"
+                        if pr[s].marker_channel is not None), 0)
+        self.marker_data.add_data(
+            channel, t, ro["amplitude"], ro["frequency"], ro["power"],
+            ro["delta_time"], ro["delta_amplitude"], ro["delta_frequency"],
+            ro["delta_power"], label, text)
+        pr.store_marker()
+        return len(self.marker_data) - 1
+
+    def clear_crosshair(self):
+        self.plot_ranges.clear_marker()
+        self.plot_ranges.update_crosshair()
 
     # -- interactive parameters -----------------------------------------------------
 

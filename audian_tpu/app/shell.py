@@ -142,6 +142,7 @@ class Audian:
             lambda b=browser: self._dispatch_colormap(b))
         browser.sigPanelsChanged.connect(
             lambda b=browser: self._dispatch_panels(b))
+        browser.sigRangesChanged.connect(self._dispatch_ranges)
 
     def _others(self, browser):
         return [b for b in self.browsers if b is not browser]
@@ -221,6 +222,44 @@ class Audian:
                              browser.show_powers, browser.show_cbars,
                              browser.show_fulldata)
         self._dispatch(fan)
+
+    # -- linked axis ranges (`audian.py:586-612`) -------------------------------------
+
+    def _dispatch_ranges(self, browser, axspec, arange):
+        """Fan per-letter range state out to the other browsers, honoring
+        the per-letter link flags (`audian.py:597-612`)."""
+        def fan():
+            for s, (r0, r1) in zip(axspec, arange):
+                if s == "t":
+                    toffs = r0 if self.link_timescroll else None
+                    twin = (r1 - r0) if self.link_timezoom else None
+                    for b in self._others(browser):
+                        b.set_times(toffs, twin)
+                elif self.link_ranges.get(s):
+                    for b in self._others(browser):
+                        b.set_ranges(s, r0, r1)
+        self._dispatch(fan)
+
+    def apply_ranges(self, amplitudefunc, axspec):
+        """Apply a range verb on the current browser and on every linked
+        letter in the others (`audian.py:586-595`)."""
+        if self.current is None or not axspec:
+            return
+        self.current.apply_ranges(amplitudefunc, axspec)
+
+    def apply_power_ranges(self, amplitudefunc):
+        """(`audian.py:779-780`)"""
+        if self.current is not None and self.current.spectrogram:
+            spec = self.current.data[self.current.spectrogram]
+            panel = self.current.panels.get(getattr(spec, "panel",
+                                                    "spectrogram"))
+            if panel is not None and panel.z():
+                self.apply_ranges(amplitudefunc, panel.z())
+
+    def apply_time_ranges(self, timefunc):
+        """(`audian.py:483-488`)"""
+        if self.current is not None:
+            self.current.apply_time_ranges(timefunc)
 
     # -- linked channel verbs (`audian.py:940-995`) ---------------------------------
 

@@ -324,6 +324,80 @@ def test_shell_colormap_and_channel_links(wav6):
         shell.close()
 
 
+def test_view_model_built(browser):
+    assert set(browser.panels) >= {"trace", "spectrogram",
+                                   "spectrogram-power"}
+    assert browser.panels["trace"].is_trace()
+    assert browser.get_range("t", 0)[0] == 0.0
+    lo, hi = browser.get_range("x", 0)
+    assert lo < 0 < hi
+
+
+def test_range_verbs_per_channel(browser):
+    browser.set_channels(list(range(NCH)), selected_channels=[0])
+    browser.apply_ranges("reset", "x")
+    r0, r1 = browser.get_range("x", 0)
+    browser.apply_ranges("zoom_in", "x")
+    z0, z1 = browser.get_range("x", 0)
+    assert (z1 - z0) == pytest.approx((r1 - r0) / 2)
+    # other channels untouched (amplitude ranges are per channel)
+    assert browser.get_range("x", 1) == (r0, r1)
+    browser.apply_ranges("reset", "x")
+
+
+def test_auto_ampl_and_powers(browser):
+    browser.set_times(0.0, 0.5)
+    browser.select_channels(list(range(NCH)))
+    browser.auto_ampl()
+    lo, hi = browser.get_range("x", 0)
+    assert 0.3 < hi < 0.7 and -0.7 < lo < -0.3
+    browser.set_powers()
+    p0, p1 = browser.get_range("p", 0)
+    assert p0 is not None and p1 > p0
+
+
+def test_crosshair_and_stored_marker(browser):
+    n0 = len(browser.marker_data)
+    browser.set_crosshair(2, t=0.2, amplitude=0.1)
+    browser.store_marker("start")
+    browser.set_crosshair(2, t=0.45, amplitude=0.3)
+    ro = browser.crosshair_readout()
+    assert ro["delta_time"] == pytest.approx(0.25)
+    assert ro["delta_amplitude"] == pytest.approx(0.2)
+    browser.store_marker("end")
+    assert len(browser.marker_data) == n0 + 2
+    assert browser.marker_data.channels[-1] == 2
+    browser.clear_crosshair()
+    assert browser.crosshair_readout()["time"] is None
+
+
+def test_apply_time_ranges(browser):
+    browser.set_times(0.0, 0.5)
+    browser.apply_time_ranges("zoom_in")
+    assert browser.twindow == pytest.approx(0.25)
+    browser.apply_time_ranges("end")
+    assert browser.toffset + browser.twindow >= 1.0 - 1e-6
+    browser.apply_time_ranges("home")
+    assert browser.toffset == 0.0
+
+
+def test_shell_range_links(wav6):
+    shell = Audian([wav6, wav6])
+    shell.load_files()
+    try:
+        a, b = shell.browsers
+        shell.set_current(a)
+        a.select_channels([0])
+        shell.apply_ranges("zoom_in", "x")
+        assert b.get_range("x", 0) == a.get_range("x", 0)
+        # unlink the amplitude letters -> no fan-out
+        shell.toggle_link_amplitude()
+        shell.apply_ranges("zoom_in", "x")
+        assert b.get_range("x", 0) != a.get_range("x", 0)
+    finally:
+        shell.close()
+
+
 def test_shell_panel_links(wav6):
     shell = Audian([wav6, wav6])
     shell.load_files()
