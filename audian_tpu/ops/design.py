@@ -284,3 +284,80 @@ def filtfilt_padlen(sos):
     ntaps = 2 * len(sos) + 1
     ntaps -= min((sos[:, 2] == 0).sum(), (sos[:, 5] == 0).sum())
     return int(3 * ntaps)
+
+
+def ifir_factor(kernel, M=8, Li=None, Lg=None, iters=200):
+    """Interpolated-FIR factorization ``kernel ≈ conv(i, upsample(g, M))``.
+
+    The envelope smoothing kernel is a *very* narrowband lowpass (500 Hz
+    at 96 kHz → 1 % of Nyquist) truncated to ~1.1 k taps; convolving with
+    it directly costs ``2·len(kernel)`` FLOPs per sample.  The classic
+    IFIR decomposition (Neuvo/Dong/Mitra 1984) replaces it with a short
+    full-rate image-suppressor ``i`` followed by the model filter ``g``
+    applied at stride ``M`` (zero-stuffed), cutting FLOPs ~4-5x while the
+    TPU executes both factors as dense MXU matmuls (stage 2 on the
+    phase-major stream, so the stride never materializes zeros).
+
+    Factors are fit to the *given* (already truncated) kernel by
+    alternating least squares in float64, so the approximation error is a
+    measured design-time quantity, not an estimate.  Callers check ``err``
+    (the L1 error, which bounds the worst-case output error for unit-peak
+    input) against their accuracy budget and fall back to the dense kernel
+    if it's too large.
+
+    Returns ``(i, g, err)`` with ``len(i) + (len(g)-1)*M >= len(kernel)``.
+    """
+    k = np.asarray(kernel, np.float64)
+    L = len(k)
+    M = int(M)
+    if Li is None:
+        Li = 12 * M + 1
+    if Lg is None:
+        Lg = -(-(L - Li) // M) + 3
+    n = Li + (Lg - 1) * M
+    tgt = np.zeros(n)
+    tgt[:L] = k
+    # init: windowed-sinc image suppressor at the first image frequency
+    t = np.arange(Li) - (Li - 1) / 2
+    i = np.sinc(t / M) * np.hamming(Li)
+    i /= i.sum()
+    g = None
+    prev = None
+    for _ in range(iters):
+        A = np.zeros((n, Lg))
+        for j in range(Lg):
+            A[j * M : j * M + Li, j] = i
+        g, *_ = np.linalg.lstsq(A, tgt, rcond=None)
+        B = np.zeros((n, Li))
+        for j in range(Lg):
+            B[j * M : j * M + Li, :] += g[j] * np.eye(Li)
+        i, *_ = np.linalg.lstsq(B, tgt, rcond=None)
+        r = float(np.abs(B @ i - tgt).sum())
+        if prev is not None and abs(prev - r) < 1e-13:
+            break
+        prev = r
+    A = np.zeros((n, Lg))
+    for j in range(Lg):
+        A[j * M : j * M + Li, j] = i
+    err = float(np.abs(A @ g - tgt).sum())
+    return i, g, err
+
+
+def ifir_factor_auto(kernel, tol, phases=(16, 8, 4), taps=(12, 18, 26)):
+    """Pick the most aggressive IFIR factorization within ``tol``.
+
+    Tries stride ``M`` from large to small and image-suppressor lengths
+    ``taps[k]*M + 1`` from short to long; returns the first
+    ``(i, g, M, err)`` with L1 error ≤ ``tol``, or ``None`` when even the
+    gentlest factorization misses (caller falls back to the dense
+    kernel).  All work is tiny host-side float64 least squares.
+    """
+    k = np.asarray(kernel, np.float64)
+    for M in phases:
+        if len(k) < 24 * M:
+            continue
+        for t in taps:
+            i, g, err = ifir_factor(k, M=M, Li=t * M + 1)
+            if err <= tol:
+                return i, g, M, err
+    return None

@@ -39,15 +39,61 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
-def _kernel(xa, xb, w_ref, out_ref, xcat, fv, *, G, S, K, C, precision,
-            premap, out_layout):
+def _kernel(xa, xb, w_ref, out_ref, xcat=None, fv=None, *, G, S, K, C,
+            precision, premap, out_layout):
     span = xa.shape[1]
-    if premap is None:
-        xcat[:, :span] = xa[:, :]
-        xcat[:, span:] = xb[:, :]
-    else:
-        xcat[:, :span] = premap(xa[:, :])
-        xcat[:, span:] = premap(xb[:, :])
+    if xcat is not None:
+        if premap is None:
+            xcat[:, :span] = xa[:, :]
+            xcat[:, span:] = xb[:, :]
+        else:
+            xcat[:, :span] = premap(xa[:, :])
+            xcat[:, span:] = premap(xb[:, :])
+    O = w_ref.shape[-1]
+    if fv is None:
+        # Lane-aligned fast path (S == 128, K % 128 == 0): the window
+        # matmul decomposes over 128-wide kernel sub-blocks into matmuls
+        # on *contiguous reshaped slices* of the two input spans — the
+        # overlapped window matrix is never materialized and the spans are
+        # never concatenated, removing the in-VMEM copies that set a
+        # ~6 ms/pass floor on 44 s chunks.
+        #   y[c, g, o] = sum_kb stream[c, (g+kb)*128:(g+kb+1)*128]
+        #                       @ w[kb*128:(kb+1)*128, o]
+        # where stream columns [0, span) live in xa and [span, 2span) in
+        # xb; for sub-block kb, frames [0, G-kb) read xa, the rest xb.
+        def mm(xs, kb):
+            # fold (C, g) into one fat M dimension for full MXU tiles
+            c, g = xs.shape[0], xs.shape[1]
+            xs = xs.reshape(c * g, 128)
+            if premap is not None:
+                xs = premap(xs)
+            y2 = jax.lax.dot_general(
+                xs, w_ref[kb * 128 : (kb + 1) * 128, :],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )
+            return y2.reshape(c, g, O)
+
+        y = None
+        for kb in range(K // 128):
+            ga = max(G - kb, 0)
+            parts = []
+            if ga:
+                parts.append(mm(
+                    xa[:, kb * 128 : G * 128].reshape(C, ga, 128), kb))
+            if kb:
+                parts.append(mm(
+                    xb[:, : min(kb, G) * 128].reshape(C, min(kb, G), 128),
+                    kb))
+            t = parts[0] if len(parts) == 1 else jnp.concatenate(
+                parts, axis=1)
+            y = t if y is None else y + t
+        if out_layout == "fco":
+            out_ref[0] = y.transpose(1, 0, 2)
+        else:  # (C, G*O) stream; S == O == 128 for Toeplitz banks
+            out_ref[:, :] = y.reshape(C, G * O)
+        return
     for g in range(G):
         fv[g * C : (g + 1) * C, :] = xcat[:, g * S : g * S + K]
     y = jax.lax.dot_general(
@@ -56,7 +102,6 @@ def _kernel(xa, xb, w_ref, out_ref, xcat, fv, *, G, S, K, C, precision,
         preferred_element_type=jnp.float32,
         precision=precision,
     )
-    O = y.shape[-1]
     if out_layout == "fco":
         out_ref[0] = y.reshape(G, C, O)
     else:  # channels-first stream: (C, G*O)
@@ -94,13 +139,18 @@ def window_matmul(x, w, stride, nframes, frames_per_block=32,
     C, n = x.shape
     K, O = w.shape
     S = int(stride)
+    # lane-aligned fast path: no window materialization (see _kernel)
+    fast = S == 128 and (out_layout == "fco" or O == S)
+    if fast and K % 128:
+        w = jnp.pad(w, [(0, _round_up(K, 128) - K), (0, 0)])
+        K = w.shape[0]
     G = int(frames_per_block)
     while (G + 1) * S < K:  # widen blocks until two spans cover a window
         G *= 2
     # stay inside the ~16 MB VMEM budget (F + xcat + double-buffered
     # inputs + W + outputs)
     def _vmem(g):
-        return 4 * (g * C * K            # F
+        return 4 * ((2 * g * C * O if fast else g * C * K)  # F / fast acc
                     + 6 * C * g * S      # xcat + 2x double-buffered spans
                     + K * O              # W
                     + 3 * g * C * O)     # out block (+pipelining)
@@ -108,8 +158,16 @@ def window_matmul(x, w, stride, nframes, frames_per_block=32,
         G //= 2
     nprog = -(-nframes // G)
     span = G * S
-    # program i reads spans i and i+1
-    need = (nprog + 1) * span
+    # program i reads span i in full plus a thin halo block after it: the
+    # halo block is the smallest 128*d (d | G) covering a window tail, so
+    # read traffic is ~(1 + K/span)x the input instead of 2x — this chip
+    # is HBM-bound (~140 GB/s effective), so the thin view is pure win
+    bspan = span
+    for d in range(1, G + 1):
+        if G % d == 0 and d * S >= K - S:
+            bspan = d * S
+            break
+    need = nprog * span + bspan
     if need > n:
         x = jnp.pad(x, [(0, 0), (0, need - n)])
     else:
@@ -129,15 +187,16 @@ def window_matmul(x, w, stride, nframes, frames_per_block=32,
         in_specs=[
             pl.BlockSpec((C, span), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, span), lambda i: (0, i + 1),
+            pl.BlockSpec((C, bspan),
+                         lambda i, r=span // bspan: (0, (i + 1) * r),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((K, O), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=out_spec,
         out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((C, 2 * span), jnp.float32),
+        scratch_shapes=[] if fast else [
+            pltpu.VMEM((C, span + bspan), jnp.float32),
             pltpu.VMEM((G * C, K), jnp.float32),
         ],
         interpret=jax.default_backend() != "tpu",

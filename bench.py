@@ -46,9 +46,10 @@ def main():
         env_sos=design_envelope_filter(RATE, 500.0),
         nfft=NFFT, hop=HOP, eps=2e-6,
     )
-    # chunk halos so chunked outputs equal whole-recording outputs
-    hb = -(-(fused.filt_halo + fused.env_halo) // HOP) * HOP
-    ha = -(-max(fused.env_halo, NFFT - HOP) // HOP) * HOP
+    # chunk halos so chunked outputs equal whole-recording outputs; the
+    # single-pass kernel (ops/pallas/chain.py) defines its own geometry
+    ck = fused.chain_kernel
+    hb, ha = ck.hb, ck.ha
 
     total_frames = int(HOURS * 3600 * RATE)
     nchunks = -(-total_frames // CHUNK)
@@ -65,15 +66,13 @@ def main():
 
     @jax.jit
     def chain(ext):
-        y = fused.filtered_cf(ext)
-        e = fused.envelope_cf(y)
-        nf = CHUNK // HOP
-        s = fused.spectrogram_fc(y[:, hb:], nframes=nf)
+        # ONE device pass: filter -> {envelope, PSD} while the filtered
+        # stream lives in VMEM (the chain is HBM-bound on this chip)
+        y, e, s = fused.chain_cf(ext, CHUNK)
         # fold outputs so the bench isn't bound by materializing ~5 GB of
         # outputs per chunk it would never keep (real runtimes stream
         # results onward); reductions touch every produced value
-        return (jnp.sum(y[:, hb : hb + CHUNK] ** 2, axis=1),
-                jnp.sum(e[:, hb : hb + CHUNK], axis=1),
+        return (jnp.sum(y ** 2, axis=1), jnp.sum(e, axis=1),
                 jnp.sum(s, axis=0))
 
     # distinct pre-generated chunks, device-resident

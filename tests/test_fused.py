@@ -66,6 +66,63 @@ def test_spectrogram_matches_scipy(chain, signal):
                                atol=1e-10)
 
 
+def test_ifir_envelope_matches_dense(signal):
+    """The two-stage IFIR envelope equals the dense symmetric-kernel
+    convolution within the fit tolerance (design.ifir_factor docstring)."""
+    kw = dict(filt_sos=None,
+              env_sos=design_envelope_filter(RATE, 500.0), eps=1e-8)
+    ifir = FusedChainCF(RATE, ifir=True, **kw)
+    dense = FusedChainCF(RATE, ifir=False, **kw)
+    assert ifir.env_mode == "ifir" and dense.env_mode == "dense"
+    x = jnp_array(signal)
+    got = np.asarray(ifir.envelope_cf(x))
+    want = np.asarray(dense.envelope_cf(x))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=3e-6)
+
+
+def test_ifir_odd_length_stream(signal):
+    """IFIR path pads non-multiple-of-M lengths correctly."""
+    chain = FusedChainCF(RATE, env_sos=design_envelope_filter(RATE, 500.0),
+                         eps=1e-6)
+    x = jnp_array(signal[:, :19997])
+    e = np.asarray(chain.envelope_cf(x))
+    assert e.shape == (2, 19997)
+    e2 = np.asarray(chain.envelope_cf(jnp_array(signal)))
+    # the final env_delay samples legitimately differ (they depend on
+    # samples beyond the truncated stream, zero-padded here)
+    valid = 19997 - chain.env_delay
+    np.testing.assert_allclose(e[:, :valid], e2[:, :valid], atol=1e-6)
+
+
+def test_single_pass_chain_matches_stages(chain, signal):
+    """The one-HBM-pass fused kernel (ops/pallas/chain.py) produces the
+    same filtered/envelope/PSD values as the per-stage path."""
+    import jax.numpy as jnp
+
+    ck = chain.chain_kernel
+    assert ck is not None
+    C, n_all = signal.shape
+    n = 2048  # output region, a multiple of 128
+    x = jnp_array(signal)
+    # extended stream for the fused kernel
+    x_ext = jnp.pad(x, [(0, 0), (ck.hb, 0)])
+    y1, e1, s1 = chain.chain_cf(x_ext, n)
+    # per-stage oracle over the same stream semantics
+    hb = ck.hb
+    y_ref = np.asarray(chain.filtered_cf(x))
+    e_ref = np.asarray(chain.envelope_cf(jnp_array(y_ref)))
+    s_ref = np.asarray(chain.spectrogram_fc(jnp_array(y_ref),
+                                            nframes=n // 128))
+    np.testing.assert_allclose(np.asarray(y1), y_ref[:, :n], atol=2e-6)
+    # envelope interior (edges depend on halo treatment)
+    d = chain.env_delay
+    np.testing.assert_allclose(np.asarray(e1)[:, d:n - d],
+                               e_ref[:, d:n - d], atol=3e-6)
+    np.testing.assert_allclose(np.asarray(s1), s_ref, rtol=1e-4,
+                               atol=1e-9)
+
+
 def test_full_chain_shapes(chain, signal):
     out = chain(signal)
     C, n = signal.shape
