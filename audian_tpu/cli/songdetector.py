@@ -76,6 +76,12 @@ def main(cargs=None):
     parser.add_argument("-o", dest="output", default=None, type=str,
                         help="write detected events to this CSV file "
                         "(default: <file>-songs.csv)")
+    parser.add_argument("-p", "--plot", action="store_true",
+                        help="open the interactive viewer (the reference's "
+                        "SignalPlot) for each file")
+    parser.add_argument("--plot-png", dest="plot_png", default=None,
+                        metavar="FILE", type=str,
+                        help="render the viewer to a PNG (headless)")
     parser.add_argument("files", nargs="*", default=[], type=str,
                         help="files with the time series data")
     args = parser.parse_args(cargs)
@@ -129,6 +135,17 @@ def main(cargs=None):
         out = args.output or Path(path).with_suffix("").as_posix() + "-songs.csv"
         table.write(out)
         print(f"{path}: {nsongs} songs -> {out}")
+        if args.plot or args.plot_png:
+            from ..gui.songplot import SongPlot
+
+            win = SongPlot(data, rate, result, cfg=cfg, filename=path)
+            if args.plot_png:
+                win.savefig(args.plot_png)
+                print(f"saved viewer figure to {args.plot_png}")
+            if args.plot:
+                import matplotlib.pyplot as plt
+
+                plt.show()
     return status
 
 

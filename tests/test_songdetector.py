@@ -129,3 +129,75 @@ def test_songdetector_cli(tmp_path, rng, capsys):
     assert len(lines) == 1 + 2 * 3  # 3 songs x 2 channels
     # missing file -> error status
     assert songdetector.main([str(tmp_path / "nope.wav")]) == 1
+
+
+# -- interactive viewer (gui/songplot.py, reference SignalPlot) --------------------
+
+
+@pytest.fixture(scope="module")
+def song_result(rng):
+    x, onsets = make_song_recording(rng, nsongs=3)
+    result = detect(x, RATE, highpassfreq=5500.0, lowpassfreq=7500.0,
+                    envelopecutofffreq=100.0, minduration=0.5)
+    return x, result
+
+
+def test_songplot_render_and_keys(song_result, tmp_path):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from audian_tpu.gui.songplot import SongPlot
+
+    x, result = song_result
+    win = SongPlot(x, RATE, result, filename="song.wav")
+    assert len(win.axs) == 2
+
+    class Ev:
+        def __init__(self, key):
+            self.key = key
+
+    # time verbs
+    t0, tw = win.toffset, win.twindow
+    win.keypress(Ev("+"))
+    assert win.twindow == tw / 2
+    win.keypress(Ev("pagedown"))
+    assert win.toffset > t0
+    win.keypress(Ev("home"))
+    assert win.toffset == 0.0
+    # amplitude verbs
+    win.keypress(Ev("Y"))
+    assert win.ymax[0] == pytest.approx(0.5)
+    win.keypress(Ev("V"))
+    assert win.ymax[0] == 1.0
+    # layer toggles
+    win.keypress(Ev("ctrl+t"))
+    assert not win.show_traces
+    # interactive envelope redesign re-runs the pipeline
+    envrate0 = win.result["envrate"]
+    win.envelopecutofffreq = 100.0
+    win.keypress(Ev("e"))
+    assert win.envelopecutofffreq == pytest.approx(100.0 / 1.5)
+    assert len(win.result["onsets"]) == 2
+    # filter redesign
+    hp0 = win.highpassfreq
+    win.keypress(Ev("h"))
+    assert win.highpassfreq == pytest.approx(hp0 / 1.5)
+    # waveform + full-figure export
+    p = win.save_waveform(tmp_path / "wave.png")
+    assert p.exists()
+    p2 = win.savefig(tmp_path / "view.png")
+    assert p2.exists()
+
+
+def test_songdetector_cli_plot_png(tmp_path, rng):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    x, _ = make_song_recording(rng, nsongs=2)
+    p = tmp_path / "song.wav"
+    wavio.write_audio(p, x, RATE, encoding="PCM_16")
+    png = tmp_path / "view.png"
+    rc = songdetector.main([str(p), "--plot-png", str(png),
+                            "-o", str(tmp_path / "songs.csv")])
+    assert rc == 0
+    assert png.exists() and (tmp_path / "songs.csv").exists()
