@@ -12,8 +12,8 @@ import struct
 import zlib
 from pathlib import Path
 
-__all__ = ["view_metadata", "save_view_screenshot", "read_png_metadata",
-           "parse_view_metadata"]
+__all__ = ["view_metadata", "save_view_screenshot", "write_view_metadata",
+           "read_png_metadata", "parse_view_metadata"]
 
 _KEYS = ("audian-file", "audian-toffset", "audian-twindow",
          "audian-channels")
@@ -33,6 +33,27 @@ def save_view_screenshot(fig, browser, path, **kwargs):
     """Save a matplotlib figure as PNG with the view metadata embedded."""
     path = Path(path)
     fig.savefig(path, metadata=view_metadata(browser), **kwargs)
+    return path
+
+
+def write_view_metadata(path, browser):
+    """Inject the view metadata as tEXt chunks into an existing PNG
+    (stdlib only) — used by frontends whose savers can't embed metadata
+    themselves (e.g. Qt's ``QPixmap.save``)."""
+    path = Path(path)
+    buf = path.read_bytes()
+    if buf[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError(f"{path}: not a PNG file")
+    iend = buf.rfind(b"IEND")
+    if iend < 4:
+        raise ValueError(f"{path}: malformed PNG")
+    insert = bytearray()
+    for key, val in view_metadata(browser).items():
+        body = key.encode("latin-1") + b"\x00" + val.encode("latin-1")
+        chunk = b"tEXt" + body
+        insert += struct.pack(">I", len(body)) + chunk + struct.pack(
+            ">I", zlib.crc32(chunk) & 0xFFFFFFFF)
+    path.write_bytes(buf[: iend - 4] + bytes(insert) + buf[iend - 4 :])
     return path
 
 

@@ -157,3 +157,33 @@ def test_non_view_png_metadata(tmp_path):
     plt.close(fig)
     assert parse_view_metadata(p) is None
     assert isinstance(read_png_metadata(p), dict)
+
+
+def test_write_view_metadata_roundtrip(tmp_path):
+    """tEXt injection into an existing PNG (the Qt screenshot path)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from audian_tpu.app.screenshot import (write_view_metadata,
+                                           parse_view_metadata)
+
+    fig, ax = plt.subplots()
+    ax.plot([0, 1], [0, 1])
+    p = tmp_path / "shot.png"
+    fig.savefig(p)  # plain PNG, no view metadata
+    plt.close(fig)
+    assert parse_view_metadata(p) is None
+
+    class B:
+        class data:
+            file_path = "rec.wav"
+        toffset = 1.25
+        twindow = 0.5
+        show_channels = [0, 2]
+
+    write_view_metadata(p, B)
+    meta = parse_view_metadata(p)
+    assert meta["file"] == "rec.wav"
+    assert meta["toffset"] == 1.25 and meta["twindow"] == 0.5
+    assert meta["channels"] == [0, 2]
