@@ -86,7 +86,22 @@ class MplBrowserWindow:
         self._selection = None
         self.crosshair = None  # (channel, t, y, panel_kind)
         self.status = ""
+        # linked updates from other windows redraw this one too
+        # (`audian.py:597-612` keeps all open files in sync)
+        for sig in (browser.sigFilterChanged, browser.sigEnvelopeChanged,
+                    browser.sigResolutionChanged, browser.sigColorMapChanged,
+                    browser.sigPanelsChanged):
+            sig.connect(self._linked_redraw)
+        browser.sigTimesChanged.connect(
+            lambda *a: self._linked_redraw())
+        browser.sigChannelsChanged.connect(
+            lambda *a: self._linked_redraw())
+        self._in_redraw = False
         self.redraw()
+
+    def _linked_redraw(self):
+        if not self._in_redraw:
+            self.redraw()
 
     def _axis_channel(self, ax):
         """(kind, channel) of a clicked axes."""
@@ -178,6 +193,15 @@ class MplBrowserWindow:
     # -- drawing ------------------------------------------------------------------
 
     def redraw(self):
+        if self._in_redraw:
+            return
+        self._in_redraw = True
+        try:
+            self._redraw()
+        finally:
+            self._in_redraw = False
+
+    def _redraw(self):
         b = self.browser
         t0, t1 = b.toffset, b.toffset + b.twindow
         name = "filtered" if "filtered" in b.data else "data"
@@ -205,6 +229,9 @@ class MplBrowserWindow:
                         ax.scatter(items[c].x, items[c].y, s=16,
                                    color=items[c].color or "red", zorder=5)
             ax.set_xlim(t0, t1)
+            lo, hi = b.get_range("x", c)
+            if lo is not None and hi is not None and hi > lo:
+                ax.set_ylim(lo, hi)
             ax.set_ylabel(f"ch {c}")
         for c, ax in self.spec_axs.items():
             ax.set_visible(c in b.show_channels and b.show_specs > 0)
@@ -309,6 +336,14 @@ class MplBrowserWindow:
                 b.set_times(rect.left(), rect.right() - rect.left())
         elif key == "C":
             b.color_map_cycler()
+        elif key == "v":
+            b.auto_ampl()
+        elif key == "V":
+            b.apply_ranges("reset", "xyu")
+        elif key == "i":
+            for level, k, val in b.metadata_rows():
+                print("  " * level + (f"{k}:" if val is None
+                                      else f"{k}: {val}"))
         elif key == "g":
             b.toggle_grids()
             for axs in (self.trace_axs, self.spec_axs):

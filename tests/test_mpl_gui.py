@@ -116,3 +116,40 @@ def test_spec_click_readout(win, browser):
     win.on_press(Ev(ax, 0.3, 4800.0))
     win.on_release(Ev(ax, 0.3, 4800.0))
     assert "f=4800Hz" in win.status
+
+
+def test_linked_windows_redraw(tmp_path, cricket_like):
+    """Changing one window's browser redraws the linked window too."""
+    from audian_tpu.app import Audian
+    from audian_tpu.gui.mpl import MplBrowserWindow
+
+    x, rate = cricket_like
+    wav_file = tmp_path / "rec.wav"
+    wavio.write_audio(wav_file, x, rate, encoding="FLOAT")
+    shell = Audian([wav_file, wav_file])
+    shell.load_files()
+    try:
+        wa = MplBrowserWindow(shell.browsers[0])
+        wb = MplBrowserWindow(shell.browsers[1])
+        drawn = []
+        wb._redraw_orig = wb._redraw
+        wb._redraw = lambda: drawn.append(1) or wb._redraw_orig()
+        wa.browser.update_filter(highpass_cutoff=1500.0)
+        assert drawn, "linked window did not redraw"
+        assert shell.browsers[1].data["filtered"].highpass_cutoff == 1500.0
+    finally:
+        shell.close()
+
+
+def test_amplitude_keys(win, browser):
+    class Ev:
+        def __init__(self, key):
+            self.key = key
+            self.inaxes = None
+
+    win.on_key(Ev("v"))
+    lo, hi = browser.get_range("x", browser.show_channels[0])
+    assert hi is not None and hi < 1.0  # auto-scaled to the data
+    win.on_key(Ev("V"))
+    lo, hi = browser.get_range("x", browser.show_channels[0])
+    assert hi >= 1.0
