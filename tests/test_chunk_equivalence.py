@@ -162,3 +162,33 @@ def test_spectrogram_frames_align_with_absolute_grid(recording):
         sxx_p[: overlap], sxx_w[off_p - off_w : off_p - off_w + overlap],
         rtol=1e-6, atol=1e-12,
     )
+
+
+def test_chain_kernel_chunked_equals_whole(rng):
+    """The single-pass fused kernel (ops/pallas/chain.py) gives identical
+    results whether a recording is processed whole or in halo-extended
+    chunks — the batch path's load-bearing invariant."""
+    import jax.numpy as jnp
+    from audian_tpu.ops import design_filter, design_envelope_filter
+    from audian_tpu.ops.fused import FusedChainCF
+
+    rate = 48000.0
+    chain = FusedChainCF(rate,
+                         filt_sos=design_filter(rate, 1000.0, 8000.0),
+                         env_sos=design_envelope_filter(rate, 500.0),
+                         nfft=256, hop=128, eps=1e-6)
+    ck = chain.chain_kernel
+    n = 8192
+    chunk = 4096
+    x = rng.standard_normal((2, ck.hb + n + ck.ha)).astype(np.float32)
+    y_w, e_w, s_w = (np.asarray(a) for a in chain.chain_cf(jnp.asarray(x), n))
+    for k in range(n // chunk):
+        lo = k * chunk
+        ext = x[:, lo : lo + ck.hb + chunk + ck.ha]
+        y_c, e_c, s_c = (np.asarray(a)
+                         for a in chain.chain_cf(jnp.asarray(ext), chunk))
+        np.testing.assert_allclose(y_c, y_w[:, lo : lo + chunk], atol=2e-6)
+        np.testing.assert_allclose(e_c, e_w[:, lo : lo + chunk], atol=2e-6)
+        f0 = lo // 128
+        np.testing.assert_allclose(s_c, s_w[f0 : f0 + chunk // 128],
+                                   rtol=1e-4, atol=1e-9)
