@@ -143,6 +143,7 @@ class Audian:
         browser.sigPanelsChanged.connect(
             lambda b=browser: self._dispatch_panels(b))
         browser.sigRangesChanged.connect(self._dispatch_ranges)
+        browser.sigTraceChanged.connect(self._dispatch_trace)
 
     def _others(self, browser):
         return [b for b in self.browsers if b is not browser]
@@ -202,6 +203,13 @@ class Audian:
         def fan():
             for b in self._others(browser):
                 b.set_audio(rate_fac, use_het, het_freq, dispatch=False)
+        self._dispatch(fan)
+
+    def _dispatch_trace(self, browser, checked, name):
+        """Linked trace visibility (`audian.py:1094-1097`)."""
+        def fan():
+            for b in self._others(browser):
+                b.set_trace(checked, name)
         self._dispatch(fan)
 
     def _dispatch_colormap(self, browser):
@@ -326,6 +334,43 @@ class Audian:
 
     def toggle_link_audio(self):
         self.link_audio = not self.link_audio
+
+    def toggle_starttime(self):
+        """Cycle the time-axis label mode (recording-relative / absolute /
+        per-file) across all open recordings (`audian.py:473-478`,
+        `src/audian/timeaxisitem.py:20-26`)."""
+        self.starttime_mode = (getattr(self, "starttime_mode", 0) + 1) % 3
+        for b in self.browsers:
+            if b.plot_ranges is not None:
+                b.plot_ranges["t"].set_starttime(self.starttime_mode)
+
+    def auto_amplitude(self):
+        """Auto-scale amplitudes on the current browser and every linked
+        amplitude letter in the others (`audian.py:645-651`)."""
+        if self.current is None:
+            return
+        self.current.auto_ampl()
+        for s in "xyu":
+            if self.link_ranges.get(s):
+                for b in self._others(self.current):
+                    b.auto_ampl(s)
+
+    def toggle_show_envelope(self):
+        """(`audian.py:995-996`)"""
+        if self.current is not None and "envelope" in self.current.data:
+            self.current.update_envelope(
+                show_envelope=not self.current.data.is_visible("envelope"))
+
+    def next_tab(self):
+        """Cycle the current recording forward (`audian.py:1280-1287`)."""
+        if self.browsers:
+            i = self.browsers.index(self.current)
+            self.current = self.browsers[(i + 1) % len(self.browsers)]
+
+    def previous_tab(self):
+        if self.browsers:
+            i = self.browsers.index(self.current)
+            self.current = self.browsers[(i - 1) % len(self.browsers)]
 
     def toggle_link_amplitude(self):
         """(`audian.py:653-656` — per-amplitude-letter link flags)"""

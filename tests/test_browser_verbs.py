@@ -411,3 +411,33 @@ def test_shell_panel_links(wav6):
         assert a.show_powers and not b.show_powers
     finally:
         shell.close()
+
+
+def test_shell_misc_verbs(wav6):
+    shell = Audian([wav6, wav6])
+    shell.load_files()
+    try:
+        a, b = shell.browsers
+        shell.set_current(a)
+        # starttime mode cycles through all browsers' time axes
+        shell.toggle_starttime()
+        assert shell.starttime_mode == 1
+        ax = a.plot_ranges["t"].axxs[0][0]
+        assert ax.starttime_mode == 1
+        # linked auto amplitude
+        a.set_times(0.0, 0.5)
+        shell.auto_amplitude()
+        assert b.get_range("x", 0) != (-1.0, 1.0)
+        # linked trace visibility
+        a.toggle_trace(False, "spectrogram")
+        assert not b.data.is_visible("spectrogram")
+        a.toggle_trace(True, "spectrogram")
+        # envelope visibility toggle (no envelope trace here -> no-op)
+        shell.toggle_show_envelope()
+        # tab cycling
+        shell.next_tab()
+        assert shell.current is b
+        shell.previous_tab()
+        assert shell.current is a
+    finally:
+        shell.close()
