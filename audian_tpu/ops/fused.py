@@ -224,7 +224,12 @@ class FusedChainCF:
         ``ha >= chain_kernel.ha``).  Returns ``(filtered, envelope, psd)``
         — the batch throughput path (one HBM round trip instead of
         three)."""
-        return self.chain_kernel(x_ext, n)
+        ck = self.chain_kernel
+        if ck is None:
+            raise ValueError(
+                "the single-pass chain kernel needs filter + envelope "
+                "designs and hop == 128; use the per-stage methods")
+        return ck(x_ext, n)
 
     def __call__(self, x_cf, nspec_frames=None):
         y = self.filtered_cf(x_cf)

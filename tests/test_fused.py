@@ -130,3 +130,28 @@ def test_full_chain_shapes(chain, signal):
     assert out["envelope"].shape == (C, n)
     nf = (n - 256) // 128 + 1
     assert out["spectrogram"].shape == (nf, C, 129)
+
+
+@pytest.mark.parametrize("nfft,ch", [(512, 4), (128, 1)])
+def test_single_pass_chain_geometries(rng, nfft, ch):
+    """The fused kernel handles other NFFT buckets and channel counts."""
+    import jax.numpy as jnp
+
+    chain = FusedChainCF(RATE,
+                         filt_sos=design_filter(RATE, 1000.0, 8000.0),
+                         env_sos=design_envelope_filter(RATE, 500.0),
+                         nfft=nfft, hop=128, eps=1e-6)
+    ck = chain.chain_kernel
+    assert ck is not None
+    n = 1024
+    x = jnp.asarray(rng.standard_normal(
+        (ch, ck.hb + n + ck.ha)).astype(np.float32))
+    y, e, s = chain.chain_cf(x, n)
+    assert y.shape == (ch, n) and e.shape == (ch, n)
+    assert s.shape == (n // 128, ch, nfft // 2 + 1)
+    y_ref = np.asarray(chain.filtered_cf(x))[:, ck.hb : ck.hb + n]
+    np.testing.assert_allclose(np.asarray(y), y_ref, atol=2e-6)
+    s_ref = np.asarray(chain.spectrogram_fc(
+        jnp.asarray(np.asarray(chain.filtered_cf(x))[:, ck.hb:]),
+        nframes=n // 128))
+    np.testing.assert_allclose(np.asarray(s), s_ref, rtol=1e-4, atol=1e-9)

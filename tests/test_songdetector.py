@@ -173,7 +173,6 @@ def test_songplot_render_and_keys(song_result, tmp_path):
     win.keypress(Ev("ctrl+t"))
     assert not win.show_traces
     # interactive envelope redesign re-runs the pipeline
-    envrate0 = win.result["envrate"]
     win.envelopecutofffreq = 100.0
     win.keypress(Ev("e"))
     assert win.envelopecutofffreq == pytest.approx(100.0 / 1.5)
