@@ -108,7 +108,7 @@ class FusedChainKernel:
     """
 
     def __init__(self, rate, h_filt, g_env, env_delay, spec_w, nbins,
-                 env_clamp=True, nfft=256, block_frames=32,
+                 env_clamp=True, nfft=256, block_frames=64,
                  precision=lax.Precision.HIGHEST):
         self.rate = float(rate)
         self.nfft = int(nfft)
@@ -205,6 +205,10 @@ def _chain_call(x_ext, wf, we, ws, n, N, hb, Hx, gy, lead, offe, nbins,
             jax.ShapeDtypeStruct((C, nprog * N), jnp.float32),
             jax.ShapeDtypeStruct((nprog, F, C, nbins), jnp.float32),
         ],
+        # larger blocks want more than the default 16 MB scoped VMEM; the
+        # raised limit lets Mosaic keep double-buffering (measured ~4%)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * (1 << 20)),
         interpret=jax.default_backend() != "tpu",
     )(x_ext, x_ext, wf, we, ws)
     nf = n // 128
