@@ -94,6 +94,27 @@ def main():
     t = timeit(mm, yd)
     rows.append(("spectrogram NFFT256 DFT-matmul/MXU (device)", t))
 
+    # --- single-pass fused chain (filter -> {envelope, PSD}) ------------------
+    from audian_tpu.ops import design_envelope_filter
+    from audian_tpu.ops.fused import FusedChainCF
+
+    fused = FusedChainCF(rate, filt_sos=sos,
+                         env_sos=design_envelope_filter(rate, 500.0),
+                         nfft=256, hop=128, eps=2e-6)
+    ck = fused.chain_kernel
+    n = ycf.shape[1] // 128 * 128
+    ext = jnp.pad(ycf[:, :n], [(0, 0), (ck.hb, ck.ha)])
+    stages = jax.jit(lambda v: sum(
+        jnp.sum(a) for a in (fused.filtered_cf(v),
+                             fused.envelope_cf(fused.filtered_cf(v)),
+                             fused.spectrogram_fc(fused.filtered_cf(v)))))
+    t = timeit(stages, ycf[:, :n])
+    rows.append(("full chain 10s x8ch per-stage Pallas (device)", t))
+    single = jax.jit(lambda v: sum(jnp.sum(a)
+                                   for a in fused.chain_cf(v, n)))
+    t = timeit(single, ext)
+    rows.append(("full chain 10s x8ch single-pass kernel (device)", t))
+
     width = max(len(r[0]) for r in rows)
     print(f"# device: {jax.devices()[0]}")
     for name, t in rows:
