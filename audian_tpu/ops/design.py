@@ -36,6 +36,13 @@ def design_filter(rate, highpass_cutoff=0.0, lowpass_cutoff=None, order=2):
     nyq = rate / 2
     if lowpass_cutoff is None:
         lowpass_cutoff = nyq
+    # clamp out-of-range requests instead of raising: the interactive
+    # verbs scrub cutoffs freely and must never crash the redesign
+    # (the reference's GUI spin boxes clamp; headless callers have no box)
+    highpass_cutoff = min(max(float(highpass_cutoff), 0.0), 0.999 * nyq)
+    lowpass_cutoff = min(max(float(lowpass_cutoff), 0.0), nyq)
+    if lowpass_cutoff <= highpass_cutoff:
+        lowpass_cutoff = nyq  # inverted band: drop the lowpass side
     if highpass_cutoff < 0.001 * nyq and lowpass_cutoff >= nyq - 1e-8:
         return None
     if highpass_cutoff < 0.001 * nyq:

@@ -126,3 +126,27 @@ def test_spectrogram_overlap_extremes_via_trace(tmp_path, rng):
     s.update(overlap_frac=0.999)  # clamps, hop >= 1
     assert s.hop >= 1
     d.close()
+
+
+def test_out_of_range_cutoffs_never_crash(tmp_path, rng):
+    """Interactive cutoff scrubbing must clamp, not raise
+    (the reference's spin boxes clamp; headless callers have no box)."""
+    from audian_tpu.app import DataBrowser
+    from audian_tpu.data import wavio
+
+    rate = 8000.0
+    x = 0.1 * rng.standard_normal((8000, 1))
+    p = tmp_path / "r.wav"
+    wavio.write_audio(p, x, rate, encoding="PCM_16")
+    b = DataBrowser(p).open()
+    try:
+        b.update_filter(highpass_cutoff=5000.0)       # > Nyquist
+        b.update_filter(highpass_cutoff=-10.0)        # negative
+        b.update_filter(lowpass_cutoff=9000.0)        # > Nyquist
+        b.update_filter(highpass_cutoff=3000.0,
+                        lowpass_cutoff=2000.0)        # inverted band
+        b.set_times(0.0, 0.5)
+        times, values = b.trace_tile("filtered", 0)
+        assert len(times) > 0 and np.all(np.isfinite(values))
+    finally:
+        b.close()
