@@ -10,8 +10,12 @@ the GUI thread.
 
 from __future__ import annotations
 
+import functools
 import math
 import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
 
 from ..graph import (
     TraceGraph,
@@ -24,6 +28,43 @@ from ..graph import (
 )
 from . import wavio
 from .loader import AudioLoader
+
+
+def _pow2ceil(n):
+    return 1 << max(int(n) - 1, 0).bit_length() if n > 1 else 1
+
+
+@functools.partial(jax.jit, static_argnames=("tail",))
+def _slide_window(old, new, shift, tail):
+    """Slide a device-resident window by ``shift`` frames and overwrite
+    its leading/trailing ``len(new)`` frames with fresh data.  ``shift``
+    is traced so every scroll step reuses one compiled program; ``new``
+    is bucketed to a power-of-two length by the callers.  The region the
+    roll wraps incorrectly is always inside the overwritten block
+    (``len(new) >= |shift|``)."""
+    rolled = jnp.roll(old, -shift, axis=0)
+    zeros = (0,) * (old.ndim - 1)
+    if tail:
+        start = (old.shape[0] - new.shape[0],) + zeros
+    else:
+        start = (0,) + zeros
+    return lax.dynamic_update_slice(rolled, new, start)
+
+
+@functools.partial(jax.jit, static_argnames=("width",))
+def _dev_slice(buf, start, width):
+    return lax.dynamic_slice_in_dim(buf, start, width, axis=0)
+
+
+@jax.jit
+def _slide_patch(old, delta, shift, pos):
+    """Slide a derived trace's device window by ``shift`` output frames
+    and patch the recomputed ``delta`` frames in at ``pos`` (both
+    traced)."""
+    rolled = jnp.roll(old, -shift, axis=0)
+    zeros = (jnp.int32(0),) * (old.ndim - 1)
+    return lax.dynamic_update_slice(rolled, delta,
+                                    (jnp.int32(pos),) + zeros)
 
 
 class Trace:
@@ -238,6 +279,10 @@ class Data:
         self.executor = None
         self._traces = {}         # name -> Trace (derived only)
         self._raw = None
+        # device mirror of the loader's host window (incremental updates)
+        self._dev_raw = None
+        self._dev_raw_off = None
+        self._last_raw_shift = None
 
     # -- trace registry ----------------------------------------------------------
 
@@ -322,6 +367,9 @@ class Data:
         enable_compilation_cache()
         if self.data is not None:
             self.data.close()
+        self._dev_raw = None
+        self._dev_raw_off = None
+        self._last_raw_shift = None
         self.data = AudioLoader(
             self.file_path,
             buffer_time=self.buffer_time,
@@ -365,6 +413,9 @@ class Data:
         if self.data is not None:
             self.data.close()
             self.data = None
+        self._dev_raw = None
+        self._dev_raw_off = None
+        self._last_raw_shift = None
 
     def __del__(self):
         try:
@@ -379,6 +430,100 @@ class Data:
         self._resize_raw_buffer()
         self._recompute_buffer()
 
+    def _device_raw(self):
+        """Device mirror of the loader's host window.
+
+        The host link is a slow tunnel here, so re-uploading the whole
+        60 s buffer per scroll (~180 MB) costs ~1 s; instead the device
+        copy slides in place and only the newly exposed frames (bucketed
+        to a power of two, a few MB) cross the link — the device-side
+        twin of the reference's ``move_buffer`` retention
+        (`src/audian/buffereddata.py:75-109`, SURVEY.md section 5.7)."""
+        buf = self.data.buffer
+        off = int(self.data.offset)
+        cap = len(buf)
+        old = self._dev_raw
+        self._last_raw_shift = None
+        if old is None or old.shape[0] != cap or self._dev_raw_off is None:
+            self._dev_raw = jax.device_put(np.ascontiguousarray(buf))
+        else:
+            shift = off - self._dev_raw_off
+            if shift == 0:
+                self._last_raw_shift = 0
+            elif abs(shift) >= cap:
+                self._dev_raw = jax.device_put(np.ascontiguousarray(buf))
+                self._dev_raw_off = off
+                return self._dev_raw
+            else:
+                nb = min(_pow2ceil(abs(shift)), cap)
+                if shift > 0:
+                    new = np.ascontiguousarray(buf[cap - nb :])
+                else:
+                    new = np.ascontiguousarray(buf[:nb])
+                self._dev_raw = _slide_window(self._dev_raw,
+                                              jax.device_put(new),
+                                              shift, tail=shift > 0)
+                self._last_raw_shift = shift
+        self._dev_raw_off = off
+        return self._dev_raw
+
+    def _try_delta_update(self, dev, targets):
+        """Scroll fast path: recompute only a halo-extended sub-window
+        covering the newly exposed frames and stitch it into the sliding
+        device trace windows — the reference's incremental
+        ``load_buffer`` (`src/audian/buffereddata.py:91-109`) as two tiny
+        device programs instead of a full-window chain run.
+
+        Returns True when the stitch was applied; False falls back to the
+        full-window recompute (startup, geometry changes, big jumps)."""
+        rs = self._last_raw_shift
+        if rs is None:
+            return False
+        off = int(self.data.offset)
+        cap = dev.shape[0]
+        active = self.graph.active_set(targets)
+        plan, _ = self.executor._plan(off, cap, active)
+        old = {}
+        for name, g in plan.items():
+            tr = self._traces.get(name)
+            if tr is None:
+                continue
+            if (not isinstance(tr.buffer, jax.Array)
+                    or len(tr.buffer) != g.n_out):
+                return False  # geometry changed -> full recompute
+            old[name] = (tr, g)
+        if rs == 0:
+            return True  # window unchanged and geometry verified
+        # sub-window: the new frames plus the graph's halo fold, bucketed
+        fold = int((self.tbefore + self.tafter) * self.rate) + 8192
+        W = _pow2ceil(abs(rs) + fold)
+        if W >= cap:
+            return False
+        a = cap - W if rs > 0 else 0
+        sub = _dev_slice(dev, a, W)
+        out = self.executor.run(sub, off + a, targets=targets, device=True)
+        patches = []
+        for name, (o0s, arr) in out.items():
+            if name == RAW or name not in old:
+                continue
+            tr, g = old[name]
+            shift = g.o0 - tr.offset
+            pos = o0s - g.o0
+            # the patch must land inside the new window and fully cover
+            # the region the slide invalidates (the window's new edge)
+            if pos < 0 or pos + len(arr) > g.n_out:
+                return False
+            if shift > 0 and pos + len(arr) < g.n_out:
+                return False
+            if shift < 0 and pos > 0:
+                return False
+            if abs(shift) > len(arr):
+                return False
+            patches.append((tr, g, arr, shift, pos))
+        for tr, g, arr, shift, pos in patches:
+            tr._set_window(g.o0, _slide_patch(tr.buffer, arr, shift, pos))
+        return True
+
     def _recompute_buffer(self):
         """Re-run the fused program over the raw buffer already in memory —
         the parameter-change hot path (`src/audian/buffereddata.py:149-153`
@@ -390,7 +535,8 @@ class Data:
         targets = [n for n in visible if n != RAW] or None
         if not targets:
             return
-        out = self.executor.run(self.data.buffer, self.data.offset,
+        dev = self._device_raw()
+        out = self.executor.run(dev, self.data.offset,
                                 targets=targets, device=True)
         for name, (off, arr) in out.items():
             if name != RAW:
@@ -420,12 +566,14 @@ class Data:
         if targets:
             # outputs stay on the device; host code pulls only the slices
             # it renders (min/max tiles, dB tiles), not whole traces
-            out = self.executor.run(self.data.buffer, self.data.offset,
-                                    targets=targets, device=True)
-            for name, (off, arr) in out.items():
-                if name == RAW:
-                    continue
-                self._traces[name]._set_window(off, arr)
+            dev = self._device_raw()
+            if not self._try_delta_update(dev, targets):
+                out = self.executor.run(dev, self.data.offset,
+                                        targets=targets, device=True)
+                for name, (off, arr) in out.items():
+                    if name == RAW:
+                        continue
+                    self._traces[name]._set_window(off, arr)
         self._raw.buffer_changed[:] = True
         i0 = min(int(t0 * self.data.rate), self.data.frames - 1)
         fp, _ = self.data.get_file_index(i0)

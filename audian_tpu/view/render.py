@@ -91,16 +91,27 @@ class TraceTiler:
             if width == 0:
                 shape = (0,) if channel is not None else (0, trace.channels)
                 return np.zeros(0), np.zeros(shape, np.float32)
-            tile = _minmax_tile(jnp.asarray(buf), start - boff, step, width)
-            values = np.asarray(tile)
+            # bucket the tile width (compiles are seconds on this tunneled
+            # backend; arbitrary widths would compile per scroll) and
+            # shift the slice back so the padded tile stays in the buffer
+            avail = (boff + len(buf) - lo) // step
+            wb = min(_pow2_at_least(width), avail)
+            start2 = min(start, boff + len(buf) - wb * step)
+            start2 = lo + ((start2 - lo) // step) * step
+            tile = _minmax_tile(jnp.asarray(buf), start2 - boff, step, wb)
+            k0 = (start - start2) // step
+            values = np.asarray(tile)[2 * k0 : 2 * (k0 + width)]
             half = step / 2
             times = (start + np.arange(2 * width) * half) / rate
         else:
             start = max(start, boff)
             stop = min(stop, boff + len(buf))
             width = max(stop - start, 0)
+            wb = min(_pow2_at_least(width), len(buf))
+            start2 = max(min(start, boff + len(buf) - wb), boff)
             values = np.asarray(_slice_tile(jnp.asarray(buf),
-                                            start - boff, width))
+                                            start2 - boff, wb))
+            values = values[start - start2 : start - start2 + width]
             times = (start + np.arange(width)) / rate
         if channel is not None:
             values = values[:, channel]
@@ -142,6 +153,20 @@ def _db_tile_u8(power, zmin, zmax):
     return jnp.round(255.0 * _db_tile(power, zmin, zmax)).astype(jnp.uint8)
 
 
+@functools.partial(jax.jit, static_argnames=("width", "quantize", "pool"))
+def _db_tile_slice(buf, start, channel, zmin, zmax, width, quantize, pool):
+    """One channel's dB tile over a bucketed-width frame slice — crop,
+    screen-resolution max-pooling (peaks survive, like the trace min/max
+    tiles), and dB conversion all happen on device so only pixel-sized
+    data crosses the (slow, tunneled) host link."""
+    part = jax.lax.dynamic_slice_in_dim(buf, start, width, axis=0)
+    part = jax.lax.dynamic_index_in_dim(part, channel, axis=1,
+                                        keepdims=False)
+    if pool > 1:
+        part = part.reshape(width // pool, pool, part.shape[-1]).max(axis=1)
+    return (_db_tile_u8 if quantize else _db_tile)(part, zmin, zmax)
+
+
 class SpecTiler:
     """dB image tiles from a spectrogram trace window.
 
@@ -150,6 +175,9 @@ class SpecTiler:
     (`src/audian/specitem.py:23-39` + the `spec_rect` bookkeeping of
     `src/audian/bufferedspectrogram.py:63-66`).
     """
+
+    def __init__(self, max_pixels=1920):
+        self.max_pixels = int(max_pixels)
 
     def tile(self, trace, channel, zmin, zmax, quantize=False, t0=None,
              t1=None):
@@ -160,9 +188,27 @@ class SpecTiler:
         i0 = 0 if t0 is None else max(int(t0 * rate) - trace.offset, 0)
         i1 = len(buf) if t1 is None else min(
             int(t1 * rate + 1) - trace.offset, len(buf))
-        part = jnp.asarray(buf)[i0:i1, channel, :]
-        fn = _db_tile_u8 if quantize else _db_tile
-        img = np.asarray(fn(part, float(zmin), float(zmax)))
+        width = max(i1 - i0, 0)
+        if width == 0:
+            return np.zeros((0, buf.shape[-1])), (0.0, 0.0, 0.0, 0.0)
+        # bucketed width + back-shifted start: a handful of compiled
+        # programs serve every scroll/zoom (see TraceTiler.tile); frames
+        # beyond the screen width max-pool on device before the pull
+        wb = 1 << max(width - 1, 0).bit_length()
+        pool = 1
+        while wb // pool > self.max_pixels * 2:
+            pool *= 2
+        # clamp to the buffer, keeping the width a pool multiple
+        wb = min(wb, (len(buf) // pool) * pool)
+        s2 = max(min(i0, len(buf) - wb), 0)
+        # snap the slice so pooled columns align to the absolute grid
+        s2 = (s2 // pool) * pool
+        img = np.asarray(_db_tile_slice(jnp.asarray(buf), s2, channel,
+                                        float(zmin), float(zmax), wb,
+                                        bool(quantize), pool))
+        img = img[(i0 - s2) // pool : -(-(i1 - s2) // pool)]
+        i0 = s2 + ((i0 - s2) // pool) * pool
+        i1 = min(i0 + img.shape[0] * pool, s2 + wb)
         node = getattr(trace, "_node", trace)
         fmax = node.frequencies[-1] + node.fresolution if hasattr(
             node, "frequencies") else 0.0

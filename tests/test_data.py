@@ -221,3 +221,56 @@ def test_reference_update_idiom(wav_file, cricket_like):
     env.update()
     assert env._node.envelope_cutoff == 125.0
     d.close()
+
+
+def test_incremental_scroll_matches_full_recompute(tmp_path, rng):
+    """Scrolling slides the device windows and recomputes only the new
+    sub-window (`Data._try_delta_update`); the stitched trace windows
+    must match a from-scratch recompute of the same window."""
+    rate = 8000.0
+    x = (0.3 * np.sin(2 * np.pi * 440.0 *
+                      np.arange(int(20.0 * rate)) / rate)
+         + 0.02 * rng.standard_normal(int(20.0 * rate)))
+    x = np.stack([x, 0.5 * x], axis=1)
+    p = tmp_path / "r.wav"
+    wavio.write_audio(p, x, rate, encoding="FLOAT")
+    d = Data(p, buffer_time=6.0, back_time=2.0)
+    for node in default_traces():
+        d.add_trace(node)
+    d.setup_traces()
+    d.open()
+    d["filtered"].update(highpass_cutoff=100.0)
+    d.update_times(0.0, 2.0)
+    deltas = 0
+    orig = d._try_delta_update
+
+    def counting(dev, targets):
+        nonlocal deltas
+        hit = orig(dev, targets)
+        deltas += bool(hit and d._last_raw_shift)
+        return hit
+
+    d._try_delta_update = counting
+    for k in range(1, 8):
+        d.update_times(1.5 * k, 1.5 * k + 3.0)
+    assert deltas >= 3, "scrolls did not take the incremental path"
+    # snapshot stitched windows, then force a full recompute and compare
+    stitched = {name: (d[name].offset, np.asarray(d[name].buffer))
+                for name in ("filtered", "envelope", "spectrogram")}
+    d._dev_raw = None  # invalidate -> full upload + full recompute
+    d._try_delta_update = lambda dev, targets: False
+    d.update_times(10.5, 13.5)
+    for name, (off, arr) in stitched.items():
+        assert d[name].offset == off
+        np.testing.assert_allclose(arr, np.asarray(d[name].buffer),
+                                   atol=2e-6)
+    # scroll backwards through the retained back buffer
+    d._try_delta_update = counting
+    d.update_times(9.0, 12.0)
+    full = np.asarray(d["filtered"].buffer)
+    d._dev_raw = None
+    d._try_delta_update = lambda dev, targets: False
+    d.update_times(9.0, 12.0)
+    np.testing.assert_allclose(full, np.asarray(d["filtered"].buffer),
+                               atol=2e-6)
+    d.close()
