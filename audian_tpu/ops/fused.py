@@ -18,8 +18,8 @@ import jax
 import jax.numpy as jnp
 
 from . import design
-from .sos import _toeplitz_bank
-from .stft import hann_window, _dft_matrices
+from .sos import _toeplitz_bank_np
+from .stft import _dft_matrices
 from .pallas.window_matmul import window_matmul
 
 __all__ = ["FusedChainCF"]
@@ -61,7 +61,7 @@ class FusedChainCF:
             self._h_filt = np.asarray(h)
             self.filt_halo = len(h) - 1
             self.filt_w = jnp.asarray(
-                _toeplitz_bank(jnp.asarray(h, jnp.float32), B).T)
+                _toeplitz_bank_np(np.asarray(h, np.float32), B).T)
         else:
             self.filt_halo = 0
             self.filt_w = None
@@ -93,18 +93,21 @@ class FusedChainCF:
                         self.ifir_M = M
                         self.ifir_Lg = len(gk)
                         self.env_halo = lead
-                        self.env_i_w = jnp.asarray(_toeplitz_bank(
-                            jnp.asarray(ik, jnp.float32), B).T)
-                        self.env_g_w = jnp.asarray(_toeplitz_bank(
-                            jnp.asarray(gk, jnp.float32), B).T)
+                        self.env_i_w = jnp.asarray(_toeplitz_bank_np(
+                            np.asarray(ik, np.float32), B).T)
+                        self.env_g_w = jnp.asarray(_toeplitz_bank_np(
+                            np.asarray(gk, np.float32), B).T)
             if self.env_mode is None:
                 self.env_mode = "dense"
                 self.env_halo = len(g) - 1
                 self.env_w = jnp.asarray(
-                    _toeplitz_bank(jnp.asarray(g, jnp.float32), B).T)
+                    _toeplitz_bank_np(np.asarray(g, np.float32), B).T)
         nbins = self.nfft // 2 + 1
-        win = np.asarray(hann_window(self.nfft, jnp.float64))
-        W = np.asarray(_dft_matrices(self.nfft, nbins, jnp.float64))
+        # periodic Hann + DFT matrices built host-side in float64 (an
+        # eager device op here costs a minutes-long remote compile)
+        win = 0.5 - 0.5 * np.cos(
+            2.0 * np.pi * np.arange(self.nfft) / self.nfft)
+        W = _dft_matrices(self.nfft, nbins, np.float64)
         scale = 1.0 / (self.rate * float(np.sum(win ** 2)))
         dbl = np.full(nbins, 2.0)
         dbl[0] = 1.0
@@ -218,18 +221,22 @@ class FusedChainCF:
                 env_clamp=self.env_clamp, nfft=self.nfft)
         return self._chain_kernel
 
-    def chain_cf(self, x_ext, n):
+    def chain_cf(self, x_ext, n, stats=False):
         """Run the whole chain in ONE device pass over an extended stream
         ``[hb | n | ha]`` (``hb = chain_kernel.hb``,
         ``ha >= chain_kernel.ha``).  Returns ``(filtered, envelope, psd)``
         — the batch throughput path (one HBM round trip instead of
-        three)."""
+        three).  With ``stats=True`` a fourth element carries in-kernel
+        per-chunk statistics (per-channel signal power, envelope mass,
+        and PSD column sums — the inputs to noise-floor auto-leveling);
+        pulling just those tiny arrays fences the chunk without re-reading
+        the three full outputs from HBM."""
         ck = self.chain_kernel
         if ck is None:
             raise ValueError(
                 "the single-pass chain kernel needs filter + envelope "
                 "designs and hop == 128; use the per-stage methods")
-        return ck(x_ext, n)
+        return ck(x_ext, n, stats=stats)
 
     def __call__(self, x_cf, nspec_frames=None):
         y = self.filtered_cf(x_cf)

@@ -76,24 +76,43 @@ def _conv(z, w, off, gout, C, precision, active=None):
     return y  # (C*gout, O)
 
 
-def _chain_kernel(xa, xb, wf, we, ws, yo, eo, so, *, C, N, offf, gy, lead,
-                  offe, nbins, env_clamp, precision, act_f, act_e):
+def _chain_kernel(xa, xb, wf, we, ws, yo, eo, so, po, go, qo, *, C, N, offf,
+                  gy, lead, offe, nbins, env_clamp, precision, act_f, act_e,
+                  n, nf):
     x = jnp.concatenate([xa[:, :], xb[:, :]], axis=1)
     # stage 1: filtered stream, with lead/tail margins for the consumers
     y_ext = _conv(x, wf[:, :], offf, gy, C, precision,
                   act_f).reshape(C, gy * 128)
-    yo[:, :] = y_ext[:, lead : lead + N]
+    y = y_ext[:, lead : lead + N]
+    yo[:, :] = y
     # stage 2: rectified zero-phase envelope (reads y_ext in VMEM)
     v = (jnp.pi / 2) * jnp.abs(y_ext)
     e = _conv(v, we[:, :], offe, N // 128, C, precision,
               act_e).reshape(C, N)
-    eo[:, :] = jnp.maximum(e, 0.0) if env_clamp else e
+    e = jnp.maximum(e, 0.0) if env_clamp else e
+    eo[:, :] = e
     # stage 3: STFT PSD frames (windows start at lead + f*128)
     F = N // 128
     s = _conv(y_ext, ws[:, :], lead, F, C, precision)  # (C*F, 2*nbins)
     sq = s * s
-    psd = sq[:, :nbins] + sq[:, nbins : 2 * nbins]
-    so[0] = psd.reshape(C, F, nbins).transpose(1, 0, 2)
+    psd = (sq[:, :nbins] + sq[:, nbins : 2 * nbins]).reshape(C, F, nbins)
+    so[0] = psd.transpose(1, 0, 2)
+    # per-block chunk statistics (signal power, envelope mass, PSD column
+    # sums for noise-floor auto-leveling) over the valid region only —
+    # these let consumers fence/inspect a chunk without re-reading the
+    # three full outputs from HBM
+    if n is not None:  # static: the grid extends past n (padded tail)
+        i = pl.program_id(0)
+        m = (i * N + lax.broadcasted_iota(jnp.int32, (1, N), 1)
+             < n).astype(jnp.float32)
+        fm = (i * F + lax.broadcasted_iota(jnp.int32, (1, F, 1), 1)
+              < nf).astype(jnp.float32)
+    else:
+        m = 1.0
+        fm = 1.0
+    po[0, 0, :] = jnp.sum(y * y * m, axis=1)
+    go[0, 0, :] = jnp.sum(e * m, axis=1)
+    qo[0] = jnp.sum(psd * fm, axis=1)
 
 
 class FusedChainKernel:
@@ -153,23 +172,30 @@ class FusedChainKernel:
                 self.Hx = d * 128
                 break
 
-    def __call__(self, x_ext, n):
+    def __call__(self, x_ext, n, stats=False):
         """Run the chain over ``x_ext = [hb | n | ha...]`` (channels-first).
 
         Returns ``(y, e, spec)`` with shapes (C, n), (C, n),
-        (n//128, C, nbins).
+        (n//128, C, nbins).  With ``stats=True`` also returns a dict of
+        per-chunk statistics computed inside the kernel (``power`` =
+        per-channel sum of the filtered signal squared, ``env_sum`` =
+        per-channel envelope mass, ``psd_sum`` = per-channel PSD column
+        sums over the chunk's frames) — reading them fences the chunk
+        without pulling the three full outputs back out of HBM.
         """
         return _chain_call(
             x_ext, self.wf, self.we, self.ws, int(n), self.N, self.hb,
             self.Hx, self.gy, self.lead, self.offe, self.nbins,
-            self.env_clamp, self.precision, self.act_f, self.act_e)
+            self.env_clamp, self.precision, self.act_f, self.act_e,
+            bool(stats))
 
 
-@functools.partial(jax.jit, static_argnums=tuple(range(4, 16)))
+@functools.partial(jax.jit, static_argnums=tuple(range(4, 17)))
 def _chain_call(x_ext, wf, we, ws, n, N, hb, Hx, gy, lead, offe, nbins,
-                env_clamp, precision, act_f, act_e):
+                env_clamp, precision, act_f, act_e, stats):
     C = x_ext.shape[0]
     nprog = -(-n // N)
+    nf = n // 128
     # program i reads columns [i*N, i*N+N) plus the halo [i*N+N, i*N+N+Hx)
     need = nprog * N + Hx
     if x_ext.shape[1] < need:
@@ -177,11 +203,14 @@ def _chain_call(x_ext, wf, we, ws, n, N, hb, Hx, gy, lead, offe, nbins,
     else:
         x_ext = x_ext[:, :need]
     F = N // 128
-    y, e, s = pl.pallas_call(
+    partial_tail = n < nprog * N
+    y, e, s, p, g, q = pl.pallas_call(
         functools.partial(_chain_kernel, C=C, N=N, offf=0, gy=gy,
                           lead=lead, offe=offe, nbins=nbins,
                           env_clamp=env_clamp, precision=precision,
-                          act_f=act_f, act_e=act_e),
+                          act_f=act_f, act_e=act_e,
+                          n=n if partial_tail else None,
+                          nf=nf if partial_tail else None),
         grid=(nprog,),
         in_specs=[
             pl.BlockSpec((C, N), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -199,11 +228,20 @@ def _chain_call(x_ext, wf, we, ws, n, N, hb, Hx, gy, lead, offe, nbins,
             pl.BlockSpec((C, N), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, F, C, nbins), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, nbins), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((C, nprog * N), jnp.float32),
             jax.ShapeDtypeStruct((C, nprog * N), jnp.float32),
             jax.ShapeDtypeStruct((nprog, F, C, nbins), jnp.float32),
+            jax.ShapeDtypeStruct((nprog, 1, C), jnp.float32),
+            jax.ShapeDtypeStruct((nprog, 1, C), jnp.float32),
+            jax.ShapeDtypeStruct((nprog, C, nbins), jnp.float32),
         ],
         # larger blocks want more than the default 16 MB scoped VMEM; the
         # raised limit lets Mosaic keep double-buffering (measured ~4%)
@@ -211,6 +249,9 @@ def _chain_call(x_ext, wf, we, ws, n, N, hb, Hx, gy, lead, offe, nbins,
             vmem_limit_bytes=100 * (1 << 20)),
         interpret=jax.default_backend() != "tpu",
     )(x_ext, x_ext, wf, we, ws)
-    nf = n // 128
-    return (y[:, :n], e[:, :n],
-            s.reshape(nprog * F, C, nbins)[:nf])
+    out = (y[:, :n], e[:, :n], s.reshape(nprog * F, C, nbins)[:nf])
+    if stats:
+        return out + ({"power": jnp.sum(p, axis=(0, 1)),
+                       "env_sum": jnp.sum(g, axis=(0, 1)),
+                       "psd_sum": jnp.sum(q, axis=0)},)
+    return out

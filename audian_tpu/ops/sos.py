@@ -274,6 +274,20 @@ def _toeplitz_bank(h, block):
     return hp[idx]
 
 
+def _toeplitz_bank_np(h, block):
+    """Host-side (numpy) twin of :func:`_toeplitz_bank` for concrete
+    kernels: on a tunneled chip the eager index-matrix gather costs a
+    minutes-long remote compile, so design-time bank construction must
+    never touch the device."""
+    h = np.asarray(h)
+    T = h.shape[0]
+    o = np.arange(block)[:, None]
+    k = np.arange(block + T - 1)[None, :]
+    idx = o + (T - 1) - k
+    return np.where((idx >= 0) & (idx < T),
+                    h[np.clip(idx, 0, T - 1)], h.dtype.type(0))
+
+
 def _pick_block(T):
     """Toeplitz block size tuned on TPU v5e: small kernels want small
     blocks (less zero padding in the bank), long kernels amortize."""

@@ -82,12 +82,12 @@ def frame_signal(x, nfft, hop, nframes=None):
 
 
 def _dft_matrices(nfft, nbins, dtype):
-    """Real/imag DFT analysis matrix, (nfft, 2*nbins)."""
+    """Real/imag DFT analysis matrix, (nfft, 2*nbins) — numpy (host), so
+    design-time callers never pay an eager device round trip."""
     k = np.arange(nfft)[:, None]
     b = np.arange(nbins)[None, :]
     ang = 2.0 * np.pi * k * b / nfft
-    return jnp.asarray(
-        np.concatenate([np.cos(ang), -np.sin(ang)], axis=1), dtype)
+    return np.concatenate([np.cos(ang), -np.sin(ang)], axis=1).astype(dtype)
 
 
 def spectrogram(x, rate, nfft, hop, window=None, detrend=False,
@@ -127,7 +127,7 @@ def spectrogram(x, rate, nfft, hop, window=None, detrend=False,
     if method == "auto":
         method = "matmul" if nfft <= 1024 else "fft"
     if method == "matmul":
-        W = _dft_matrices(nfft, nbins, dtype)
+        W = jnp.asarray(_dft_matrices(nfft, nbins, dtype))
         # flatten channels into the matmul M dimension
         ft = jnp.moveaxis(frames, 1, -1)             # (nf, ..., nfft)
         flat = ft.reshape(-1, nfft)

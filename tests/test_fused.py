@@ -155,3 +155,24 @@ def test_single_pass_chain_geometries(rng, nfft, ch):
         jnp.asarray(np.asarray(chain.filtered_cf(x))[:, ck.hb:]),
         nframes=n // 128))
     np.testing.assert_allclose(np.asarray(s), s_ref, rtol=1e-4, atol=1e-9)
+
+
+@pytest.mark.parametrize("n", [2048, 1920])  # exact grid and padded tail
+def test_single_pass_chain_stats(chain, rng, n):
+    """In-kernel chunk statistics equal reductions of the full outputs,
+    including when the grid is padded past ``n``."""
+    import jax.numpy as jnp
+
+    ck = chain.chain_kernel
+    x = jnp.asarray(rng.standard_normal(
+        (2, ck.hb + n + ck.ha)).astype(np.float32))
+    y, e, s, st = chain.chain_cf(x, n, stats=True)
+    np.testing.assert_allclose(np.asarray(st["power"]),
+                               np.sum(np.asarray(y) ** 2, axis=1),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(st["env_sum"]),
+                               np.sum(np.asarray(e), axis=1),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(st["psd_sum"]),
+                               np.sum(np.asarray(s), axis=0),
+                               rtol=1e-5, atol=1e-9)
