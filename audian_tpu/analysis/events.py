@@ -12,9 +12,20 @@ from __future__ import annotations
 
 import numpy as np
 import scipy.signal as sps
+import jax
 import jax.numpy as jnp
 
-from ..ops import sosfiltfilt
+from ..ops import FilterDesign, sosfiltfilt_fir
+
+
+@jax.jit
+def _filtfilt_device(design, x):
+    """Zero-phase filtering on the FIR/Toeplitz production path (the
+    associative-scan ``sosfiltfilt`` loses f32 precision for the
+    near-DC band edges these pipelines use).  ``design`` is a traced
+    pytree with pow2-bucketed kernels, so cutoff changes reuse the
+    compiled program."""
+    return sosfiltfilt_fir(design.fir, x, design.zi0, design.padlen, axis=0)
 
 __all__ = [
     "threshold_crossings", "merge_events", "remove_events", "widen_events",
@@ -117,18 +128,22 @@ def _clamp_cutoff(freq, rate):
 
 def bandpass_filter(data, rate, lowf=5500.0, highf=7500.0, order=1):
     """Zero-phase Butterworth band-pass (`songdetector.py:36-46`), on
-    device."""
+    device (full-rate data)."""
     sos = sps.butter(order, (_clamp_cutoff(lowf, rate),
                              _clamp_cutoff(highf, rate)), "bandpass",
                      fs=rate, output="sos")
-    return np.asarray(sosfiltfilt(sos, jnp.asarray(data), axis=0))
+    design = FilterDesign.from_sos(sos)
+    return np.asarray(_filtfilt_device(design, jnp.asarray(data)))
 
 
 def lowpass_filter(data, rate, freq=100.0, order=1):
-    """Zero-phase low-pass (`songdetector.py:49-54`)."""
+    """Zero-phase low-pass (`songdetector.py:49-54`).  Only ever applied
+    to the tiny decimated envelopes (slow envelope, per-event
+    refinement), whose shapes vary per event — stays host-side to avoid
+    a device compile per shape."""
     sos = sps.butter(order, _clamp_cutoff(freq, rate), "lowpass", fs=rate,
                      output="sos")
-    return np.asarray(sosfiltfilt(sos, jnp.asarray(data), axis=0))
+    return sps.sosfiltfilt(sos, np.asarray(data), axis=0)
 
 
 def square_envelope(data, rate, freq=100.0):
@@ -138,8 +153,9 @@ def square_envelope(data, rate, freq=100.0):
     distinct from the browser's pi/2-rectified envelope."""
     sos = sps.butter(1, _clamp_cutoff(freq, rate), "lowpass", fs=rate,
                      output="sos")
+    design = FilterDesign.from_sos(sos)
     x = jnp.asarray(data)
-    e = 2.0 * sosfiltfilt(sos, x * x, axis=0)
+    e = 2.0 * _filtfilt_device(design, x * x)
     e = jnp.maximum(e, 0.0)
     envrate = min(freq * 10, rate)
     step = int(np.round(rate / envrate))

@@ -82,6 +82,10 @@ def main(cargs=None):
     parser.add_argument("--plot-png", dest="plot_png", default=None,
                         metavar="FILE", type=str,
                         help="render the viewer to a PNG (headless)")
+    parser.add_argument("-j", dest="jobs", default=1, type=int,
+                        metavar="N",
+                        help="process files data-parallel across devices "
+                        "(N workers; 0 means one per device)")
     parser.add_argument("files", nargs="*", default=[], type=str,
                         help="files with the time series data")
     args = parser.parse_args(cargs)
@@ -99,16 +103,16 @@ def main(cargs=None):
     if not args.files:
         parser.error("no input files")
 
-    status = 0
-    for path in args.files:
+    def process(path):
+        """Detect songs in one file; returns (path, nsongs, out) or the
+        error message.  Dense DSP runs on the worker's device."""
         try:
             data, rate = load_audio(path)
         except Exception as e:
-            print(f"error: {path}: {e}", file=sys.stderr)
-            status = 1
-            continue
+            return f"{path}: {e}"
         if args.verbose:
-            print(f"loaded {path} ({data.shape[0]} frames @ {rate:.0f} Hz)")
+            print(f"loaded {path} ({data.shape[0]} frames @ {rate:.0f} Hz)",
+                  flush=True)
         result = detect(
             data, rate,
             highpassfreq=cfg.value("highpassfreq"),
@@ -134,7 +138,6 @@ def main(cargs=None):
                 nsongs += 1
         out = args.output or Path(path).with_suffix("").as_posix() + "-songs.csv"
         table.write(out)
-        print(f"{path}: {nsongs} songs -> {out}")
         if args.plot or args.plot_png:
             from ..gui.songplot import SongPlot
 
@@ -146,6 +149,32 @@ def main(cargs=None):
                 import matplotlib.pyplot as plt
 
                 plt.show()
+        return (path, nsongs, out)
+
+    status = 0
+    jobs = args.jobs
+    if jobs != 1 and (args.plot or args.plot_png):
+        print("-j ignored with --plot/--plot-png (matplotlib is "
+              "single-threaded)", file=sys.stderr)
+        jobs = 1
+    if jobs == 1 or len(args.files) <= 1:
+        results = [process(p) for p in args.files]
+    else:
+        # data-parallel across devices: one recording per chip
+        # (BASELINE config 5 — the multi-chip analog of the reference's
+        # per-file worker pool)
+        from ..parallel import map_files
+
+        results = map_files(process, args.files,
+                            max_workers=(jobs if jobs > 0 else None),
+                            verbose=args.verbose)
+    for r in results:
+        if isinstance(r, str):
+            print(f"error: {r}", file=sys.stderr)
+            status = 1
+        else:
+            path, nsongs, out = r
+            print(f"{path}: {nsongs} songs -> {out}")
     return status
 
 

@@ -1,9 +1,10 @@
-"""Multi-chip execution: device meshes, halo-exchange collectives, and the
-sequence/channel-sharded pipeline."""
+"""Multi-chip execution: device meshes, halo-exchange collectives, the
+sequence/channel-sharded pipeline, and file-level batch data parallelism."""
 
 from .mesh import make_mesh, P, NamedSharding, Mesh
 from .shard import halo_exchange
 from .pipeline import ShardedPipeline
+from .batch import map_files
 
 __all__ = ["make_mesh", "P", "NamedSharding", "Mesh", "halo_exchange",
-           "ShardedPipeline"]
+           "ShardedPipeline", "map_files"]

@@ -103,3 +103,65 @@ def test_output_shardings(signal):
     shard = out["filtered"].sharding
     assert shard.spec == P("seq", "ch")
     assert len(out["filtered"].devices()) == 8
+
+
+# -- file-level batch data parallelism (parallel/batch.py) --------------------
+
+
+def test_map_files_matches_sequential(rng):
+    import jax
+    import jax.numpy as jnp
+    from audian_tpu.parallel import map_files
+
+    files = [f"f{i}" for i in range(13)]
+    seen_devices = []
+
+    def fn(path):
+        i = int(path[1:])
+        x = jnp.asarray(rng.standard_normal(256).astype(np.float32) * 0 + i)
+        y = jnp.sum(x * 2.0)
+        seen_devices.append(list(y.devices())[0])
+        return float(y)
+
+    got = map_files(fn, files)
+    assert got == [i * 512.0 for i in range(13)]
+    # the work actually spread over the virtual mesh
+    assert len(set(seen_devices)) > 1
+
+
+def test_map_files_propagates_errors():
+    from audian_tpu.parallel import map_files
+
+    def fn(path):
+        if path == "bad":
+            raise ValueError("boom")
+        return path
+
+    with pytest.raises(ValueError, match="boom"):
+        map_files(fn, ["a", "bad", "c", "d"])
+    # sequential fallback with a single worker
+    assert map_files(fn, ["a", "b"], max_workers=1) == ["a", "b"]
+
+
+def test_songdetector_cli_parallel(tmp_path, rng):
+    from audian_tpu.cli import songdetector
+    from audian_tpu.data import wavio
+
+    rate = 20000.0
+    t = np.arange(int(rate * 8)) / rate
+    x = 0.02 * rng.standard_normal(len(t))
+    for s in (2.0, 5.0):
+        m = (t >= s) & (t < s + 1.2)
+        am = 0.5 * (1 + np.sin(2 * np.pi * 30.0 * t[m]))
+        x[m] += 0.6 * am * np.sin(2 * np.pi * 6500.0 * t[m])
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"rec{i}.wav"
+        wavio.write_audio(p, x[:, None], rate, encoding="FLOAT")
+        paths.append(str(p))
+    assert songdetector.main(["-j", "0", *paths]) == 0
+    tables = sorted(tmp_path.glob("rec*-songs.csv"))
+    assert len(tables) == 3
+    texts = [p.read_text() for p in tables]
+    assert texts[0] == texts[1] == texts[2]
+    assert len(texts[0].strip().splitlines()) == 3  # header + 2 songs
