@@ -132,7 +132,9 @@ class AudioLoader:
                 np.zeros((0, 2), dtype=object))
 
     def format_dict(self):
-        return dict(format="WAV", encoding=self.encoding,
+        fmt = ("WAV" if self._infos[0][4] is not None
+               else self.filepath.suffix.upper().lstrip(".") or "AUDIO")
+        return dict(format=fmt, encoding=self.encoding,
                     rate=f"{self.rate:.0f}Hz", channels=str(self.channels),
                     frames=str(self.frames),
                     duration=f"{self.frames / self.rate:.3f}s")
@@ -187,8 +189,9 @@ class AudioLoader:
             n = min(nframes - pos, avail)
             info = self._infos[k]
             chunk = None
-            if self.dtype == np.float32:
-                # native C++ read+decode fast path
+            if self.dtype == np.float32 and info[4] is not None:
+                # native C++ read+decode fast path (WAV only; soundfile-
+                # backed containers have no byte offset to seek to)
                 chunk = native.read_frames(self.file_paths[k], info[4],
                                            info[3], info[1], local, n)
             if chunk is None:

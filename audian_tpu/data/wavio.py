@@ -64,6 +64,10 @@ _BEXT_FIELDS = [
 
 
 def available_formats():
+    sf = _soundfile()
+    if sf is not None:
+        return ["WAV"] + sorted(f for f in sf.available_formats()
+                                if f != "WAV")
     return ["WAV"]
 
 
@@ -78,6 +82,35 @@ def available_encodings(format="WAV"):
 
 class WavError(ValueError):
     pass
+
+
+_SF = 0  # 0 = untried, None = unavailable, module otherwise
+
+
+def _soundfile():
+    """The optional ``soundfile`` (libsndfile) package, or None.
+
+    The reference reads every container audioio/libsndfile knows
+    (`pyproject.toml:17`); the in-repo reader covers WAV (with the C++
+    fast path), and other formats (FLAC, OGG, ...) are delegated to
+    soundfile when it is installed.  Soundfile-backed files are marked by
+    a ``None`` data offset in their info tuple.
+    """
+    global _SF
+    if _SF == 0:
+        try:
+            import soundfile
+
+            _SF = soundfile
+        except ImportError:
+            _SF = None
+    return _SF
+
+
+def _sf_unavailable(path):
+    return WavError(
+        f"{path}: not a RIFF/WAVE file (install the 'soundfile' package "
+        "for other audio formats)")
 
 
 def _iter_chunks(buf):
@@ -175,7 +208,15 @@ def load_wav(path, return_buffer=False):
     """
     buf = Path(path).read_bytes()
     if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
-        raise WavError(f"{path}: not a RIFF/WAVE file")
+        sf = _soundfile()
+        if sf is None:
+            raise _sf_unavailable(path)
+        if return_buffer:
+            raise WavError(f"{path}: in-place buffer access requires WAV")
+        data, rate = sf.read(str(path), always_2d=True, dtype="float64")
+        empty_locs = np.zeros((0, 2), dtype=np.int64)
+        empty_labels = np.zeros((0, 2), dtype=object)
+        return data, float(rate), {}, empty_locs, empty_labels
     fmt = None
     data = None
     md = {}
@@ -254,7 +295,12 @@ def wav_info(path):
     with p.open("rb") as f:
         head = f.read(12)
         if head[:4] != b"RIFF" or head[8:12] != b"WAVE":
-            raise WavError(f"{path}: not a RIFF/WAVE file")
+            sf = _soundfile()
+            if sf is None:
+                raise _sf_unavailable(path)
+            i = sf.info(str(p))
+            return (float(i.samplerate), int(i.channels), int(i.frames),
+                    f"SF:{i.subtype}", None)
         fmt = None
         while True:
             hdr = f.read(8)
@@ -288,6 +334,13 @@ def read_frames(path, start, nframes, info=None):
     if info is None:
         info = wav_info(path)
     rate, channels, frames, enc, data_off = info
+    if data_off is None:  # soundfile-backed (non-WAV container)
+        sf = _soundfile()
+        start = max(0, min(start, frames))
+        nframes = max(0, min(nframes, frames - start))
+        with sf.SoundFile(str(path)) as f:
+            f.seek(start)
+            return f.read(nframes, dtype="float64", always_2d=True)
     tag, bits = _ENCODINGS.get(enc, (None, None))
     if tag is None:
         raise WavError(f"{path}: unsupported encoding {enc}")

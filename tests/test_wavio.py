@@ -107,3 +107,102 @@ def test_unwrap():
     np.testing.assert_allclose(fixed[:, 0], true / 2, atol=1e-9)
     clipped = wavio.unwrap(wrapped[:, None], thresh=1.5, clips=True)
     np.testing.assert_allclose(clipped[:, 0], np.clip(true, -1, 1), atol=1e-9)
+
+
+# -- optional soundfile fallback for non-WAV containers -----------------------
+
+
+class _FakeSFFile:
+    """Minimal stand-in for soundfile.SoundFile over a stored array."""
+
+    store = {}
+
+    def __init__(self, path):
+        self.data, self.rate = self.store[str(path)]
+        self.pos = 0
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+    def seek(self, pos):
+        self.pos = int(pos)
+
+    def read(self, n, dtype="float64", always_2d=True):
+        out = self.data[self.pos : self.pos + int(n)]
+        self.pos += len(out)
+        return np.asarray(out, dtype)
+
+
+class _FakeSF:
+    SoundFile = _FakeSFFile
+
+    @staticmethod
+    def info(path):
+        data, rate = _FakeSFFile.store[str(path)]
+
+        class I:
+            samplerate = rate
+            channels = data.shape[1]
+            frames = data.shape[0]
+            subtype = "FAKE"
+
+        return I()
+
+    @staticmethod
+    def read(path, always_2d=True, dtype="float64"):
+        data, rate = _FakeSFFile.store[str(path)]
+        return np.asarray(data, dtype), rate
+
+    @staticmethod
+    def available_formats():
+        return {"WAV": "WAV", "FLAC": "FLAC", "OGG": "OGG"}
+
+
+@pytest.fixture
+def fake_soundfile(tmp_path, signal, monkeypatch):
+    """A .flac path readable only through the (faked) soundfile module."""
+    path = tmp_path / "rec.flac"
+    path.write_bytes(b"fLaC not a riff file")
+    _FakeSFFile.store = {str(path): (signal, 48000.0)}
+    monkeypatch.setattr(wavio, "_SF", _FakeSF)
+    yield path
+    monkeypatch.setattr(wavio, "_SF", 0)
+
+
+def test_non_wav_without_soundfile(tmp_path, monkeypatch):
+    monkeypatch.setattr(wavio, "_SF", None)
+    p = tmp_path / "x.flac"
+    p.write_bytes(b"fLaC whatever")
+    with pytest.raises(wavio.WavError, match="soundfile"):
+        wavio.load_audio(p)
+    with pytest.raises(wavio.WavError, match="soundfile"):
+        wavio.wav_info(p)
+    assert wavio.available_formats() == ["WAV"]
+
+
+def test_soundfile_fallback_load(fake_soundfile, signal):
+    data, rate = wavio.load_audio(fake_soundfile)
+    assert rate == 48000.0
+    assert np.allclose(data, signal)
+    assert wavio.metadata(fake_soundfile) == {}
+    locs, labels = wavio.markers(fake_soundfile)
+    assert len(locs) == 0
+    assert "FLAC" in wavio.available_formats()
+
+
+def test_soundfile_fallback_loader(fake_soundfile, signal):
+    from audian_tpu.data.loader import AudioLoader
+
+    ld = AudioLoader(fake_soundfile, buffer_time=0.01, back_time=0.0)
+    assert ld.frames == len(signal)
+    assert ld.encoding == "SF:FAKE"
+    assert ld.format_dict()["format"] == "FLAC"
+    got = ld[100:200]
+    assert np.allclose(got, signal[100:200], atol=1e-7)
+    # partial reads through wavio.read_frames agree with the array
+    part = wavio.read_frames(fake_soundfile, 10, 5)
+    assert np.allclose(part, signal[10:15])
+    ld.close()
