@@ -16,8 +16,9 @@ RATE = 20000.0
 
 
 def make_song_recording(rng, nsongs=5, carrier=6500.0, amfreq=30.0):
-    """Chirpy songs: AM-modulated carrier bursts over noise."""
-    dur = 20.0
+    """Chirpy songs: AM-modulated carrier bursts over noise; the
+    recording is just long enough for the requested number of songs."""
+    dur = 2.0 + 3.3 * nsongs
     n = int(dur * RATE)
     t = np.arange(n) / RATE
     x = 0.02 * rng.standard_normal(n)
