@@ -30,7 +30,8 @@ try:  # pragma: no cover - exercised only with Qt installed
                                  QWidget, QVBoxLayout, QAction, QDialog,
                                  QLabel, QScrollArea, QDialogButtonBox,
                                  QTableWidget, QTableWidgetItem,
-                                 QFileDialog)
+                                 QFileDialog, QMessageBox, QHBoxLayout,
+                                 QPushButton)
     HAVE_QT = True
 except ImportError:
     HAVE_QT = False
@@ -308,7 +309,7 @@ if HAVE_QT:  # pragma: no cover - exercised only with Qt installed
 
             filem = mb.addMenu("&File")
             self._act(filem, "&Screenshot", "Ctrl+Alt+S", self.screenshot)
-            self._act(filem, "&Metadata", "Ctrl+M", self.show_metadata)
+            self._act(filem, "&Metadata", None, self.show_metadata)
             self._act(filem, "Save &window", "Ctrl+S",
                       lambda: self.browser().save_window())
             self._act(filem, "&Quit", "Ctrl+Q", self.close)
@@ -423,6 +424,8 @@ if HAVE_QT:  # pragma: no cover - exercised only with Qt installed
                       self.analysis_results)
             self._act(regm, "Save &analysis", None,
                       lambda: B().save_analysis())
+            self._act(regm, "&Marker table", "Ctrl+M", self.marker_table)
+            self._act(regm, "&Label editor", "Ctrl+L", self.label_editor)
 
         # -- verbs needing Qt glue --------------------------------------------------
 
@@ -506,6 +509,106 @@ if HAVE_QT:  # pragma: no cover - exercised only with Qt installed
                 lambda: self.browser().clear_analysis())
             buttons.button(QDialogButtonBox.Save).clicked.connect(
                 lambda: self.browser().save_analysis())
+            vbox.addWidget(buttons)
+            dialog.show()
+
+        def marker_table(self):
+            """Marker table dialog (`databrowser.py:944-966`) over the
+            headless marker store."""
+            md = self.browser().marker_data
+
+            dialog = QDialog(self)
+            dialog.setWindowTitle("Audian marker table")
+            vbox = QVBoxLayout(dialog)
+            widget = QTableWidget(0, len(md.headers))
+            widget.setHorizontalHeaderLabels(md.headers)
+            vbox.addWidget(widget)
+
+            def fill():
+                df = md.data_frame()
+                widget.setRowCount(len(df))
+                for r in range(len(df)):
+                    for c, col in enumerate(df.columns):
+                        v = df.iloc[r, c]
+                        text = "" if v is None or (
+                            isinstance(v, float) and np.isnan(v)) else str(v)
+                        widget.setItem(r, c, QTableWidgetItem(text))
+                widget.resizeColumnsToContents()
+
+            def save():
+                path, _ = QFileDialog.getSaveFileName(
+                    self, "Save markers", "markers.csv",
+                    "CSV (*.csv);;Excel (*.xlsx)")
+                if path:
+                    md.save(path)
+
+            fill()
+            buttons = QDialogButtonBox(QDialogButtonBox.Close |
+                                       QDialogButtonBox.Save |
+                                       QDialogButtonBox.Reset)
+            buttons.rejected.connect(dialog.reject)
+            buttons.button(QDialogButtonBox.Reset).clicked.connect(
+                lambda: (md.clear(), fill(), self._refresh()))
+            buttons.button(QDialogButtonBox.Save).clicked.connect(save)
+            vbox.addWidget(buttons)
+            dialog.show()
+
+        def label_editor(self):
+            """Marker-label editor (`markerdata.py:269-326`): edit
+            name/key/color rows with key-conflict validation."""
+            from ..app.markers import MarkerLabel, key_conflicts
+
+            b = self.browser()
+            dialog = QDialog(self)
+            dialog.setWindowTitle("Audian marker labels")
+            vbox = QVBoxLayout(dialog)
+            widget = QTableWidget(len(b.marker_labels), 3)
+            widget.setHorizontalHeaderLabels(["label", "key", "color"])
+            for r, lbl in enumerate(b.marker_labels):
+                widget.setItem(r, 0, QTableWidgetItem(lbl.label))
+                widget.setItem(r, 1, QTableWidgetItem(lbl.key_shortcut))
+                widget.setItem(r, 2, QTableWidgetItem(lbl.color))
+            vbox.addWidget(widget)
+
+            def row_text(r, c):
+                item = widget.item(r, c)
+                return item.text().strip() if item is not None else ""
+
+            def add_row():
+                widget.insertRow(widget.rowCount())
+
+            def remove_rows():
+                for r in sorted({i.row() for i in widget.selectedIndexes()},
+                                reverse=True):
+                    widget.removeRow(r)
+
+            def accept():
+                labels = []
+                for r in range(widget.rowCount()):
+                    name = row_text(r, 0)
+                    if name:
+                        labels.append(MarkerLabel(name, row_text(r, 1),
+                                                  row_text(r, 2) or "yellow"))
+                conflicts = key_conflicts(labels)
+                if conflicts:
+                    QMessageBox.warning(
+                        dialog, "Key conflicts",
+                        "\n".join(f"key {k!r} used by {', '.join(v)}"
+                                  for k, v in conflicts.items()))
+                    return
+                b.marker_labels[:] = labels
+                dialog.accept()
+
+            hbox = QHBoxLayout()
+            for text, fn in (("&Add", add_row), ("&Remove", remove_rows)):
+                btn = QPushButton(text)
+                btn.clicked.connect(lambda *_, f=fn: f())
+                hbox.addWidget(btn)
+            vbox.addLayout(hbox)
+            buttons = QDialogButtonBox(QDialogButtonBox.Ok |
+                                       QDialogButtonBox.Cancel)
+            buttons.accepted.connect(accept)
+            buttons.rejected.connect(dialog.reject)
             vbox.addWidget(buttons)
             dialog.show()
 
