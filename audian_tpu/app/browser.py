@@ -19,6 +19,7 @@ from copy import deepcopy
 from pathlib import Path
 
 import numpy as np
+import jax
 
 from ..data import Data, wavio
 from ..data.data import RAW
@@ -26,7 +27,8 @@ from ..ops import prepare_playback
 from ..analysis import (Plugins, PlainAnalyzer, StatisticsAnalyzer,
                         EventRecorder)
 from ..cache import FullTraceData
-from ..view.render import TraceTiler, SpecTiler
+from ..view.render import (TraceTiler, SpecTiler, noise_level_stats,
+                           mean_power_db_slice)
 from .markers import MarkerData, MarkerLabel
 
 
@@ -128,6 +130,7 @@ class DataBrowser:
         # render engines
         self.trace_tiler = TraceTiler()
         self.spec_tiler = SpecTiler()
+        self._power_level_stats = None  # (window, per-channel levels)
         self.fulltrace = None
         # view model (Panels + PlotRanges over headless axes), built in open()
         self.panels = None
@@ -1095,9 +1098,19 @@ class DataBrowser:
         if i1 <= i0:
             return trace.frequencies, np.full(trace.spec.more_shape[0],
                                               -np.inf)
-        part = np.asarray(trace.buffer[i0:i1, channel, :])
-        mean = part.mean(axis=0)
-        db = 10 * np.log10(np.maximum(mean, 1e-20))
+        buf = trace.buffer
+        if isinstance(buf, jax.Array):
+            # device reduction with a bucketed slice: only one dB row
+            # crosses the host link, and a handful of compiled widths
+            # serve every window
+            width = i1 - i0
+            wb = min(1 << max(width - 1, 0).bit_length(), len(buf))
+            start = max(min(i0, len(buf) - wb), 0)
+            db = np.asarray(mean_power_db_slice(buf, start, channel,
+                                                i0 - start, width, wb))
+        else:
+            mean = np.asarray(buf[i0:i1, channel, :]).mean(axis=0)
+            db = 10 * np.log10(np.maximum(mean, 1e-20))
         return trace.frequencies, db
 
     def estimate_power_levels(self, channel):
@@ -1105,14 +1118,25 @@ class DataBrowser:
         (`src/audian/bufferedspectrogram.py:109-126` via
         `plotranges.py:461-478`)."""
         trace = self.data[self.spectrogram]
-        buf = np.asarray(trace.buffer)
-        if buf.size == 0:
+        buf = trace.buffer
+        if buf is None or buf.size == 0:
             return (-100.0, 0.0)
         node = trace._node
         nf = max(buf.shape[2] // 16, 1)
-        with np.errstate(all="ignore"):
-            db_tail = 10 * np.log10(np.maximum(buf[:, channel, -nf:], 1e-20))
-            db_all = 10 * np.log10(np.maximum(buf[:, channel, :], 1e-20))
+        if isinstance(buf, jax.Array):
+            # all-channel device reduction, cached per window: the naive
+            # route pulls the whole ~200 MB spectrogram window to the
+            # host per channel (seconds over the tunneled link)
+            cached = self._power_level_stats
+            if cached is None or cached[0] is not buf:
+                cached = (buf, np.asarray(noise_level_stats(buf, nf)))
+                self._power_level_stats = cached
+            db_tail, db_all = cached[1][channel]
+        else:
+            with np.errstate(all="ignore"):
+                db_tail = 10 * np.log10(
+                    np.maximum(buf[:, channel, -nf:], 1e-20))
+                db_all = 10 * np.log10(np.maximum(buf[:, channel, :], 1e-20))
         zmin, zmax = node.estimate_noiselevels(db_tail, db_all)
         if zmin is None:
             return (-100.0, 0.0)

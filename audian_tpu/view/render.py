@@ -56,6 +56,20 @@ class TraceTiler:
 
     def __init__(self, max_pixels=1920):
         self.max_pixels = int(max_pixels)
+        # the device tile covers ALL channels; per-channel callers (one
+        # plot item each) reuse one compute + one host pull per window
+        self._cache = {}
+
+    def _pull(self, kernel, buf, args):
+        key = (kernel.__name__,) + args
+        hit = self._cache.get(key)
+        if hit is not None and hit[0] is buf:
+            return hit[1]
+        tile = np.asarray(kernel(buf, *args))
+        if len(self._cache) > 32:
+            self._cache.clear()
+        self._cache[key] = (buf, tile)
+        return tile
 
     def tile(self, trace, t0, t1, channel=None):
         """Render tile for view range [t0, t1].
@@ -98,9 +112,9 @@ class TraceTiler:
             wb = min(_pow2_at_least(width), avail)
             start2 = min(start, boff + len(buf) - wb * step)
             start2 = lo + ((start2 - lo) // step) * step
-            tile = _minmax_tile(jnp.asarray(buf), start2 - boff, step, wb)
+            tile = self._pull(_minmax_tile, buf, (start2 - boff, step, wb))
             k0 = (start - start2) // step
-            values = np.asarray(tile)[2 * k0 : 2 * (k0 + width)]
+            values = tile[2 * k0 : 2 * (k0 + width)]
             half = step / 2
             times = (start + np.arange(2 * width) * half) / rate
         else:
@@ -109,8 +123,7 @@ class TraceTiler:
             width = max(stop - start, 0)
             wb = min(_pow2_at_least(width), len(buf))
             start2 = max(min(start, boff + len(buf) - wb), boff)
-            values = np.asarray(_slice_tile(jnp.asarray(buf),
-                                            start2 - boff, wb))
+            values = self._pull(_slice_tile, buf, (start2 - boff, wb))
             values = values[start - start2 : start - start2 + width]
             times = (start + np.arange(width)) / rate
         if channel is not None:
@@ -139,6 +152,42 @@ def pick_amplitude(trace, t, y, t1=None, channel=0):
         return (idx + mini) / rate, amin
     idx = min(max(idx, 0), trace.frames - 1)
     return idx / rate, float(np.asarray(trace[idx, channel]))
+
+
+@functools.partial(jax.jit, static_argnames=("nf",))
+def noise_level_stats(buf, nf):
+    """Per-channel ``(q95 of top-frequency-sixteenth dB, max dB)`` over a
+    ``(frames, channels, freqs)`` linear-power window.
+
+    The auto-leveling inputs of `src/audian/bufferedspectrogram.py:109-126`
+    as a tiny device reduction: pulling the full spectrogram window to the
+    host for ``np.percentile`` costs seconds over the tunneled link
+    (~200 MB for a 60 s × 8 ch window); this returns ``(channels, 2)``
+    floats instead.  The percentile runs on the same dB values numpy
+    would see, so the result matches the host formula exactly.
+    """
+    db = 10.0 * jnp.log10(jnp.maximum(buf, 1e-20))
+    nchan = buf.shape[1]
+    tail = db[:, :, -nf:].transpose(1, 0, 2).reshape(nchan, -1)
+    q95 = jnp.percentile(tail, 95.0, axis=1)
+    mx = jnp.max(db, axis=(0, 2))
+    return jnp.stack([q95, mx], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("wb",))
+def mean_power_db_slice(buf, start, channel, offset, width, wb):
+    """Mean dB spectrum of the ``width`` frames at ``start + offset`` of
+    one channel, computed over a bucketed ``wb``-frame slice with masking
+    — the power side plot's data (`src/audian/spectrogramplot.py:144-164`)
+    pulled as one row of floats instead of the window slice."""
+    part = jax.lax.dynamic_slice_in_dim(buf, start, wb, axis=0)
+    part = jax.lax.dynamic_index_in_dim(part, channel, axis=1,
+                                        keepdims=False)
+    k = jnp.arange(wb)
+    mask = ((k >= offset) & (k < offset + width))[:, None]
+    mean = (jnp.sum(jnp.where(mask, part, 0.0), axis=0)
+            / jnp.maximum(width, 1))
+    return 10.0 * jnp.log10(jnp.maximum(mean, 1e-20))
 
 
 @functools.partial(jax.jit, static_argnames=())

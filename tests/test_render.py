@@ -92,3 +92,51 @@ def test_spec_tile_normalization():
     img8, _ = tiler.tile(t, channel=0, zmin=-40.0, zmax=0.0, quantize=True)
     assert img8.dtype == np.uint8
     assert rect[0] == 0.0 and rect[2] == pytest.approx(6.4)
+
+
+# -- device reductions for the power side plot / auto levels ------------------
+
+
+def test_noise_level_stats_matches_host(rng):
+    import jax.numpy as jnp
+    from audian_tpu.view.render import noise_level_stats
+
+    buf = (rng.random((700, 3, 64)).astype(np.float32) ** 4) * 1e-4
+    nf = max(buf.shape[2] // 16, 1)
+    got = np.asarray(noise_level_stats(jnp.asarray(buf), nf))
+    assert got.shape == (3, 2)
+    for c in range(3):
+        db_tail = 10 * np.log10(np.maximum(buf[:, c, -nf:], 1e-20))
+        db_all = 10 * np.log10(np.maximum(buf[:, c, :], 1e-20))
+        assert got[c, 0] == pytest.approx(np.percentile(db_tail, 95),
+                                          abs=1e-4)
+        assert got[c, 1] == pytest.approx(np.max(db_all), abs=1e-5)
+
+
+def test_mean_power_db_slice_matches_host(rng):
+    import jax.numpy as jnp
+    from audian_tpu.view.render import mean_power_db_slice
+
+    buf = (rng.random((600, 2, 33)).astype(np.float32) ** 2) * 1e-3
+    i0, i1 = 150, 411
+    width = i1 - i0
+    wb = 1 << (width - 1).bit_length()
+    start = max(min(i0, len(buf) - wb), 0)
+    got = np.asarray(mean_power_db_slice(jnp.asarray(buf), start, 1,
+                                         i0 - start, width, wb))
+    ref = 10 * np.log10(np.maximum(buf[i0:i1, 1, :].mean(axis=0), 1e-20))
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_trace_tiler_cache_reuses_window(trace):
+    tiler = TraceTiler(max_pixels=100)
+    t1, v1 = tiler.tile(trace, 0.0, 50.0, channel=0)
+    assert len(tiler._cache) == 1
+    t2, v2 = tiler.tile(trace, 0.0, 50.0, channel=1)
+    assert len(tiler._cache) == 1  # second channel reuses the pulled tile
+    (buf_ref, tile) = next(iter(tiler._cache.values()))
+    assert buf_ref is trace.buffer
+    # a new window object invalidates the entry
+    trace.buffer = trace.buffer.copy()
+    t3, v3 = tiler.tile(trace, 0.0, 50.0, channel=0)
+    np.testing.assert_array_equal(v1, v3)
