@@ -1076,12 +1076,22 @@ class DataBrowser:
 
     def spec_tile(self, channel, zmin=None, zmax=None, quantize=False):
         trace = self.data[self.spectrogram]
-        if zmin is None or zmax is None:
-            azmin, azmax = self.estimate_power_levels(channel)
-            zmin = azmin if zmin is None else zmin
-            zmax = azmax if zmax is None else zmax
-        return self.spec_tiler.tile(trace, channel, zmin, zmax,
-                                    quantize=quantize)
+        buf = trace.buffer
+        if buf is None or len(buf) == 0:
+            return self.spec_tiler.tile(trace, channel, zmin or -100.0,
+                                        zmax or 0.0, quantize=quantize)
+        # full per-channel level vector (cheap via the cached device
+        # stats) so the tiler can serve every channel from one batched
+        # device pull; explicit levels override the requested channel
+        levels = np.array([self.estimate_power_levels(c)
+                           for c in range(buf.shape[1])], np.float32)
+        if zmin is not None:
+            levels[channel, 0] = zmin
+        if zmax is not None:
+            levels[channel, 1] = zmax
+        return self.spec_tiler.tile(trace, channel, levels[channel, 0],
+                                    levels[channel, 1], quantize=quantize,
+                                    levels=levels)
 
     def power_spectrum(self, channel, t0=None, t1=None):
         """Mean power spectrum (dB) over the visible window — the data

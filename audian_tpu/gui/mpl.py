@@ -241,13 +241,14 @@ class MplBrowserWindow:
             if c not in self._zlevels:
                 self._zlevels[c] = b.estimate_power_levels(c)
             zmin, zmax = self._zlevels[c]
-            img, rect = b.spec_tile(c, zmin, zmax)
+            # u8-quantized tiles: a quarter of the tunneled pull bytes
+            img, rect = b.spec_tile(c, zmin, zmax, quantize=True)
             if img.size:
                 ax.imshow(img.T, origin="lower", aspect="auto",
                           extent=(rect[0], rect[0] + rect[2], rect[1],
                                   rect[3]),
                           cmap=CET_TO_MPL.get(b.color_map_name, "magma"),
-                          interpolation="nearest", vmin=0, vmax=1)
+                          interpolation="nearest", vmin=0, vmax=255)
             ax.set_xlim(t0, t1)
             ax.set_ylabel("f/Hz")
         if self.crosshair is not None:

@@ -140,3 +140,24 @@ def test_trace_tiler_cache_reuses_window(trace):
     trace.buffer = trace.buffer.copy()
     t3, v3 = tiler.tile(trace, 0.0, 50.0, channel=0)
     np.testing.assert_array_equal(v1, v3)
+
+
+def test_spec_tile_batched_matches_single():
+    power = (np.abs(np.random.default_rng(1).standard_normal((128, 3, 33)))
+             + 1e-6).astype(np.float32)
+    t = FakeTrace(power.reshape(128, -1), 10.0)
+    t.buffer = power
+    tiler = SpecTiler()
+    levels = np.array([(-40.0, 0.0), (-35.0, 5.0), (-30.0, -5.0)],
+                      np.float32)
+    for c in range(3):
+        single, rect1 = tiler.tile(t, channel=c, zmin=levels[c, 0],
+                                   zmax=levels[c, 1])
+        batched, rect2 = tiler.tile(t, channel=c, zmin=levels[c, 0],
+                                    zmax=levels[c, 1], levels=levels)
+        np.testing.assert_allclose(batched, single, atol=1e-6)
+        assert rect1 == rect2
+    assert len(tiler._cache) == 1  # all three channels shared one pull
+    q, _ = tiler.tile(t, channel=0, zmin=-40.0, zmax=0.0, levels=levels,
+                      quantize=True)
+    assert q.dtype == np.uint8
