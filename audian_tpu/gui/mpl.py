@@ -79,6 +79,7 @@ class MplBrowserWindow:
         self.fig.canvas.mpl_connect("button_press_event", self.on_press)
         self.fig.canvas.mpl_connect("button_release_event", self.on_release)
         self._zlevels = {}
+        self._artists = {}  # persistent per-axes artists (see _ax_artists)
         self.region_mode = "zoom"  # zoom | play | analyze | save
         self.zoom_history = ZoomHistory()
         self.zoom_history.init(Rect(browser.toffset, 0,
@@ -201,63 +202,108 @@ class MplBrowserWindow:
         finally:
             self._in_redraw = False
 
+    def _ax_artists(self, kind, c, ax):
+        """Persistent artists per axes — ``ax.clear()`` + replot costs
+        ~100 ms of tick/spine reconstruction per axes, so redraws only
+        push new data into existing Line2D/AxesImage objects."""
+        art = self._artists.get((kind, c))
+        if art is not None:
+            return art
+        from matplotlib.collections import LineCollection
+
+        art = {
+            "cx": ax.axvline(0.0, color="#cccc00", lw=0.8, visible=False),
+            "cy": ax.axhline(0.0, color="#cccc00", lw=0.8, visible=False),
+        }
+        if kind == "trace":
+            art["trace"] = ax.plot([], [], lw=0.6)[0]
+            art["env"] = ax.plot([], [], lw=1.2, visible=False)[0]
+            art["marks"] = LineCollection(
+                [], colors="yellow", lw=0.8, alpha=0.7,
+                transform=ax.get_xaxis_transform())
+            ax.add_collection(art["marks"])
+            art["events"] = ax.scatter([], [], s=16, zorder=5)
+            ax.set_ylabel(f"ch {c}")
+        else:
+            art["im"] = ax.imshow(np.zeros((1, 1)), origin="lower",
+                                  aspect="auto", interpolation="nearest",
+                                  vmin=0, vmax=255, extent=(0, 1, 0, 1),
+                                  visible=False)
+            ax.set_ylabel("f/Hz")
+        self._artists[(kind, c)] = art
+        return art
+
     def _redraw(self):
         b = self.browser
         t0, t1 = b.toffset, b.toffset + b.twindow
         name = "filtered" if "filtered" in b.data else "data"
         for c, ax in self.trace_axs.items():
-            ax.set_visible(c in b.show_channels and b.show_traces)
-            ax.clear()
+            visible = c in b.show_channels and b.show_traces
+            ax.set_visible(visible)
+            if not visible:
+                continue
+            art = self._ax_artists("trace", c, ax)
             times, values = b.trace_tile(name, c)
-            if len(times) > 1:
-                ax.plot(times, values, lw=0.6,
-                        color=b.data[name].color if name != "data"
-                        else "#0000ee")
-            if "envelope" in b.data and b.data.is_visible("envelope"):
-                etimes, evalues = b.trace_tile("envelope", c)
-                if len(etimes) > 1:
-                    ax.plot(etimes, evalues, lw=1.2,
-                            color=b.data["envelope"].color)
+            art["trace"].set_data(times, values)
+            art["trace"].set_color(b.data[name].color if name != "data"
+                                   else "#0000ee")
+            env_on = "envelope" in b.data and b.data.is_visible("envelope")
+            art["env"].set_visible(env_on)
+            if env_on:
+                art["env"].set_data(*b.trace_tile("envelope", c))
+                art["env"].set_color(b.data["envelope"].color)
             # markers (`markerdata.py` events shown on the traces)
-            for tm, ch in zip(b.marker_data.times, b.marker_data.channels):
-                if t0 <= tm <= t1 and (ch == c or ch < 0):
-                    ax.axvline(tm, color="yellow", lw=0.8, alpha=0.7)
+            art["marks"].set_segments(
+                [((tm, 0.0), (tm, 1.0))
+                 for tm, ch in zip(b.marker_data.times,
+                                   b.marker_data.channels)
+                 if t0 <= tm <= t1 and (ch == c or ch < 0)])
             # analyzer event markers
+            xs, ys, cols = [], [], []
             for a in b.analyzers:
                 for items in a.events.values():
                     if c < len(items) and len(items[c].x):
-                        ax.scatter(items[c].x, items[c].y, s=16,
-                                   color=items[c].color or "red", zorder=5)
+                        xs.extend(items[c].x)
+                        ys.extend(items[c].y)
+                        cols.extend([items[c].color or "red"]
+                                    * len(items[c].x))
+            art["events"].set_offsets(
+                np.column_stack([xs, ys]) if xs else np.empty((0, 2)))
+            if cols:
+                art["events"].set_color(cols)
             ax.set_xlim(t0, t1)
             lo, hi = b.get_range("x", c)
             if lo is not None and hi is not None and hi > lo:
                 ax.set_ylim(lo, hi)
-            ax.set_ylabel(f"ch {c}")
         for c, ax in self.spec_axs.items():
             ax.set_visible(c in b.show_channels and b.show_specs > 0)
             if not ax.get_visible():
                 continue
-            ax.clear()
+            art = self._ax_artists("spec", c, ax)
             if c not in self._zlevels:
                 self._zlevels[c] = b.estimate_power_levels(c)
             zmin, zmax = self._zlevels[c]
             # u8-quantized tiles: a quarter of the tunneled pull bytes
             img, rect = b.spec_tile(c, zmin, zmax, quantize=True)
+            art["im"].set_visible(bool(img.size))
             if img.size:
-                ax.imshow(img.T, origin="lower", aspect="auto",
-                          extent=(rect[0], rect[0] + rect[2], rect[1],
-                                  rect[3]),
-                          cmap=CET_TO_MPL.get(b.color_map_name, "magma"),
-                          interpolation="nearest", vmin=0, vmax=255)
+                art["im"].set_data(img.T)
+                art["im"].set_extent((rect[0], rect[0] + rect[2],
+                                      rect[1], rect[3]))
+                art["im"].set_cmap(CET_TO_MPL.get(b.color_map_name,
+                                                  "magma"))
             ax.set_xlim(t0, t1)
-            ax.set_ylabel("f/Hz")
-        if self.crosshair is not None:
-            channel, tx, yx, kind = self.crosshair
-            axmap = self.trace_axs if kind == "trace" else self.spec_axs
-            ax = axmap.get(channel)
-            if ax is not None:
-                ax.axvline(tx, color="#cccc00", lw=0.8)
-                ax.axhline(yx, color="#cccc00", lw=0.8)
+        for key, art in self._artists.items():
+            if not isinstance(key, tuple):
+                continue
+            kind, c = key
+            on = (self.crosshair is not None
+                  and self.crosshair[3] == kind and self.crosshair[0] == c)
+            art["cx"].set_visible(on)
+            art["cy"].set_visible(on)
+            if on:
+                art["cx"].set_xdata([self.crosshair[1]] * 2)
+                art["cy"].set_ydata([self.crosshair[2]] * 2)
         self._draw_overview()
         title = Path(str(b.data.file_path)).name
         f = b.data["filtered"]
@@ -276,19 +322,31 @@ class MplBrowserWindow:
         ax.set_visible(b.show_fulldata)
         if not b.show_fulldata:
             return
-        ax.clear()
+        art = self._artists.get("overview")
+        if art is None:
+            art = {"span": ax.axvspan(0.0, 1.0, color="#2255cc", alpha=0.4),
+                   "fill": None, "fill_key": None}
+            ax.set_yticks([])
+            ax.set_xlabel("time/s")
+            self._artists["overview"] = art
         ft = b.fulltrace
-        if ft is not None and ft.datas is not None:
-            c = b.show_channels[0]
-            ax.fill_between(ft.times[: len(ft.datas)],
-                            ft.datas[0::2, c].repeat(2)[: len(ft.times)],
-                            ft.datas[1::2, c].repeat(2)[: len(ft.times)],
-                            color="#888888", lw=0)
-        ax.axvspan(b.toffset, b.toffset + b.twindow, color="#2255cc",
-                   alpha=0.4)
+        c = b.show_channels[0] if b.show_channels else 0
+        key = (id(ft.datas) if ft is not None and ft.datas is not None
+               else None, c)
+        if key != art["fill_key"]:
+            if art["fill"] is not None:
+                art["fill"].remove()
+                art["fill"] = None
+            if key[0] is not None:
+                art["fill"] = ax.fill_between(
+                    ft.times[: len(ft.datas)],
+                    ft.datas[0::2, c].repeat(2)[: len(ft.times)],
+                    ft.datas[1::2, c].repeat(2)[: len(ft.times)],
+                    color="#888888", lw=0)
+            art["fill_key"] = key
+        x0, x1 = b.toffset, b.toffset + b.twindow
+        art["span"].set_bounds(x0, 0.0, x1 - x0, 1.0)
         ax.set_xlim(0, b.data.frames / b.data.rate)
-        ax.set_yticks([])
-        ax.set_xlabel("time/s")
 
     # -- interaction --------------------------------------------------------------
 
