@@ -10,6 +10,8 @@ on the tiny decimated envelopes on the host.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import scipy.signal as sps
 import jax
@@ -26,6 +28,60 @@ def _filtfilt_device(design, x):
     pytree with pow2-bucketed kernels, so cutoff changes reuse the
     compiled program."""
     return sosfiltfilt_fir(design.fir, x, design.zi0, design.padlen, axis=0)
+
+
+@jax.jit
+def _band_env_device(fdesign, edesign, x):
+    """Fused bandpass + squared-RMS envelope in one device program: the
+    full-rate stream never returns to the host between the stages (over
+    the tunneled link one pull+re-upload of an hour-long recording costs
+    about a minute).  Returns (filtered, full-rate envelope); the caller
+    decimates with an eager device slice so the decimation step is not
+    baked into the compiled program."""
+    y = sosfiltfilt_fir(fdesign.fir, x, fdesign.zi0, fdesign.padlen, axis=0)
+    e = 2.0 * sosfiltfilt_fir(edesign.fir, y * y, edesign.zi0,
+                              edesign.padlen, axis=0)
+    env = jnp.sqrt(jnp.maximum(e, 0.0)) * jnp.sqrt(2.0)
+    return y, env
+
+
+#: frames per device chunk for whole-recording batch detection — one giant
+#: program over an hour-long recording compiles for minutes on the
+#: tunneled backend, so long inputs stream through one fixed chunk shape
+_CHUNK = 1 << 21
+
+
+def _band_env_chunks(fdesign, edesign, x, step, return_filtered):
+    """Chunked driver around :func:`_band_env_device`.
+
+    Interior chunks carry halos covering the full influence length of the
+    truncated FIR kernels (forward + backward + pad), so chunked output
+    equals single-program output to f32 roundoff; at the global head and
+    tail the extension window coincides with the true signal edge, so the
+    scipy odd-extension semantics apply exactly.  Every chunk reuses ONE
+    compiled shape (windows are slid, never padded).
+    """
+    n = x.shape[0]
+    halo = int(fdesign.fir.length + edesign.fir.length
+               + fdesign.padlen + edesign.padlen)
+    halo = -(-halo // step) * step
+    Lc = max((_CHUNK // step) * step, step)
+    W = Lc + 2 * halo
+    if n <= W:
+        y, env = _band_env_device(fdesign, edesign, jnp.asarray(x))
+        return (np.asarray(y) if return_filtered else None,
+                np.array(env[::step]))
+    outs_y, outs_e = [], []
+    for pos in range(0, n, Lc):
+        L = min(Lc, n - pos)
+        a = min(max(pos - halo, 0), n - W)
+        y, env = _band_env_device(fdesign, edesign, jnp.asarray(x[a : a + W]))
+        hb = pos - a
+        outs_e.append(np.array(env[hb : hb + L : step]))
+        if return_filtered:
+            outs_y.append(np.asarray(y[hb : hb + L]))
+    return (np.concatenate(outs_y) if return_filtered else None,
+            np.concatenate(outs_e))
 
 __all__ = [
     "threshold_crossings", "merge_events", "remove_events", "widen_events",
@@ -300,20 +356,35 @@ def analyse_songs(onsets, offsets, envelopes, rate, envfreqs, thresholds,
 def detect(data, rate, highpassfreq=1000.0, lowpassfreq=10000.0,
            envelopecutofffreq=500.0, envelopepeakthresh=10.0,
            envelopefilter="apply", thresholdfactor=8.0, minthreshfac=1.0,
-           minduration=0.5, verbose=0):
+           minduration=0.5, verbose=0, return_filtered=True):
     """The full songdetector pipeline (`songdetector.py:745-767`).
 
     Returns a dict with the filtered data, fast and slow envelopes,
     envelope rate, thresholds, and per-channel song onset/offset times.
+    ``return_filtered=False`` skips pulling the full-rate filtered stream
+    to the host (``result["filtered"] is None``) — batch jobs that only
+    want the event table save that transfer.
     """
     data = np.atleast_2d(np.asarray(data, np.float64))
     if data.shape[0] < data.shape[1]:
         data = data.T
     log = print if verbose else (lambda *a, **k: None)
-    log("apply bandpass filter ...")
-    fdata = bandpass_filter(data, rate, highpassfreq, lowpassfreq)
-    log("compute envelope ...")
-    env, envrate = square_envelope(fdata, rate, envelopecutofffreq)
+    log("apply bandpass filter + envelope ...")
+    # one fused device program: filter -> squared envelope -> decimate,
+    # with only the decimated envelope (and optionally the filtered
+    # stream) crossing back to the host
+    fdesign = FilterDesign.from_sos(sps.butter(
+        1, (_clamp_cutoff(highpassfreq, rate),
+            _clamp_cutoff(lowpassfreq, rate)), "bandpass", fs=rate,
+        output="sos"))
+    edesign = FilterDesign.from_sos(sps.butter(
+        1, _clamp_cutoff(envelopecutofffreq, rate), "lowpass", fs=rate,
+        output="sos"))
+    envrate_t = min(envelopecutofffreq * 10, rate)
+    step = int(np.round(rate / envrate_t))
+    fdata, env = _band_env_chunks(fdesign, edesign, data, step,
+                                  return_filtered)
+    envrate = rate / step
     log("low-pass filter envelope ...")
     slowenv = lowpass_filter(env, envrate, 1.0 / minduration)
     log("estimate thresholds ...")

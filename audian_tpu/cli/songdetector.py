@@ -124,6 +124,9 @@ def main(cargs=None):
             minthreshfac=cfg.value("minthreshfac"),
             minduration=cfg.value("minduration"),
             verbose=args.verbose,
+            # only the viewer plots the full-rate filtered stream; batch
+            # runs skip pulling it from the device
+            return_filtered=bool(args.plot or args.plot_png),
         )
         table = ResultTable()
         table.append("channel", "", "%.0f")

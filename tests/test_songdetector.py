@@ -201,3 +201,33 @@ def test_songdetector_cli_plot_png(tmp_path, rng):
                             "-o", str(tmp_path / "songs.csv")])
     assert rc == 0
     assert png.exists() and (tmp_path / "songs.csv").exists()
+
+
+def test_band_env_chunked_matches_whole(rng, monkeypatch):
+    """Chunked whole-recording detection DSP == single-program output."""
+    import jax.numpy as jnp
+    import scipy.signal as sps
+    from audian_tpu.ops import FilterDesign
+    from audian_tpu.analysis import events
+
+    rate = 20000.0
+    n = 50000
+    x = rng.standard_normal((n, 2))
+    fdesign = FilterDesign.from_sos(
+        sps.butter(1, (5500.0, 7500.0), "bandpass", fs=rate, output="sos"))
+    edesign = FilterDesign.from_sos(
+        sps.butter(1, 100.0, "lowpass", fs=rate, output="sos"))
+    step = 20
+    y_ref, env_ref = events._band_env_device(fdesign, edesign,
+                                             jnp.asarray(x))
+    y_ref = np.asarray(y_ref)
+    env_ref = np.asarray(env_ref[::step])
+    monkeypatch.setattr(events, "_CHUNK", 8192)
+    y, env = events._band_env_chunks(fdesign, edesign, x, step, True)
+    assert y.shape == y_ref.shape and env.shape == env_ref.shape
+    np.testing.assert_allclose(y, y_ref, atol=1e-10)
+    np.testing.assert_allclose(env, env_ref, atol=1e-10)
+    # filtered pull is optional
+    y2, env2 = events._band_env_chunks(fdesign, edesign, x, step, False)
+    assert y2 is None
+    np.testing.assert_allclose(env2, env, atol=0)
