@@ -68,9 +68,15 @@ def _band_env_chunks(fdesign, edesign, x, step, return_filtered):
     Lc = max((_CHUNK // step) * step, step)
     W = Lc + 2 * halo
     if n <= W:
-        y, env = _band_env_device(fdesign, edesign, jnp.asarray(x))
+        # below one chunk, host scipy (float64 — the oracle itself) wins:
+        # a fresh device shape costs 10+ s of XLA compile on the tunneled
+        # backend, far more than the compute, and small recordings come
+        # in arbitrary lengths
+        y = sps.sosfiltfilt(fdesign.sos, x, axis=0)
+        e = 2.0 * sps.sosfiltfilt(edesign.sos, y * y, axis=0)
+        env = np.sqrt(np.maximum(e, 0.0)[::step]) * np.sqrt(2.0)
         return (np.asarray(y) if return_filtered else None,
-                np.array(env[::step]))
+                np.ascontiguousarray(env))
     outs_y, outs_e = [], []
     for pos in range(0, n, Lc):
         L = min(Lc, n - pos)
