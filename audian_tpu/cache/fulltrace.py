@@ -99,7 +99,7 @@ class FullTraceData:
             info = self.data._infos[k]
             rate, channels, frames, enc, data_off = info
             part = None
-            if self.data.unwrap_thresh <= 1e-3:
+            if self.data.unwrap_thresh <= 1e-3 and data_off is not None:
                 part = native.file_minmax(path, data_off, enc, channels,
                                           frames, step)
             if part is None:
@@ -107,6 +107,14 @@ class FullTraceData:
             n = min(len(part), len(out) - row)
             out[row : row + n] = part[:n]
             row += n
+        # persist as soon as the computation finishes so the NEXT session
+        # loads instead of recomputing (the reference saves from its GUI
+        # poll, `src/audian/fulltraceplot.py:182` — headless/batch runs
+        # here have no poll, so the worker saves directly)
+        try:
+            self.save_data()
+        except Exception:
+            pass
 
     def _compute_python(self, k, step):
         """Fallback: block-strided numpy reduction over one file."""
@@ -169,17 +177,21 @@ class FullTraceData:
         files = {}
         if index_path.exists():
             files = json.loads(index_path.read_text())
-        name = f"{1:08X}-fulltrace.wav"
-        for k in range(1, self.max_files + 10):
-            name = f"{k:08X}-fulltrace.wav"
-            if name not in files:
-                break
+        first = os.fspath(Path(self.data.file_paths[0]).absolute())
+        last = os.fspath(Path(self.data.file_paths[-1]).absolute())
+        # re-saving the same recording updates its entry in place
+        name = next((n for n, p in files.items()
+                     if p["first"] == first and p["last"] == last), None)
+        if name is None:
+            for k in range(1, self.max_files + 10):
+                name = f"{k:08X}-fulltrace.wav"
+                if name not in files:
+                    break
         ts = datetime.now().isoformat()
         rate = 1.0 / (self.times[1] - self.times[0])
         files[name] = dict(
-            first=os.fspath(Path(self.data.file_paths[0]).absolute()),
-            last=os.fspath(Path(self.data.file_paths[-1]).absolute()),
-            rate=rate, created=ts, used=ts,
+            first=first, last=last, rate=rate,
+            created=files.get(name, {}).get("created", ts), used=ts,
         )
         # LRU eviction by the `used` stamp
         if len(files) > self.max_files:

@@ -230,32 +230,47 @@ def load_wav(path, return_buffer=False):
         elif cid == b"data":
             tag, channels, rate, bits = fmt
             data = _decode(buf[off : off + size], tag, bits, channels)
-        elif cid == b"bext":
-            md["BEXT"] = _parse_bext(buf, off, size)
-        elif cid == b"LIST":
-            kind, entries = _parse_list(buf, off, size)
-            if kind == b"INFO":
-                for tag4, bodies in entries.items():
-                    key = _INFO_TAGS.get(tag4, tag4)
-                    md[key] = _cstr(bodies[0])
-            elif kind == b"adtl":
-                for body in entries.get("labl", []):
-                    (cue_id,) = struct.unpack_from("<I", body, 0)
-                    names[cue_id] = _cstr(body[4:])
-                for body in entries.get("note", []):
-                    (cue_id,) = struct.unpack_from("<I", body, 0)
-                    notes[cue_id] = _cstr(body[4:])
-                for body in entries.get("ltxt", []):
-                    cue_id, length = struct.unpack_from("<II", body, 0)
-                    lengths[cue_id] = length
-        elif cid == b"cue ":
-            (ncues,) = struct.unpack_from("<I", buf, off)
-            for k in range(ncues):
-                base = off + 4 + 24 * k
-                cue_id, _, _, _, _, pos = struct.unpack_from("<IIIIII", buf, base)
-                cues[cue_id] = pos
+        else:
+            _collect_meta(cid, buf, off, size, md, cues, lengths, names,
+                          notes)
     if fmt is None or data is None:
         raise WavError(f"{path}: missing fmt/data chunk")
+    locs, labels = _marker_arrays(cues, lengths, names, notes)
+    rate = float(fmt[2])
+    if return_buffer:
+        return data, rate, md, locs, labels, buf
+    return data, rate, md, locs, labels
+
+
+def _collect_meta(cid, buf, off, size, md, cues, lengths, names, notes):
+    """Fold one non-data chunk into the metadata/marker accumulators."""
+    if cid == b"bext":
+        md["BEXT"] = _parse_bext(buf, off, size)
+    elif cid == b"LIST":
+        kind, entries = _parse_list(buf, off, size)
+        if kind == b"INFO":
+            for tag4, bodies in entries.items():
+                key = _INFO_TAGS.get(tag4, tag4)
+                md[key] = _cstr(bodies[0])
+        elif kind == b"adtl":
+            for body in entries.get("labl", []):
+                (cue_id,) = struct.unpack_from("<I", body, 0)
+                names[cue_id] = _cstr(body[4:])
+            for body in entries.get("note", []):
+                (cue_id,) = struct.unpack_from("<I", body, 0)
+                notes[cue_id] = _cstr(body[4:])
+            for body in entries.get("ltxt", []):
+                cue_id, length = struct.unpack_from("<II", body, 0)
+                lengths[cue_id] = length
+    elif cid == b"cue ":
+        (ncues,) = struct.unpack_from("<I", buf, off)
+        for k in range(ncues):
+            base = off + 4 + 24 * k
+            cue_id, _, _, _, _, pos = struct.unpack_from("<IIIIII", buf, base)
+            cues[cue_id] = pos
+
+
+def _marker_arrays(cues, lengths, names, notes):
     ids = sorted(cues)
     locs = np.array(
         [[cues[i], lengths.get(i, 0)] for i in ids], dtype=np.int64
@@ -263,10 +278,53 @@ def load_wav(path, return_buffer=False):
     labels = np.array(
         [[names.get(i, ""), notes.get(i, "")] for i in ids], dtype=object
     ).reshape(-1, 2)
-    rate = float(fmt[2])
-    if return_buffer:
-        return data, rate, md, locs, labels, buf
-    return data, rate, md, locs, labels
+    return locs, labels
+
+
+def scan_wav(path):
+    """Header-only scan: ``(rate, md, locs, labels)`` without reading the
+    data payload.
+
+    ``metadata()``/``markers()`` used to go through :func:`load_wav`,
+    which reads and decodes the whole file — 60+ s for a 368 MB recording
+    on this host just to look at header chunks.  This seeks past ``data``
+    and parses only the metadata/marker chunks (milliseconds).
+    """
+    p = Path(path)
+    md = {}
+    cues, lengths, names, notes = {}, {}, {}, {}
+    fmt = None
+    with p.open("rb") as f:
+        head = f.read(12)
+        if head[:4] != b"RIFF" or head[8:12] != b"WAVE":
+            sf = _soundfile()
+            if sf is None:
+                raise _sf_unavailable(path)
+            i = sf.info(str(p))
+            locs, labels = _marker_arrays({}, {}, {}, {})
+            return float(i.samplerate), {}, locs, labels
+        while True:
+            hdr = f.read(8)
+            if len(hdr) < 8:
+                break
+            cid = hdr[:4]
+            (size,) = struct.unpack("<I", hdr[4:])
+            padded = size + (size & 1)
+            if cid == b"data":
+                f.seek(padded, 1)
+                continue
+            body = f.read(padded)
+            if len(body) < padded:
+                break
+            if cid == b"fmt ":
+                fmt = _parse_fmt(body, 0, size)
+            else:
+                _collect_meta(cid, body, 0, size, md, cues, lengths,
+                              names, notes)
+    if fmt is None:
+        raise WavError(f"{path}: missing fmt chunk")
+    locs, labels = _marker_arrays(cues, lengths, names, notes)
+    return float(fmt[2]), md, locs, labels
 
 
 def load_audio(path):
@@ -276,12 +334,12 @@ def load_audio(path):
 
 
 def metadata(path):
-    _, _, md, _, _ = load_wav(path)
+    _, md, _, _ = scan_wav(path)
     return md
 
 
 def markers(path):
-    _, _, _, locs, labels = load_wav(path)
+    _, _, locs, labels = scan_wav(path)
     return locs, labels
 
 

@@ -274,3 +274,29 @@ def test_incremental_scroll_matches_full_recompute(tmp_path, rng):
     np.testing.assert_allclose(full, np.asarray(d["filtered"].buffer),
                                atol=2e-6)
     d.close()
+
+
+def test_pcm16_device_upload_exact(tmp_path, rng):
+    """PCM-16 sources upload as int16 and dequantize on device — the
+    device raw mirror must equal the host decode bit-for-bit, with
+    sliding updates taking the same quantized path."""
+    rate = 8000.0
+    x = np.clip(0.4 * rng.standard_normal((int(20.0 * rate), 2)), -1, 0.99)
+    p = tmp_path / "p16.wav"
+    wavio.write_audio(p, x, rate, encoding="PCM_16")
+    d = Data(p, buffer_time=6.0, back_time=2.0)
+    for node in default_traces():
+        d.add_trace(node)
+    d.setup_traces()
+    d.open()
+    d.update_times(0.0, 2.0)
+    dev = d._device_raw()
+    host = d.data.buffer
+    assert np.array_equal(np.asarray(dev), host.astype(np.float32))
+    # slide and re-check bit-exactness of the stitched device window
+    for k in range(1, 5):
+        d.update_times(1.5 * k, 1.5 * k + 3.0)
+    dev = d._device_raw()
+    host = d.data.buffer
+    assert np.array_equal(np.asarray(dev), host.astype(np.float32))
+    d.close()

@@ -104,3 +104,16 @@ def test_compress_cli(wav, capsys):
 def test_compress_cli_kwargs_parse():
     kw = compress.parse_load_kwargs(["rate=100,channels=2", "unit=V"])
     assert kw == {"rate": 100, "channels": 2, "unit": "V"}
+
+
+def test_background_compute_saves_to_cache(wav, monkeypatch, tmp_path):
+    """The background decimator persists on completion so the NEXT
+    session loads instead of recomputing."""
+    p, x = wav
+    ld = AudioLoader(p)
+    ft = FullTraceData(ld)
+    ft.start(100, background=True)
+    ft.wait()
+    ft2 = FullTraceData(AudioLoader(p))
+    assert ft2.load_data() is True
+    np.testing.assert_allclose(ft2.datas, ft.datas, atol=1e-12)
