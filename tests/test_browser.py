@@ -192,3 +192,62 @@ def test_time_info_rows(browser):
     assert "Time" in kinds  # file has a BEXT start time
     abs_row = rows[kinds.index("Time")]
     assert abs_row[2].startswith("2026-05-05 6:08:13")
+
+
+# -- interactivity contract: steady state never recompiles --------------------
+
+
+def test_no_recompiles_in_steady_state(tmp_path, rng):
+    """After warmup, scrolling and parameter scrubbing reuse compiled
+    programs (CLAUDE.md architecture invariant). Counts actual XLA
+    compilations via jax's compile logging."""
+    import logging
+    import jax
+
+    rate = 8000.0
+    x = (0.3 * np.sin(2 * np.pi * 440.0 *
+                      np.arange(int(30.0 * rate)) / rate)
+         + 0.02 * rng.standard_normal(int(30.0 * rate)))
+    x = np.stack([x, 0.5 * x], axis=1)
+    p = tmp_path / "nr.wav"
+    wavio.write_audio(p, x, rate, encoding="PCM_16")
+    b = DataBrowser(str(p))
+    b.open()
+    b.set_times(0.0, 2.0)
+
+    def interact(k):
+        # scroll at constant zoom (set_times takes offset, WINDOW LENGTH)
+        b.set_times(2.0 + 0.7 * k, 2.0)
+        b.update_filter(highpass_cutoff=100.0 + 10.0 * (k % 3))
+        b.update_envelope(400.0 + 25.0 * (k % 3))
+        for c in range(2):
+            b.trace_tile("filtered", c)
+            b.spec_tile(c)
+        b.power_spectrum(0)
+        b.estimate_power_levels(1)
+
+    for k in range(4):  # warmup: compile every program variant
+        interact(k)
+
+    records = []
+
+    class Grab(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    handler = Grab()
+    loggers = [logging.getLogger("jax._src.dispatch"),
+               logging.getLogger("jax._src.interpreters.pxla")]
+    jax.config.update("jax_log_compiles", True)
+    try:
+        for lg in loggers:
+            lg.addHandler(handler)
+        for k in range(4, 10):
+            interact(k)
+    finally:
+        jax.config.update("jax_log_compiles", False)
+        for lg in loggers:
+            lg.removeHandler(handler)
+    compiles = [r for r in records if "Compiling" in r or "compilation" in r]
+    assert not compiles, f"steady state recompiled: {compiles[:4]}"
+    b.close()
