@@ -29,6 +29,7 @@ from ..analysis import (Plugins, PlainAnalyzer, StatisticsAnalyzer,
 from ..cache import FullTraceData
 from ..view.render import (TraceTiler, SpecTiler, noise_level_stats,
                            mean_power_db_slice)
+from ..utils import trace as _trace
 from .markers import MarkerData, MarkerLabel
 
 
@@ -1140,6 +1141,8 @@ class DataBrowser:
             cached = self._power_level_stats
             if cached is None or cached[0] is not buf:
                 cached = (buf, np.asarray(noise_level_stats(buf, nf)))
+                _trace.trace_event("render.pull", op="noise_levels",
+                                   bytes=cached[1].nbytes)
                 self._power_level_stats = cached
             db_tail, db_all = cached[1][channel]
         else:

@@ -20,6 +20,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..utils import trace as _trace
+
 __all__ = ["TraceTiler", "SpecTiler", "pick_amplitude"]
 
 
@@ -66,6 +68,8 @@ class TraceTiler:
         if hit is not None and hit[0] is buf:
             return hit[1]
         tile = np.asarray(kernel(buf, *args))
+        _trace.trace_event("render.pull", op=kernel.__name__,
+                           bytes=tile.nbytes)
         if len(self._cache) > 32:
             self._cache.clear()
         self._cache[key] = (buf, tile)
@@ -282,6 +286,8 @@ class SpecTiler:
                 stack = np.asarray(_db_tile_slice_all(
                     buf, s2, jnp.asarray(levels[:, 0]),
                     jnp.asarray(levels[:, 1]), wb, bool(quantize), pool))
+                _trace.trace_event("render.pull", op="db_tile_all",
+                                   bytes=stack.nbytes)
                 if len(self._cache) > 8:
                     self._cache.clear()
                 hit = (buf, stack)
@@ -291,6 +297,8 @@ class SpecTiler:
             img = np.asarray(_db_tile_slice(jnp.asarray(buf), s2, channel,
                                             float(zmin), float(zmax), wb,
                                             bool(quantize), pool))
+            _trace.trace_event("render.pull", op="db_tile",
+                               bytes=img.nbytes)
         img = img[(i0 - s2) // pool : -(-(i1 - s2) // pool)]
         i0 = s2 + ((i0 - s2) // pool) * pool
         i1 = min(i0 + img.shape[0] * pool, s2 + wb)

@@ -251,3 +251,43 @@ def test_no_recompiles_in_steady_state(tmp_path, rng):
     compiles = [r for r in records if "Compiling" in r or "compilation" in r]
     assert not compiles, f"steady state recompiled: {compiles[:4]}"
     b.close()
+
+
+def test_steady_state_pull_budget(tmp_path, rng):
+    """Steady-state interaction pulls only pixel-sized tiles across the
+    host link — guards against reintroducing whole-window transfers
+    (the naive auto-level path pulled ~200 MB per redraw)."""
+    from audian_tpu.utils import trace as tr
+
+    rate = 8000.0
+    x = 0.1 * rng.standard_normal((int(30.0 * rate), 2))
+    p = tmp_path / "pb.wav"
+    wavio.write_audio(p, x, rate, encoding="PCM_16")
+    b = DataBrowser(str(p))
+    b.open()
+    b.set_times(0.0, 2.0)
+
+    def view(k):
+        b.set_times(2.0 + 0.7 * k, 2.0)
+        for c in range(2):
+            b.trace_tile("filtered", c)
+            b.spec_tile(c, quantize=True)
+        b.estimate_power_levels(0)
+
+    view(0)
+    tr.enable(log=False)
+    tr.clear()
+    try:
+        for k in range(1, 6):
+            view(k)
+        pulls = tr.events("render.pull")
+    finally:
+        tr.disable()
+    total = sum(e["bytes"] for e in pulls)
+    # 5 interactions x (1 multi-channel trace tile + 1 u8 image stack +
+    # level stats): a few hundred KB total, nowhere near window size
+    window_bytes = b.data["filtered"].buffer.size * 4
+    assert total < 2_000_000, f"pulled {total} bytes in steady state"
+    assert total < window_bytes / 10
+    assert all(e["bytes"] < 600_000 for e in pulls)
+    b.close()
