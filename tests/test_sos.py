@@ -234,3 +234,30 @@ def test_sosfilt_fir_multichannel(sos, signal):
     got = np.asarray(sosfilt_fir(k, x, axis=0))
     want = sps.sosfilt(sos, x, axis=0)
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_sosfilt_fir_random_designs(rng):
+    """Fuzz the FIR production path over random Butterworth designs
+    (order 1-4, low/high/band, cutoffs across the band) against the
+    scipy float64 oracle at the 1e-5 contract."""
+    import scipy.signal as sps
+    from audian_tpu.ops import FilterDesign, sosfiltfilt_fir
+
+    n = 20000
+    x = rng.standard_normal((n, 2))
+    x64 = x.astype(np.float64)
+    for k in range(8):
+        order = int(rng.integers(1, 5))
+        kind = ["lowpass", "highpass", "bandpass"][k % 3]
+        lo = float(rng.uniform(200.0, 4000.0))
+        hi = float(rng.uniform(lo * 1.8, 20000.0))
+        wn = (lo, hi) if kind == "bandpass" else (lo if kind == "highpass"
+                                                  else hi)
+        sos = sps.butter(order, wn, kind, fs=RATE, output="sos")
+        d = FilterDesign.from_sos(sos)
+        got = np.asarray(sosfiltfilt_fir(
+            d.fir, jnp.asarray(x, jnp.float32), d.zi0, d.padlen, axis=0))
+        want = sps.sosfiltfilt(sos, x64, axis=0)
+        scale = max(np.max(np.abs(want)), 1e-9)
+        err = np.max(np.abs(got - want)) / scale
+        assert err <= 1e-5, (kind, order, wn, err)
