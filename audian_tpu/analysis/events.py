@@ -30,6 +30,17 @@ def _filtfilt_device(design, x):
     return sosfiltfilt_fir(design.fir, x, design.zi0, design.padlen, axis=0)
 
 
+@functools.partial(jax.jit, static_argnames=("step",))
+def _strided_at(env, r, step):
+    """``env[r::step]`` with a *traced* offset ``r`` — a direct strided
+    slice would bake the (per-recording) offset and length into the
+    program; this reshape+gather keeps one compiled shape per
+    ``(window, step)``."""
+    m = env.shape[0] // step
+    blocks = env[: m * step].reshape((m, step) + env.shape[1:])
+    return jax.lax.dynamic_index_in_dim(blocks, r, axis=1, keepdims=False)
+
+
 @jax.jit
 def _band_env_device(fdesign, edesign, x):
     """Fused bandpass + squared-RMS envelope in one device program: the
@@ -83,9 +94,15 @@ def _band_env_chunks(fdesign, edesign, x, step, return_filtered):
         a = min(max(pos - halo, 0), n - W)
         y, env = _band_env_device(fdesign, edesign, jnp.asarray(x[a : a + W]))
         hb = pos - a
-        outs_e.append(np.array(env[hb : hb + L : step]))
+        # fixed-shape device programs + host-side crops: per-chunk
+        # slice lengths/offsets vary with the recording length, and
+        # every distinct eager-slice shape costs a fresh remote compile
+        r = hb % step
+        env_s = np.asarray(_strided_at(env, r, step))
+        j0 = (hb - r) // step
+        outs_e.append(env_s[j0 : j0 - (-L // step)])
         if return_filtered:
-            outs_y.append(np.asarray(y[hb : hb + L]))
+            outs_y.append(np.asarray(y)[hb : hb + L])
     return (np.concatenate(outs_y) if return_filtered else None,
             np.concatenate(outs_e))
 

@@ -1138,11 +1138,16 @@ class DataBrowser:
             # all-channel device reduction, cached per window: the naive
             # route pulls the whole ~200 MB spectrogram window to the
             # host per channel (seconds over the tunneled link)
+            import weakref
+
             cached = self._power_level_stats
-            if cached is None or cached[0] is not buf:
-                cached = (buf, np.asarray(noise_level_stats(buf, nf)))
+            if cached is None or cached[0]() is not buf:
+                stats = np.asarray(noise_level_stats(buf, nf))
                 _trace.trace_event("render.pull", op="noise_levels",
-                                   bytes=cached[1].nbytes)
+                                   bytes=stats.nbytes)
+                # weak ref: a strong one would pin the superseded
+                # spectrogram window (~200 MB) on the device
+                cached = (weakref.ref(buf), stats)
                 self._power_level_stats = cached
             db_tail, db_all = cached[1][channel]
         else:

@@ -202,9 +202,15 @@ class FullTraceData:
                 except OSError:
                     pass
                 files.pop(f)
+        # artifact first, atomically (temp + rename), THEN the index —
+        # this save can run on a daemon thread that interpreter shutdown
+        # kills mid-write, and an indexed truncated WAV would poison
+        # every later open of this recording
+        tmp = cache / (name + ".tmp")
+        wavio.write_audio(tmp, self.datas, self._encode_rate(rate),
+                          encoding="DOUBLE")
+        os.replace(tmp, cache / name)
         index_path.write_text(json.dumps(files, indent=4))
-        wavio.write_audio(cache / name, self.datas,
-                          self._encode_rate(rate), encoding="DOUBLE")
         return cache / name
 
     def load_data(self):
@@ -233,11 +239,18 @@ class FullTraceData:
         for name, props in list(files.items()):
             if props["first"] == first and props["last"] == last:
                 fpath = cache / name
-                if not fpath.is_file() or fpath.stat().st_size == 0:
+                try:
+                    datas, _ = wavio.load_audio(fpath)
+                except (OSError, ValueError):
+                    datas = None  # missing/corrupt artifact -> evict
+                if datas is None or len(datas) == 0:
                     del files[name]
+                    try:
+                        fpath.unlink()
+                    except OSError:
+                        pass
                     index_path.write_text(json.dumps(files, indent=4))
                     return False
-                datas, _ = wavio.load_audio(fpath)
                 self.datas = datas
                 self.times = np.arange(len(datas)) / props["rate"]
                 props["used"] = datetime.now().isoformat()

@@ -448,8 +448,9 @@ class Data:
         values (k/2^16), so unwrap keeps the f32 upload.
         """
         hbuf = np.ascontiguousarray(hbuf)
-        if (hbuf.dtype == np.float32
-                and getattr(self.data, "encoding", None) == "PCM_16"
+        infos = getattr(self.data, "_infos", None)
+        all_pcm16 = bool(infos) and all(i[3] == "PCM_16" for i in infos)
+        if (hbuf.dtype == np.float32 and all_pcm16
                 and getattr(self.data, "unwrap_thresh", 0.0) <= 1e-3):
             q = np.round(hbuf * 32768.0).astype(np.int16)
             return _dequant16(jax.device_put(q))

@@ -78,7 +78,6 @@ class MplBrowserWindow:
         self.fig.canvas.mpl_connect("key_press_event", self.on_key)
         self.fig.canvas.mpl_connect("button_press_event", self.on_press)
         self.fig.canvas.mpl_connect("button_release_event", self.on_release)
-        self._zlevels = {}
         self._artists = {}  # persistent per-axes artists (see _ax_artists)
         self.region_mode = "zoom"  # zoom | play | analyze | save
         self.zoom_history = ZoomHistory()
@@ -280,11 +279,11 @@ class MplBrowserWindow:
             if not ax.get_visible():
                 continue
             art = self._ax_artists("spec", c, ax)
-            if c not in self._zlevels:
-                self._zlevels[c] = b.estimate_power_levels(c)
-            zmin, zmax = self._zlevels[c]
-            # u8-quantized tiles: a quarter of the tunneled pull bytes
-            img, rect = b.spec_tile(c, zmin, zmax, quantize=True)
+            # auto levels come from the browser's per-window cached
+            # stats (pinning a first-redraw snapshot here would make the
+            # per-channel level vectors diverge and defeat the batched
+            # all-channel tile pull); u8 tiles: 4x fewer tunnel bytes
+            img, rect = b.spec_tile(c, quantize=True)
             art["im"].set_visible(bool(img.size))
             if img.size:
                 art["im"].set_data(img.T)
@@ -331,9 +330,12 @@ class MplBrowserWindow:
             self._artists["overview"] = art
         ft = b.fulltrace
         c = b.show_channels[0] if b.show_channels else 0
+        # while the background decimator fills ft.datas IN PLACE, the
+        # array identity never changes — force refresh until it is done
+        busy = ft is not None and ft.is_busy()
         key = (id(ft.datas) if ft is not None and ft.datas is not None
-               else None, c)
-        if key != art["fill_key"]:
+               else None, c, busy)
+        if busy or key != art["fill_key"]:
             if art["fill"] is not None:
                 art["fill"].remove()
                 art["fill"] = None
@@ -380,7 +382,6 @@ class MplBrowserWindow:
         elif key in "rR" and "spectrogram" in b.data:
             nfft = b.data["spectrogram"].nfft
             b.set_resolution(nfft=nfft * 2 if key == "r" else nfft // 2)
-            self._zlevels = {}
         elif key == "p":
             play, rate = b.play_visible()
             self._play(play, rate)

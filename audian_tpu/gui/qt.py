@@ -589,7 +589,8 @@ if HAVE_QT:  # pragma: no cover - exercised only with Qt installed
                     if name:
                         labels.append(MarkerLabel(name, row_text(r, 1),
                                                   row_text(r, 2) or "yellow"))
-                conflicts = key_conflicts(labels)
+                conflicts = {k: v for k, v in key_conflicts(labels).items()
+                             if k}  # empty shortcuts are fine
                 if conflicts:
                     QMessageBox.warning(
                         dialog, "Key conflicts",

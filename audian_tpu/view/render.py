@@ -15,6 +15,7 @@ the compile path, so nothing here dispatches eagerly).
 from __future__ import annotations
 
 import functools
+import weakref
 
 import numpy as np
 import jax
@@ -63,16 +64,23 @@ class TraceTiler:
         self._cache = {}
 
     def _pull(self, kernel, buf, args):
-        key = (kernel.__name__,) + args
+        # the buffer object is part of the key: filtered and envelope
+        # windows can share identical geometry, and omitting identity
+        # would make them evict each other on every alternating call.
+        # Entries hold the window only WEAKLY — a strong reference would
+        # pin superseded device windows (~180 MB each) until eviction.
+        key = (kernel.__name__, id(buf)) + args
         hit = self._cache.get(key)
-        if hit is not None and hit[0] is buf:
+        if hit is not None and hit[0]() is buf:
             return hit[1]
         tile = np.asarray(kernel(buf, *args))
         _trace.trace_event("render.pull", op=kernel.__name__,
                            bytes=tile.nbytes)
+        self._cache = {k: v for k, v in self._cache.items()
+                       if v[0]() is not None}
         if len(self._cache) > 32:
             self._cache.clear()
-        self._cache[key] = (buf, tile)
+        self._cache[key] = (weakref.ref(buf), tile)
         return tile
 
     def tile(self, trace, t0, t1, channel=None):
@@ -280,17 +288,19 @@ class SpecTiler:
         s2 = (s2 // pool) * pool
         if levels is not None:
             levels = np.asarray(levels, np.float32)
-            key = (s2, wb, pool, bool(quantize), levels.tobytes())
+            key = (id(buf), s2, wb, pool, bool(quantize), levels.tobytes())
             hit = self._cache.get(key)
-            if hit is None or hit[0] is not buf:
+            if hit is None or hit[0]() is not buf:
                 stack = np.asarray(_db_tile_slice_all(
                     buf, s2, jnp.asarray(levels[:, 0]),
                     jnp.asarray(levels[:, 1]), wb, bool(quantize), pool))
                 _trace.trace_event("render.pull", op="db_tile_all",
                                    bytes=stack.nbytes)
+                self._cache = {k: v for k, v in self._cache.items()
+                               if v[0]() is not None}
                 if len(self._cache) > 8:
                     self._cache.clear()
-                hit = (buf, stack)
+                hit = (weakref.ref(buf), stack)
                 self._cache[key] = hit
             img = hit[1][:, channel, :]
         else:

@@ -117,3 +117,21 @@ def test_background_compute_saves_to_cache(wav, monkeypatch, tmp_path):
     ft2 = FullTraceData(AudioLoader(p))
     assert ft2.load_data() is True
     np.testing.assert_allclose(ft2.datas, ft.datas, atol=1e-12)
+
+
+def test_corrupt_cache_artifact_evicted(wav):
+    """A truncated cached WAV (e.g. killed mid-write) is evicted on load
+    instead of poisoning every later open."""
+    p, x = wav
+    ld = AudioLoader(p)
+    ft = FullTraceData(ld)
+    ft.start(100, background=False)
+    ft.wait()
+    ft.short_data = False
+    saved = ft.save_data()
+    saved.write_bytes(saved.read_bytes()[:40])  # truncate
+    ft2 = FullTraceData(AudioLoader(p))
+    assert ft2.load_data() is False
+    assert not saved.exists()
+    # the index entry is gone too -> a re-save starts clean
+    assert ft2.load_data() is False

@@ -135,7 +135,7 @@ def test_trace_tiler_cache_reuses_window(trace):
     t2, v2 = tiler.tile(trace, 0.0, 50.0, channel=1)
     assert len(tiler._cache) == 1  # second channel reuses the pulled tile
     (buf_ref, tile) = next(iter(tiler._cache.values()))
-    assert buf_ref is trace.buffer
+    assert buf_ref() is trace.buffer  # held weakly (no device pinning)
     # a new window object invalidates the entry
     trace.buffer = trace.buffer.copy()
     t3, v3 = tiler.tile(trace, 0.0, 50.0, channel=0)
@@ -161,3 +161,19 @@ def test_spec_tile_batched_matches_single():
     q, _ = tiler.tile(t, channel=0, zmin=-40.0, zmax=0.0, levels=levels,
                       quantize=True)
     assert q.dtype == np.uint8
+
+
+def test_trace_tiler_no_cross_trace_thrash(rng):
+    """Two traces with identical geometry (filtered + envelope windows)
+    must coexist in the cache instead of evicting each other."""
+    a = FakeTrace(rng.standard_normal((100000, 2)), 1000.0)
+    b = FakeTrace(rng.standard_normal((100000, 2)), 1000.0)
+    tiler = TraceTiler(max_pixels=100)
+    for _ in range(3):
+        t1, v1 = tiler.tile(a, 0.0, 50.0, channel=0)
+        t2, v2 = tiler.tile(b, 0.0, 50.0, channel=0)
+    assert len(tiler._cache) == 2
+    # and the cached tiles stay distinct and correct
+    np.testing.assert_array_equal(v1, tiler.tile(a, 0.0, 50.0, 0)[1])
+    np.testing.assert_array_equal(v2, tiler.tile(b, 0.0, 50.0, 0)[1])
+    assert not np.array_equal(v1, v2)

@@ -231,3 +231,30 @@ def test_band_env_chunked_matches_whole(rng, monkeypatch):
     y2, env2 = events._band_env_chunks(fdesign, edesign, x, step, False)
     assert y2 is None
     np.testing.assert_allclose(env2, env, atol=0)
+
+
+def test_band_env_chunked_misaligned_tail(rng, monkeypatch):
+    """The tail chunk's window start need not align to the decimation
+    grid; the traced-offset strided gather must still hit the global
+    grid exactly."""
+    import jax.numpy as jnp
+    import scipy.signal as sps
+    from audian_tpu.ops import FilterDesign
+    from audian_tpu.analysis import events
+
+    rate = 20000.0
+    n = 50010  # forces hb % step != 0 in the last chunk
+    x = rng.standard_normal((n, 1))
+    fdesign = FilterDesign.from_sos(
+        sps.butter(1, (5500.0, 7500.0), "bandpass", fs=rate, output="sos"))
+    edesign = FilterDesign.from_sos(
+        sps.butter(1, 100.0, "lowpass", fs=rate, output="sos"))
+    step = 20
+    y_ref, env_ref = events._band_env_device(fdesign, edesign,
+                                             jnp.asarray(x))
+    env_ref = np.asarray(env_ref[::step])
+    monkeypatch.setattr(events, "_CHUNK", 8192)
+    y, env = events._band_env_chunks(fdesign, edesign, x, step, True)
+    assert env.shape == env_ref.shape
+    np.testing.assert_allclose(env, env_ref, atol=1e-10)
+    np.testing.assert_allclose(y, np.asarray(y_ref), atol=1e-10)
