@@ -191,7 +191,15 @@ class Trace:
             frame_key, rest = key, ()
         if isinstance(frame_key, slice):
             start, stop, step = frame_key.indices(self.frames)
-            data = self._range(start, stop)[::step]
+            if step < 0:  # numpy-style reversed slicing
+                idx = np.arange(start, stop, step)
+                if len(idx) == 0:
+                    data = self._range(0, 0)
+                else:
+                    lo = int(idx[-1])
+                    data = self._range(lo, int(idx[0]) + 1)[idx - lo]
+            else:
+                data = self._range(start, stop)[::step]
             return data[(slice(None),) + rest] if rest else data
         idx = int(frame_key)
         if idx < 0:
@@ -285,6 +293,8 @@ class Data:
         self.graph = TraceGraph()
         self.executor = None
         self._traces = {}         # name -> Trace (derived only)
+        self._dirty = set()       # traces with stale content (hidden at
+                                  # the time of a parameter update)
         self._raw = None
         # device mirror of the loader's host window (incremental updates)
         self._dev_raw = None
@@ -432,7 +442,24 @@ class Data:
 
     # -- updates ------------------------------------------------------------------
 
+    def _descendants(self, name):
+        """The updated node and every trace downstream of it."""
+        out = {name.lower()}
+        for n in self.graph.order:
+            if n.source_name.lower() in out:
+                out.add(n.name.lower())
+        return out
+
     def _after_update(self, name, geometry_changed=False):
+        if geometry_changed and self.data is not None:
+            # re-derive downstream output specs (safe: node.open keeps
+            # user parameters on re-open)
+            self.graph.open(self._raw.spec)
+        # traces downstream of the change hold stale content until their
+        # next recompute; hidden ones are skipped below, and the dirty
+        # mark keeps the scroll fast path from serving them after they
+        # are shown again
+        self._dirty |= self._descendants(name)
         self.tbefore, self.tafter = self.graph.refold()
         self._resize_raw_buffer()
         self._recompute_buffer()
@@ -515,11 +542,15 @@ class Data:
             if tr is None:
                 continue
             if (not isinstance(tr.buffer, jax.Array)
-                    or len(tr.buffer) != g.n_out):
-                return False  # geometry changed -> full recompute
+                    or len(tr.buffer) != g.n_out
+                    or name in self._dirty):
+                return False  # geometry changed / stale -> full recompute
             old[name] = (tr, g)
         if rs == 0:
-            return True  # window unchanged and geometry verified
+            # window unchanged; offsets must also be current (a trace
+            # re-shown after the raw window moved can have matching
+            # length at a stale offset)
+            return all(tr.offset == g.o0 for tr, g in old.values())
         # sub-window: the new frames plus the graph's halo fold, bucketed
         fold = int((self.tbefore + self.tafter) * self.rate) + 8192
         W = _pow2ceil(abs(rs) + fold)
@@ -567,6 +598,7 @@ class Data:
         for name, (off, arr) in out.items():
             if name != RAW:
                 self._traces[name]._set_window(off, arr)
+        self._dirty.difference_update(out)
 
     def buffered_region(self):
         """Interior (halo-excluded) window currently buffered, in seconds —
@@ -600,6 +632,7 @@ class Data:
                     if name == RAW:
                         continue
                     self._traces[name]._set_window(off, arr)
+                self._dirty.difference_update(out)
         self._raw.buffer_changed[:] = True
         i0 = min(int(t0 * self.data.rate), self.data.frames - 1)
         fp, _ = self.data.get_file_index(i0)
@@ -608,6 +641,23 @@ class Data:
     #: on-demand ranges are quantized (aligned start, power-of-two length)
     #: so repeated region queries reuse a handful of compiled programs
     _range_align = 1 << 12
+
+    def _quantized_raw_window(self, r0, r1):
+        """Widen raw frames [r0, r1) by the graph halos to an aligned
+        start and power-of-two length (one compiled program serves every
+        similar-sized region query)."""
+        hb = int(math.ceil(self.tbefore * self.rate))
+        ha = int(math.ceil(self.tafter * self.rate))
+        a = self._range_align
+        q0 = max(((r0 - hb) // a) * a, 0)
+        want = r1 + ha - q0
+        n = a
+        while n < want:
+            n *= 2
+        if q0 + n > self.frames:
+            q0 = max(0, ((self.frames - n) // a) * a)
+            n = min(n, self.frames - q0)
+        return q0, n
 
     def _compute_range(self, name, start, stop, targets=None):
         """On-demand computation of an arbitrary output range of one trace
@@ -621,19 +671,8 @@ class Data:
             raise KeyError(name)
         # widen the request in raw-frame space to a quantized window
         step_total = round(self.rate / node.spec.rate)
-        r0 = start * step_total
-        r1 = stop * step_total
-        hb = int(math.ceil(self.tbefore * self.rate))
-        ha = int(math.ceil(self.tafter * self.rate))
-        a = self._range_align
-        q0 = max(((r0 - hb) // a) * a, 0)
-        want = r1 + ha - q0
-        n = a
-        while n < want:
-            n *= 2
-        if q0 + n > self.frames:
-            q0 = max(0, ((self.frames - n) // a) * a)
-            n = min(n, self.frames - q0)
+        q0, n = self._quantized_raw_window(start * step_total,
+                                           stop * step_total)
         raw = self.data._read(q0, n)
         out = self.executor.run(raw, q0, targets=targets or [name],
                                 device=False)
@@ -687,19 +726,9 @@ class Data:
     def _compute_region(self, names, i0, i1, rate):
         """One quantized fused run producing all ``names`` over a window
         covering frames [i0, i1) at ``rate``."""
-        hb = int(math.ceil(self.tbefore * self.rate))
-        ha = int(math.ceil(self.tafter * self.rate))
-        a = self._range_align
-        r0 = int(i0 * self.rate / rate)
-        r1 = int(math.ceil(i1 * self.rate / rate))
-        q0 = max(((r0 - hb) // a) * a, 0)
-        want = r1 + ha - q0
-        n = a
-        while n < want:
-            n *= 2
-        if q0 + n > self.frames:
-            q0 = max(0, ((self.frames - n) // a) * a)
-            n = min(n, self.frames - q0)
+        q0, n = self._quantized_raw_window(
+            int(i0 * self.rate / rate),
+            int(math.ceil(i1 * self.rate / rate)))
         raw = self.data._read(q0, n)
         out = self.executor.run(raw, q0, targets=names, device=False)
         return {self._traces[k]._node.name if k in self._traces else k: v

@@ -187,11 +187,18 @@ class FilterNode(Node):
         return self.design.fir.length / self.source_spec.rate
 
     def open(self, source_spec):
+        # defaults only on FIRST open (or a rate change): add_trace
+        # re-opens the whole graph, and the reference never resets a
+        # user's cutoffs when another trace is added
+        # (`src/audian/data.py:34-46` only appends)
+        first = (self.source_spec is None
+                 or self.source_spec.rate != source_spec.rate)
         self.source_spec = source_spec
         self.spec = source_spec
-        self.highpass_cutoff = 0.0
-        self.lowpass_cutoff = source_spec.rate / 2
-        self.design = None
+        if first:
+            self.highpass_cutoff = 0.0
+            self.lowpass_cutoff = source_spec.rate / 2
+            self.design = None
         self._redesign()
         return self.spec
 

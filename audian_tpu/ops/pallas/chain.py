@@ -166,11 +166,20 @@ class FusedChainKernel:
         # the lookahead reads beyond the primary block (program i's last
         # filter window ends at column i*N + N + hb + tail - 1)
         need = self.hb + self.tail
-        self.Hx = self.N
+        self.Hx = None
         for d in range(1, self.N // 128 + 1):
             if (self.N % (d * 128)) == 0 and d * 128 >= need:
                 self.Hx = d * 128
                 break
+        if self.Hx is None:
+            # no divisor of N covers the halo: the kernel would read past
+            # its block; fail loudly with the remedy instead of a shape
+            # mismatch deep inside the first trace
+            raise ValueError(
+                f"chain kernel halo ({need} frames; filter+envelope "
+                f"kernels plus tail) exceeds the block span N={self.N} — "
+                f"raise block_frames (N = 128*block_frames) or shorten "
+                f"the filter kernels (higher cutoffs / lower order)")
 
     def __call__(self, x_ext, n, stats=False):
         """Run the chain over ``x_ext = [hb | n | ha...]`` (channels-first).

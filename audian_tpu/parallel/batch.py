@@ -54,7 +54,18 @@ def map_files(fn, files, devices=None, max_workers=None, verbose=0):
     nw = max_workers or len(devices)
     nw = max(1, min(nw, len(files)))
     if nw == 1:
-        return [fn(f) for f in files]
+        # same gather-then-reraise semantics as the threaded path: a
+        # failing file must not abort the others
+        results = []
+        for f in files:
+            try:
+                results.append(fn(f))
+            except Exception as exc:
+                results.append(exc)
+        for r in results:
+            if isinstance(r, Exception):
+                raise r
+        return results
     counter = itertools.count()
     lock = threading.Lock()
     slot = threading.local()

@@ -160,6 +160,13 @@ class ShardedPipeline:
         x = jnp.asarray(x, self.dtype)
         n = x.shape[0]
         n_pad = self.padded_length(n)
+        L = n_pad // self.mesh.shape["seq"]
+        if max(self.hb, self.ha) > L:
+            raise ValueError(
+                f"per-shard length {L} frames is smaller than the halo "
+                f"(hb={self.hb}, ha={self.ha}) — one neighbor exchange "
+                f"cannot provide it; use fewer 'seq' shards, a longer "
+                f"recording, or a shorter filter kernel")
         if n_pad != n:
             x = jnp.pad(x, [(0, n_pad - n)] + [(0, 0)] * (x.ndim - 1))
         sharding = NamedSharding(self.mesh, P("seq", "ch"))

@@ -300,3 +300,60 @@ def test_pcm16_device_upload_exact(tmp_path, rng):
     host = d.data.buffer
     assert np.array_equal(np.asarray(dev), host.astype(np.float32))
     d.close()
+
+
+def test_hidden_trace_not_stale_after_param_update(tmp_path, rng):
+    """Parameter updates while a trace is hidden must not let the scroll
+    fast path serve its stale window once it is shown again."""
+    rate = 8000.0
+    x = rng.standard_normal((int(20.0 * rate), 1))
+    p = tmp_path / "st.wav"
+    wavio.write_audio(p, x, rate, encoding="FLOAT")
+    d = Data(p, buffer_time=6.0, back_time=2.0)
+    for node in default_traces():
+        d.add_trace(node)
+    d.setup_traces()
+    d.open()
+    d["filtered"].update(highpass_cutoff=100.0)
+    d.update_times(0.0, 2.0)
+    env0 = np.asarray(d["envelope"].buffer).copy()
+    # hide the envelope, change the filter, recompute
+    d.set_visible("envelope", False)
+    d["filtered"].update(highpass_cutoff=1500.0)
+    d.update_times(0.0, 2.0)
+    # re-show: the same window must produce FRESH envelope data
+    d.set_visible("envelope", True)
+    d.update_times(0.0, 2.0)
+    env1 = np.asarray(d["envelope"].buffer)
+    assert env1.shape == env0.shape
+    assert not np.allclose(env1, env0), "stale hidden-trace buffer served"
+    # and it matches a from-scratch recompute
+    d._dev_raw = None
+    d._try_delta_update = lambda dev, targets: False
+    d.update_times(0.0, 2.0)
+    np.testing.assert_allclose(env1, np.asarray(d["envelope"].buffer),
+                               atol=2e-6)
+    d.close()
+
+
+def test_add_trace_preserves_filter_params(wav_file, cricket_like):
+    from audian_tpu.graph import EnvelopeNode
+
+    d = open_data(wav_file)
+    d["filtered"].update(highpass_cutoff=1234.0, lowpass_cutoff=9000.0)
+    d.add_trace(EnvelopeNode("envelope2", "filtered"))
+    assert d["filtered"].highpass_cutoff == 1234.0
+    assert d["filtered"].lowpass_cutoff == 9000.0
+    assert d["filtered"].design is not None
+    d.close()
+
+
+def test_reversed_slice(wav_file):
+    d = open_data(wav_file)
+    d.update_times(0.1, 0.3)
+    fwd = np.asarray(d["filtered"][1000:1200])
+    rev = np.asarray(d["filtered"][1199:999:-1])
+    np.testing.assert_array_equal(rev, fwd[::-1])
+    rev2 = np.asarray(d["filtered"][1199:999:-2])
+    np.testing.assert_array_equal(rev2, fwd[::-1][::2])
+    d.close()

@@ -165,3 +165,37 @@ def test_songdetector_cli_parallel(tmp_path, rng):
     texts = [p.read_text() for p in tables]
     assert texts[0] == texts[1] == texts[2]
     assert len(texts[0].strip().splitlines()) == 3  # header + 2 songs
+
+
+def test_sharded_halo_exceeds_shard_raises():
+    """A halo longer than the per-shard length cannot come from one
+    neighbor exchange; must fail loudly instead of corrupting output."""
+    import scipy.signal as sps
+    from audian_tpu.ops import FilterDesign
+    from audian_tpu.parallel import make_mesh, ShardedPipeline
+
+    mesh = make_mesh(seq=8, ch=1)
+    # 10 Hz order-2 highpass at 96 kHz: ~tens of thousands of FIR taps
+    filt = FilterDesign.from_sos(
+        sps.butter(2, 10.0, "highpass", fs=96000.0, output="sos"))
+    pipe = ShardedPipeline(mesh, 96000.0, filt=filt, env=None,
+                           spectrogram=False)
+    x = np.zeros((8 * 4096, 1), np.float32)
+    with pytest.raises(ValueError, match="halo"):
+        pipe(x)
+
+
+def test_map_files_sequential_continues_after_error():
+    from audian_tpu.parallel import map_files
+
+    seen = []
+
+    def fn(path):
+        seen.append(path)
+        if path == "bad":
+            raise ValueError("boom")
+        return path
+
+    with pytest.raises(ValueError, match="boom"):
+        map_files(fn, ["a", "bad", "c"], max_workers=1)
+    assert seen == ["a", "bad", "c"]  # kept going past the failure
