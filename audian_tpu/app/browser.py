@@ -48,7 +48,10 @@ def secs_to_str(time):
         s += f"{int(secs):02d}s" if s else f"{secs:.0f}s"
     else:
         sstr = f"{secs:.4g}"
-        s += (sstr if not s else sstr.zfill(7 if "." in sstr else 2)) + "s"
+        if s:  # pad the INTEGER part to two digits ('1m05.25s')
+            ip, _, fp = sstr.partition(".")
+            sstr = ip.zfill(2) + ("." + fp if fp else "")
+        s += sstr + "s"
     return s
 
 
@@ -1076,7 +1079,9 @@ class DataBrowser:
         return self.trace_tiler.tile(self.data[name], t0, t1, channel)
 
     def spec_tile(self, channel, zmin=None, zmax=None, quantize=False):
-        trace = self.data[self.spectrogram]
+        trace = self.data[self.spectrogram] if self.spectrogram else None
+        if trace is None:
+            return np.zeros((0, 0)), (0.0, 0.0, 0.0, 0.0)
         buf = trace.buffer
         if buf is None or len(buf) == 0:
             return self.spec_tiler.tile(trace, channel, zmin or -100.0,
@@ -1101,7 +1106,9 @@ class DataBrowser:
 
         Returns ``(freqs, dB)``.
         """
-        trace = self.data[self.spectrogram]
+        trace = self.data[self.spectrogram] if self.spectrogram else None
+        if trace is None:
+            return np.zeros(0), np.zeros(0)
         if t0 is None:
             t0, t1 = self.toffset, self.toffset + self.twindow
         i0 = max(int(t0 * trace.rate) - trace.offset, 0)
@@ -1128,8 +1135,8 @@ class DataBrowser:
         """Noise-floor based auto color levels
         (`src/audian/bufferedspectrogram.py:109-126` via
         `plotranges.py:461-478`)."""
-        trace = self.data[self.spectrogram]
-        buf = trace.buffer
+        trace = self.data[self.spectrogram] if self.spectrogram else None
+        buf = trace.buffer if trace is not None else None
         if buf is None or buf.size == 0:
             return (-100.0, 0.0)
         node = trace._node

@@ -35,6 +35,22 @@ from .. import native
 __all__ = ["FullTraceData"]
 
 
+
+def _read_index(index_path):
+    """The cache index, tolerating a missing or corrupt file (a killed
+    writer must not poison every later open)."""
+    try:
+        return json.loads(index_path.read_text())
+    except (OSError, ValueError):
+        return {}
+
+
+def _write_index(index_path, files):
+    """Atomic index write (temp + rename)."""
+    tmp = index_path.with_suffix(".json.tmp")
+    tmp.write_text(json.dumps(files, indent=4))
+    os.replace(tmp, index_path)
+
 class FullTraceData:
     """Background-computed min/max overview of one recording."""
 
@@ -94,19 +110,29 @@ class FullTraceData:
 
     def _compute(self, step):
         out = self.datas
-        row = 0
-        for k, path in enumerate(self.data.file_paths):
-            info = self.data._infos[k]
+        if len(self.data.file_paths) == 1:
+            info = self.data._infos[0]
             rate, channels, frames, enc, data_off = info
             part = None
             if self.data.unwrap_thresh <= 1e-3 and data_off is not None:
-                part = native.file_minmax(path, data_off, enc, channels,
-                                          frames, step)
+                part = native.file_minmax(self.data.file_paths[0], data_off,
+                                          enc, channels, frames, step)
             if part is None:
-                part = self._compute_python(k, step)
-            n = min(len(part), len(out) - row)
-            out[row : row + n] = part[:n]
-            row += n
+                part = self._compute_python(0, step)
+            n = min(len(part), len(out))
+            out[:n] = part[:n]
+        else:
+            # multi-file recordings: segments belong to the CONCATENATED
+            # stream — per-file decimation would restart the segment grid
+            # at every file boundary and shift the overview in time
+            frames = self.data.frames
+            nblock = max(step, (1 << 20) // step * step)
+            for start in range(0, frames, nblock):
+                n = min(nblock, frames - start)
+                buf = self.data._read_direct(start, n)
+                seg = _interleaved_minmax(buf, step)
+                r = 2 * (start // step)
+                out[r : r + len(seg)] = seg
         # persist as soon as the computation finishes so the NEXT session
         # loads instead of recomputing (the reference saves from its GUI
         # poll, `src/audian/fulltraceplot.py:182` — headless/batch runs
@@ -176,7 +202,7 @@ class FullTraceData:
         index_path = cache / self.fulltraces_file
         files = {}
         if index_path.exists():
-            files = json.loads(index_path.read_text())
+            files = _read_index(index_path)
         first = os.fspath(Path(self.data.file_paths[0]).absolute())
         last = os.fspath(Path(self.data.file_paths[-1]).absolute())
         # re-saving the same recording updates its entry in place
@@ -210,7 +236,7 @@ class FullTraceData:
         wavio.write_audio(tmp, self.datas, self._encode_rate(rate),
                           encoding="DOUBLE")
         os.replace(tmp, cache / name)
-        index_path.write_text(json.dumps(files, indent=4))
+        _write_index(index_path, files)
         return cache / name
 
     def load_data(self):
@@ -233,7 +259,7 @@ class FullTraceData:
         index_path = cache / self.fulltraces_file
         if not index_path.exists():
             return False
-        files = json.loads(index_path.read_text())
+        files = _read_index(index_path)
         first = os.fspath(Path(self.data.file_paths[0]).absolute())
         last = os.fspath(Path(self.data.file_paths[-1]).absolute())
         for name, props in list(files.items()):
@@ -249,12 +275,12 @@ class FullTraceData:
                         fpath.unlink()
                     except OSError:
                         pass
-                    index_path.write_text(json.dumps(files, indent=4))
+                    _write_index(index_path, files)
                     return False
                 self.datas = datas
                 self.times = np.arange(len(datas)) / props["rate"]
                 props["used"] = datetime.now().isoformat()
-                index_path.write_text(json.dumps(files, indent=4))
+                _write_index(index_path, files)
                 return True
         return False
 

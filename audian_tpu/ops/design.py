@@ -146,6 +146,9 @@ class FirKernels:
     input_state: np.ndarray
     A_pow_T: np.ndarray
     eps: float
+    #: cascade state matrix — carries the initial state across blocks
+    #: SHORTER than the kernel (A**n @ s0 has not decayed below eps there)
+    A: np.ndarray = None
 
     @property
     def length(self):
@@ -157,8 +160,9 @@ class FirKernels:
 # long as the pow2-bucketed kernel length is unchanged.
 jax.tree_util.register_pytree_node(
     FirKernels,
-    lambda k: ((k.h, k.state_out, k.input_state, k.A_pow_T), k.eps),
-    lambda eps, ch: FirKernels(*ch, eps=eps),
+    lambda k: ((k.h, k.state_out, k.input_state, k.A_pow_T, k.A), k.eps),
+    lambda eps, ch: FirKernels(ch[0], ch[1], ch[2], ch[3], eps=eps,
+                               A=ch[4]),
 )
 
 
@@ -194,7 +198,7 @@ def fir_kernels(sos, eps=1e-7, max_len=1 << 20, pad_to_pow2=False,
     input_state = powers @ B  # (T, n)
     A_pow_T = powers[-1] @ A
     return FirKernels(h=h, state_out=state_out, input_state=input_state,
-                      A_pow_T=A_pow_T, eps=eps)
+                      A_pow_T=A_pow_T, eps=eps, A=A)
 
 
 def filtfilt_sym_kernel(sos, eps=1e-7, max_len=1 << 20, pad_to=None):

@@ -25,6 +25,13 @@ from .pallas.window_matmul import window_matmul
 __all__ = ["FusedChainCF"]
 
 
+def _rectify(v):
+    """pi/2 rectifier passed as window_matmul's static ``premap`` — must
+    be a module-level function: a fresh lambda per call would be a new
+    static cache key and recompile the envelope pass every invocation."""
+    return (jnp.pi / 2) * jnp.abs(v)
+
+
 class FusedChainCF:
     """Precompiled fused chain over a fixed design.
 
@@ -151,7 +158,7 @@ class FusedChainCF:
         nf = -(-(n + self.env_delay) // B)
         e = window_matmul(
             xp, self.env_w, B, nf, out_layout="cf",
-            premap=lambda v: (jnp.pi / 2) * jnp.abs(v),
+            premap=_rectify,
         )
         e = e[:, self.env_delay : self.env_delay + n]
         if self.env_clamp:
@@ -178,7 +185,7 @@ class FusedChainCF:
         nf_a = -(-n_u // B)
         u = window_matmul(
             xp, self.env_i_w, B, nf_a, out_layout="cf",
-            premap=lambda v: (jnp.pi / 2) * jnp.abs(v),
+            premap=_rectify,
         )[:, :n_u]
         # phase decomposition (XLA transpose; Mosaic can't split the lane
         # dim in-kernel) — one extra HBM round trip each way, still ~2x

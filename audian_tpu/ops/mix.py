@@ -47,8 +47,13 @@ def heterodyne(x, rate, freq):
     bands down into the audible range
     (`src/audian/databrowser.py:1718-1721`)."""
     x = jnp.asarray(x)
-    t = jnp.arange(x.shape[0], dtype=x.dtype) / rate
-    carrier = jnp.sin(2.0 * jnp.pi * freq * t)
+    # carrier phase in float64 on the host, reduced mod 1 before the
+    # cast: a float32 time vector accumulates ~1 rad of phase error at
+    # 40 kHz within a minute (and arange stops being exact at 2^24)
+    cycles = np.arange(x.shape[0], dtype=np.float64) * (
+        float(freq) / float(rate))
+    phase = (2.0 * np.pi) * np.mod(cycles, 1.0)
+    carrier = jnp.sin(jnp.asarray(phase, x.dtype))
     return x * carrier.reshape((-1,) + (1,) * (x.ndim - 1))
 
 

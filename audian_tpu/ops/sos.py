@@ -401,6 +401,18 @@ def sosfilt_fir(kernels, x, zi=None, axis=0, return_zf=None,
     T = min(kernels.length, n)
     Phi = jnp.asarray(kernels.input_state[:T][::-1], dtype=dtype)  # (T, 2nsec)
     zf_flat = Phi.T @ flat[n - T :]                                 # (2nsec, C)
+    if zi is not None and n < kernels.length and kernels.A is not None:
+        # the initial state has NOT decayed within this short block:
+        # carry A**n @ s0 (binary exponentiation at trace time; n static)
+        An = jnp.eye(nstate, dtype=dtype)
+        P = jnp.asarray(kernels.A, dtype)
+        k = n
+        while k:
+            if k & 1:
+                An = An @ P
+            P = P @ P
+            k >>= 1
+        zf_flat = zf_flat + An @ s0
     zf = zf_flat.reshape((nstate // 2, 2) + xt.shape[1:])
     if squeeze:
         zf = zf[..., 0]

@@ -46,7 +46,15 @@ class BlockPrefetcher:
             if b in self._cache:
                 self._cache.move_to_end(b)
                 return self._cache[b]
-        data = self.source._read(b * self.block_frames, self.block_frames)
+        try:
+            data = self.source._read(b * self.block_frames,
+                                     self.block_frames)
+        except Exception:
+            # a failed background read must not leave the block marked
+            # pending forever (that would disable its read-ahead)
+            with self._lock:
+                self._pending.discard(b)
+            raise
         with self._lock:
             self._cache[b] = data
             self._cache.move_to_end(b)

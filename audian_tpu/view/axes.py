@@ -119,13 +119,17 @@ def format_time_ticks(values, spacing, mode=REC_TIME, starttime=None,
         label = "Time"
     elif mode == FILE_TIME:
         label = "File"
-        fidx = np.nonzero(file_times <= values[0])[0][-1]
+
+        def file_of(t):
+            # tick generators emit values slightly outside the view;
+            # anything before the first file belongs to the first file
+            hits = np.nonzero(file_times <= t)[0]
+            return int(hits[-1]) if len(hits) else 0
+
+        fidx = file_of(values[0])
         if fidx < len(file_paths):
             filename = file_paths[fidx]
-        values = [
-            t - file_times[np.nonzero(file_times <= t)[0][-1]]
-            for t in values
-        ]
+        values = [t - file_times[file_of(t)] for t in values]
     else:
         label = "REC"
     max_value = max(values)

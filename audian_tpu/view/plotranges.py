@@ -117,8 +117,11 @@ class PlotRange:
         ranges (`plotranges.py:111-151`)."""
         if not self.is_used():
             return
-        if self.rmin is not None and self.rmax is not None and \
-           np.isfinite(self.rmin) and np.isfinite(self.rmax):
+
+        def fin(v):  # None-safe: axes without data report None limits
+            return v is not None and np.isfinite(v)
+
+        if fin(self.rmin) and fin(self.rmax):
             self.min_dr = 0.001 if self.is_time() else \
                 (self.rmax - self.rmin) / 2 ** 16
         else:
@@ -126,29 +129,29 @@ class PlotRange:
         for c, axx in enumerate(self.axxs):
             for ax in axx:
                 kw = {}
-                if np.isfinite(self.rmin):
+                if fin(self.rmin):
                     kw["xMin"] = self.rmin
-                if np.isfinite(self.rmax):
+                if fin(self.rmax):
                     kw["xMax"] = self.rmax
-                    if np.isfinite(self.rmin):
+                    if fin(self.rmin):
                         kw["minXRange"] = self.min_dr
                         kw["maxXRange"] = self.rmax - self.rmin
                 ax.setLimits(**kw)
         for axy in self.axys:
             for ax in axy:
                 kw = {}
-                if np.isfinite(self.rmin):
+                if fin(self.rmin):
                     kw["yMin"] = self.rmin
-                if np.isfinite(self.rmax):
+                if fin(self.rmax):
                     kw["yMax"] = self.rmax
-                    if np.isfinite(self.rmin):
+                    if fin(self.rmin):
                         kw["minYRange"] = self.min_dr
                         kw["maxYRange"] = self.rmax - self.rmin
                 ax.setLimits(**kw)
         for c in range(len(self.r0)):
-            self.r0[c] = self.rmin if np.isfinite(self.rmin) else -1
+            self.r0[c] = self.rmin if fin(self.rmin) else -1
             r1 = 10 if self.is_time() else self.rmax
-            self.r1[c] = r1 if np.isfinite(r1) else +1
+            self.r1[c] = r1 if fin(r1) else +1
 
     # -- core range setter ----------------------------------------------------------
 
@@ -360,8 +363,10 @@ class PlotRange:
     def reset(self, channels=None, do_set=True):
         if not self.is_used():
             return
-        rmin = self.rmin if np.isfinite(self.rmin) else -1
-        rmax = self.rmax if np.isfinite(self.rmax) else +1
+        rmin = (self.rmin if self.rmin is not None
+                and np.isfinite(self.rmin) else -1)
+        rmax = (self.rmax if self.rmax is not None
+                and np.isfinite(self.rmax) else +1)
         self.set_ranges(rmin, rmax, None, channels, do_set)
 
     def center(self, channels=None, do_set=True):

@@ -291,3 +291,33 @@ def test_steady_state_pull_budget(tmp_path, rng):
     assert total < window_bytes / 10
     assert all(e["bytes"] < 600_000 for e in pulls)
     b.close()
+
+
+def test_secs_to_str_fractional():
+    assert secs_to_str(90.25) == "1m30.25s"
+    assert secs_to_str(5.25) == "5.25s"
+    assert secs_to_str(3605.5) == "1h00m05.5s"
+    assert secs_to_str(60.5) == "1m00.5s"
+
+
+def test_browser_without_spectrogram(tmp_path, rng):
+    """Recordings with no spectrogram trace must not crash the tile /
+    power verbs."""
+    from audian_tpu.analysis import Plugins
+    from audian_tpu.graph import FilterNode
+
+    p = tmp_path / "nospec.wav"
+    wavio.write_audio(p, rng.standard_normal((8000, 1)) * 0.1, 8000.0,
+                      encoding="FLOAT")
+    plugins = Plugins()
+    plugins.trace_factories = [
+        lambda b: b.add_trace(FilterNode("filtered", "data"))]
+    b = DataBrowser(p, plugins=plugins)
+    b.open()
+    b.set_times(0.0, 0.5)
+    img, rect = b.spec_tile(0)
+    assert img.size == 0
+    freqs, db = b.power_spectrum(0)
+    assert len(freqs) == 0
+    assert b.estimate_power_levels(0) == (-100.0, 0.0)
+    b.close()

@@ -135,3 +135,22 @@ def test_corrupt_cache_artifact_evicted(wav):
     assert not saved.exists()
     # the index entry is gone too -> a re-save starts clean
     assert ft2.load_data() is False
+
+
+def test_multifile_overview_global_segments(tmp_path, rng):
+    """Multi-file recordings decimate on the CONCATENATED segment grid —
+    per-file grids would restart at every boundary and shift the
+    overview in time."""
+    rate = 48000.0
+    x = rng.standard_normal((3000, 1)).astype(np.float32)
+    paths = []
+    for k, (a, b) in enumerate([(0, 1100), (1100, 2100), (2100, 3000)]):
+        p = tmp_path / f"part{k}.wav"
+        wavio.write_audio(p, x[a:b], rate, encoding="FLOAT")
+        paths.append(p)
+    ld = AudioLoader(paths)
+    ft = FullTraceData(ld)
+    ft.start(10, background=False)  # step = 300 (doesn't divide 1100)
+    ft.wait()
+    want = reduceat_like(x.astype(np.float64), ft.step)
+    np.testing.assert_allclose(ft.datas[: len(want)], want, atol=1e-6)

@@ -261,3 +261,22 @@ def test_sosfilt_fir_random_designs(rng):
         scale = max(np.max(np.abs(want)), 1e-9)
         err = np.max(np.abs(got - want)) / scale
         assert err <= 1e-5, (kind, order, wn, err)
+
+
+def test_sosfilt_fir_short_block_streaming(signal):
+    """Blocks SHORTER than the truncated kernel must carry the initial
+    state (A**n @ s0) into the final conditions — streaming in small
+    blocks equals one whole-signal scipy run."""
+    sos = design_envelope_filter(RATE, 100.0)  # kernel length ~2.5k taps
+    k = fir_kernels(sos, eps=1e-10)
+    block = 512
+    assert block < k.length
+    zi = np.zeros((len(np.atleast_2d(sos)), 2))
+    outs = []
+    x = signal[:8192]
+    for i in range(0, len(x), block):
+        y, zi = sosfilt_fir(k, x[i : i + block], zi=np.asarray(zi))
+        outs.append(np.asarray(y))
+    got = np.concatenate(outs)
+    want = sps.sosfilt(sos, x)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
