@@ -111,7 +111,7 @@ __all__ = [
     "peak_freqs",
     "bandpass_filter", "lowpass_filter", "square_envelope",
     "threshold_estimates", "detect_songs", "env_freqs", "clean_env_freqs",
-    "filter_envelopes", "analyse_songs", "detect",
+    "filter_envelopes", "analyse_songs", "band_env", "detect",
 ]
 
 
@@ -253,7 +253,12 @@ def threshold_estimates(envelopes, fac=10.0):
     threshs = []
     for c in range(envelopes.shape[1]):
         h, b = np.histogram(envelopes[:, c], bins=np.linspace(0.0, maxe, 50))
-        mini = np.nonzero(h > 0)[0][0]
+        nz = np.nonzero(h > 0)[0]
+        if maxe <= 0 or not len(nz):
+            # silent/dead channel: any positive threshold finds nothing
+            threshs.append(maxe + 1.0)
+            continue
+        mini = nz[0]
         maxi = np.argmax(h) + 1
         maxi = min(maxi + (maxi - mini), len(b) - 1)
         lower = envelopes[envelopes[:, c] < b[maxi], c]
@@ -376,6 +381,32 @@ def analyse_songs(onsets, offsets, envelopes, rate, envfreqs, thresholds,
     return songonsets, songoffsets
 
 
+def band_env(data, rate, highpassfreq, lowpassfreq, envelopecutofffreq,
+             return_filtered=True):
+    """Zero-phase band-pass + decimated squared-RMS envelope on the
+    chunked fused device path — the front half of :func:`detect`, also
+    used by the interactive viewer's filter/envelope redesign (one
+    compiled chunk shape, no full-rate host round trips).
+
+    Returns ``(filtered_or_None, envelope, envrate)``.
+    """
+    data = np.atleast_2d(np.asarray(data, np.float64))
+    if data.shape[0] < data.shape[1]:
+        data = data.T
+    fdesign = FilterDesign.from_sos(sps.butter(
+        1, (_clamp_cutoff(highpassfreq, rate),
+            _clamp_cutoff(lowpassfreq, rate)), "bandpass", fs=rate,
+        output="sos"))
+    edesign = FilterDesign.from_sos(sps.butter(
+        1, _clamp_cutoff(envelopecutofffreq, rate), "lowpass", fs=rate,
+        output="sos"))
+    envrate_t = min(envelopecutofffreq * 10, rate)
+    step = int(np.round(rate / envrate_t))
+    fdata, env = _band_env_chunks(fdesign, edesign, data, step,
+                                  return_filtered)
+    return fdata, env, rate / step
+
+
 def detect(data, rate, highpassfreq=1000.0, lowpassfreq=10000.0,
            envelopecutofffreq=500.0, envelopepeakthresh=10.0,
            envelopefilter="apply", thresholdfactor=8.0, minthreshfac=1.0,
@@ -393,21 +424,9 @@ def detect(data, rate, highpassfreq=1000.0, lowpassfreq=10000.0,
         data = data.T
     log = print if verbose else (lambda *a, **k: None)
     log("apply bandpass filter + envelope ...")
-    # one fused device program: filter -> squared envelope -> decimate,
-    # with only the decimated envelope (and optionally the filtered
-    # stream) crossing back to the host
-    fdesign = FilterDesign.from_sos(sps.butter(
-        1, (_clamp_cutoff(highpassfreq, rate),
-            _clamp_cutoff(lowpassfreq, rate)), "bandpass", fs=rate,
-        output="sos"))
-    edesign = FilterDesign.from_sos(sps.butter(
-        1, _clamp_cutoff(envelopecutofffreq, rate), "lowpass", fs=rate,
-        output="sos"))
-    envrate_t = min(envelopecutofffreq * 10, rate)
-    step = int(np.round(rate / envrate_t))
-    fdata, env = _band_env_chunks(fdesign, edesign, data, step,
-                                  return_filtered)
-    envrate = rate / step
+    fdata, env, envrate = band_env(data, rate, highpassfreq, lowpassfreq,
+                                   envelopecutofffreq,
+                                   return_filtered=return_filtered)
     log("low-pass filter envelope ...")
     slowenv = lowpass_filter(env, envrate, 1.0 / minduration)
     log("estimate thresholds ...")

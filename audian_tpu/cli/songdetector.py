@@ -160,10 +160,10 @@ def main(cargs=None):
         print("-j ignored with --plot/--plot-png (matplotlib is "
               "single-threaded)", file=sys.stderr)
         jobs = 1
-    if jobs != 1 and args.output and len(args.files) > 1:
-        parser.error("-o with multiple files would be written "
-                     "concurrently by -j workers; drop -o (per-file "
-                     "<stem>-songs.csv) or -j")
+    if args.output and len(args.files) > 1:
+        parser.error("-o names ONE output file but multiple inputs were "
+                     "given (each would overwrite it); drop -o to get "
+                     "per-file <stem>-songs.csv tables")
     if jobs == 1 or len(args.files) <= 1:
         results = [process(p) for p in args.files]
     else:

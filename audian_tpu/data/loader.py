@@ -177,6 +177,21 @@ class AudioLoader:
     def _read_direct(self, start, nframes):
         start = max(0, min(int(start), self.frames))
         nframes = max(0, min(int(nframes), self.frames - start))
+        if self.unwrap_thresh > 1e-3 and start > 0 and nframes > 0:
+            # one sample of left context seeds the wrap detection at the
+            # chunk boundary (a jump between start-1 and start would
+            # otherwise be invisible to this read's diff)
+            ext = self._read_raw(start - 1, nframes + 1)
+            ext = wavio.unwrap(ext, self.unwrap_thresh, self.unwrap_clips,
+                               self.ampl_max).astype(self.dtype)
+            return np.ascontiguousarray(ext[1:])
+        out = self._read_raw(start, nframes)
+        if self.unwrap_thresh > 1e-3:
+            out = wavio.unwrap(out, self.unwrap_thresh, self.unwrap_clips,
+                               self.ampl_max).astype(self.dtype)
+        return out
+
+    def _read_raw(self, start, nframes):
         _trace.trace_event("loader.read", start=start, frames=nframes)
         out = np.empty((nframes, self.channels), self.dtype)
         pos = 0
@@ -201,9 +216,6 @@ class AudioLoader:
             if m < n:  # file shorter than header claims: zero-fill
                 out[pos + m : pos + n] = 0.0
             pos += n
-        if self.unwrap_thresh > 1e-3:
-            out = wavio.unwrap(out, self.unwrap_thresh, self.unwrap_clips,
-                               self.ampl_max).astype(self.dtype)
         return out
 
     def load_buffer(self, offset, nframes, buffer):

@@ -439,12 +439,6 @@ def _encode(data, encoding):
     raise WavError(f"unsupported encoding {encoding}")
 
 
-def _chunk(cid, body):
-    if len(body) & 1:
-        body += b"\x00"
-    return cid + struct.pack("<I", len(body) - (len(body) & 1)) + body
-
-
 def _chunk_exact(cid, body):
     pad = b"\x00" if len(body) & 1 else b""
     return cid + struct.pack("<I", len(body)) + body + pad

@@ -355,6 +355,8 @@ class MplBrowserWindow:
     def on_key(self, event):
         b = self.browser
         key = event.key
+        if key is None:  # matplotlib delivers None for unmapped keys
+            return
         actions = {
             "right": b.time_page_down,
             ".": b.time_page_down,
@@ -449,8 +451,8 @@ class MplBrowserWindow:
             import sounddevice
 
             sounddevice.play(np.asarray(data), int(rate), blocking=False)
-        except ImportError:
-            print("sounddevice not installed; cannot play audio")
+        except Exception as e:  # no module, no device, PortAudio errors
+            print(f"cannot play audio: {e}")
 
     def savefig(self, path, **kwargs):
         save_view_screenshot(self.fig, self.browser, path, **kwargs)

@@ -208,9 +208,8 @@ if HAVE_QT:  # pragma: no cover - exercised only with Qt installed
             if ft is None or ft.datas is None:
                 return
             c = b.show_channels[0]
-            n = min(len(ft.times), len(ft.datas[0::2, c]) * 2)
-            self.ov_curve.setData(ft.times[:n],
-                                  ft.datas[: n // 2 * 2, c][0::1][:n])
+            n = min(len(ft.times), len(ft.datas))
+            self.ov_curve.setData(ft.times[:n], ft.datas[:n, c])
 
         def _region_moved(self):
             if self._setting_region:
@@ -250,8 +249,8 @@ if HAVE_QT:  # pragma: no cover - exercised only with Qt installed
                 sounddevice.play(np.asarray(data), int(rate),
                                  blocking=False)
                 self.audio_timer.start(50)
-            except ImportError:
-                print("sounddevice not installed; cannot play audio")
+            except Exception as e:  # no module/device, PortAudio errors
+                print(f"cannot play audio: {e}")
 
         def _tick_audio(self):
             t = self.browser.mark_audio()

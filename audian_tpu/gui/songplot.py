@@ -77,6 +77,10 @@ class SongPlot:
         self.fig.canvas.mpl_connect("key_press_event", self.keypress)
         self._labels = None
         self._help_text = None
+        if self.result.get("filtered") is None:
+            # batch results skip pulling the filtered stream; the viewer
+            # needs it — recompute on the chunked fused device path
+            self._refilter()
         self.update_plots(draw=False)
 
     # -- drawing ------------------------------------------------------------------
@@ -141,15 +145,25 @@ class SongPlot:
     # -- pipeline re-runs ------------------------------------------------------------
 
     def _refilter(self):
-        self.result["filtered"] = np.asarray(events.bandpass_filter(
-            self.data, self.rate, self.highpassfreq, self.lowpassfreq))
-        self._reenvelope()
+        self._recompute(return_filtered=True)
 
     def _reenvelope(self):
+        # envelope-only change: the filtered stream is unchanged — skip
+        # its (hundreds of MB) device->host pull
+        self._recompute(
+            return_filtered=self.result.get("filtered") is None)
+
+    def _recompute(self, return_filtered):
+        # one chunked fused device pass for filter + envelope (fixed
+        # compiled shape; the previous per-stage path ran eager
+        # full-length programs with a host round trip in between)
         r = self.result
-        env, envrate = events.square_envelope(
-            r["filtered"], self.rate, self.envelopecutofffreq)
-        r["envelope"] = np.asarray(env)
+        fdata, env, envrate = events.band_env(
+            self.data, self.rate, self.highpassfreq, self.lowpassfreq,
+            self.envelopecutofffreq, return_filtered=return_filtered)
+        if return_filtered:
+            r["filtered"] = fdata
+        r["envelope"] = np.ascontiguousarray(env)
         r["envrate"] = envrate
         slow = events.lowpass_filter(r["envelope"], envrate,
                                      1.0 / self.min_duration)
@@ -245,7 +259,8 @@ class SongPlot:
             path = f"{name}-{self.toffset:.4g}s-waveform.png"
         fig, ax = self.plt.subplots(figsize=(10, 4))
         t0 = int(round(self.toffset * self.rate))
-        t1 = int(round((self.toffset + self.twindow) * self.rate))
+        t1 = min(int(round((self.toffset + self.twindow) * self.rate)),
+                 len(self.data))
         ms = self.twindow < 1.0
         t = np.arange(t0, t1) / self.rate * (1000.0 if ms else 1.0)
         ax.plot(t, self.data[t0:t1], "b", lw=0.5)
@@ -272,8 +287,8 @@ class SongPlot:
             import sounddevice
 
             sounddevice.play(play, int(self.rate), blocking=False)
-        except ImportError:
-            print("sounddevice not installed; cannot play audio")
+        except Exception as e:  # no module, no device, PortAudio errors
+            print(f"cannot play audio: {e}")
 
     def savefig(self, path, **kwargs):
         self.fig.savefig(path, **kwargs)

@@ -357,3 +357,29 @@ def test_reversed_slice(wav_file):
     rev2 = np.asarray(d["filtered"][1199:999:-2])
     np.testing.assert_array_equal(rev2, fwd[::-1][::2])
     d.close()
+
+
+def test_unwrap_chunk_boundary_consistent(tmp_path):
+    """A wrap jump exactly AT a chunk boundary must be detected — the
+    read seeds the diff with one sample of left context.  (Wraps still
+    open from before the window keep the reference's per-buffer
+    semantics.)"""
+    rate = 1000.0
+    t = np.arange(2000) / rate
+    clean = 1.4 * np.sin(2 * np.pi * 5.0 * t)
+    wrapped = np.mod(clean + 1.0, 2.0) - 1.0
+    p = tmp_path / "wrap.wav"
+    wavio.write_audio(p, wrapped[:, None], rate, encoding="FLOAT")
+    from audian_tpu.data.loader import AudioLoader
+
+    ld = AudioLoader(p)
+    ld.set_unwrap(1.5, clips=False)
+    whole = ld._read_direct(0, 2000)
+    # start a read exactly at the first wrapped sample: the jump happens
+    # between start-1 and start, invisible without the context sample
+    jumps = np.nonzero(np.diff(wrapped) < -1.5)[0]
+    s0 = int(jumps[0]) + 1
+    part = ld._read_direct(s0, 200)
+    np.testing.assert_allclose(part[:, 0], whole[s0 : s0 + 200, 0],
+                               atol=1e-6)
+    ld.close()
