@@ -124,15 +124,33 @@ class FullTraceData:
         else:
             # multi-file recordings: segments belong to the CONCATENATED
             # stream — per-file decimation would restart the segment grid
-            # at every file boundary and shift the overview in time
-            frames = self.data.frames
-            nblock = max(step, (1 << 20) // step * step)
-            for start in range(0, frames, nblock):
-                n = min(nblock, frames - start)
-                buf = self.data._read_direct(start, n)
-                seg = _interleaved_minmax(buf, step)
-                r = 2 * (start // step)
-                out[r : r + len(seg)] = seg
+            # at every file boundary and shift the overview in time.
+            # When every boundary falls ON the segment grid, the per-file
+            # C++ fast path still produces the global grid.
+            infos = self.data._infos
+            aligned = (self.data.unwrap_thresh <= 1e-3
+                       and all(i[4] is not None for i in infos)
+                       and all(i[2] % step == 0 for i in infos[:-1]))
+            if aligned:
+                row = 0
+                for k, path in enumerate(self.data.file_paths):
+                    info = infos[k]
+                    part = native.file_minmax(path, info[4], info[3],
+                                              info[1], info[2], step)
+                    if part is None:
+                        part = self._compute_python(k, step)
+                    n = min(len(part), len(out) - row)
+                    out[row : row + n] = part[:n]
+                    row += n
+            else:
+                frames = self.data.frames
+                nblock = max(step, (1 << 20) // step * step)
+                for start in range(0, frames, nblock):
+                    n = min(nblock, frames - start)
+                    buf = self.data._read_direct(start, n)
+                    seg = _interleaved_minmax(buf, step)
+                    r = 2 * (start // step)
+                    out[r : r + len(seg)] = seg
         # persist as soon as the computation finishes so the NEXT session
         # loads instead of recomputing (the reference saves from its GUI
         # poll, `src/audian/fulltraceplot.py:182` — headless/batch runs

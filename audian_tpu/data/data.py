@@ -194,7 +194,9 @@ class Trace:
             if step < 0:  # numpy-style reversed slicing
                 idx = np.arange(start, stop, step)
                 if len(idx) == 0:
-                    data = self._range(0, 0)
+                    # empty result: never touch the compute path
+                    data = np.zeros((0,) + tuple(np.shape(self.buffer)[1:]),
+                                    np.float32)
                 else:
                     lo = int(idx[-1])
                     data = self._range(lo, int(idx[0]) + 1)[idx - lo]
@@ -211,17 +213,32 @@ class Trace:
         start = max(0, min(start, self.frames))
         stop = max(start, min(stop, self.frames))
         if start >= self.offset and stop <= self.offset + len(self.buffer):
-            part = self.buffer[start - self.offset : stop - self.offset]
-            # device-resident window: transfer only the requested slice
-            return np.asarray(part)
+            a = start - self.offset
+            w = stop - start
+            if isinstance(self.buffer, jax.Array) and w:
+                # bucketed jitted slice: an eager slice compiles a fresh
+                # remote program per region length (seconds each on a
+                # tunneled backend); pow2 widths reuse a handful
+                cap = len(self.buffer)
+                wb = min(_pow2ceil(w), cap)
+                a2 = max(min(a, cap - wb), 0)
+                part = np.asarray(_dev_slice(self.buffer, a2, wb))
+                return part[a - a2 : a - a2 + w]
+            # transfer only the requested slice
+            return np.asarray(self.buffer[a : a + w])
         return self._data._compute_range(self.name, start, stop)
 
     def update(self, **kwargs):
         """Host-side parameter update (filter cutoffs, NFFT, ...);
         triggers downstream recompute of the current window
         (`src/audian/bufferedfilter.py:39-53` analog)."""
+        old_spec = self._node.spec
         changed = self._node.update(**kwargs)
-        self._data._after_update(self.name, geometry_changed=changed)
+        # geometry = the OUTPUT SPEC changed (NFFT/overlap respec) — only
+        # then do downstream nodes need a re-open; node.update()'s return
+        # means "recompute needed" and fires on every cutoff scrub
+        self._data._after_update(
+            self.name, geometry_changed=self._node.spec != old_spec)
         return changed
 
 

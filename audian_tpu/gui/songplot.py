@@ -78,9 +78,15 @@ class SongPlot:
         self._labels = None
         self._help_text = None
         if self.result.get("filtered") is None:
-            # batch results skip pulling the filtered stream; the viewer
-            # needs it — recompute on the chunked fused device path
-            self._refilter()
+            # batch results skip pulling the filtered stream; fill ONLY
+            # that (with the viewer's current cutoffs) — recomputing the
+            # envelope/onsets here could silently overwrite detection
+            # results produced with different parameters
+            fdata, _env, _rate = events.band_env(
+                self.data, self.rate, self.highpassfreq,
+                self.lowpassfreq, self.envelopecutofffreq,
+                return_filtered=True)
+            self.result["filtered"] = fdata
         self.update_plots(draw=False)
 
     # -- drawing ------------------------------------------------------------------

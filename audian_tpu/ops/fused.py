@@ -222,11 +222,17 @@ class FusedChainCF:
                 self.nfft % 128 == 0:
             from .pallas.chain import FusedChainKernel
 
-            self._chain_kernel = FusedChainKernel(
-                self.rate, self._h_filt, self._g_env, self.env_delay,
-                np.asarray(self.spec_w), self.nbins,
-                env_clamp=self.env_clamp, nfft=self.nfft)
-        return self._chain_kernel
+            try:
+                self._chain_kernel = FusedChainKernel(
+                    self.rate, self._h_filt, self._g_env, self.env_delay,
+                    np.asarray(self.spec_w), self.nbins,
+                    env_clamp=self.env_clamp, nfft=self.nfft)
+            except ValueError:
+                # halo exceeds the block span (very long kernels): the
+                # per-stage methods handle the design; keep the documented
+                # None contract (False = tried and does not fit)
+                self._chain_kernel = False
+        return self._chain_kernel or None
 
     def chain_cf(self, x_ext, n, stats=False):
         """Run the whole chain in ONE device pass over an extended stream

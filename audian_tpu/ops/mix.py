@@ -47,13 +47,20 @@ def heterodyne(x, rate, freq):
     bands down into the audible range
     (`src/audian/databrowser.py:1718-1721`)."""
     x = jnp.asarray(x)
-    # carrier phase in float64 on the host, reduced mod 1 before the
-    # cast: a float32 time vector accumulates ~1 rad of phase error at
-    # 40 kHz within a minute (and arange stops being exact at 2^24)
-    cycles = np.arange(x.shape[0], dtype=np.float64) * (
-        float(freq) / float(rate))
-    phase = (2.0 * np.pi) * np.mod(cycles, 1.0)
-    carrier = jnp.sin(jnp.asarray(phase, x.dtype))
+    # carrier phase in float64 on the host (chunked to bound RAM),
+    # reduced mod 1 before the cast: a float32 time vector accumulates
+    # ~1 rad of phase error at 40 kHz within a minute (and arange stops
+    # being exact at 2^24).  Playback is realtime-bound, so the one
+    # carrier upload per played region is immaterial.
+    n = int(x.shape[0])
+    c = float(freq) / float(rate)
+    carrier = np.empty(n, np.float32)
+    block = 1 << 22
+    for a in range(0, n, block):
+        b = min(a + block, n)
+        cyc = np.arange(a, b, dtype=np.float64) * c
+        carrier[a:b] = np.sin((2.0 * np.pi) * np.mod(cyc, 1.0))
+    carrier = jnp.asarray(carrier, x.dtype)
     return x * carrier.reshape((-1,) + (1,) * (x.ndim - 1))
 
 
@@ -77,20 +84,45 @@ def prepare_playback(x, rate, channels=None, use_heterodyne=False,
                      heterodyne_freq=0.0, rate_fac=1.0, fade_time=0.1):
     """Full playback pipeline; returns ``(playdata, playback_rate)``.
 
-    The decimation factor and the anti-alias filter depend only on the
-    (static) sample rate, so interactive heterodyne-frequency changes stay
-    recompile-free.
+    Runs HOST-side end to end: playback regions have arbitrary lengths,
+    so device programs would compile once per region length (minutes
+    over a tunneled backend) for work numpy finishes in milliseconds —
+    and the buffer is handed straight to the host sound device anyway.
     """
-    play = stereo_mixdown(x, channels)
+    x = np.asarray(x, np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    if channels is not None:
+        x = x[:, np.asarray(channels)]
+    nch = x.shape[1]
+    if nch <= 1:
+        play = np.array(x, copy=True)
+    else:
+        n2 = (nch + 1) // 2
+        play = np.stack([x[:, :n2].mean(axis=1), x[:, n2:].mean(axis=1)],
+                        axis=1)
     out_rate = rate
     if use_heterodyne:
-        play = heterodyne(play, rate, heterodyne_freq)
+        n = play.shape[0]
+        c = float(heterodyne_freq) / float(rate)
+        block = 1 << 22
+        for a in range(0, n, block):
+            b = min(a + block, n)
+            cyc = np.arange(a, b, dtype=np.float64) * c
+            play[a:b] *= np.sin((2.0 * np.pi) * np.mod(cyc, 1.0))[:, None]
         sos = design.design_filter(rate, lowpass_cutoff=HETERODYNE_CUTOFF,
                                    order=2)
         nstep = max(1, int(np.round(rate / (2 * HETERODYNE_CUTOFF))))
         if sos is not None:
-            play = sosfiltfilt(sos, play, axis=0)
-        play = play[::nstep]
+            import scipy.signal as sps
+
+            play = sps.sosfiltfilt(sos, play, axis=0)
+        play = np.ascontiguousarray(play[::nstep])
         out_rate = rate / nstep
-    play = fade(play, out_rate / rate_fac, fade_time)
+    n = play.shape[0]
+    nf = min(int(round(fade_time * (out_rate / rate_fac))), n // 2)
+    if nf > 0:
+        ramp = np.sin(0.5 * np.pi * np.arange(nf) / nf) ** 2
+        play[:nf] *= ramp[:, None]
+        play[n - nf :] *= ramp[::-1][:, None]
     return play, out_rate / rate_fac

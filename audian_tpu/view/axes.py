@@ -129,9 +129,15 @@ def format_time_ticks(values, spacing, mode=REC_TIME, starttime=None,
         fidx = file_of(values[0])
         if fidx < len(file_paths):
             filename = file_paths[fidx]
-        values = [t - file_times[file_of(t)] for t in values]
+        # ticks slightly before t=0 clamp to 0 (negative in-file times
+        # overflow the datetime-based formatter)
+        values = [max(t - file_times[file_of(t)], 0.0) for t in values]
     else:
         label = "REC"
+    if mode != ABS_TIME:
+        # relative modes format through datetime(1,1,1): negative ticks
+        # (emitted by GUI tick generators at the view edge) would overflow
+        values = [max(v, 0.0) for v in values]
     max_value = max(values)
 
     if mode == ABS_TIME:

@@ -105,12 +105,18 @@ class PlotRange:
                 ax.set_starttime(mode)
 
     def at_end(self, channel=0):
-        return self.r1[channel] >= self.rmax
+        return self.rmax is not None and self.r1[channel] >= self.rmax
 
     def at_home(self, channel=0):
-        return self.r0[channel] <= self.rmin
+        return self.rmin is None or self.r0[channel] <= self.rmin
 
     # -- limits ------------------------------------------------------------------
+
+    def _lo(self):
+        return -np.inf if self.rmin is None else self.rmin
+
+    def _hi(self):
+        return np.inf if self.rmax is None else self.rmax
 
     def set_limits(self):
         """Derive smallest zoom step and push limits into the axes; init
@@ -187,13 +193,14 @@ class PlotRange:
                     else:
                         self.r0[c] = self.r1[c] - dr
                 width = self.r1[c] - self.r0[c]
-                if self.r0[c] < self.rmin:
+                if self.rmin is not None and self.r0[c] < self.rmin:
                     self.r0[c] = self.rmin
                     self.r1[c] = self.rmin + width
-                if self.r1[c] > self.rmax and not self.is_time():
+                if (self.rmax is not None and self.r1[c] > self.rmax
+                        and not self.is_time()):
                     self.r1[c] = self.rmax
                     self.r0[c] = self.rmax - width
-                if self.r0[c] < self.rmin:
+                if self.rmin is not None and self.r0[c] < self.rmin:
                     self.r0[c] = self.rmin
                 if self.is_time():
                     lead = c
@@ -258,8 +265,8 @@ class PlotRange:
     def move(self, move_fac, channels=None, do_set=True):
         """Pan by a fraction of the current width (`plotranges.py:273-287`)."""
         for c in self._each(channels):
-            if (move_fac > 0 and self.r1[c] < self.rmax) or \
-               (move_fac < 0 and self.r0[c] > self.rmin):
+            if (move_fac > 0 and self.r1[c] < self._hi()) or \
+               (move_fac < 0 and self.r0[c] > self._lo()):
                 width = self.r1[c] - self.r0[c]
                 self.set_ranges(self.r0[c] + move_fac * width,
                                 self.r1[c] + move_fac * width, None, [c],
@@ -280,8 +287,8 @@ class PlotRange:
     def step(self, step_fac, channels=None, do_set=True):
         """Pan by the data-derived step (`plotranges.py:306-319`)."""
         for c in self._each(channels):
-            if (step_fac > 0 and self.r1[c] < self.rmax) or \
-               (step_fac < 0 and self.r0[c] > self.rmin):
+            if (step_fac > 0 and self.r1[c] < self._hi()) or \
+               (step_fac < 0 and self.r0[c] > self._lo()):
                 self.set_ranges(self.r0[c] + step_fac * self.rstep,
                                 self.r1[c] + step_fac * self.rstep, None,
                                 [c], do_set)
@@ -296,7 +303,7 @@ class PlotRange:
         """Move only the lower edge (`plotranges.py:330-343`)."""
         for c in self._each(channels):
             if (step_fac > 0 and self.r0[c] < self.r1[c]) or \
-               (step_fac < 0 and self.r0[c] > self.rmin):
+               (step_fac < 0 and self.r0[c] > self._lo()):
                 self.set_ranges(self.r0[c] + step_fac * self.rstep,
                                 self.r1[c], None, [c], do_set)
 
@@ -309,7 +316,7 @@ class PlotRange:
     def max_step(self, step_fac, channels=None, do_set=True):
         """Move only the upper edge (`plotranges.py:354-367`)."""
         for c in self._each(channels):
-            if (step_fac > 0 and self.r1[c] < self.rmax) or \
+            if (step_fac > 0 and self.r1[c] < self._hi()) or \
                (step_fac < 0 and self.r1[c] > self.r0[c]):
                 self.set_ranges(self.r0[c],
                                 self.r1[c] + step_fac * self.rstep, None,
@@ -322,6 +329,8 @@ class PlotRange:
         self.max_step(+1, channels, do_set)
 
     def home(self, channels=None, do_set=True):
+        if self.rmin is None:
+            return
         for c in self._each(channels):
             if self.r0[c] > self.rmin:
                 self.set_ranges(self.rmin, None,
@@ -330,6 +339,8 @@ class PlotRange:
     def end(self, channels=None, do_set=True):
         """Jump to the end, aligned to half-width steps
         (`plotranges.py:394-407`)."""
+        if self.rmax is None:
+            return
         for c in self._each(channels):
             if self.r1[c] < self.rmax:
                 width = self.r1[c] - self.r0[c]

@@ -383,3 +383,31 @@ def test_unwrap_chunk_boundary_consistent(tmp_path):
     np.testing.assert_allclose(part[:, 0], whole[s0 : s0 + 200, 0],
                                atol=1e-6)
     ld.close()
+
+
+def test_scrub_does_not_reopen_graph(wav_file, cricket_like):
+    """Cutoff scrubs must not re-open the whole graph (only geometry
+    changes like NFFT respecs do)."""
+    d = open_data(wav_file)
+    d.update_times(0.1, 0.3)
+    calls = []
+    orig = d.graph.open
+    d.graph.open = lambda spec: (calls.append(1), orig(spec))[1]
+    d["filtered"].update(highpass_cutoff=1500.0)
+    d["envelope"].update(envelope_cutoff=300.0)
+    assert not calls, "parameter scrub re-opened the graph"
+    d["spectrogram"].update(nfft=512)
+    assert calls, "NFFT respec must re-open downstream specs"
+    d.close()
+
+
+def test_empty_reversed_slice_no_compute(wav_file):
+    d = open_data(wav_file)
+    d.update_times(0.5, 0.7)
+    calls = []
+    orig = d._compute_range
+    d._compute_range = lambda *a, **k: (calls.append(a), orig(*a, **k))[1]
+    out = d["filtered"][600:700:-1]
+    assert out.shape[0] == 0
+    assert not calls, "empty slice hit the compute path"
+    d.close()

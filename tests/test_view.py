@@ -296,3 +296,39 @@ def test_selection_model():
     sel.begin(1, 1)
     sel.cancel()
     assert sel.finish(2, 2) is None
+
+
+def test_plot_range_none_limits_safe():
+    """Axes that report no data limits (None) must not crash the
+    limit/verb machinery."""
+    from audian_tpu.view.plotranges import PlotRange
+
+    class Ax:
+        def range(self, spec):
+            return None, None, None
+
+        def setLimits(self, **kw):
+            pass
+
+        def setXRange(self, a, b):
+            self.r = (a, b)
+
+    pr = PlotRange("x", 1)
+    ax = Ax()
+    pr.add_xaxis(ax, 0)
+    pr.set_limits()
+    pr.reset()
+    pr.zoom_in()
+    pr.up()
+    assert pr.at_home() in (True, False)
+    assert ax.r[0] < ax.r[1]
+
+
+def test_format_time_ticks_negative_values():
+    from audian_tpu.view.axes import format_time_ticks, FILE_TIME, REC_TIME
+
+    for mode in (REC_TIME, FILE_TIME):
+        label, units, strings, fn = format_time_ticks(
+            [-0.01, 0.0, 1.0], 0.5, mode=mode,
+            file_times=[0.0, 10.0], file_paths=["a.wav", "b.wav"])
+        assert len(strings) == 3
