@@ -35,9 +35,13 @@ def _strided_at(env, r, step):
     """``env[r::step]`` with a *traced* offset ``r`` — a direct strided
     slice would bake the (per-recording) offset and length into the
     program; this reshape+gather keeps one compiled shape per
-    ``(window, step)``."""
-    m = env.shape[0] // step
-    blocks = env[: m * step].reshape((m, step) + env.shape[1:])
+    ``(window, step)``.  The tail is zero-padded to a full block; padded
+    entries map past the real data and are never consumed by callers."""
+    m = -(-env.shape[0] // step)
+    pad = m * step - env.shape[0]
+    if pad:
+        env = jnp.pad(env, [(0, pad)] + [(0, 0)] * (env.ndim - 1))
+    blocks = env.reshape((m, step) + env.shape[1:])
     return jax.lax.dynamic_index_in_dim(blocks, r, axis=1, keepdims=False)
 
 
@@ -61,6 +65,9 @@ def _band_env_device(fdesign, edesign, x):
 #: tunneled backend, so long inputs stream through one fixed chunk shape
 _CHUNK = 1 << 21
 
+#: sticky pow2 kernel-length budgets per process (see band_env)
+_KERNEL_BUDGET = {"filt": 0, "env": 0}
+
 
 def _band_env_chunks(fdesign, edesign, x, step, return_filtered):
     """Chunked driver around :func:`_band_env_device`.
@@ -75,8 +82,12 @@ def _band_env_chunks(fdesign, edesign, x, step, return_filtered):
     n = x.shape[0]
     halo = int(fdesign.fir.length + edesign.fir.length
                + fdesign.padlen + edesign.padlen)
-    halo = -(-halo // step) * step
-    Lc = max((_CHUNK // step) * step, step)
+    # the window geometry must NOT depend on the decimation step or the
+    # exact kernel lengths: interactive cutoff scrubs change both, and a
+    # fresh W is a fresh (minutes-long) remote compile.  Kernel lengths
+    # are pow2-bucketed already; bucket the halo likewise.
+    halo = 1 << max(halo - 1, 2047).bit_length()
+    Lc = _CHUNK
     W = Lc + 2 * halo
     if n <= W:
         # below one chunk, host scipy (float64 — the oracle itself) wins:
@@ -96,11 +107,16 @@ def _band_env_chunks(fdesign, edesign, x, step, return_filtered):
         hb = pos - a
         # fixed-shape device programs + host-side crops: per-chunk
         # slice lengths/offsets vary with the recording length, and
-        # every distinct eager-slice shape costs a fresh remote compile
-        r = hb % step
-        env_s = np.asarray(_strided_at(env, r, step))
-        j0 = (hb - r) // step
-        outs_e.append(env_s[j0 : j0 - (-L // step)])
+        # every distinct eager-slice shape costs a fresh remote compile.
+        # Global decimation grid points p = k*step with pos <= p < pos+L
+        # (chunk starts are NOT step-aligned; the traced offset handles it)
+        g0 = -(-pos // step) * step
+        if g0 < pos + L:
+            r = (g0 - a) % step
+            env_s = np.asarray(_strided_at(env, r, step))
+            j0 = (g0 - a - r) // step
+            cnt = (pos + L - 1 - g0) // step + 1
+            outs_e.append(env_s[j0 : j0 + cnt])
         if return_filtered:
             outs_y.append(np.asarray(y)[hb : hb + L])
     return (np.concatenate(outs_y) if return_filtered else None,
@@ -393,13 +409,20 @@ def band_env(data, rate, highpassfreq, lowpassfreq, envelopecutofffreq,
     data = np.atleast_2d(np.asarray(data, np.float64))
     if data.shape[0] < data.shape[1]:
         data = data.T
-    fdesign = FilterDesign.from_sos(sps.butter(
-        1, (_clamp_cutoff(highpassfreq, rate),
-            _clamp_cutoff(lowpassfreq, rate)), "bandpass", fs=rate,
-        output="sos"))
-    edesign = FilterDesign.from_sos(sps.butter(
-        1, _clamp_cutoff(envelopecutofffreq, rate), "lowpass", fs=rate,
-        output="sos"))
+    # sticky pow2 kernel-length budgets (the browser's interactivity
+    # idiom): scrubbing a cutoff across a pow2 boundary would otherwise
+    # change the traced kernel shapes and recompile the chunk program
+    fdesign = FilterDesign.from_sos(
+        sps.butter(1, (_clamp_cutoff(highpassfreq, rate),
+                       _clamp_cutoff(lowpassfreq, rate)), "bandpass",
+                   fs=rate, output="sos"),
+        pad_to=_KERNEL_BUDGET["filt"] or None)
+    edesign = FilterDesign.from_sos(
+        sps.butter(1, _clamp_cutoff(envelopecutofffreq, rate), "lowpass",
+                   fs=rate, output="sos"),
+        pad_to=_KERNEL_BUDGET["env"] or None)
+    _KERNEL_BUDGET["filt"] = max(_KERNEL_BUDGET["filt"], fdesign.fir.length)
+    _KERNEL_BUDGET["env"] = max(_KERNEL_BUDGET["env"], edesign.fir.length)
     envrate_t = min(envelopecutofffreq * 10, rate)
     step = int(np.round(rate / envrate_t))
     fdata, env = _band_env_chunks(fdesign, edesign, data, step,

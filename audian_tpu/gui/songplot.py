@@ -176,8 +176,21 @@ class SongPlot:
         r["slow_envelope"] = np.asarray(slow)
         ons, offs = events.detect_songs(r["slow_envelope"], envrate,
                                         r["thresholds"], self.min_duration)
+        # the full refinement chain the batch pipeline runs — the
+        # reference's keypress handler likewise re-refines
+        # (`songdetector.py:617-619`), so refinement-rejected songs do
+        # not reappear after a scrub
+        freqs = events.env_freqs(ons, offs, r["envelope"], envrate)
+        ons, offs, freqs = events.clean_env_freqs(ons, offs, freqs)
+        events.filter_envelopes(ons, offs, freqs, r["envelope"], envrate,
+                                self.min_duration)
+        ons, offs = events.analyse_songs(ons, offs, r["envelope"], envrate,
+                                         freqs, r["thresholds"],
+                                         self.min_duration)
         r["onsets"] = [o / envrate for o in ons]
         r["offsets"] = [o / envrate for o in offs]
+        r["onset_indices"] = ons
+        r["offset_indices"] = offs
 
     # -- interaction ------------------------------------------------------------------
 

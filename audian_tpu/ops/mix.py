@@ -16,12 +16,18 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from .sos import sosfiltfilt
 from . import design
 
 __all__ = ["stereo_mixdown", "heterodyne", "fade", "prepare_playback"]
 
 HETERODYNE_CUTOFF = 20000.0  # Hz, reference `databrowser.py:1723`
+
+
+def _carrier(a, b, cycles_per_sample):
+    """Host float64 carrier samples for frames [a, b) — phase reduced
+    mod 1 before the sin so f32-length recordings keep full accuracy."""
+    cyc = np.arange(a, b, dtype=np.float64) * cycles_per_sample
+    return np.sin((2.0 * np.pi) * np.mod(cyc, 1.0))
 
 
 def stereo_mixdown(x, channels=None):
@@ -58,8 +64,7 @@ def heterodyne(x, rate, freq):
     block = 1 << 22
     for a in range(0, n, block):
         b = min(a + block, n)
-        cyc = np.arange(a, b, dtype=np.float64) * c
-        carrier[a:b] = np.sin((2.0 * np.pi) * np.mod(cyc, 1.0))
+        carrier[a:b] = _carrier(a, b, c)
     carrier = jnp.asarray(carrier, x.dtype)
     return x * carrier.reshape((-1,) + (1,) * (x.ndim - 1))
 
@@ -108,8 +113,7 @@ def prepare_playback(x, rate, channels=None, use_heterodyne=False,
         block = 1 << 22
         for a in range(0, n, block):
             b = min(a + block, n)
-            cyc = np.arange(a, b, dtype=np.float64) * c
-            play[a:b] *= np.sin((2.0 * np.pi) * np.mod(cyc, 1.0))[:, None]
+            play[a:b] *= _carrier(a, b, c)[:, None]
         sos = design.design_filter(rate, lowpass_cutoff=HETERODYNE_CUTOFF,
                                    order=2)
         nstep = max(1, int(np.round(rate / (2 * HETERODYNE_CUTOFF))))

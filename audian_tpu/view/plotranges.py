@@ -286,6 +286,8 @@ class PlotRange:
 
     def step(self, step_fac, channels=None, do_set=True):
         """Pan by the data-derived step (`plotranges.py:306-319`)."""
+        if self.rstep is None:
+            return
         for c in self._each(channels):
             if (step_fac > 0 and self.r1[c] < self._hi()) or \
                (step_fac < 0 and self.r0[c] > self._lo()):
@@ -301,6 +303,8 @@ class PlotRange:
 
     def min_step(self, step_fac, channels=None, do_set=True):
         """Move only the lower edge (`plotranges.py:330-343`)."""
+        if self.rstep is None:
+            return
         for c in self._each(channels):
             if (step_fac > 0 and self.r0[c] < self.r1[c]) or \
                (step_fac < 0 and self.r0[c] > self._lo()):
@@ -315,6 +319,8 @@ class PlotRange:
 
     def max_step(self, step_fac, channels=None, do_set=True):
         """Move only the upper edge (`plotranges.py:354-367`)."""
+        if self.rstep is None:
+            return
         for c in self._each(channels):
             if (step_fac > 0 and self.r1[c] < self._hi()) or \
                (step_fac < 0 and self.r1[c] > self.r0[c]):
