@@ -258,3 +258,46 @@ def test_band_env_chunked_misaligned_tail(rng, monkeypatch):
     assert env.shape == env_ref.shape
     np.testing.assert_allclose(env, env_ref, atol=1e-10)
     np.testing.assert_allclose(y, np.asarray(y_ref), atol=1e-10)
+
+
+def test_band_env_scrubs_reuse_chunk_program(rng, monkeypatch):
+    """Cutoff scrubs over a multi-chunk recording must not recompile the
+    chunked device program (geometry is step/kernel independent; sticky
+    kernel budgets absorb pow2 crossings after warmup at the longest
+    kernel)."""
+    import logging
+    import jax
+    from audian_tpu.analysis import events
+
+    monkeypatch.setattr(events, "_CHUNK", 1 << 15)
+    monkeypatch.setattr(events, "_KERNEL_BUDGET", {"filt": 0, "env": 0})
+    rate = 20000.0
+    x = rng.standard_normal((int(12 * rate), 1)).astype(np.float32)
+    # warm up at the longest kernels (lowest cutoffs / narrowest band)
+    events.band_env(x, rate, 6000.0, 7500.0, 44.4, return_filtered=False)
+    events.band_env(x, rate, 3000.0, 7500.0, 44.4, return_filtered=False)
+
+    records = []
+
+    class Grab(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    handler = Grab()
+    loggers = [logging.getLogger("jax._src.dispatch"),
+               logging.getLogger("jax._src.interpreters.pxla")]
+    jax.config.update("jax_log_compiles", True)
+    try:
+        for lg in loggers:
+            lg.addHandler(handler)
+        for envf, hp in ((66.7, 5500.0), (150.0, 5500.0), (100.0, 3200.0),
+                         (225.0, 4125.0), (44.4, 6000.0)):
+            events.band_env(x, rate, hp, 7500.0, envf,
+                            return_filtered=False)
+    finally:
+        jax.config.update("jax_log_compiles", False)
+        for lg in loggers:
+            lg.removeHandler(handler)
+    big = [r for r in records
+           if "Compiling" in r and "_band_env_device" in r]
+    assert not big, f"cutoff scrubs recompiled the chunk program: {big[:1]}"
