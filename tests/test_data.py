@@ -411,3 +411,25 @@ def test_empty_reversed_slice_no_compute(wav_file):
     assert out.shape[0] == 0
     assert not calls, "empty slice hit the compute path"
     d.close()
+
+
+def test_mixed_encoding_multifile_upload_exact(tmp_path, rng):
+    """A multi-file recording mixing PCM-16 and FLOAT files must NOT use
+    the int16 upload (quantizing the float file's samples)."""
+    rate = 8000.0
+    x = (0.3 * rng.standard_normal((int(4.0 * rate), 1))).clip(-1, 0.99)
+    p1 = tmp_path / "a.wav"
+    p2 = tmp_path / "b.wav"
+    n = len(x) // 2
+    wavio.write_audio(p1, x[:n], rate, encoding="PCM_16")
+    wavio.write_audio(p2, x[n:], rate, encoding="FLOAT")
+    d = Data([p1, p2], buffer_time=2.0, back_time=0.5)
+    for node in default_traces():
+        d.add_trace(node)
+    d.setup_traces()
+    d.open()
+    d.update_times(1.8, 2.2)  # spans the file boundary
+    dev = np.asarray(d._device_raw())
+    host = d.data.buffer.astype(np.float32)
+    assert np.array_equal(dev, host)
+    d.close()
