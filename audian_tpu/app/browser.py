@@ -562,122 +562,61 @@ class DataBrowser:
                 return True
         return False
 
-    # -- channel selection (`databrowser.py:1317-1512`) ------------------------------
+    # -- channel selection --------------------------------------------------------
+    # The state machine itself lives in :class:`ChannelFocus`
+    # (audian_tpu/app/channels.py); these verbs snapshot the browser's
+    # channel state, run one pure operation, and copy the result back,
+    # re-normalizing (and emitting) when the operation asks for it.
+
+    def _channel_focus(self):
+        from .channels import ChannelFocus
+        return ChannelFocus(self.data.channels, self.show_channels,
+                            self.selected_channels, self.current_channel)
+
+    def _adopt_focus(self, focus, renormalize=False):
+        self.show_channels = list(focus.shown)
+        self.selected_channels = list(focus.selected)
+        self.current_channel = focus.current
+        if renormalize:
+            self.set_channels()
 
     def add_to_show_channels(self, channels):
-        if isinstance(channels, int):
-            channels = [channels]
-        for channel in channels:
-            if channel not in self.show_channels:
-                self.show_channels.append(channel)
-        self.show_channels.sort()
+        focus = self._channel_focus()
+        focus.show(channels)
+        self._adopt_focus(focus)
 
     def add_to_selected_channels(self, channels):
-        if isinstance(channels, int):
-            channels = [channels]
-        for channel in channels:
-            if channel not in self.selected_channels:
-                self.selected_channels.append(channel)
-        self.selected_channels.sort()
+        focus = self._channel_focus()
+        focus.select(channels)
+        self._adopt_focus(focus)
 
     def all_channels(self):
         """Two-stage select-all (`databrowser.py:1335-1341`): first press
         selects all shown channels, second extends to every channel."""
-        if self.selected_channels == self.show_channels:
-            self.selected_channels = list(range(self.data.channels))
-        else:
-            self.selected_channels = list(self.show_channels)
+        focus = self._channel_focus()
+        focus.select_all()
+        self._adopt_focus(focus)
 
     def next_channel(self):
-        """Make the next shown channel current, scrolling the shown-channel
-        window forward at its edge (`databrowser.py:1343-1361`)."""
-        idx = self.show_channels.index(self.current_channel)
-        if idx + 1 < len(self.show_channels):
-            self.current_channel = self.show_channels[idx + 1]
-            self.selected_channels = [self.current_channel]
-        else:
-            if self.show_channels[-1] < self.data.channels - 1:
-                n = len(self.show_channels)
-                if n > 1:
-                    n -= 1
-                if self.show_channels[-1] + n >= self.data.channels:
-                    n = self.data.channels - 1 - self.show_channels[-1]
-                self.add_to_show_channels(
-                    list(range(self.show_channels[-1] + 1,
-                               self.show_channels[-1] + 1 + n)))
-                del self.show_channels[:n]
-                self.current_channel += 1
-            self.selected_channels = [self.current_channel]
-            self.set_channels()
+        """Focus the next shown channel, scrolling the shown window
+        forward at its edge (`databrowser.py:1343-1361`)."""
+        focus = self._channel_focus()
+        self._adopt_focus(focus, renormalize=focus.step(+1))
 
     def previous_channel(self):
         """(`databrowser.py:1364-1382`)"""
-        idx = self.show_channels.index(self.current_channel)
-        if idx > 0:
-            self.current_channel = self.show_channels[idx - 1]
-            self.selected_channels = [self.current_channel]
-        else:
-            if self.show_channels[0] > 0:
-                n = len(self.show_channels)
-                if n > 1:
-                    n -= 1
-                if self.show_channels[0] < n:
-                    n = self.show_channels[0]
-                self.add_to_show_channels(
-                    list(range(self.show_channels[0] - n,
-                               self.show_channels[0])))
-                del self.show_channels[-n:]
-                self.current_channel -= 1
-            self.selected_channels = [self.current_channel]
-            self.set_channels()
+        focus = self._channel_focus()
+        self._adopt_focus(focus, renormalize=focus.step(-1))
 
     def select_next_channel(self):
         """Extend the selection downward (`databrowser.py:1385-1405`)."""
-        shown_sel = [c for c in range(self.data.channels)
-                     if c in self.show_channels and c in self.selected_channels]
-        if shown_sel:
-            self.current_channel = shown_sel[-1]
-        idx = self.show_channels.index(self.current_channel)
-        if idx + 1 < len(self.show_channels):
-            self.current_channel = self.show_channels[idx + 1]
-            self.add_to_selected_channels(self.current_channel)
-        else:
-            if self.show_channels[-1] < self.data.channels - 1:
-                n = len(self.show_channels)
-                if self.show_channels[-1] + n >= self.data.channels:
-                    n = self.data.channels - 1 - self.show_channels[-1]
-                self.add_to_show_channels(
-                    list(range(self.show_channels[-1] + 1,
-                               self.show_channels[-1] + 1 + n)))
-                del self.show_channels[:n]
-            if self.current_channel < self.data.channels - 1:
-                self.current_channel += 1
-                self.add_to_selected_channels(self.current_channel)
-            self.set_channels()
+        focus = self._channel_focus()
+        self._adopt_focus(focus, renormalize=focus.extend(+1))
 
     def select_previous_channel(self):
         """(`databrowser.py:1408-1428`)"""
-        shown_sel = [c for c in range(self.data.channels)
-                     if c in self.show_channels and c in self.selected_channels]
-        if shown_sel:
-            self.current_channel = shown_sel[0]
-        idx = self.show_channels.index(self.current_channel)
-        if idx > 0:
-            self.current_channel = self.show_channels[idx - 1]
-            self.add_to_selected_channels(self.current_channel)
-        else:
-            if self.show_channels[0] > 0:
-                n = len(self.show_channels)
-                if self.show_channels[0] < n:
-                    n = self.show_channels[0]
-                self.add_to_show_channels(
-                    list(range(self.show_channels[0] - n,
-                               self.show_channels[0])))
-                del self.show_channels[-n:]
-            if self.current_channel > 0:
-                self.current_channel -= 1
-                self.add_to_selected_channels(self.current_channel)
-            self.set_channels()
+        focus = self._channel_focus()
+        self._adopt_focus(focus, renormalize=focus.extend(-1))
 
     def set_channels(self, show_channels=None, selected_channels=None,
                      current_channel=None):
@@ -687,69 +626,41 @@ class DataBrowser:
             return
         self.setting = True
         try:
-            if show_channels is not None:
-                self.show_channels = [c for c in show_channels
-                                      if 0 <= c < self.data.channels]
-            if selected_channels is not None:
-                self.selected_channels = [c for c in selected_channels
-                                          if 0 <= c < self.data.channels]
-            if current_channel is not None:
-                self.current_channel = current_channel
-            if not self.show_channels:
-                self.show_channels = [0]
-            if not self.selected_channels:
-                self.selected_channels = list(self.show_channels)
-            shown_sel = [c for c in range(self.data.channels)
-                         if c in self.show_channels
-                         and c in self.selected_channels]
-            if not shown_sel:
-                self.selected_channels = list(self.show_channels)
-                shown_sel = list(self.show_channels)
-            if self.current_channel not in shown_sel:
-                for c in shown_sel:
-                    if c >= self.current_channel:
-                        self.current_channel = c
-                        break
-                if self.current_channel not in shown_sel:
-                    self.current_channel = shown_sel[-1]
+            from .channels import ChannelFocus
+            focus = ChannelFocus(
+                self.data.channels,
+                self.show_channels if show_channels is None
+                else show_channels,
+                self.selected_channels if selected_channels is None
+                else selected_channels,
+                self.current_channel if current_channel is None
+                else current_channel)
+            focus.normalize()
+            self._adopt_focus(focus)
         finally:
             self.setting = False
         self.sigChannelsChanged.emit(self.show_channels)
 
     def select_channels(self, channels):
-        channels = [c for c in channels if c in self.show_channels]
-        if channels:
-            self.selected_channels = sorted(channels)
+        focus = self._channel_focus()
+        focus.keep_selection(channels)
+        self._adopt_focus(focus)
 
     def toggle_channel(self, channel, checked=None):
         """Toggle one channel's visibility (`databrowser.py:1463-1494`).
         ``checked`` overrides (the reference reads its menu action)."""
         if self.setting or not 0 <= channel < self.data.channels:
             return
+        focus = self._channel_focus()
         if checked is None:
-            checked = channel not in self.show_channels
+            checked = channel not in focus.shown
         if checked:
-            self.add_to_show_channels(channel)
-            self.add_to_selected_channels(channel)
-            self.set_channels()
-        elif channel in self.show_channels:
-            self.show_channels.remove(channel)
-            if not self.show_channels:
-                c = channel + 1
-                if c >= self.data.channels:
-                    c = 0
-                self.show_channels = [c]
-                self.add_to_selected_channels(c)
-            if channel in self.selected_channels:
-                self.selected_channels.remove(channel)
-                if not self.selected_channels:
-                    for c in self.show_channels:
-                        if c < channel:
-                            self.current_channel = c
-                        else:
-                            break
-                    self.selected_channels = [self.current_channel]
-            self.set_channels()
+            focus.reveal(channel)
+        elif channel in focus.shown:
+            focus.conceal(channel)
+        else:
+            return
+        self._adopt_focus(focus, renormalize=True)
 
     def show_channel(self, channel):
         """Show only ``channel``; a second press on the lone shown channel
@@ -759,16 +670,17 @@ class DataBrowser:
         if self.current_channel == channel and self.show_channels == [channel]:
             self.set_channels(list(range(self.data.channels)))
         else:
-            self.current_channel = channel
-            self.add_to_selected_channels(channel)
+            focus = self._channel_focus()
+            focus.current = channel
+            focus.select(channel)
+            self._adopt_focus(focus)
             self.set_channels([channel])
 
     def hide_deselected_channels(self):
         """(`databrowser.py:1508-1512`)"""
-        show = [c for c in self.show_channels if c in self.selected_channels]
-        if not show:
-            show = [self.show_channels[0]]
-        self.set_channels(show)
+        keep = [c for c in self.show_channels
+                if c in self.selected_channels]
+        self.set_channels(keep or self.show_channels[:1])
 
     # -- panel visibility (`databrowser.py:1515-1583`) --------------------------------
 

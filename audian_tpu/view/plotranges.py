@@ -1,12 +1,17 @@
 """Shared axis ranges across panels and channels.
 
-Rebuild of `src/audian/plotranges.py:15-666`: one ``PlotRange`` per axis
-letter (see :class:`audian_tpu.view.panels.Panel` alphabets) holds the
-per-channel ``[r0, r1]`` view ranges, the global limits, and the full
-zoom/pan/step/auto/home/end/snap verb set; ``PlotRanges`` links them so
-"zoom amplitude" acts on every panel and file sharing that letter.  The
-crosshair and stored-marker positions with their delta readouts live here
-too.
+One :class:`PlotRange` per axis letter (alphabets in
+:mod:`audian_tpu.view.panels`) owns the per-channel view windows, the
+global limits, and the zoom/pan/step/auto/home/end/snap verb surface of
+the reference (`src/audian/plotranges.py:15-666`); :class:`PlotRanges`
+links the letters so "zoom amplitude" acts on every panel and file
+sharing that letter.  The crosshair and stored-marker positions with
+their delta readouts live here too.
+
+The implementation differs from the reference by design: plots attach as
+(role, channel, ax) records rather than per-role lists, and every verb is
+a window transform ``(lo, hi) -> (lo', hi')`` funneled through one clamp
++ broadcast engine.
 
 Axes are duck-typed (``range(axspec)``, ``setXRange``/``setYRange``/
 ``setZRange``, ``setLimits``, ``amplitudes(t0, t1)``), so the same logic
@@ -15,94 +20,134 @@ drives headless tests and any GUI frontend.
 
 from __future__ import annotations
 
-from math import ceil, log
+import math
 
 import numpy as np
 
-from .panels import Panel
+from .panels import (TIME_AXES, AMPLITUDE_AXES, FREQUENCY_AXES, POWER_AXES,
+                     axis_kind)
 
 __all__ = ["PlotRange", "PlotRanges"]
 
-#: verbs PlotRanges forwards to every axis letter in an axspec string
-VERBS = [
+#: verbs PlotRanges broadcasts to every axis letter of an axspec string
+VERBS = (
     "zoom_in", "zoom_out", "zoom_in_centered", "zoom_out_centered",
     "down", "up", "small_down", "small_up", "step_down", "step_up",
     "min_down", "min_up", "max_down", "max_up", "home", "end", "snap",
     "auto", "reset", "center",
-]
+)
+
+#: duck-typed setter per axis role
+_RANGE_SETTER = {"x": "setXRange", "y": "setYRange", "z": "setZRange"}
+
+#: setLimits keyword names per role (z axes carry no limits)
+_LIMIT_KEYS = {"x": ("xMin", "xMax", "minXRange", "maxXRange"),
+               "y": ("yMin", "yMax", "minYRange", "maxYRange")}
+
+#: smallest window as a fraction of the full span
+_ZOOM_FLOOR = 2.0 ** -16
+
+
+def _finite(v):
+    return v is not None and np.isfinite(v)
+
+
+class _Cursor:
+    """One marker slot: which channel/plot it sits on and where."""
+
+    __slots__ = ("channel", "ax", "pos")
+
+    def __init__(self):
+        self.clear()
+
+    def clear(self):
+        self.channel = None
+        self.ax = None
+        self.pos = None
+
+    def copy_from(self, other):
+        self.channel = other.channel
+        self.ax = other.ax
+        self.pos = other.pos
 
 
 class PlotRange:
-    """Range state of one axis letter (`plotranges.py:15-531`)."""
+    """Range state of one axis letter."""
 
     def __init__(self, axspec, nchannels):
         self.axspec = axspec
-        self.rmin = None
-        self.rmax = None
-        self.rstep = None
-        self.min_dr = None
+        self.rmin = None       # global lower limit over all attached plots
+        self.rmax = None       # global upper limit
+        self.rstep = None      # finest data-derived step
+        self.min_dr = None     # smallest allowed window width
         self.r0 = [None] * nchannels
         self.r1 = [None] * nchannels
-        self.axxs = [[] for _ in range(nchannels)]
-        self.axys = [[] for _ in range(nchannels)]
-        self.axzs = [[] for _ in range(nchannels)]
-        self.marker_channel = None
-        self.marker_ax = None
-        self.marker_pos = None
-        self.stored_marker_channel = None
-        self.stored_marker_ax = None
-        self.stored_marker_pos = None
+        self._plots = []       # (role, channel, ax) attachments
+        self._cursor = _Cursor()   # live crosshair
+        self._anchor = _Cursor()   # stored marker
 
-    def __str__(self):
-        def fmt(v):
-            return f'{"-":>8}' if v is None else f"{v:8.5g}"
+    def __repr__(self):
+        span = "unset" if self.r0[0] is None else \
+            f"[{self.r0[0]:.6g}, {self.r1[0]:.6g}]"
+        lim = f"{self.rmin}..{self.rmax}"
+        return f"PlotRange({self.axspec!r}, {span}, limits={lim})"
 
-        return (f"{self.axspec}: rmin={fmt(self.rmin)} rmax={fmt(self.rmax)}"
-                f" rstep={fmt(self.rstep)} min_dr={fmt(self.min_dr)}"
-                f" r0={fmt(self.r0[0])} r1={fmt(self.r1[0])}")
+    __str__ = __repr__
 
-    # -- wiring -------------------------------------------------------------------
+    # -- attachment ---------------------------------------------------------------
 
-    def _absorb_limits(self, ax):
-        rmin, rmax, rstep = ax.range(self.axspec)
-        if rmin is not None and (self.rmin is None or rmin < self.rmin):
-            self.rmin = rmin
-        if rmax is not None and (self.rmax is None or rmax > self.rmax):
-            self.rmax = rmax
-        if rstep is not None and (self.rstep is None or rstep < self.rstep):
-            self.rstep = rstep
+    def _attach(self, role, ax, channel):
+        lo, hi, step = ax.range(self.axspec)
+        if lo is not None:
+            self.rmin = lo if self.rmin is None else min(self.rmin, lo)
+        if hi is not None:
+            self.rmax = hi if self.rmax is None else max(self.rmax, hi)
+        if step is not None:
+            self.rstep = step if self.rstep is None else min(self.rstep, step)
+        self._plots.append((role, channel, ax))
 
     def add_xaxis(self, ax, channel):
-        self._absorb_limits(ax)
-        self.axxs[channel].append(ax)
+        self._attach("x", ax, channel)
 
     def add_yaxis(self, ax, channel):
-        self._absorb_limits(ax)
-        self.axys[channel].append(ax)
+        self._attach("y", ax, channel)
 
     def add_zaxis(self, ax, channel):
-        self._absorb_limits(ax)
-        self.axzs[channel].append(ax)
+        self._attach("z", ax, channel)
+
+    def _axes(self, role=None, channel=None):
+        for r, c, ax in self._plots:
+            if (role is None or r == role) and \
+               (channel is None or c == channel):
+                yield ax
 
     def is_used(self):
-        return any(len(a) for a in self.axxs + self.axys + self.axzs)
+        return bool(self._plots)
+
+    def plots(self, role=None, channel=None):
+        """The attached plot objects, optionally filtered by axis role
+        ('x'/'y'/'z') and channel."""
+        return list(self._axes(role, channel))
+
+    # -- classification -----------------------------------------------------------
 
     def is_time(self):
-        return self.axspec in Panel.times
+        return axis_kind(self.axspec) == "time"
 
     def is_amplitude(self):
-        return self.axspec in Panel.amplitudes
+        return axis_kind(self.axspec) == "amplitude"
 
     def is_frequency(self):
-        return self.axspec in Panel.frequencies
+        return axis_kind(self.axspec) == "frequency"
 
     def is_power(self):
-        return self.axspec in Panel.powers
+        return axis_kind(self.axspec) == "power"
 
-    def set_starttime(self, mode):
-        for axx in self.axxs:
-            for ax in axx:
-                ax.set_starttime(mode)
+    def _signed(self):
+        """Signed axes zoom about their center, positive axes from r0."""
+        return self.rmin is not None and self.rmin < 0
+
+    # -- queries ------------------------------------------------------------------
 
     def at_end(self, channel=0):
         return self.rmax is not None and self.r1[channel] >= self.rmax
@@ -110,167 +155,192 @@ class PlotRange:
     def at_home(self, channel=0):
         return self.rmin is None or self.r0[channel] <= self.rmin
 
-    # -- limits ------------------------------------------------------------------
+    def set_starttime(self, mode):
+        for ax in self._axes("x"):
+            ax.set_starttime(mode)
 
-    def _lo(self):
-        return -np.inf if self.rmin is None else self.rmin
-
-    def _hi(self):
-        return np.inf if self.rmax is None else self.rmax
+    # -- limits -------------------------------------------------------------------
 
     def set_limits(self):
-        """Derive smallest zoom step and push limits into the axes; init
-        ranges (`plotranges.py:111-151`)."""
+        """Compute the zoom floor, push limits into the plots, and reset
+        all channels to their initial windows."""
         if not self.is_used():
             return
-
-        def fin(v):  # None-safe: axes without data report None limits
-            return v is not None and np.isfinite(v)
-
-        if fin(self.rmin) and fin(self.rmax):
+        bounded = _finite(self.rmin) and _finite(self.rmax)
+        if bounded:
+            # time axes may zoom to 1 ms; others to a fixed span fraction
             self.min_dr = 0.001 if self.is_time() else \
-                (self.rmax - self.rmin) / 2 ** 16
+                (self.rmax - self.rmin) * _ZOOM_FLOOR
         else:
-            self.min_dr = 2 / 2 ** 16
-        for c, axx in enumerate(self.axxs):
-            for ax in axx:
+            self.min_dr = 2 * _ZOOM_FLOOR
+        for role, keys in _LIMIT_KEYS.items():
+            kmin, kmax, kwidth_lo, kwidth_hi = keys
+            for ax in self._axes(role):
                 kw = {}
-                if fin(self.rmin):
-                    kw["xMin"] = self.rmin
-                if fin(self.rmax):
-                    kw["xMax"] = self.rmax
-                    if fin(self.rmin):
-                        kw["minXRange"] = self.min_dr
-                        kw["maxXRange"] = self.rmax - self.rmin
-                ax.setLimits(**kw)
-        for axy in self.axys:
-            for ax in axy:
-                kw = {}
-                if fin(self.rmin):
-                    kw["yMin"] = self.rmin
-                if fin(self.rmax):
-                    kw["yMax"] = self.rmax
-                    if fin(self.rmin):
-                        kw["minYRange"] = self.min_dr
-                        kw["maxYRange"] = self.rmax - self.rmin
-                ax.setLimits(**kw)
+                if _finite(self.rmin):
+                    kw[kmin] = self.rmin
+                if _finite(self.rmax):
+                    kw[kmax] = self.rmax
+                if bounded:
+                    kw[kwidth_lo] = self.min_dr
+                    kw[kwidth_hi] = self.rmax - self.rmin
+                if kw:
+                    ax.setLimits(**kw)
+        start = self.rmin if _finite(self.rmin) else -1.0
+        stop = 10.0 if self.is_time() else self.rmax
+        if not _finite(stop):
+            stop = 1.0
         for c in range(len(self.r0)):
-            self.r0[c] = self.rmin if fin(self.rmin) else -1
-            r1 = 10 if self.is_time() else self.rmax
-            self.r1[c] = r1 if fin(r1) else +1
+            self.r0[c] = start
+            self.r1[c] = stop
 
-    # -- core range setter ----------------------------------------------------------
+    # -- the range engine ----------------------------------------------------------
 
-    def _channel_list(self, channels):
-        """Time ranges are shared across channels (`plotranges.py:158-160`)."""
+    def _targets(self, channels):
+        """Channels a verb acts on; time axes always act on all (their
+        window is shared)."""
         if channels is None or self.is_time():
-            return list(range(len(self.r0)))
-        return list(channels)
+            return range(len(self.r0))
+        return channels
+
+    def _has_plots(self, channel):
+        return any(True for _ in self._axes(channel=channel))
+
+    def _clamp(self, lo, hi):
+        """Slide the window back inside the limits, preserving its width
+        where possible (time axes may overrun the end)."""
+        width = hi - lo
+        if self.rmin is not None and lo < self.rmin:
+            lo = self.rmin
+            hi = lo + width
+        if self.rmax is not None and hi > self.rmax and not self.is_time():
+            hi = self.rmax
+            lo = hi - width
+            if self.rmin is not None and lo < self.rmin:
+                lo = self.rmin
+        return lo, hi
+
+    def _push(self, channel):
+        lo, hi = self.r0[channel], self.r1[channel]
+        for role, c, ax in self._plots:
+            if c == channel:
+                getattr(ax, _RANGE_SETTER[role])(lo, hi)
 
     def set_ranges(self, r0=None, r1=None, dr=None, channels=None,
                    do_set=True):
-        """Set [r0, r1] (or a width ``dr``) on the given channels, clamped
-        to the limits; time ranges replicate the first updated channel
-        (`plotranges.py:153-194`)."""
+        """Set the window on the given channels, clamped to the limits.
+
+        Any of ``r0``/``r1``/``dr`` may be given; a missing edge keeps its
+        current value, ``dr`` pins the width to the given edge.  On time
+        axes the first resolved window is broadcast to every channel.
+        """
         if not self.is_used():
             return
-        channels = self._channel_list(channels)
-        lead = -1
-        for c in channels:
-            if not (self.axxs[c] or self.axys[c] or self.axzs[c]):
+        shared = None   # resolved time window, broadcast to all channels
+        for c in self._targets(channels):
+            if not self._has_plots(c):
                 continue
-            if lead >= 0:
-                self.r0[c] = self.r0[lead]
-                self.r1[c] = self.r1[lead]
-            else:
-                if r0 is not None:
-                    self.r0[c] = r0
-                if r1 is not None:
-                    self.r1[c] = r1
+            if shared is None:
+                lo = self.r0[c] if r0 is None else r0
+                hi = self.r1[c] if r1 is None else r1
                 if dr is not None:
                     if r1 is None:
-                        self.r1[c] = self.r0[c] + dr
+                        hi = lo + dr
                     else:
-                        self.r0[c] = self.r1[c] - dr
-                width = self.r1[c] - self.r0[c]
-                if self.rmin is not None and self.r0[c] < self.rmin:
-                    self.r0[c] = self.rmin
-                    self.r1[c] = self.rmin + width
-                if (self.rmax is not None and self.r1[c] > self.rmax
-                        and not self.is_time()):
-                    self.r1[c] = self.rmax
-                    self.r0[c] = self.rmax - width
-                if self.rmin is not None and self.r0[c] < self.rmin:
-                    self.r0[c] = self.rmin
+                        lo = hi - dr
+                lo, hi = self._clamp(lo, hi)
                 if self.is_time():
-                    lead = c
+                    shared = (lo, hi)
+            else:
+                lo, hi = shared
+            self.r0[c], self.r1[c] = lo, hi
             if do_set:
-                for ax in self.axxs[c]:
-                    ax.setXRange(self.r0[c], self.r1[c])
-                for ax in self.axys[c]:
-                    ax.setYRange(self.r0[c], self.r1[c])
-                for ax in self.axzs[c]:
-                    ax.setZRange(self.r0[c], self.r1[c])
+                self._push(c)
 
-    # -- verbs -----------------------------------------------------------------------
-
-    def _each(self, channels):
+    def _remap(self, transform, channels=None, do_set=True):
+        """Run a window transform per channel.  ``transform(lo, hi)``
+        returns the new window or None to leave the channel alone."""
         if not self.is_used():
-            return []
-        channels = self._channel_list(channels)
-        return [0] if self.is_time() and channels else channels
+            return
+        targets = self._targets(channels)
+        if self.is_time():
+            # shared window: transform once, set_ranges broadcasts
+            targets = list(targets)[:1]
+        for c in targets:
+            out = transform(self.r0[c], self.r1[c])
+            if out is not None:
+                self.set_ranges(out[0], out[1], None, [c], do_set)
+
+    # -- zoom verbs -----------------------------------------------------------------
 
     def zoom_in(self, channels=None, do_set=True):
-        """Halve the range: around the center for signed axes, from r0 for
-        positive axes (`plotranges.py:197-213`)."""
-        for c in self._each(channels):
-            width = self.r1[c] - self.r0[c]
-            if self.rmin is not None and self.rmin < 0:
-                if width > self.min_dr:
-                    m = 0.5 * (self.r1[c] + self.r0[c])
-                    self.set_ranges(m - width / 4, m + width / 4, None,
-                                    [c], do_set)
-            elif width > self.min_dr:
-                self.set_ranges(self.r0[c], None, width / 2, [c], do_set)
+        def shrink(lo, hi):
+            width = hi - lo
+            if width <= self.min_dr:
+                return None
+            if self._signed():
+                mid = (lo + hi) / 2
+                return mid - width / 4, mid + width / 4
+            return lo, lo + width / 2
+
+        self._remap(shrink, channels, do_set)
 
     def zoom_out(self, channels=None, do_set=True):
-        for c in self._each(channels):
-            width = self.r1[c] - self.r0[c]
-            if self.rmin is not None and self.rmin < 0:
-                m = 0.5 * (self.r1[c] + self.r0[c])
-                self.set_ranges(m - width, m + width, None, [c], do_set)
-            else:
-                self.set_ranges(self.r0[c], None, 2 * width, [c], do_set)
+        def grow(lo, hi):
+            width = hi - lo
+            if self._signed():
+                mid = (lo + hi) / 2
+                return mid - width, mid + width
+            return lo, lo + 2 * width
+
+        self._remap(grow, channels, do_set)
 
     def zoom_in_centered(self, channels=None, do_set=True):
-        for c in self._each(channels):
-            width = self.r1[c] - self.r0[c]
-            if width > self.min_dr:
-                m = 0.5 * (self.r1[c] + self.r0[c])
-                self.set_ranges(m - width / 4, m + width / 4, None, [c],
-                                do_set)
+        def shrink(lo, hi):
+            width = hi - lo
+            if width <= self.min_dr:
+                return None
+            mid = (lo + hi) / 2
+            return mid - width / 4, mid + width / 4
+
+        self._remap(shrink, channels, do_set)
 
     def zoom_out_centered(self, channels=None, do_set=True):
-        for c in self._each(channels):
-            width = self.r1[c] - self.r0[c]
-            m = 0.5 * (self.r1[c] + self.r0[c])
-            self.set_ranges(m - width, m + width, None, [c], do_set)
+        def grow(lo, hi):
+            width = hi - lo
+            mid = (lo + hi) / 2
+            return mid - width, mid + width
+
+        self._remap(grow, channels, do_set)
+
+    # -- pan verbs ------------------------------------------------------------------
 
     def goto(self, pos, channels=None, do_set=True):
-        for c in self._each(channels):
-            if self.r0[c] != pos:
-                self.set_ranges(pos, pos + (self.r1[c] - self.r0[c]), None,
-                                [c], do_set)
+        self._remap(
+            lambda lo, hi: (pos, pos + (hi - lo)) if lo != pos else None,
+            channels, do_set)
+
+    def _slide(self, offset, channels, do_set):
+        """Translate the window, skipping channels already pinned against
+        the limit being moved towards."""
+        lo_lim = -np.inf if self.rmin is None else self.rmin
+        hi_lim = np.inf if self.rmax is None else self.rmax
+
+        def shift(lo, hi):
+            blocked = hi >= hi_lim if offset > 0 else lo <= lo_lim
+            return None if blocked else (lo + offset, hi + offset)
+
+        self._remap(shift, channels, do_set)
 
     def move(self, move_fac, channels=None, do_set=True):
-        """Pan by a fraction of the current width (`plotranges.py:273-287`)."""
-        for c in self._each(channels):
-            if (move_fac > 0 and self.r1[c] < self._hi()) or \
-               (move_fac < 0 and self.r0[c] > self._lo()):
-                width = self.r1[c] - self.r0[c]
-                self.set_ranges(self.r0[c] + move_fac * width,
-                                self.r1[c] + move_fac * width, None, [c],
-                                do_set)
+        """Pan by a fraction of the current width."""
+        if not self.is_used():
+            return
+        for c in self._targets(channels):
+            width = self.r1[c] - self.r0[c]
+            self._slide(move_fac * width, [c], do_set)
+            if self.is_time():
+                break
 
     def down(self, channels=None, do_set=True):
         self.move(-0.5, channels, do_set)
@@ -284,197 +354,259 @@ class PlotRange:
     def small_up(self, channels=None, do_set=True):
         self.move(+0.05, channels, do_set)
 
-    def step(self, step_fac, channels=None, do_set=True):
-        """Pan by the data-derived step (`plotranges.py:306-319`)."""
-        if self.rstep is None:
-            return
-        for c in self._each(channels):
-            if (step_fac > 0 and self.r1[c] < self._hi()) or \
-               (step_fac < 0 and self.r0[c] > self._lo()):
-                self.set_ranges(self.r0[c] + step_fac * self.rstep,
-                                self.r1[c] + step_fac * self.rstep, None,
-                                [c], do_set)
-
     def step_down(self, channels=None, do_set=True):
-        self.step(-1, channels, do_set)
+        if self.rstep is not None:
+            self._slide(-self.rstep, channels, do_set)
 
     def step_up(self, channels=None, do_set=True):
-        self.step(+1, channels, do_set)
+        if self.rstep is not None:
+            self._slide(+self.rstep, channels, do_set)
 
-    def min_step(self, step_fac, channels=None, do_set=True):
-        """Move only the lower edge (`plotranges.py:330-343`)."""
+    # -- edge verbs -----------------------------------------------------------------
+
+    def _move_edge(self, which, delta, channels, do_set):
+        """Move one window edge by ``delta``, refusing to cross the other
+        edge or the corresponding limit."""
         if self.rstep is None:
             return
-        for c in self._each(channels):
-            if (step_fac > 0 and self.r0[c] < self.r1[c]) or \
-               (step_fac < 0 and self.r0[c] > self._lo()):
-                self.set_ranges(self.r0[c] + step_fac * self.rstep,
-                                self.r1[c], None, [c], do_set)
+        lo_lim = -np.inf if self.rmin is None else self.rmin
+        hi_lim = np.inf if self.rmax is None else self.rmax
+
+        def shift(lo, hi):
+            if which == "lo":
+                ok = lo < hi if delta > 0 else lo > lo_lim
+                return (lo + delta, hi) if ok else None
+            ok = hi < hi_lim if delta > 0 else hi > lo
+            return (lo, hi + delta) if ok else None
+
+        self._remap(shift, channels, do_set)
 
     def min_down(self, channels=None, do_set=True):
-        self.min_step(-1, channels, do_set)
+        self._move_edge("lo", -(self.rstep or 0), channels, do_set)
 
     def min_up(self, channels=None, do_set=True):
-        self.min_step(+1, channels, do_set)
-
-    def max_step(self, step_fac, channels=None, do_set=True):
-        """Move only the upper edge (`plotranges.py:354-367`)."""
-        if self.rstep is None:
-            return
-        for c in self._each(channels):
-            if (step_fac > 0 and self.r1[c] < self._hi()) or \
-               (step_fac < 0 and self.r1[c] > self.r0[c]):
-                self.set_ranges(self.r0[c],
-                                self.r1[c] + step_fac * self.rstep, None,
-                                [c], do_set)
+        self._move_edge("lo", +(self.rstep or 0), channels, do_set)
 
     def max_down(self, channels=None, do_set=True):
-        self.max_step(-1, channels, do_set)
+        self._move_edge("hi", -(self.rstep or 0), channels, do_set)
 
     def max_up(self, channels=None, do_set=True):
-        self.max_step(+1, channels, do_set)
+        self._move_edge("hi", +(self.rstep or 0), channels, do_set)
+
+    # -- jump verbs -----------------------------------------------------------------
 
     def home(self, channels=None, do_set=True):
         if self.rmin is None:
             return
-        for c in self._each(channels):
-            if self.r0[c] > self.rmin:
-                self.set_ranges(self.rmin, None,
-                                self.r1[c] - self.r0[c], [c], do_set)
+        self._remap(
+            lambda lo, hi: (self.rmin, self.rmin + (hi - lo))
+            if lo > self.rmin else None,
+            channels, do_set)
 
     def end(self, channels=None, do_set=True):
-        """Jump to the end, aligned to half-width steps
-        (`plotranges.py:394-407`)."""
+        """Jump to the end, with the window edge landed on a half-width
+        grid so repeated paging tiles consistently."""
         if self.rmax is None:
             return
-        for c in self._each(channels):
-            if self.r1[c] < self.rmax:
-                width = self.r1[c] - self.r0[c]
-                r1 = ceil(self.rmax / (0.5 * width)) * (0.5 * width)
-                self.set_ranges(None, r1, width, [c], do_set)
+
+        def jump(lo, hi):
+            if hi >= self.rmax:
+                return None
+            width = hi - lo
+            stop = math.ceil(self.rmax / (0.5 * width)) * (0.5 * width)
+            return stop - width, stop
+
+        self._remap(jump, channels, do_set)
 
     def snap(self, channels=None, do_set=True):
-        """Snap width to 10*2^k and the offset to half-width multiples
-        (`plotranges.py:420-429`)."""
-        for c in self._each(channels):
-            width = self.r1[c] - self.r0[c]
-            width = 10 * 2 ** round(log(width / 10) / log(2))
-            r0 = round(self.r0[c] / (width / 2)) * (width / 2)
-            self.set_ranges(r0, None, width, [c], do_set)
+        """Snap the width to 10·2^k and the offset to half-width
+        multiples."""
+
+        def align(lo, hi):
+            width = 10 * 2 ** round(math.log2((hi - lo) / 10))
+            start = round(lo / (width / 2)) * (width / 2)
+            return start, start + width
+
+        self._remap(align, channels, do_set)
+
+    # -- data-driven verbs ------------------------------------------------------------
 
     def auto(self, t0, t1, channels=None, do_set=True):
-        """Auto-scale to the data extrema in [t0, t1]
-        (`plotranges.py:432-448`)."""
+        """Fit the range to the data extrema inside [t0, t1]."""
         if not self.is_used() or self.is_time():
             return
         if channels is None:
             channels = range(len(self.r0))
-        rmin = rmax = None
+        lo = hi = None
         for c in channels:
-            for ax in self.axxs[c] + self.axys[c]:
+            for ax in self._axes("x", c):
                 a0, a1 = ax.amplitudes(t0, t1)
-                rmin = a0 if rmin is None or a0 < rmin else rmin
-                rmax = a1 if rmax is None or a1 > rmax else rmax
-        self.set_ranges(rmin, rmax, None, channels, do_set)
+                lo = a0 if lo is None else min(lo, a0)
+                hi = a1 if hi is None else max(hi, a1)
+            for ax in self._axes("y", c):
+                a0, a1 = ax.amplitudes(t0, t1)
+                lo = a0 if lo is None else min(lo, a0)
+                hi = a1 if hi is None else max(hi, a1)
+        self.set_ranges(lo, hi, None, channels, do_set)
 
     def reset(self, channels=None, do_set=True):
         if not self.is_used():
             return
-        rmin = (self.rmin if self.rmin is not None
-                and np.isfinite(self.rmin) else -1)
-        rmax = (self.rmax if self.rmax is not None
-                and np.isfinite(self.rmax) else +1)
-        self.set_ranges(rmin, rmax, None, channels, do_set)
+        lo = self.rmin if _finite(self.rmin) else -1.0
+        hi = self.rmax if _finite(self.rmax) else +1.0
+        self.set_ranges(lo, hi, None, channels, do_set)
 
     def center(self, channels=None, do_set=True):
-        """Symmetrize the range around zero (`plotranges.py:461-467`)."""
-        if not self.is_used() or self.is_time():
+        """Symmetrize the window around zero."""
+        if self.is_time():
             return
-        if channels is None:
-            channels = range(len(self.r0))
-        for c in channels:
-            r = max(abs(self.r0[c]), abs(self.r1[c]))
-            self.set_ranges(-r, +r, None, [c], do_set)
+        self._remap(
+            lambda lo, hi: (-max(abs(lo), abs(hi)), max(abs(lo), abs(hi))),
+            channels, do_set)
 
     def set_powers(self):
-        """Noise-floor based auto color levels across all spectrogram
-        items on this power axis (`plotranges.py:461-478`)."""
-        if not self.is_power() or not self.is_used():
+        """Auto color levels from the noise floors of every spectrogram
+        item attached to this power axis."""
+        if not self.is_power():
             return
-        zmin = zmax = None
-        for c, axz in enumerate(self.axzs):
-            for ax in axz:
-                for item in getattr(ax, "data_items", []):
-                    estimate = getattr(
-                        getattr(item, "data", None), "estimate_noiselevels",
-                        None)
-                    if estimate is None:
-                        continue
-                    z0, z1 = estimate(c)
-                    if z0 is None or z1 is None:
-                        continue
-                    zmin = z0 if zmin is None or z0 < zmin else zmin
-                    zmax = z1 if zmax is None or z1 > zmax else zmax
-        if zmin is not None and zmax is not None:
-            self.set_ranges(zmin, zmax)
+        lo = hi = None
+        for role, c, ax in self._plots:
+            if role != "z":
+                continue
+            for item in getattr(ax, "data_items", []):
+                probe = getattr(getattr(item, "data", None),
+                                "estimate_noiselevels", None)
+                if probe is None:
+                    continue
+                z0, z1 = probe(c)
+                if z0 is None or z1 is None:
+                    continue
+                lo = z0 if lo is None else min(lo, z0)
+                hi = z1 if hi is None else max(hi, z1)
+        if lo is not None and hi is not None:
+            self.set_ranges(lo, hi)
 
-    # -- markers -----------------------------------------------------------------
+    # -- markers ------------------------------------------------------------------
+    # Exposed as flat attributes for API compatibility with the tests and
+    # the controller; internally two _Cursor slots.
+
+    marker_channel = property(
+        lambda self: self._cursor.channel,
+        lambda self, v: setattr(self._cursor, "channel", v))
+    marker_ax = property(
+        lambda self: self._cursor.ax,
+        lambda self, v: setattr(self._cursor, "ax", v))
+    marker_pos = property(
+        lambda self: self._cursor.pos,
+        lambda self, v: setattr(self._cursor, "pos", v))
+    stored_marker_channel = property(
+        lambda self: self._anchor.channel,
+        lambda self, v: setattr(self._anchor, "channel", v))
+    stored_marker_ax = property(
+        lambda self: self._anchor.ax,
+        lambda self, v: setattr(self._anchor, "ax", v))
+    stored_marker_pos = property(
+        lambda self: self._anchor.pos,
+        lambda self, v: setattr(self._anchor, "pos", v))
 
     def clear_marker(self):
-        self.marker_channel = None
-        self.marker_ax = None
-        self.marker_pos = None
+        self._cursor.clear()
 
     def set_marker(self, channel, ax, pos):
-        self.marker_channel = channel
-        self.marker_ax = ax
-        self.marker_pos = pos
+        self._cursor.channel = channel
+        self._cursor.ax = ax
+        self._cursor.pos = pos
+
+    def _role_of(self, ax, channel):
+        for role, c, a in self._plots:
+            if c == channel and a is ax:
+                return role
+        return None
 
     def store_marker(self):
-        """Freeze the current crosshair as the stored marker; returns the
-        axis plus its x/y role (`plotranges.py:493-505`)."""
-        self.stored_marker_channel = self.marker_channel
-        self.stored_marker_ax = self.marker_ax
-        self.stored_marker_pos = self.marker_pos
-        if self.stored_marker_channel is None:
+        """Freeze the crosshair as the stored marker; returns the plot it
+        sits on plus the position in x or y, per this letter's role
+        there."""
+        self._anchor.copy_from(self._cursor)
+        if self._anchor.channel is None:
             return None, None, None
-        if self.stored_marker_ax in self.axxs[self.stored_marker_channel]:
-            return self.stored_marker_ax, self.stored_marker_pos, None
-        if self.stored_marker_ax in self.axys[self.stored_marker_channel]:
-            return self.stored_marker_ax, None, self.stored_marker_pos
+        role = self._role_of(self._anchor.ax, self._anchor.channel)
+        if role == "x":
+            return self._anchor.ax, self._anchor.pos, None
+        if role == "y":
+            return self._anchor.ax, None, self._anchor.pos
         return None, None, None
 
     def clear_stored_marker(self):
-        for axs in self.axxs + self.axys:
-            for ax in axs:
-                marker = getattr(ax, "stored_marker", None)
-                if marker is not None:
-                    marker.setVisible(False)
-        self.stored_marker_channel = None
-        self.stored_marker_ax = None
-        self.stored_marker_pos = None
+        for ax in self._axes("x"):
+            widget = getattr(ax, "stored_marker", None)
+            if widget is not None:
+                widget.setVisible(False)
+        for ax in self._axes("y"):
+            widget = getattr(ax, "stored_marker", None)
+            if widget is not None:
+                widget.setVisible(False)
+        self._anchor.clear()
 
     def update_crosshair(self):
-        for axx in self.axxs:
-            for ax in axx:
-                if self.marker_pos is not None:
-                    ax.xline.setPos(self.marker_pos)
-                ax.xline.setVisible(self.marker_pos is not None)
-        for axy in self.axys:
-            for ax in axy:
-                if self.marker_pos is not None:
-                    ax.yline.setPos(self.marker_pos)
-                ax.yline.setVisible(self.marker_pos is not None)
+        pos = self._cursor.pos
+        for role, line_attr in (("x", "xline"), ("y", "yline")):
+            for ax in self._axes(role):
+                line = getattr(ax, line_attr)
+                if pos is not None:
+                    line.setPos(pos)
+                line.setVisible(pos is not None)
+
+
+def _broadcast(verb):
+    """Make the PlotRanges method that fans ``verb`` out to every letter
+    of an axspec string."""
+
+    def dispatch(self, axspec, *args, **kwargs):
+        for letter in axspec:
+            getattr(self[letter], verb)(*args, **kwargs)
+
+    dispatch.__name__ = verb
+    dispatch.__doc__ = f"Apply :meth:`PlotRange.{verb}` to every letter."
+    return dispatch
+
+
+def _marker_query(letters, attr):
+    """Make the PlotRanges readout returning (letter, value) of the first
+    letter in ``letters`` whose ``attr`` is set."""
+
+    def query(self):
+        for letter in letters:
+            value = getattr(self[letter], attr)
+            if value is not None:
+                return letter, value
+        return None, None
+
+    return query
+
+
+def _delta_query(letters):
+    """Make the readout of crosshair − stored-marker on the first letter
+    carrying both."""
+
+    def query(self):
+        for letter in letters:
+            r = self[letter]
+            if r.marker_pos is not None and r.stored_marker_pos is not None:
+                return letter, r.marker_pos - r.stored_marker_pos
+        return None, None
+
+    return query
 
 
 class PlotRanges(dict):
-    """All PlotRange objects keyed by axis letter, plus verb dispatch to
-    axspec strings (`plotranges.py:534-666`)."""
+    """All PlotRange objects keyed by axis letter, with verbs broadcast
+    over axspec strings."""
 
     def setup(self, nchannels):
-        for s in (Panel.times + Panel.amplitudes + Panel.frequencies
-                  + Panel.powers):
-            self[s] = PlotRange(s, nchannels)
+        for letter in TIME_AXES + AMPLITUDE_AXES + FREQUENCY_AXES \
+                + POWER_AXES:
+            self[letter] = PlotRange(letter, nchannels)
 
     def add_plot(self, ax):
         self[ax.x()].add_xaxis(ax, ax.channel)
@@ -494,18 +626,6 @@ class PlotRanges(dict):
         for r in self.values():
             r.set_powers()
 
-    def __getattr__(self, verb):
-        """Verb dispatch: ``ranges.zoom_in('xy', ...)`` forwards to every
-        letter of the axspec string."""
-        if verb not in VERBS:
-            raise AttributeError(verb)
-
-        def apply(axspec, *args, **kwargs):
-            for s in axspec:
-                getattr(self[s], verb)(*args, **kwargs)
-
-        return apply
-
     # -- markers -------------------------------------------------------------------
 
     def clear_marker(self):
@@ -513,61 +633,43 @@ class PlotRanges(dict):
             r.clear_marker()
 
     def store_marker(self):
-        axm = xpos = ypos = None
+        """Freeze the crosshair everywhere; when one plot holds both an x
+        and a y marker position, show the stored-marker widget there."""
+        target = None
+        xpos = ypos = None
         for r in self.values():
             r.clear_stored_marker()
             ax, x, y = r.store_marker()
             if ax is None:
                 continue
-            if axm is None:
-                axm, xpos, ypos = ax, x, y
-            elif axm is ax:
+            if target is None:
+                target, xpos, ypos = ax, x, y
+            elif target is ax:
                 xpos = x if xpos is None else xpos
                 ypos = y if ypos is None else ypos
-        if axm is not None and xpos is not None and ypos is not None:
-            axm.set_stored_marker(xpos, ypos)
+        if target is not None and xpos is not None and ypos is not None:
+            target.set_stored_marker(xpos, ypos)
 
     def clear_stored_marker(self):
         for r in self.values():
             r.clear_stored_marker()
 
-    def _marker_pos(self, letters):
-        for s in letters:
-            if self[s].marker_pos is not None:
-                return s, self[s].marker_pos
-        return None, None
+    marker_time = _marker_query(TIME_AXES, "marker_pos")
+    marker_amplitude = _marker_query(AMPLITUDE_AXES, "marker_pos")
+    marker_frequency = _marker_query(FREQUENCY_AXES, "marker_pos")
+    marker_power = _marker_query(POWER_AXES, "marker_pos")
 
-    def marker_time(self):
-        return self._marker_pos(Panel.times)
-
-    def marker_amplitude(self):
-        return self._marker_pos(Panel.amplitudes)
-
-    def marker_frequency(self):
-        return self._marker_pos(Panel.frequencies)
-
-    def marker_power(self):
-        return self._marker_pos(Panel.powers)
-
-    def _marker_delta(self, letters):
-        for s in letters:
-            r = self[s]
-            if r.marker_pos is not None and r.stored_marker_pos is not None:
-                return s, r.marker_pos - r.stored_marker_pos
-        return None, None
-
-    def marker_delta_time(self):
-        return self._marker_delta(Panel.times)
-
-    def marker_delta_amplitude(self):
-        return self._marker_delta(Panel.amplitudes)
-
-    def marker_delta_frequency(self):
-        return self._marker_delta(Panel.frequencies)
-
-    def marker_delta_power(self):
-        return self._marker_delta(Panel.powers)
+    marker_delta_time = _delta_query(TIME_AXES)
+    marker_delta_amplitude = _delta_query(AMPLITUDE_AXES)
+    marker_delta_frequency = _delta_query(FREQUENCY_AXES)
+    marker_delta_power = _delta_query(POWER_AXES)
 
     def update_crosshair(self):
         for r in self.values():
             r.update_crosshair()
+
+
+# the verb surface: one broadcasting method per PlotRange verb
+for _verb in VERBS:
+    setattr(PlotRanges, _verb, _broadcast(_verb))
+del _verb

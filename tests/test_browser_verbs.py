@@ -422,7 +422,7 @@ def test_shell_misc_verbs(wav6):
         # starttime mode cycles through all browsers' time axes
         shell.toggle_starttime()
         assert shell.starttime_mode == 1
-        ax = a.plot_ranges["t"].axxs[0][0]
+        ax = a.plot_ranges["t"].plots("x", 0)[0]
         assert ax.starttime_mode == 1
         # linked auto amplitude
         a.set_times(0.0, 0.5)
