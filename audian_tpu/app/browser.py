@@ -134,6 +134,7 @@ class DataBrowser:
         # render engines
         self.trace_tiler = TraceTiler()
         self.spec_tiler = SpecTiler()
+        self._resolutions_warmed = False
         self._power_level_stats = None  # (window, per-channel levels)
         self.fulltrace = None
         # view model (Panels + PlotRanges over headless axes), built in open()
@@ -420,13 +421,45 @@ class DataBrowser:
         if dispatch:
             self.sigResolutionChanged.emit()
 
-    # resolution step verbs (`databrowser.py:1225-1245`)
+    def warm_resolutions(self, nffts=None):
+        """Precompile the interactive NFFT sweep: visit every bucket once
+        through the real ``set_resolution`` + tile + power path, so later
+        resolution scrubbing is compile-free (the batched-sweep contract
+        of BASELINE config 4; `ops/sweep.py` holds the single-launch
+        variant used by the batch tools).  Idempotent; returns the number
+        of buckets warmed (0 when already warm or no spectrogram)."""
+        if self._resolutions_warmed or self.spectrogram not in self.data:
+            return 0
+        from ..ops.sweep import SWEEP_NFFTS
+
+        trace = self.data[self.spectrogram]
+        saved_nfft, saved_overlap = trace.nfft, trace.overlap_frac
+        probe = self.show_channels[0] if self.show_channels else 0
+        count = 0
+        for nfft in tuple(nffts or SWEEP_NFFTS):
+            self.set_resolution(nfft=nfft, dispatch=False)
+            if trace.nfft != int(nfft):
+                continue  # clamped away (very short recordings)
+            for c in range(self.data.channels):
+                self.spec_tile(c)
+            self.power_spectrum(probe)
+            self.estimate_power_levels(probe)
+            count += 1
+        self.set_resolution(nfft=saved_nfft, overlap_frac=saved_overlap,
+                            dispatch=False)
+        self._resolutions_warmed = True
+        return count
+
+    # resolution step verbs (`databrowser.py:1225-1245`); the first step
+    # warms the whole bucket set so scrubbing NFFT never compiles again
     def freq_resolution_down(self):
         if self.spectrogram in self.data:
+            self.warm_resolutions()
             self.set_resolution(nfft=self.data[self.spectrogram].nfft // 2)
 
     def freq_resolution_up(self):
         if self.spectrogram in self.data:
+            self.warm_resolutions()
             self.set_resolution(nfft=2 * self.data[self.spectrogram].nfft)
 
     def overlap_frac_up(self):

@@ -56,7 +56,7 @@ class AudioLoader:
     def __init__(self, file_paths, buffer_time=60.0, back_time=20.0,
                  verbose=0, rate=None, channels=None, unit=None,
                  amax=None, end_indices=None, dtype=np.float32,
-                 prefetch=False):
+                 prefetch=True):
         if isinstance(file_paths, (str, Path)):
             file_paths = [file_paths]
         self.file_paths = [Path(p) for p in file_paths]
@@ -97,7 +97,9 @@ class AudioLoader:
         # unwrap config (reference CLI -u/-U, audian.py:1485-1490)
         self.unwrap_thresh = 0.0
         self.unwrap_clips = False
-        # optional background read-ahead (audian_tpu.stream)
+        # background read-ahead (audian_tpu.stream), on by default: the
+        # interactive scroll path and the batch CLIs both overlap disk
+        # decode with compute through it
         self._prefetcher = None
         if prefetch:
             from ..stream import BlockPrefetcher
@@ -154,6 +156,9 @@ class AudioLoader:
     def set_unwrap(self, thresh, clips=False, down_scale=False, unit=""):
         self.unwrap_thresh = float(thresh)
         self.unwrap_clips = bool(clips)
+        if self._prefetcher is not None:
+            # cached blocks were decoded with the previous unwrap config
+            self._prefetcher.invalidate()
         if thresh > 1e-3 and not clips:
             # unwrapped data can reach twice the input range, then is
             # scaled down by two: amplitude range stays, values shrink

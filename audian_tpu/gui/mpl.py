@@ -18,6 +18,7 @@ Key bindings (subset of the reference's ~60 actions, same keys):
     o zoom / y play / a analyze / w save-region  (rect-selection mode)
     b/B zoom history back/forward
     m set marker at crosshair     q quit
+    t cycle time-axis label mode (recording / absolute / per-file)
     C cycle color map             g cycle grid mask
     up/down previous/next channel pageup/pagedown extend selection
     1..9,0 show only that channel (again restores all)
@@ -78,6 +79,7 @@ class MplBrowserWindow:
         self.fig.canvas.mpl_connect("key_press_event", self.on_key)
         self.fig.canvas.mpl_connect("button_press_event", self.on_press)
         self.fig.canvas.mpl_connect("button_release_event", self.on_release)
+        self.fig.canvas.mpl_connect("motion_notify_event", self.on_motion)
         self._artists = {}  # persistent per-axes artists (see _ax_artists)
         self.region_mode = "zoom"  # zoom | play | analyze | save
         self.zoom_history = ZoomHistory()
@@ -86,6 +88,12 @@ class MplBrowserWindow:
         self._selection = None
         self.crosshair = None  # (channel, t, y, panel_kind)
         self.status = ""
+        #: time-axis label mode, cycled with 't'
+        #: (`src/audian/timeaxisitem.py:20-26`)
+        self.starttime_mode = 0
+        # hover readout line (`src/audian/timeplot.py:154-192`)
+        self.hover_text = self.fig.text(0.01, 0.002, "", fontsize=8,
+                                        family="monospace")
         # linked updates from other windows redraw this one too
         # (`audian.py:597-612` keeps all open files in sync)
         for sig in (browser.sigFilterChanged, browser.sigEnvelopeChanged,
@@ -158,9 +166,38 @@ class MplBrowserWindow:
             step_t = b.twindow / 1920
             t, y = pick_amplitude(b.data[name], t, y, t + step_t, channel)
             self.status = f"ch{channel}  t={t:.4f}s  a={y:.4f}"
+            b.set_crosshair(channel, t=t, amplitude=y)
         else:
             self.status = f"ch{channel}  t={t:.4f}s  f={y:.0f}Hz"
+            b.set_crosshair(channel, t=t, frequency=y)
+        # delta readouts vs the stored marker (`plotranges.py:616-660`)
+        info = b.crosshair_readout()
+        deltas = [f"Δ{key[6:]}={info[key]:.6g}"
+                  for key in ("delta_time", "delta_amplitude",
+                              "delta_frequency", "delta_power")
+                  if info.get(key) is not None]
+        if deltas:
+            self.status += "  " + "  ".join(deltas)
         self.crosshair = (channel, t, y, kind)
+
+    def on_motion(self, event):
+        """Hover readout: the per-mode time rows plus the hovered value
+        (`src/audian/timeplot.py:154-192`,
+        `src/audian/fulltraceplot.py:253-287`)."""
+        if event.inaxes is None or event.xdata is None \
+                or self._selection is not None:
+            return
+        kind, channel = self._axis_channel(event.inaxes)
+        if kind is None:
+            return
+        parts = [f"{label} {value} {unit}".strip()
+                 for label, unit, value in self.browser.time_info(
+                     event.xdata)]
+        if event.ydata is not None:
+            parts.append(f"f={event.ydata:.1f} Hz" if kind == "spec"
+                         else f"a={event.ydata:.4g}")
+        self.hover_text.set_text(" | ".join(parts))
+        self.fig.canvas.draw_idle()
 
     # string ↔ DataBrowser region-mode constants
     _mode_consts = {"zoom": DataBrowser.zoom_region,
@@ -271,6 +308,7 @@ class MplBrowserWindow:
             if cols:
                 art["events"].set_color(cols)
             ax.set_xlim(t0, t1)
+            self._format_time_axis(ax, t0, t1)
             lo, hi = b.get_range("x", c)
             if lo is not None and hi is not None and hi > lo:
                 ax.set_ylim(lo, hi)
@@ -292,6 +330,7 @@ class MplBrowserWindow:
                 art["im"].set_cmap(CET_TO_MPL.get(b.color_map_name,
                                                   "magma"))
             ax.set_xlim(t0, t1)
+            self._format_time_axis(ax, t0, t1)
         for key, art in self._artists.items():
             if not isinstance(key, tuple):
                 continue
@@ -314,6 +353,36 @@ class MplBrowserWindow:
             title += f"\n{self.status}"
         self.fig.suptitle(title, fontsize=10)
         self.fig.canvas.draw_idle()
+
+    def _format_time_axis(self, ax, t0, t1):
+        """Tick the time axis through :mod:`audian_tpu.view.axes`: the
+        width-aware 1/2/5 spacing and the current start-time label mode
+        (`src/audian/timeaxisitem.py:60-206`)."""
+        from ..view.axes import tick_spacing, format_time_ticks
+
+        width_px = self.fig.get_size_inches()[0] * self.fig.dpi
+        span = tick_spacing(t0, t1, width_px, 80.0)
+        if span is None:
+            return
+        major = span[0]
+        ticks = np.arange(np.ceil(t0 / major) * major, t1 + 0.5 * major,
+                          major)
+        data = self.browser.data
+        try:
+            file_times = data.data.file_start_times()
+            file_paths = [Path(p).name for p in data.data.file_paths]
+        except AttributeError:
+            file_times, file_paths = None, None
+        label, units, strings, filename = format_time_ticks(
+            ticks, major, mode=self.starttime_mode,
+            starttime=data.start_time, file_times=file_times,
+            file_paths=file_paths)
+        ax.set_xticks(ticks)
+        ax.set_xticklabels(strings)
+        text = label or "time"
+        if label == "File" and filename:
+            text = f"File {filename}"
+        ax.set_xlabel(f"{text} ({units})" if units else text)
 
     def _draw_overview(self):
         b = self.browser
@@ -429,12 +498,12 @@ class MplBrowserWindow:
             if verb == "play":
                 self._play(*result)
         elif key == "m" and self.crosshair is not None:
-            channel, t, y, kind = self.crosshair
-            b.marker_data.add_data(channel, t,
-                                   amplitude=y if kind == "trace" else None,
-                                   frequency=y if kind == "spec" else None,
-                                   label="start")
-            self.status = f"marker at {t:.4f}s"
+            # records the marker row AND freezes the crosshair as the
+            # delta-readout anchor (`databrowser.py:909-939`)
+            b.store_marker(label="start")
+            self.status = f"marker at {self.crosshair[1]:.4f}s"
+        elif key == "t":
+            self.starttime_mode = (self.starttime_mode + 1) % 3
         elif key == "s":
             path = Path(str(b.data.file_path)).with_suffix(".view.png")
             save_view_screenshot(self.fig, b, path)

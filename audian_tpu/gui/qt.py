@@ -3,13 +3,25 @@
 The full-fidelity GUI in the reference's own toolkit
 (`src/audian/audian.py`, `src/audian/databrowser.py`): a tabbed main
 window over the headless shell, per-channel pyqtgraph trace + spectrogram
-panels consuming device render tiles, a whole-recording overview with a
-draggable view region (`src/audian/fulltraceplot.py`), rectangle region
-selection with the zoom/play/analyze/save modes
-(`src/audian/selectviewbox.py`, `databrowser.py:1614-1642`), crosshair
-with marker storage, and the keyboard/menu action surface dispatching
-through the *headless* controllers — every verb this file wires is
-covered by the headless tests; this module only adapts it to Qt.
+panels consuming device render tiles, color bars and a live power-spectrum
+side plot per spectrogram (`src/audian/spectrogramplot.py:87-164`),
+draggable HP/LP filter-cutoff handles on the spectrogram
+(`spectrogramplot.py:99-121,199-217`), custom time/Y axes with the three
+start-time modes (`src/audian/timeaxisitem.py`, `yaxisitem.py`), a
+whole-recording overview with a draggable view region
+(`src/audian/fulltraceplot.py`), rectangle region selection with the
+zoom/play/analyze/save modes plus a zoom history
+(`src/audian/selectviewbox.py`), hover time readouts
+(`src/audian/timeplot.py:154-192`), crosshair with marker storage,
+drag-dropped screenshot PNGs restoring their view
+(`src/audian/audian.py:226-260`), and the keyboard/menu action surface
+dispatching through the *headless* controllers.
+
+All interaction logic lives in the headless layer and is covered by the
+headless tests; this module adapts it to Qt and is itself exercised by
+``tests/test_qt_gui.py`` against a fake Qt/pyqtgraph implementing the
+same API surface, so the adapter works without a display (and without Qt
+installed).
 
 Requires the ``audian-tpu[gui]`` extra (PyQt5 + pyqtgraph); environments
 without Qt fall back to the matplotlib frontend
@@ -23,7 +35,7 @@ from pathlib import Path
 
 import numpy as np
 
-try:  # pragma: no cover - exercised only with Qt installed
+try:
     import pyqtgraph as pg
     from PyQt5.QtCore import Qt, QTimer, QRectF
     from PyQt5.QtWidgets import (QApplication, QMainWindow, QTabWidget,
@@ -39,15 +51,92 @@ except ImportError:
 __all__ = ["run_qt", "HAVE_QT"]
 
 
-if HAVE_QT:  # pragma: no cover - exercised only with Qt installed
+if HAVE_QT:
 
     pg.setConfigOption("background", "black")
     pg.setConfigOption("foreground", "white")
 
+    class TimeAxisItem(pg.AxisItem):
+        """Bottom time axis with width-aware ticks and the three label
+        modes of the reference (`src/audian/timeaxisitem.py:11-221`),
+        rendered through :mod:`audian_tpu.view.axes`."""
+
+        def __init__(self, browser, **kwargs):
+            super().__init__(orientation="bottom", **kwargs)
+            self.browser = browser
+            self.starttime_mode = 0
+            self._spacing = 0.01
+            self.setLabel("time", units=None)
+
+        def set_starttime(self, mode):
+            self.starttime_mode = mode
+            self.update_label()
+
+        def tickSpacing(self, minVal, maxVal, size):
+            from ..view.axes import tick_spacing, time_label_width
+
+            span = tick_spacing(minVal, maxVal, size, 60.0)
+            if span is None:
+                return super().tickSpacing(minVal, maxVal, size)
+            major, minor = span
+            # refine with the actual label width of this spacing/mode
+            chars = time_label_width(
+                max(abs(minVal), abs(maxVal)), major, self.starttime_mode,
+                self.browser.data.start_time is not None)
+            span = tick_spacing(minVal, maxVal, size, 8.0 * chars)
+            if span is not None:
+                major, minor = span
+            self._spacing = major
+            return [(major, 0), (minor, 0)]
+
+        def _format(self, values, spacing):
+            from ..view.axes import format_time_ticks
+
+            data = self.browser.data
+            try:
+                file_times = data.data.file_start_times()
+                file_paths = data.data.file_paths
+            except AttributeError:
+                file_times, file_paths = None, None
+            return format_time_ticks(
+                values, spacing, mode=self.starttime_mode,
+                starttime=data.start_time, file_times=file_times,
+                file_paths=[Path(p).name for p in file_paths or []])
+
+        def tickStrings(self, values, scale, spacing):
+            _, _, strings, _ = self._format(values, spacing)
+            return strings
+
+        def update_label(self):
+            label, units, _, filename = self._format(
+                [self.browser.toffset], self._spacing)
+            if label == "File" and filename:
+                self.setLabel(f"{label} {filename}", units=units)
+            else:
+                self.setLabel(label or "time", units=units)
+
+    class AmplAxisItem(pg.AxisItem):
+        """Left axis with the height-aware 1/2/5 tick progression
+        (`src/audian/yaxisitem.py:7-46`)."""
+
+        def __init__(self, label="", **kwargs):
+            super().__init__(orientation="left", **kwargs)
+            if label:
+                self.setLabel(label)
+
+        def tickSpacing(self, minVal, maxVal, size):
+            from ..view.axes import tick_spacing
+
+            span = tick_spacing(minVal, maxVal, size, 25.0)
+            if span is None:
+                return super().tickSpacing(minVal, maxVal, size)
+            return [(span[0], 0), (span[1], 0)]
+
     class SelectViewBox(pg.ViewBox):
         """Rect-drag region selection (`src/audian/selectviewbox.py`):
         left-drag draws a rectangle and hands it to the browser's region
-        mode; plain click places the crosshair."""
+        mode; plain click places the crosshair; hovering feeds the time
+        readout."""
 
         def __init__(self, tab, channel, kind):
             super().__init__()
@@ -80,28 +169,51 @@ if HAVE_QT:  # pragma: no cover - exercised only with Qt installed
             else:
                 super().mouseClickEvent(ev)
 
+        def hoverEvent(self, ev):
+            if hasattr(ev, "isExit") and ev.isExit():
+                self.tab.hover_at(self.channel, self.kind, None, None)
+                return
+            if hasattr(ev, "pos"):
+                p = self.mapToView(ev.pos())
+                self.tab.hover_at(self.channel, self.kind, p.x(), p.y())
+
     class BrowserTab(QWidget):
         """Per-recording tab: per-channel trace + spectrogram rows over
-        the device tiles, whole-recording overview with a draggable
-        region, crosshair lines, marker dots."""
+        the device tiles, power side plots, color bars, draggable cutoff
+        handles, whole-recording overview with a draggable region,
+        crosshair lines, marker dots, zoom history."""
 
-        def __init__(self, browser, parent=None):
+        def __init__(self, browser, parent=None, on_status=None):
             super().__init__(parent)
+            from ..view.zoom import Rect, ZoomHistory
+
             self.browser = browser
+            self.on_status = on_status or (lambda text: None)
             layout = QVBoxLayout(self)
             self.glw = pg.GraphicsLayoutWidget()
             layout.addWidget(self.glw)
             self.trace_plots = {}
             self.env_curves = {}
             self.spec_images = {}
+            self.power_plots = {}
+            self.colorbars = {}
+            self.hp_lines = {}
+            self.lp_lines = {}
             self.marker_dots = {}
             self.xlines = {}
+            self.time_axes = []
+            self._updating_cutoffs = False
             row = 0
             b = browser
+            fmax = b.data.rate / 2
             for c in b.show_channels:
                 vb = SelectViewBox(self, c, "trace")
-                pt = self.glw.addPlot(row=row, col=0, viewBox=vb)
-                pt.setLabel("left", f"ch {c}")
+                taxis = TimeAxisItem(b)
+                self.time_axes.append(taxis)
+                pt = self.glw.addPlot(
+                    row=row, col=0, viewBox=vb,
+                    axisItems={"bottom": taxis,
+                               "left": AmplAxisItem(f"ch {c}")})
                 curve = pt.plot(pen=pg.mkPen("#00ee00", width=1))
                 env = pt.plot(pen=pg.mkPen("#ee8800", width=2))
                 dots = pg.ScatterPlotItem(size=8, brush=pg.mkBrush("y"))
@@ -117,11 +229,41 @@ if HAVE_QT:  # pragma: no cover - exercised only with Qt installed
                 row += 1
                 if b.spectrogram in b.data:
                     vbs = SelectViewBox(self, c, "spec")
-                    ps = self.glw.addPlot(row=row, col=0, viewBox=vbs)
-                    ps.setLabel("left", "f/Hz")
+                    staxis = TimeAxisItem(b)
+                    self.time_axes.append(staxis)
+                    ps = self.glw.addPlot(
+                        row=row, col=0, viewBox=vbs,
+                        axisItems={"bottom": staxis,
+                                   "left": AmplAxisItem("f/Hz")})
                     img = pg.ImageItem()
                     ps.addItem(img)
                     self.spec_images[c] = (ps, img)
+                    # draggable filter-cutoff handles
+                    # (`spectrogramplot.py:99-121,199-217`)
+                    hp = pg.InfiniteLine(angle=0, movable=True,
+                                         pen=pg.mkPen("#ff4444", width=2))
+                    lp = pg.InfiniteLine(angle=0, movable=True,
+                                         pen=pg.mkPen("#4488ff", width=2))
+                    for line in (hp, lp):
+                        line.setBounds([0.0, fmax])
+                        ps.addItem(line)
+                    hp.sigPositionChangeFinished.connect(
+                        lambda *a, ch=c: self._cutoff_dragged(ch))
+                    lp.sigPositionChangeFinished.connect(
+                        lambda *a, ch=c: self._cutoff_dragged(ch))
+                    self.hp_lines[c] = hp
+                    self.lp_lines[c] = lp
+                    # live mean-power side plot
+                    # (`spectrogramplot.py:144-164`)
+                    pp = self.glw.addPlot(row=row, col=1)
+                    pp.setMaximumWidth(120)
+                    pcurve = pp.plot(pen=pg.mkPen("#00bbbb", width=1))
+                    self.power_plots[c] = (pp, pcurve)
+                    # color bar honoring toggle_colorbars
+                    # (`spectrogramplot.py:87-92`)
+                    cbar = pg.ColorBarItem(values=(-100.0, 0.0))
+                    cbar.setImageItem(img, insert_in=ps)
+                    self.colorbars[c] = cbar
                     row += 1
             # whole-recording overview (`fulltraceplot.py:62-292`)
             self.overview = self.glw.addPlot(row=row, col=0)
@@ -134,6 +276,10 @@ if HAVE_QT:  # pragma: no cover - exercised only with Qt installed
             self.overview.addItem(self.region)
             self.region.sigRegionChangeFinished.connect(self._region_moved)
             self._setting_region = False
+            # zoom history (`selectviewbox.py:107-131`)
+            self.zoom_history = ZoomHistory()
+            self.zoom_history.init(Rect(b.toffset, 0.0,
+                                        b.toffset + b.twindow, 1.0))
             # 500 ms poll of the background decimator
             # (`fulltraceplot.py:157,190`)
             self.poll = QTimer(self)
@@ -142,6 +288,9 @@ if HAVE_QT:  # pragma: no cover - exercised only with Qt installed
             # audio position marker ticks (`databrowser.py:1745-1756`)
             self.audio_timer = QTimer(self)
             self.audio_timer.timeout.connect(self._tick_audio)
+            # 50 ms auto-scroll ticks (`databrowser.py:1659-1680`)
+            self.scroll_timer = QTimer(self)
+            self.scroll_timer.timeout.connect(self._tick_scroll)
             self.audio_marks = {
                 c: pg.InfiniteLine(angle=90, pen=pg.mkPen("m"))
                 for c in b.show_channels}
@@ -186,21 +335,98 @@ if HAVE_QT:  # pragma: no cover - exercised only with Qt installed
                 cmap = pg.colormap.get(b.color_map_name)
             except Exception:
                 pass
+            plo, phi = b.get_range("p", 0)
             for c, (ps, img) in self.spec_images.items():
                 ps.setVisible(c in b.show_channels and b.show_specs > 0)
                 if not ps.isVisible():
+                    self._set_side_panels_visible(c, False)
                     continue
-                tile, rect = b.spec_tile(c)
+                # u8 tiles: 4x fewer tunnel bytes than normalized f32
+                tile, rect = b.spec_tile(c, quantize=True)
                 if tile.size:
-                    img.setImage(tile, levels=(0.0, 1.0))
+                    img.setImage(tile, levels=(0, 255))
                     img.setRect(QRectF(rect[0], rect[1], rect[2], rect[3]))
                     if cmap is not None:
                         img.setColorMap(cmap)
                 ps.setXRange(t0, t1, padding=0)
+                flo, fhi = b.get_range("f", c)
+                if flo is not None:
+                    ps.setYRange(flo, fhi, padding=0)
+                self._refresh_cutoffs(c)
+                self._refresh_power(c, t0, t1)
+                self._refresh_colorbar(c, cmap, plo, phi)
+            for axis in self.time_axes:
+                axis.update_label()
             self._poll_fulltrace()
             self._setting_region = True
             self.region.setRegion((t0, t1))
             self._setting_region = False
+            if b.scroll_active:
+                self.scroll_timer.start(50)
+            else:
+                self.scroll_timer.stop()
+
+        def _set_side_panels_visible(self, channel, visible):
+            if channel in self.power_plots:
+                self.power_plots[channel][0].setVisible(visible)
+            if channel in self.colorbars:
+                self.colorbars[channel].setVisible(visible)
+
+        def _refresh_cutoffs(self, channel):
+            """Reflect the filter node's cutoffs in the draggable lines
+            (`spectrogramplot.py:199-207`)."""
+            b = self.browser
+            if channel not in self.hp_lines or "filtered" not in b.data:
+                return
+            f = b.data["filtered"]
+            self._updating_cutoffs = True
+            try:
+                self.hp_lines[channel].setPos(f.highpass_cutoff or 0.0)
+                self.lp_lines[channel].setPos(
+                    f.lowpass_cutoff or b.data.rate / 2)
+            finally:
+                self._updating_cutoffs = False
+
+        def _cutoff_dragged(self, channel):
+            """A released cutoff handle re-designs the filter live
+            (`spectrogramplot.py:208-217`)."""
+            if self._updating_cutoffs or "filtered" not in self.browser.data:
+                return
+            hp = float(self.hp_lines[channel].value())
+            lp = float(self.lp_lines[channel].value())
+            if lp < hp:
+                hp, lp = lp, hp
+            self.browser.update_filter(highpass_cutoff=hp,
+                                       lowpass_cutoff=lp)
+
+        def _refresh_power(self, channel, t0, t1):
+            """Mean power spectrum of the visible window on the side plot
+            (`spectrogramplot.py:144-164`)."""
+            b = self.browser
+            if channel not in self.power_plots:
+                return
+            pp, pcurve = self.power_plots[channel]
+            visible = bool(b.show_powers) and b.show_specs > 0
+            pp.setVisible(visible)
+            if not visible:
+                return
+            freqs, db = b.power_spectrum(channel, t0, t1)
+            finite = np.isfinite(db)
+            pcurve.setData(np.asarray(db)[finite],
+                           np.asarray(freqs)[finite])
+            flo, fhi = b.get_range("f", channel)
+            if flo is not None:
+                pp.setYRange(flo, fhi, padding=0)
+
+        def _refresh_colorbar(self, channel, cmap, plo, phi):
+            if channel not in self.colorbars:
+                return
+            cbar = self.colorbars[channel]
+            cbar.setVisible(bool(self.browser.show_cbars))
+            if plo is not None:
+                cbar.setLevels((plo, phi))
+            if cmap is not None:
+                cbar.setColorMap(cmap)
 
         def _poll_fulltrace(self):
             b = self.browser
@@ -211,25 +437,49 @@ if HAVE_QT:  # pragma: no cover - exercised only with Qt installed
             n = min(len(ft.times), len(ft.datas))
             self.ov_curve.setData(ft.times[:n], ft.datas[:n, c])
 
-        def _region_moved(self):
+        def _region_moved(self, *args):
             if self._setting_region:
                 return
             t0, t1 = self.region.getRegion()
             self.browser.set_times(t0, t1 - t0)
 
+        # -- zoom history (`selectviewbox.py:107-131`) -------------------------
+
+        def push_zoom(self, rect):
+            self.zoom_history.add(rect)
+
+        def _apply_zoom(self, rect):
+            if rect is not None:
+                self.browser.set_times(rect.left(),
+                                       rect.right() - rect.left())
+
+        def zoom_back(self):
+            self._apply_zoom(self.zoom_history.back())
+
+        def zoom_forward(self):
+            self._apply_zoom(self.zoom_history.forward())
+
+        def zoom_home(self):
+            self._apply_zoom(self.zoom_history.home())
+
         # -- interaction --------------------------------------------------------
 
         def region_selected(self, channel, kind, x0, x1, y0, y1):
+            from ..view.zoom import Rect
+
             b = self.browser
             verb, result = b.handle_region(channel, x0, x1)
-            if verb == "play":
+            if verb == "zoom":
+                self.push_zoom(Rect(x0, y0, x1, y1))
+                if kind == "spec":
+                    b.set_ranges("f", y0, y1)
+            elif verb == "play":
                 self._play(*result)
-            elif verb == "zoom" and kind == "spec":
-                b.set_ranges("f", y0, y1)
             elif verb == "ask":
-                # the reference pops a context menu (`databrowser.py:1626`)
-                verb2, result2 = b.handle_region(channel, x0, x1,
-                                                 b.zoom_region)
+                # the reference pops a context menu (`databrowser.py:1626`);
+                # fall back to zooming like its default action
+                self.push_zoom(Rect(x0, y0, x1, y1))
+                b.handle_region(channel, x0, x1, b.zoom_region)
             self.refresh()
 
         def crosshair_at(self, channel, kind, x, y):
@@ -241,6 +491,41 @@ if HAVE_QT:  # pragma: no cover - exercised only with Qt installed
             for c, xline in self.xlines.items():
                 xline.setPos(x)
                 xline.setVisible(True)
+            self.on_status(self._readout_text())
+
+        def hover_at(self, channel, kind, x, y):
+            """Hover readout: the per-mode time rows plus the hovered
+            value (`timeplot.py:154-192`, `fulltraceplot.py:253-287`)."""
+            if x is None:
+                self.on_status("")
+                return
+            b = self.browser
+            parts = [f"{label} {value} {unit}".strip()
+                     for label, unit, value in b.time_info(x)]
+            if y is not None:
+                if kind == "spec":
+                    parts.append(f"f={y:.1f} Hz")
+                    panel = b.panels.get("spectrogram")
+                    power = (panel.get_power(channel, x, y)
+                             if panel is not None and len(panel) > channel
+                             else None)
+                    if power is not None:
+                        parts.append(f"{power:.1f} dB")
+                else:
+                    parts.append(f"a={y:.4g}")
+            self.on_status(" | ".join(parts))
+
+        def _readout_text(self):
+            info = self.browser.crosshair_readout()
+            parts = []
+            for key in ("time", "amplitude", "frequency", "power",
+                        "delta_time", "delta_amplitude", "delta_frequency",
+                        "delta_power"):
+                v = info.get(key)
+                if v is not None:
+                    label = key.replace("delta_", "Δ")
+                    parts.append(f"{label}={v:.6g}")
+            return " | ".join(parts)
 
         def _play(self, data, rate):
             try:
@@ -263,6 +548,13 @@ if HAVE_QT:  # pragma: no cover - exercised only with Qt installed
             if t is None:
                 self.audio_timer.stop()
 
+        def _tick_scroll(self):
+            b = self.browser
+            if not b.scroll_active:
+                self.scroll_timer.stop()
+                return
+            b.scroll_further()
+
     class AudianWindow(QMainWindow):
         """Tabbed multi-recording shell with the reference's menu/action
         surface (`src/audian/audian.py:263-1271`), dispatching through
@@ -272,15 +564,24 @@ if HAVE_QT:  # pragma: no cover - exercised only with Qt installed
             super().__init__()
             self.shell = shell
             self.setWindowTitle("audian-tpu")
+            self.setAcceptDrops(True)
             self.tabs = QTabWidget()
             self.setCentralWidget(self.tabs)
             self.tabs.currentChanged.connect(
                 lambda i: shell.set_current(i) if 0 <= i < len(shell)
                 else None)
             for b in shell.browsers:
-                self.tabs.addTab(BrowserTab(b),
-                                 Path(str(b.file_path)).name)
+                self._add_tab(b)
             self._build_menus()
+            self.statusBar().showMessage("")
+
+        def _add_tab(self, browser):
+            tab = BrowserTab(browser, on_status=self.set_status)
+            self.tabs.addTab(tab, Path(str(browser.file_path)).name)
+            return tab
+
+        def set_status(self, text):
+            self.statusBar().showMessage(text)
 
         def browser(self):
             return self.shell.current
@@ -325,6 +626,8 @@ if HAVE_QT:  # pragma: no cover - exercised only with Qt installed
             self._act(timem, "&Home", "Home", lambda: B().time_home())
             self._act(timem, "&End", "End", lambda: B().time_end())
             self._act(timem, "&Auto scroll", "!", lambda: B().auto_scroll())
+            self._act(timem, "Toggle &start time", "Ctrl+Shift+T",
+                      self.toggle_starttime)
             self._act(timem, "Link time &zoom", "Alt+Z",
                       sh.toggle_link_timezoom)
             self._act(timem, "Link time &scroll", "Alt+T",
@@ -418,6 +721,13 @@ if HAVE_QT:  # pragma: no cover - exercised only with Qt installed
                     ("As&k", "K", 4)):
                 self._act(regm, label + " mode", key,
                           lambda m=mode: B().set_region_mode(m))
+            self._act(regm, "Zoom &back", ["Backspace", "Alt+Left"],
+                      lambda: self.tab().zoom_back())
+            self._act(regm, "Zoom &forward",
+                      ["Shift+Backspace", "Alt+Right"],
+                      lambda: self.tab().zoom_forward())
+            self._act(regm, "Zoom &home", "Alt+Backspace",
+                      lambda: self.tab().zoom_home())
             self._act(regm, "Play &window", "Space", self.play_scroll)
             self._act(regm, "Analysis &results", "Ctrl+R",
                       self.analysis_results)
@@ -425,6 +735,55 @@ if HAVE_QT:  # pragma: no cover - exercised only with Qt installed
                       lambda: B().save_analysis())
             self._act(regm, "&Marker table", "Ctrl+M", self.marker_table)
             self._act(regm, "&Label editor", "Ctrl+L", self.label_editor)
+
+        def toggle_starttime(self):
+            """Cycle the time-label mode everywhere: the headless time
+            ranges (for readouts) and every tab's Qt time axes
+            (`audian.py:475-480` + `timeaxisitem.py:20-26`)."""
+            self.shell.toggle_starttime()
+            mode = self.shell.starttime_mode
+            for i in range(self.tabs.count()):
+                for axis in self.tabs.widget(i).time_axes:
+                    axis.set_starttime(mode)
+
+        # -- drag-dropped screenshots (`audian.py:226-260`) --------------------------
+
+        def dragEnterEvent(self, ev):
+            if ev.mimeData().hasUrls():
+                ev.acceptProposedAction()
+
+        def dropEvent(self, ev):
+            if not ev.mimeData().hasUrls():
+                return
+            path = Path(ev.mimeData().urls()[0].toLocalFile())
+            if self.restore_screenshot(path):
+                ev.acceptProposedAction()
+
+        def restore_screenshot(self, path):
+            """Restore the view stored in a screenshot PNG's metadata;
+            returns True when the drop was handled."""
+            from ..app.screenshot import parse_view_metadata
+
+            path = Path(path)
+            if path.suffix.lower() != ".png":
+                return False
+            try:
+                view = parse_view_metadata(path)
+            except (OSError, ValueError):
+                return False
+            if view is None:
+                return False
+            target = Path(view["file"]).name
+            for i, b in enumerate(self.shell.browsers):
+                if Path(str(b.file_path)).name == target:
+                    self.tabs.setCurrentIndex(i)
+                    self.shell.set_current(b)
+                    if view["channels"]:
+                        b.set_channels(view["channels"])
+                    b.set_times(view["toffset"], view["twindow"])
+                    self._refresh()
+                    return True
+            return False
 
         # -- verbs needing Qt glue --------------------------------------------------
 
@@ -613,7 +972,7 @@ if HAVE_QT:  # pragma: no cover - exercised only with Qt installed
             dialog.show()
 
 
-def run_qt(shell):  # pragma: no cover - exercised only with Qt installed
+def run_qt(shell):
     """Start the Qt event loop over a loaded shell."""
     if not HAVE_QT:
         raise ImportError("PyQt5/pyqtgraph are not installed "

@@ -4,9 +4,10 @@ The reference's responsiveness trick is the windowed raw buffer with
 back-retention (`src/audian/data.py:17-18,168-174`); scrolling still
 stalls on file I/O whenever the cursor leaves the buffer.  This scheduler
 adds the layer SURVEY.md section 7 calls ``audian_tpu.stream``: aligned
-raw blocks are cached in an LRU and the neighbors of every access are
-read ahead on a background thread, so sequential scrolling always finds
-the next window already in memory (double-buffered host -> device feed).
+raw blocks are cached in a byte-budgeted LRU and the neighbors of every
+access are read ahead on a background thread — biased towards the
+direction the cursor is moving — so sequential scrolling finds the next
+window already in memory (double-buffered host -> device feed).
 """
 
 from __future__ import annotations
@@ -21,28 +22,54 @@ __all__ = ["BlockPrefetcher"]
 
 
 class BlockPrefetcher:
-    """Aligned-block read cache with neighbor read-ahead over an
+    """Aligned-block read cache with direction-aware read-ahead over an
     :class:`audian_tpu.data.AudioLoader`-like source (needs ``_read``,
-    ``frames``, ``channels``)."""
+    ``frames``, ``channels``).
 
-    def __init__(self, source, block_frames=1 << 20, max_blocks=16,
-                 read_ahead=1):
+    ``max_bytes`` bounds the cache (the block count adapts to the channel
+    count and dtype — a fixed block count would cost 8x more memory on a
+    16-channel recording than on stereo).
+    """
+
+    def __init__(self, source, block_frames=1 << 20, max_bytes=256 << 20,
+                 read_ahead=2, max_blocks=None):
         self.source = source
         self.block_frames = int(block_frames)
-        self.max_blocks = int(max_blocks)
+        self.max_bytes = int(max_bytes)
+        self.max_blocks = None if max_blocks is None else int(max_blocks)
         self.read_ahead = int(read_ahead)
         self._cache = OrderedDict()  # block index -> np array
+        self._bytes = 0
         self._lock = threading.Lock()
         self._pool = ThreadPoolExecutor(max_workers=1,
                                         thread_name_prefix="audian-prefetch")
         self._pending = set()
+        self._epoch = 0          # bumped by invalidate(); stale loads drop
+        self._last_block = None  # previous request start block (direction)
         self.hits = 0
         self.misses = 0
 
     # -- cache core ---------------------------------------------------------------
 
+    def _insert(self, b, data, epoch):
+        with self._lock:
+            self._pending.discard(b)
+            if epoch != self._epoch:
+                return  # invalidated while the read was in flight
+            if b not in self._cache:
+                self._bytes += data.nbytes
+            self._cache[b] = data
+            self._cache.move_to_end(b)
+            while len(self._cache) > 1 and (
+                    self._bytes > self.max_bytes
+                    or (self.max_blocks is not None
+                        and len(self._cache) > self.max_blocks)):
+                _, old = self._cache.popitem(last=False)
+                self._bytes -= old.nbytes
+
     def _load_block(self, b):
         with self._lock:
+            epoch = self._epoch
             if b in self._cache:
                 self._cache.move_to_end(b)
                 return self._cache[b]
@@ -55,12 +82,7 @@ class BlockPrefetcher:
             with self._lock:
                 self._pending.discard(b)
             raise
-        with self._lock:
-            self._cache[b] = data
-            self._cache.move_to_end(b)
-            while len(self._cache) > self.max_blocks:
-                self._cache.popitem(last=False)
-            self._pending.discard(b)
+        self._insert(b, data, epoch)
         return data
 
     def _schedule(self, b):
@@ -74,8 +96,9 @@ class BlockPrefetcher:
         self._pool.submit(self._load_block, b)
 
     def read(self, start, nframes):
-        """Read [start, start+nframes) through the cache, scheduling
-        read-ahead of the neighboring blocks."""
+        """Read [start, start+nframes) through the cache.  Read-ahead is
+        scheduled mostly in the direction this request moved relative to
+        the previous one, plus one block behind (back-scrolls)."""
         start = max(0, min(int(start), self.source.frames))
         nframes = max(0, min(int(nframes), self.source.frames - start))
         if nframes == 0:
@@ -94,12 +117,27 @@ class BlockPrefetcher:
             else:
                 self.hits += 1
             parts.append(cached)
-        for k in range(1, self.read_ahead + 1):
-            self._schedule(b1 + k)
-            self._schedule(b0 - k)
+        backwards = self._last_block is not None and b0 < self._last_block
+        self._last_block = b0
+        if backwards:
+            for k in range(1, self.read_ahead + 1):
+                self._schedule(b0 - k)
+            self._schedule(b1 + 1)
+        else:
+            for k in range(1, self.read_ahead + 1):
+                self._schedule(b1 + k)
+            self._schedule(b0 - 1)
         whole = parts[0] if len(parts) == 1 else np.concatenate(parts)
         lo = start - b0 * self.block_frames
         return whole[lo : lo + nframes]
+
+    def invalidate(self):
+        """Drop all cached blocks (e.g. the source's decoding parameters
+        changed); reads already in flight are discarded on arrival."""
+        with self._lock:
+            self._epoch += 1
+            self._cache.clear()
+            self._bytes = 0
 
     def drain(self):
         """Wait for scheduled read-aheads (tests/shutdown)."""

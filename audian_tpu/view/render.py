@@ -47,6 +47,38 @@ def _slice_tile(buf, start, width):
     return jax.lax.dynamic_slice_in_dim(buf, start, width, axis=0)
 
 
+def _pack_scaled_i16(tile):
+    """Quantize a ``(n, channels)`` f32 tile to int16 with a per-channel
+    scale bit-packed into the first two rows — one int16 transfer instead
+    of an f32 one (the tunneled host link is the scrub-latency bottleneck;
+    render tiles only need ~1e-4 relative accuracy)."""
+    scale = jnp.maximum(jnp.max(jnp.abs(tile), axis=0), 1e-30)
+    q = jnp.clip(jnp.round(tile * (32767.0 / scale)),
+                 -32768, 32767).astype(jnp.int16)
+    head = jax.lax.bitcast_convert_type(scale.astype(jnp.float32),
+                                        jnp.int16)   # (channels, 2)
+    return jnp.concatenate([head.T, q], axis=0)
+
+
+def _unpack_scaled_i16(packed):
+    """Host-side inverse of :func:`_pack_scaled_i16`."""
+    head = np.ascontiguousarray(packed[:2].T)        # (channels, 2) int16
+    scale = head.view(np.float32).reshape(-1)        # (channels,)
+    return packed[2:].astype(np.float32) * (scale / 32767.0)
+
+
+@functools.partial(jax.jit, static_argnames=("step", "width"))
+def _minmax_tile_i16(buf, start, step, width):
+    return _pack_scaled_i16(_minmax_tile.__wrapped__(buf, start, step,
+                                                     width))
+
+
+@functools.partial(jax.jit, static_argnames=("width",))
+def _slice_tile_i16(buf, start, width):
+    return _pack_scaled_i16(
+        jax.lax.dynamic_slice_in_dim(buf, start, width, axis=0))
+
+
 class TraceTiler:
     """Min/max decimation of a windowed trace to screen pixels.
 
@@ -57,8 +89,12 @@ class TraceTiler:
     programs (the visual result is identical at sub-pixel scale).
     """
 
-    def __init__(self, max_pixels=1920):
+    def __init__(self, max_pixels=1920, quantize=True):
         self.max_pixels = int(max_pixels)
+        #: pull tiles as scale-packed int16 (half the tunnel bytes; ~1e-4
+        #: relative quantization, invisible at screen resolution).  Off
+        #: for callers needing bit-exact buffer values.
+        self.quantize = bool(quantize)
         # the device tile covers ALL channels; per-channel callers (one
         # plot item each) reuse one compute + one host pull per window
         self._cache = {}
@@ -124,7 +160,13 @@ class TraceTiler:
             wb = min(_pow2_at_least(width), avail)
             start2 = min(start, boff + len(buf) - wb * step)
             start2 = lo + ((start2 - lo) // step) * step
-            tile = self._pull(_minmax_tile, buf, (start2 - boff, step, wb))
+            if self.quantize:
+                packed = self._pull(_minmax_tile_i16, buf,
+                                    (start2 - boff, step, wb))
+                tile = _unpack_scaled_i16(packed)
+            else:
+                tile = self._pull(_minmax_tile, buf,
+                                  (start2 - boff, step, wb))
             k0 = (start - start2) // step
             values = tile[2 * k0 : 2 * (k0 + width)]
             half = step / 2
@@ -135,7 +177,12 @@ class TraceTiler:
             width = max(stop - start, 0)
             wb = min(_pow2_at_least(width), len(buf))
             start2 = max(min(start, boff + len(buf) - wb), boff)
-            values = self._pull(_slice_tile, buf, (start2 - boff, wb))
+            if self.quantize:
+                packed = self._pull(_slice_tile_i16, buf,
+                                    (start2 - boff, wb))
+                values = _unpack_scaled_i16(packed)
+            else:
+                values = self._pull(_slice_tile, buf, (start2 - boff, wb))
             values = values[start - start2 : start - start2 + width]
             times = (start + np.arange(width)) / rate
         if channel is not None:

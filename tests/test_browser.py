@@ -287,9 +287,15 @@ def test_steady_state_pull_budget(tmp_path, rng):
     # 5 interactions x (1 multi-channel trace tile + 1 u8 image stack +
     # level stats): a few hundred KB total, nowhere near window size
     window_bytes = b.data["filtered"].buffer.size * 4
-    assert total < 2_000_000, f"pulled {total} bytes in steady state"
+    assert total < 1_200_000, f"pulled {total} bytes in steady state"
     assert total < window_bytes / 10
-    assert all(e["bytes"] < 600_000 for e in pulls)
+    assert all(e["bytes"] < 300_000 for e in pulls)
+    # trace tiles cross the link quantized (scale-packed int16 kernels):
+    # half the f32 bytes on the latency-dominant scrub path
+    trace_pulls = [e for e in pulls if "tile" in e["op"]
+                   and "db" not in e["op"]]
+    assert trace_pulls
+    assert all(e["op"].endswith("_i16") for e in trace_pulls)
     b.close()
 
 
@@ -320,4 +326,63 @@ def test_browser_without_spectrogram(tmp_path, rng):
     freqs, db = b.power_spectrum(0)
     assert len(freqs) == 0
     assert b.estimate_power_levels(0) == (-100.0, 0.0)
+    b.close()
+
+
+def test_nfft_scrub_zero_compiles_after_warmup(tmp_path, rng):
+    """Stepping NFFT through the warmed bucket set compiles nothing:
+    `warm_resolutions` visits every bucket through the real
+    set_resolution + tile + power path once, then resolution scrubbing is
+    pure cache hits (`databrowser.py:1188-1222` recomputes per tick in
+    the reference)."""
+    import logging
+    import jax
+
+    rate = 8000.0
+    x = (0.3 * np.sin(2 * np.pi * 440.0 *
+                      np.arange(int(30.0 * rate)) / rate)
+         + 0.02 * rng.standard_normal(int(30.0 * rate)))
+    x = np.stack([x, 0.5 * x], axis=1)
+    p = tmp_path / "nfftwarm.wav"
+    wavio.write_audio(p, x, rate, encoding="PCM_16")
+    b = DataBrowser(str(p))
+    b.open()
+    b.set_times(0.0, 2.0)
+    warmed = b.warm_resolutions()
+    assert warmed >= 5  # 128..4096 buckets all fit a 30 s recording
+    assert b.warm_resolutions() == 0  # idempotent
+
+    def scrub():
+        # 256 -> 512 -> ... -> 4096 -> ... -> 128 -> back: all buckets
+        for _ in range(4):
+            b.freq_resolution_up()
+            b.spec_tile(0)
+            b.power_spectrum(0)
+        for _ in range(5):
+            b.freq_resolution_down()
+            b.spec_tile(0)
+            b.power_spectrum(0)
+        b.freq_resolution_up()
+        assert b.data[b.spectrogram].nfft == 256
+
+    records = []
+
+    class Grab(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    handler = Grab()
+    loggers = [logging.getLogger("jax._src.dispatch"),
+               logging.getLogger("jax._src.interpreters.pxla")]
+    jax.config.update("jax_log_compiles", True)
+    try:
+        for lg in loggers:
+            lg.addHandler(handler)
+        scrub()
+    finally:
+        jax.config.update("jax_log_compiles", False)
+        for lg in loggers:
+            lg.removeHandler(handler)
+    compiles = [r for r in records if "Compiling" in r or "compilation" in r]
+    assert not compiles, f"NFFT scrub recompiled: {compiles[:4]}"
     b.close()

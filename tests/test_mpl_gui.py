@@ -153,3 +153,54 @@ def test_amplitude_keys(win, browser):
     win.on_key(Ev("V"))
     lo, hi = browser.get_range("x", browser.show_channels[0])
     assert hi >= 1.0
+
+
+def test_hover_readout(win, browser):
+    """Hover shows the per-mode time rows (`timeplot.py:154-192`)."""
+    ax = win.trace_axs[0]
+    win.on_motion(Ev(ax, 0.5, 0.1))
+    msg = win.hover_text.get_text()
+    assert "REC" in msg and "a=" in msg
+    ax = win.spec_axs[0]
+    win.on_motion(Ev(ax, 0.5, 1000.0))
+    assert "f=1000.0 Hz" in win.hover_text.get_text()
+
+
+def test_crosshair_delta_readout(win, browser):
+    """Marker storage anchors delta readouts (`plotranges.py:616-660`)."""
+    ax = win.trace_axs[0]
+    win.on_press(Ev(ax, 0.4, 0.0))
+    win.on_release(Ev(ax, 0.4, 0.0))  # click places the crosshair
+
+    class K:
+        key = "m"
+
+    win.on_key(K())  # store as anchor
+    win.on_press(Ev(ax, 0.6, 0.0))
+    win.on_release(Ev(ax, 0.6, 0.0))
+    assert "Δtime=" in win.status
+    info = browser.crosshair_readout()
+    assert info["delta_time"] == pytest.approx(0.2, abs=1e-3)
+    # the readout lands in the rendered figure (suptitle carries status)
+    win.redraw()
+    assert any("Δtime=" in t.get_text() for t in win.fig.texts)
+
+
+def test_starttime_cycles_time_axis(win, browser):
+    """'t' cycles the time label mode and relabels the axis
+    (`timeaxisitem.py:20-26,120-206`)."""
+
+    class K:
+        key = "t"
+
+    assert win.starttime_mode == 0
+    win.on_key(K())
+    assert win.starttime_mode == 1
+    ax = win.trace_axs[0]
+    # 2 s recording, no start time in the WAV: absolute falls back to REC
+    labels = [t.get_text() for t in ax.get_xticklabels()]
+    assert labels and all(lbl for lbl in labels)
+    win.on_key(K())
+    win.on_key(K())
+    assert win.starttime_mode == 0
+    assert "REC" in ax.get_xlabel()

@@ -1,0 +1,355 @@
+"""Offscreen smoke tests of the Qt frontend.
+
+Drives ``audian_tpu.gui.qt`` — open → scroll → scrub → region-select →
+screenshot, plus the round-2 features (draggable cutoff handles, color
+bars, the power side panel, custom time/Y axes with start-time modes,
+zoom history, PNG drag-drop restore, hover readouts) — against the fake
+Qt/pyqtgraph in :mod:`fakeqt`, which implements the exact widget API the
+adapter uses and records all would-be-painted state.  Reference
+behaviors: `src/audian/audian.py`, `databrowser.py`,
+`spectrogramplot.py`, `selectviewbox.py`, `timeaxisitem.py`.
+"""
+
+import importlib
+
+import numpy as np
+import pytest
+
+import fakeqt
+from audian_tpu.app import Audian
+from audian_tpu.data import wavio
+
+RATE = 8000.0
+
+
+@pytest.fixture(scope="module")
+def qt():
+    fakeqt.install()
+    import audian_tpu.gui.qt as qtmod
+
+    qtmod = importlib.reload(qtmod)
+    assert qtmod.HAVE_QT
+    yield qtmod
+    fakeqt.uninstall()
+    importlib.reload(qtmod)
+
+
+@pytest.fixture(scope="module")
+def wav2(tmp_path_factory, rng):
+    t = np.arange(int(2.0 * RATE)) / RATE
+    x = np.stack([0.5 * np.sin(2 * np.pi * 800 * t),
+                  0.3 * np.sin(2 * np.pi * 300 * t)], axis=1)
+    x += 0.01 * rng.standard_normal(x.shape)
+    p = tmp_path_factory.mktemp("qt") / "two.wav"
+    wavio.write_audio(p, x, RATE, encoding="PCM_16")
+    return p
+
+
+@pytest.fixture()
+def win(qt, wav2):
+    shell = Audian([wav2])
+    shell.load_files()
+    window = qt.AudianWindow(shell)
+    yield window
+    shell.close()
+
+
+def trigger(win, shortcut):
+    """Trigger the menu action bound to a keyboard shortcut."""
+    for menu in win.menuBar().menus:
+        for act in menu.actions:
+            if shortcut in act.shortcuts():
+                act.trigger()
+                return act
+    raise AssertionError(f"no action with shortcut {shortcut!r}")
+
+
+# -- open ------------------------------------------------------------------------
+
+
+def test_open_builds_tabs_and_plots(win):
+    assert win.tabs.count() == 1
+    tab = win.tab()
+    b = win.browser()
+    assert set(tab.trace_plots) == set(b.show_channels)
+    assert set(tab.spec_images) == set(b.show_channels)
+    # trace curves carry data after the initial refresh
+    for c, (pt, curve) in tab.trace_plots.items():
+        assert len(curve.xdata) > 0
+        assert pt.xrange == (b.toffset, b.toffset + b.twindow)
+    # spectrogram images got a tile and a rect
+    for c, (ps, img) in tab.spec_images.items():
+        assert img.image is not None and img.image.size > 0
+        assert img.rect is not None
+
+
+def test_custom_axes_installed(win):
+    tab = win.tab()
+    for c, (pt, _) in tab.trace_plots.items():
+        assert "bottom" in pt.axes and "left" in pt.axes
+        taxis = pt.axes["bottom"]
+        spans = taxis.tickSpacing(0.0, 1.0, 800)
+        assert spans[0][0] > spans[1][0] > 0
+        strings = taxis.tickStrings([0.0, 0.5, 1.0], 1.0, 0.5)
+        assert len(strings) == 3
+        yaxis = pt.axes["left"]
+        major, minor = (s[0] for s in yaxis.tickSpacing(-1.0, 1.0, 400))
+        assert major > minor > 0
+
+
+# -- scroll ----------------------------------------------------------------------
+
+
+def test_scroll_and_zoom_actions(win):
+    b = win.browser()
+    b.set_times(0.0, 0.5)
+    t0 = b.toffset
+    trigger(win, "Right")
+    assert b.toffset > t0
+    trigger(win, "Left")
+    assert b.toffset == pytest.approx(t0)
+    w0 = b.twindow
+    trigger(win, "X")
+    assert b.twindow == pytest.approx(w0 / 2)
+    trigger(win, "Shift+X")
+    assert b.twindow == pytest.approx(w0)
+    # the plots track the browser window
+    tab = win.tab()
+    for c, (pt, _) in tab.trace_plots.items():
+        assert pt.xrange == (b.toffset, b.toffset + b.twindow)
+
+
+def test_overview_region_drives_times(win):
+    tab = win.tab()
+    b = win.browser()
+    tab.region.drag_to((0.25, 0.75))
+    assert b.toffset == pytest.approx(0.25)
+    assert b.twindow == pytest.approx(0.5)
+    # refresh mirrors the times back into the region
+    assert tab.region.getRegion() == (
+        pytest.approx(b.toffset), pytest.approx(b.toffset + b.twindow))
+
+
+# -- scrub (filter / resolution) ---------------------------------------------------
+
+
+def test_filter_scrub_updates_cutoff_lines(win):
+    b = win.browser()
+    tab = win.tab()
+    f = b.data["filtered"]
+    hp0 = f.highpass_cutoff
+    trigger(win, "Shift+H")
+    assert f.highpass_cutoff == pytest.approx(hp0 * 1.25)
+    c = b.show_channels[0]
+    assert tab.hp_lines[c].value() == pytest.approx(f.highpass_cutoff)
+
+
+def test_cutoff_handle_drag_redesigns_filter(win):
+    b = win.browser()
+    tab = win.tab()
+    c = b.show_channels[0]
+    tab.hp_lines[c].drag_to(1234.0)
+    assert b.data["filtered"].highpass_cutoff == pytest.approx(1234.0)
+    # dragging the LP handle below the HP one swaps the cutoffs
+    tab.lp_lines[c].drag_to(1000.0)
+    assert b.data["filtered"].highpass_cutoff == pytest.approx(1000.0)
+    assert b.data["filtered"].lowpass_cutoff == pytest.approx(1234.0)
+
+
+def test_resolution_scrub(win):
+    b = win.browser()
+    nfft0 = b.data[b.spectrogram].nfft
+    trigger(win, "Shift+R")
+    assert b.data[b.spectrogram].nfft == 2 * nfft0
+    trigger(win, "R")
+    assert b.data[b.spectrogram].nfft == nfft0
+
+
+# -- power side panel + color bars ---------------------------------------------------
+
+
+def test_power_side_panel(win):
+    b = win.browser()
+    tab = win.tab()
+    c = b.show_channels[0]
+    pp, pcurve = tab.power_plots[c]
+    assert not pp.isVisible()  # off by default (`databrowser.py:129`)
+    # the side panel flips with toggle_powers (Ctrl+P)
+    trigger(win, "Ctrl+P")
+    assert pp.isVisible()
+    assert len(pcurve.xdata) > 0  # dB values
+    assert len(pcurve.ydata) == len(pcurve.xdata)  # frequency axis
+    trigger(win, "Ctrl+P")
+    assert not pp.isVisible()
+
+
+def test_colorbars_follow_toggle(win):
+    b = win.browser()
+    tab = win.tab()
+    c = b.show_channels[0]
+    cbar = tab.colorbars[c]
+    assert cbar.image_item is tab.spec_images[c][1]
+    was = b.show_cbars
+    trigger(win, "Ctrl+B")
+    assert b.show_cbars != was
+    assert cbar.isVisible() == b.show_cbars
+    trigger(win, "Ctrl+B")
+    assert cbar.isVisible() == was
+    # levels track the power range
+    plo, phi = b.get_range("p", 0)
+    assert cbar.levels == (pytest.approx(plo), pytest.approx(phi))
+
+
+# -- region select + zoom history ----------------------------------------------------
+
+
+def drag_select(qt, tab, channel, kind, x0, y0, x1, y1):
+    vb = (tab.trace_plots[channel][0].vb if kind == "trace"
+          else tab.spec_images[channel][0].vb)
+    ev = fakeqt.FakeMouseEvent(fakeqt._Qt.LeftButton,
+                               fakeqt.FakePoint(x1, y1),
+                               fakeqt.FakePoint(x0, y0), finish=True)
+    vb.mouseDragEvent(ev)
+    assert ev.accepted
+
+
+def test_region_select_zoom_and_history(qt, win):
+    b = win.browser()
+    tab = win.tab()
+    b.set_region_mode(b.zoom_region)
+    b.set_times(0.0, 2.0)
+    c = b.show_channels[0]
+    drag_select(qt, tab, c, "trace", 0.5, -0.4, 1.0, 0.4)
+    assert b.toffset == pytest.approx(0.5)
+    assert b.twindow == pytest.approx(0.5)
+    drag_select(qt, tab, c, "trace", 0.6, -0.2, 0.8, 0.2)
+    assert b.toffset == pytest.approx(0.6)
+    # zoom back walks the history (`selectviewbox.py:107-131`)
+    trigger(win, "Backspace")
+    assert b.toffset == pytest.approx(0.5)
+    trigger(win, "Shift+Backspace")
+    assert b.toffset == pytest.approx(0.6)
+    trigger(win, "Alt+Backspace")
+    assert b.toffset == pytest.approx(0.0)
+
+
+def test_spec_region_zoom_sets_frequency(qt, win):
+    b = win.browser()
+    tab = win.tab()
+    b.set_region_mode(b.zoom_region)
+    c = b.show_channels[0]
+    drag_select(qt, tab, c, "spec", 0.2, 500.0, 0.7, 1500.0)
+    assert b.get_range("f", c) == (pytest.approx(500.0),
+                                   pytest.approx(1500.0))
+
+
+# -- crosshair + hover readouts -------------------------------------------------------
+
+
+def test_crosshair_click_and_readout(qt, win):
+    tab = win.tab()
+    b = win.browser()
+    c = b.show_channels[0]
+    vb = tab.trace_plots[c][0].vb
+    ev = fakeqt.FakeMouseEvent(fakeqt._Qt.LeftButton,
+                               fakeqt.FakePoint(0.5, 0.1))
+    vb.mouseClickEvent(ev)
+    assert ev.accepted
+    assert b.crosshair_readout()["time"] == pytest.approx(0.5)
+    assert tab.xlines[c].isVisible()
+    assert "time=0.5" in win.statusBar().currentMessage()
+
+
+def test_hover_readout_shows_time_rows(qt, win):
+    tab = win.tab()
+    c = win.browser().show_channels[0]
+    vb = tab.trace_plots[c][0].vb
+    vb.hoverEvent(fakeqt.FakeHoverEvent(fakeqt.FakePoint(1.0, 0.2)))
+    msg = win.statusBar().currentMessage()
+    assert "REC" in msg and "a=" in msg
+    vb.hoverEvent(fakeqt.FakeHoverEvent(exit=True))
+    assert win.statusBar().currentMessage() == ""
+
+
+# -- start-time modes -----------------------------------------------------------------
+
+
+def test_starttime_cycling_relabels_axes(win):
+    tab = win.tab()
+    assert all(ax.starttime_mode == 0 for ax in tab.time_axes)
+    trigger(win, "Ctrl+Shift+T")
+    assert win.shell.starttime_mode == 1
+    assert all(ax.starttime_mode == 1 for ax in tab.time_axes)
+    trigger(win, "Ctrl+Shift+T")
+    trigger(win, "Ctrl+Shift+T")
+    assert all(ax.starttime_mode == 0 for ax in tab.time_axes)
+
+
+# -- screenshot + drag-drop restore ----------------------------------------------------
+
+
+def test_screenshot_and_drop_restore(qt, win, tmp_path):
+    from audian_tpu.app.screenshot import parse_view_metadata
+
+    b = win.browser()
+    b.set_times(0.375, 0.5)
+    shot = tmp_path / "shot.png"
+    fakeqt.QFileDialog.save_name = (str(shot), "PNG (*.png)")
+    trigger(win, "Ctrl+Alt+S")
+    view = parse_view_metadata(shot)
+    assert view is not None
+    assert view["toffset"] == pytest.approx(0.375)
+    assert view["twindow"] == pytest.approx(0.5)
+    # move away, then drop the screenshot back on the window
+    b.set_times(1.25, 0.25)
+    ev = fakeqt.FakeDropEvent([shot])
+    win.dropEvent(ev)
+    assert ev.accepted
+    assert b.toffset == pytest.approx(0.375)
+    assert b.twindow == pytest.approx(0.5)
+    # non-PNG drops are ignored
+    other = tmp_path / "notes.txt"
+    other.write_text("hi")
+    ev2 = fakeqt.FakeDropEvent([other])
+    win.dropEvent(ev2)
+    assert not ev2.accepted
+
+
+# -- timers / auto scroll ---------------------------------------------------------------
+
+
+def test_auto_scroll_ticks(win):
+    b = win.browser()
+    tab = win.tab()
+    b.set_times(0.0, 0.5)
+    trigger(win, "!")  # start auto scroll
+    assert b.scroll_active
+    assert tab.scroll_timer.isActive()
+    t0 = b.toffset
+    tab.scroll_timer.fire()
+    assert b.toffset > t0
+    # space stops the scroll (`databrowser.py:1645-1656`)
+    trigger(win, "Space")
+    assert not b.scroll_active
+
+
+def test_channel_actions(win):
+    b = win.browser()
+    trigger(win, "Down")
+    assert b.current_channel == 1
+    trigger(win, "Up")
+    assert b.current_channel == 0
+    trigger(win, "1")
+    assert b.show_channels == [1]
+    trigger(win, "1")  # second press restores all channels
+    assert b.show_channels == [0, 1]
+
+
+def test_dialogs_construct(win, tmp_path):
+    # metadata / analysis / marker dialogs build from headless state
+    win.show_metadata()
+    b = win.browser()
+    b.analyze(0.0, 0.5, 0)
+    win.analysis_results()
+    win.marker_table()
+    win.label_editor()

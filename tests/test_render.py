@@ -35,16 +35,24 @@ def test_tile_minmax_matches_reduceat(trace):
     step = int(round((times[1] - times[0]) * 2 * trace.rate))
     assert step & (step - 1) == 0 and step >= 99000 // 100
     want = reduceat_like(trace.buffer[: n * step], step)
-    np.testing.assert_array_equal(values, want[: 2 * n])
+    # default tiles cross the link as scale-packed int16: one part in
+    # 32767 of the per-channel tile range, invisible at screen scale
+    tol = np.abs(want).max() / 32000
+    np.testing.assert_allclose(values, want[: 2 * n], atol=tol)
     # interleaving: even rows are minima
     assert np.all(values[0::2] <= values[1::2])
+    # the bit-exact path is still available
+    exact = TraceTiler(max_pixels=100, quantize=False)
+    _, v2 = exact.tile(trace, 0.0, 99.0)
+    np.testing.assert_array_equal(v2, want[: 2 * (len(v2) // 2)])
 
 
 def test_tile_full_resolution(trace):
     tiler = TraceTiler(max_pixels=4000)
     times, values = tiler.tile(trace, 0.0, 0.5)  # 500 frames < max_pixels
     assert len(times) == len(values) == 501
-    np.testing.assert_array_equal(values, trace.buffer[:501])
+    tol = np.abs(trace.buffer[:501]).max() / 32000
+    np.testing.assert_allclose(values, trace.buffer[:501], atol=tol)
     np.testing.assert_allclose(times, np.arange(501) / trace.rate)
 
 

@@ -6,7 +6,7 @@ import pytest
 from audian_tpu.config import ConfigFile
 from audian_tpu.analysis.events import (
     threshold_crossings, merge_events, remove_events, widen_events,
-    peak_freqs, square_envelope, threshold_estimates, detect,
+    peak_freqs, square_envelope, threshold_estimates, detect_songs, detect,
 )
 from audian_tpu.cli import songdetector
 from audian_tpu.data import wavio
@@ -301,3 +301,56 @@ def test_band_env_scrubs_reuse_chunk_program(rng, monkeypatch):
     big = [r for r in records
            if "Compiling" in r and "_band_env_device" in r]
     assert not big, f"cutoff scrubs recompiled the chunk program: {big[:1]}"
+
+
+# -- threshold_estimates validation beyond reference parity -----------------------
+# The reference marks this heuristic "XXX improve (and proof) this"
+# (`songdetector.py:102`) and ships no validation; these pin the properties
+# the heuristic must actually deliver.
+
+
+def test_threshold_no_signal_gives_no_detections(rng):
+    """Pure noise must yield thresholds above everything: zero false
+    positive songs at any min_duration."""
+    env = np.abs(0.01 + 0.002 * rng.standard_normal((20000, 3)))
+    th = threshold_estimates(env)
+    for c in range(3):
+        assert th[c] > env[:, c].max()
+    onsets, offsets = detect_songs(env, 1000.0, th, min_duration=0.0)
+    assert all(len(o) == 0 for o in onsets)
+
+
+def test_threshold_separates_across_snr_sweep(rng):
+    """For signal clusters from 10x to 1000x the noise floor, the
+    threshold lands strictly between the clusters."""
+    for snr in (10.0, 100.0, 1000.0):
+        noise = np.abs(0.01 + 0.002 * rng.standard_normal(20000))
+        sig = 0.01 * snr * (1.0 + 0.05 * rng.standard_normal(2000))
+        env = np.concatenate([noise, sig])[:, None]
+        (th,) = threshold_estimates(env)
+        assert noise.max() < th < sig.min(), (snr, th)
+
+
+def test_threshold_scale_equivariance(rng):
+    """Scaling the envelope scales the threshold: detections are
+    amplitude-units independent."""
+    noise = np.abs(0.01 + 0.002 * rng.standard_normal(20000))
+    sig = 1.0 + 0.05 * rng.standard_normal(2000)
+    env = np.concatenate([noise, sig])[:, None]
+    (th1,) = threshold_estimates(env)
+    (th2,) = threshold_estimates(env * 37.5)
+    assert th2 == pytest.approx(37.5 * th1, rel=1e-6)
+
+
+def test_threshold_dead_channel_among_live(rng):
+    """A silent channel between live ones never produces detections and
+    never corrupts its neighbors' thresholds."""
+    noise = np.abs(0.01 + 0.002 * rng.standard_normal(22000))
+    sig = np.concatenate([noise[:20000], 1.0 + 0.05 *
+                          rng.standard_normal(2000)])
+    env = np.stack([sig, np.zeros(22000), sig], axis=1)
+    th = threshold_estimates(env)
+    assert th[0] == pytest.approx(th[2])
+    onsets, _ = detect_songs(env, 1000.0, th, min_duration=0.0)
+    assert len(onsets[0]) > 0 and len(onsets[2]) > 0
+    assert len(onsets[1]) == 0

@@ -88,3 +88,58 @@ def test_loader_prefetch_integration(tmp_path, rng):
     ld.update_time(0.1, 0.3)
     np.testing.assert_allclose(ld[9000:9100], x[9000:9100], atol=1e-7)
     ld.close()
+
+
+def test_prefetch_overlaps_read_with_compute():
+    """Sequential scrolling against a slow reader: background read-ahead
+    hides block reads behind the caller's compute, so wall time stays
+    under the serial read+compute sum (SURVEY.md section 7's
+    double-buffered feed, now the default path)."""
+    import time
+
+    class SlowSource:
+        frames = 8000
+        channels = 1
+
+        def _read(self, start, n):
+            time.sleep(0.05)
+            n = min(n, self.frames - start)
+            return np.zeros((n, 1), np.float32)
+
+    pf = BlockPrefetcher(SlowSource(), block_frames=1000, read_ahead=1)
+    nsteps = 6
+    t0 = time.monotonic()
+    for k in range(nsteps):
+        pf.read(k * 1000, 1000)
+        time.sleep(0.06)  # downstream compute, longer than one read
+    wall = time.monotonic() - t0
+    pf.close()
+    serial = nsteps * (0.05 + 0.06)
+    assert wall < 0.85 * serial, f"no overlap: {wall:.2f}s vs {serial:.2f}s"
+
+
+def test_prefetch_direction_bias():
+    src = FakeSource(n=10000)
+    pf = BlockPrefetcher(src, block_frames=1000, read_ahead=2)
+    pf.read(5000, 500)   # block 5
+    pf.read(4000, 500)   # block 4: moving backwards
+    pf.drain()
+    cached = pf.cached_blocks()
+    assert 3 in cached and 2 in cached  # read ahead towards lower blocks
+    pf.close()
+
+
+def test_prefetch_invalidate_on_unwrap(tmp_path, rng):
+    from audian_tpu.data import wavio
+    from audian_tpu.data.loader import AudioLoader
+
+    x = 0.1 * rng.standard_normal((20000, 1))
+    p = tmp_path / "inv.wav"
+    wavio.write_audio(p, x, 48000.0, encoding="FLOAT")
+    ld = AudioLoader(p)  # prefetch defaults ON
+    assert ld._prefetcher is not None
+    ld._read(0, 5000)
+    assert ld._prefetcher.cached_blocks()
+    ld.set_unwrap(1.5)
+    assert not ld._prefetcher.cached_blocks()
+    ld.close()
