@@ -19,6 +19,7 @@ Key bindings (subset of the reference's ~60 actions, same keys):
     b/B zoom history back/forward
     m set marker at crosshair     q quit
     t cycle time-axis label mode (recording / absolute / per-file)
+    c toggle color bars           z toggle power side plots
     C cycle color map             g cycle grid mask
     up/down previous/next channel pageup/pagedown extend selection
     1..9,0 show only that channel (again restores all)
@@ -62,20 +63,26 @@ class MplBrowserWindow:
         channels = browser.show_channels
         rows = len(channels) * (2 if self.show_spec else 1) + 1
         heights = ([3, 2] if self.show_spec else [3]) * len(channels) + [1]
-        self.fig, axs = plt.subplots(
-            rows, 1, figsize=figsize, squeeze=False,
-            gridspec_kw=dict(height_ratios=heights, hspace=0.35))
-        axs = [a[0] for a in axs]
+        # three columns: panels | color bars | power side plots
+        # (`src/audian/spectrogramplot.py:87-92,144-164`)
+        self.fig = plt.figure(figsize=figsize)
+        gs = self.fig.add_gridspec(rows, 3, width_ratios=[24, 0.7, 5],
+                                   height_ratios=heights, hspace=0.35,
+                                   wspace=0.08)
         self.trace_axs = {}
         self.spec_axs = {}
+        self.cbar_axs = {}
+        self.power_axs = {}
         k = 0
         for c in channels:
-            self.trace_axs[c] = axs[k]
+            self.trace_axs[c] = self.fig.add_subplot(gs[k, 0])
             k += 1
             if self.show_spec:
-                self.spec_axs[c] = axs[k]
+                self.spec_axs[c] = self.fig.add_subplot(gs[k, 0])
+                self.cbar_axs[c] = self.fig.add_subplot(gs[k, 1])
+                self.power_axs[c] = self.fig.add_subplot(gs[k, 2])
                 k += 1
-        self.overview_ax = axs[-1]
+        self.overview_ax = self.fig.add_subplot(gs[rows - 1, :])
         self.fig.canvas.mpl_connect("key_press_event", self.on_key)
         self.fig.canvas.mpl_connect("button_press_event", self.on_press)
         self.fig.canvas.mpl_connect("button_release_event", self.on_release)
@@ -315,6 +322,9 @@ class MplBrowserWindow:
         for c, ax in self.spec_axs.items():
             ax.set_visible(c in b.show_channels and b.show_specs > 0)
             if not ax.get_visible():
+                for side in (self.cbar_axs.get(c), self.power_axs.get(c)):
+                    if side is not None:
+                        side.set_visible(False)
                 continue
             art = self._ax_artists("spec", c, ax)
             # auto levels come from the browser's per-window cached
@@ -331,8 +341,10 @@ class MplBrowserWindow:
                                                   "magma"))
             ax.set_xlim(t0, t1)
             self._format_time_axis(ax, t0, t1)
+            self._draw_cbar(c, art)
+            self._draw_power(c, t0, t1)
         for key, art in self._artists.items():
-            if not isinstance(key, tuple):
+            if not isinstance(key, tuple) or "cx" not in art:
                 continue
             kind, c = key
             on = (self.crosshair is not None
@@ -383,6 +395,59 @@ class MplBrowserWindow:
         if label == "File" and filename:
             text = f"File {filename}"
         ax.set_xlabel(f"{text} ({units})" if units else text)
+
+    def _draw_cbar(self, c, art):
+        """Color bar per spectrogram honoring toggle_colorbars
+        (`src/audian/spectrogramplot.py:87-92`); the u8 image maps the
+        [zmin, zmax] dB levels onto 0..255."""
+        b = self.browser
+        cax = self.cbar_axs.get(c)
+        if cax is None:
+            return
+        on = b.show_cbars and b.show_specs > 0 and c in b.show_channels
+        cax.set_visible(on)
+        if not on:
+            return
+        if art.get("cbar") is None:
+            art["cbar"] = self.fig.colorbar(art["im"], cax=cax)
+        else:
+            art["cbar"].update_normal(art["im"])
+        zmin, zmax = b.get_range("p", c)
+        if zmin is not None and zmax is not None and zmax > zmin:
+            ticks = np.linspace(0.0, 255.0, 5)
+            cax.set_yticks(ticks)
+            cax.set_yticklabels(
+                [f"{zmin + t / 255.0 * (zmax - zmin):.0f}" for t in ticks])
+            cax.set_ylabel("dB", fontsize=7)
+        cax.tick_params(labelsize=7)
+
+    def _draw_power(self, c, t0, t1):
+        """Live mean-power side plot of the visible window
+        (`src/audian/spectrogramplot.py:144-164`)."""
+        b = self.browser
+        pax = self.power_axs.get(c)
+        if pax is None:
+            return
+        on = b.show_powers and b.show_specs > 0 and c in b.show_channels
+        pax.set_visible(on)
+        if not on:
+            return
+        art = self._artists.get(("power", c))
+        if art is None:
+            art = {"line": pax.plot([], [], lw=0.8, color="#00aaaa")[0]}
+            pax.tick_params(labelsize=7)
+            pax.set_xlabel("dB", fontsize=7)
+            self._artists[("power", c)] = art
+        freqs, db = b.power_spectrum(c, t0, t1)
+        finite = np.isfinite(db)
+        art["line"].set_data(np.asarray(db)[finite],
+                             np.asarray(freqs)[finite])
+        zmin, zmax = b.get_range("p", c)
+        if zmin is not None and zmax is not None and zmax > zmin:
+            pax.set_xlim(zmin, zmax)
+        flo, fhi = b.get_range("f", c)
+        if flo is not None and fhi is not None and fhi > flo:
+            pax.set_ylim(flo, fhi)
 
     def _draw_overview(self):
         b = self.browser
@@ -504,6 +569,10 @@ class MplBrowserWindow:
             self.status = f"marker at {self.crosshair[1]:.4f}s"
         elif key == "t":
             self.starttime_mode = (self.starttime_mode + 1) % 3
+        elif key == "c":
+            b.toggle_colorbars()
+        elif key == "z":
+            b.toggle_powers()
         elif key == "s":
             path = Path(str(b.data.file_path)).with_suffix(".view.png")
             save_view_screenshot(self.fig, b, path)

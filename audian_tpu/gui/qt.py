@@ -572,6 +572,9 @@ if HAVE_QT:
                 else None)
             for b in shell.browsers:
                 self._add_tab(b)
+            self._all_acts = []
+            self.marker_acts = []
+            self.crosshair_mode = False
             self._build_menus()
             self.statusBar().showMessage("")
 
@@ -596,6 +599,7 @@ if HAVE_QT:
                                  else shortcut)
             act.triggered.connect(lambda *_: (fn(), self._refresh()))
             menu.addAction(act)
+            self._all_acts.append(act)
             return act
 
         def _refresh(self):
@@ -728,6 +732,21 @@ if HAVE_QT:
                       lambda: self.tab().zoom_forward())
             self._act(regm, "Zoom &home", "Alt+Backspace",
                       lambda: self.tab().zoom_home())
+            self._act(regm, "Cross &hair mode", "Ctrl+C",
+                      self.toggle_crosshair_mode)
+            # marker-label actions: armed only in crosshair mode, where
+            # their single-letter keys take over from conflicting verbs
+            # (`databrowser.py:726-760`)
+            self.marker_acts = []
+            for lbl in (self.shell.current.marker_labels
+                        if self.shell.current else []):
+                act = self._act(
+                    regm, f"Store '{lbl.label}' marker",
+                    lbl.key_shortcut or None,
+                    lambda label=lbl.label:
+                        self.browser().store_marker(label=label))
+                act.setEnabled(False)
+                self.marker_acts.append(act)
             self._act(regm, "Play &window", "Space", self.play_scroll)
             self._act(regm, "Analysis &results", "Ctrl+R",
                       self.analysis_results)
@@ -735,6 +754,24 @@ if HAVE_QT:
                       lambda: B().save_analysis())
             self._act(regm, "&Marker table", "Ctrl+M", self.marker_table)
             self._act(regm, "&Label editor", "Ctrl+L", self.label_editor)
+
+        def toggle_crosshair_mode(self):
+            """Crosshair mode arms the marker-label key shortcuts and
+            parks any other action sharing their keys; leaving the mode
+            restores them and clears the crosshair
+            (`databrowser.py:726-760`)."""
+            self.crosshair_mode = not self.crosshair_mode
+            keys = {s.lower() for a in self.marker_acts
+                    for s in a.shortcuts()}
+            for act in self._all_acts:
+                if act in self.marker_acts:
+                    act.setEnabled(self.crosshair_mode)
+                elif any(s.lower() in keys for s in act.shortcuts()):
+                    act.setEnabled(not self.crosshair_mode)
+            if not self.crosshair_mode:
+                b = self.browser()
+                b.clear_crosshair()
+                self.set_status("")
 
         def toggle_starttime(self):
             """Cycle the time-label mode everywhere: the headless time

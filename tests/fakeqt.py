@@ -139,6 +139,7 @@ class QAction:
         self._text = text
         self.parent = parent
         self._shortcuts = []
+        self._enabled = True
         self.triggered = FakeSignal()
 
     def text(self):
@@ -153,8 +154,15 @@ class QAction:
     def shortcuts(self):
         return list(self._shortcuts)
 
+    def setEnabled(self, on):
+        self._enabled = bool(on)
+
+    def isEnabled(self):
+        return self._enabled
+
     def trigger(self):
-        self.triggered.emit(False)
+        if self._enabled:
+            self.triggered.emit(False)
 
 
 class _Menu:

@@ -204,3 +204,34 @@ def test_starttime_cycles_time_axis(win, browser):
     win.on_key(K())
     assert win.starttime_mode == 0
     assert "REC" in ax.get_xlabel()
+
+
+def test_colorbar_and_power_side_panel(win, browser):
+    """Color bars + the live power side plot honor their toggles
+    (`spectrogramplot.py:87-92,144-164`)."""
+    c = browser.show_channels[0]
+    assert not win.cbar_axs[c].get_visible()   # off by default
+    assert not win.power_axs[c].get_visible()
+
+    class K:
+        key = "c"
+
+    win.on_key(K())
+    assert win.cbar_axs[c].get_visible()
+    K.key = "z"
+    win.on_key(K())
+    assert win.power_axs[c].get_visible()
+    line = win._artists[("power", c)]["line"]
+    db, freqs = line.get_data()
+    assert len(db) > 0 and len(freqs) == len(db)
+    assert np.all(np.isfinite(db))
+    # toggling the spectrograms away hides the side panels too
+    browser.show_specs = 0
+    win.redraw()
+    assert not win.cbar_axs[c].get_visible()
+    assert not win.power_axs[c].get_visible()
+    browser.show_specs = 1
+    K.key = "c"
+    win.on_key(K())
+    K.key = "z"
+    win.on_key(K())

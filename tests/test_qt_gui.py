@@ -353,3 +353,25 @@ def test_dialogs_construct(win, tmp_path):
     win.analysis_results()
     win.marker_table()
     win.label_editor()
+
+
+def test_crosshair_mode_marker_keys(qt, win):
+    """Crosshair mode arms the marker-label keys (store a labeled marker
+    at the crosshair) and parks actions sharing those keys
+    (`databrowser.py:726-760`)."""
+    b = win.browser()
+    n0 = len(b.marker_data)
+    # label keys are dead outside crosshair mode
+    for act in win.marker_acts:
+        assert not act.isEnabled()
+    trigger(win, "Ctrl+C")
+    assert win.crosshair_mode
+    assert all(a.isEnabled() for a in win.marker_acts)
+    b.set_crosshair(0, t=0.75, amplitude=0.1)
+    trigger(win, "s")  # the 'start' label's key
+    assert len(b.marker_data) == n0 + 1
+    assert b.marker_data.times[-1] == pytest.approx(0.75)
+    trigger(win, "Ctrl+C")  # leaving the mode restores + clears
+    assert not win.crosshair_mode
+    assert all(not a.isEnabled() for a in win.marker_acts)
+    assert b.crosshair_readout()["time"] is None

@@ -102,20 +102,26 @@ def test_prefetch_overlaps_read_with_compute():
         channels = 1
 
         def _read(self, start, n):
-            time.sleep(0.05)
+            time.sleep(0.1)
             n = min(n, self.frames - start)
             return np.zeros((n, 1), np.float32)
 
     pf = BlockPrefetcher(SlowSource(), block_frames=1000, read_ahead=1)
     nsteps = 6
     t0 = time.monotonic()
+    cached_steps = 0
     for k in range(nsteps):
+        t1 = time.monotonic()
         pf.read(k * 1000, 1000)
-        time.sleep(0.06)  # downstream compute, longer than one read
+        cached_steps += time.monotonic() - t1 < 0.05
+        time.sleep(0.15)  # downstream compute, longer than one read
     wall = time.monotonic() - t0
     pf.close()
-    serial = nsteps * (0.05 + 0.06)
-    assert wall < 0.85 * serial, f"no overlap: {wall:.2f}s vs {serial:.2f}s"
+    serial = nsteps * (0.1 + 0.15)
+    # the read-ahead thread hides all but the first block's read; the
+    # wall bound is kept loose so CI load does not flake it
+    assert cached_steps >= nsteps - 2, f"only {cached_steps} cached steps"
+    assert wall < 0.95 * serial, f"no overlap: {wall:.2f}s vs {serial:.2f}s"
 
 
 def test_prefetch_direction_bias():
