@@ -608,27 +608,49 @@ if HAVE_QT:
                 tab.refresh()
 
         def _build_menus(self):
+            """The reference's full menu/action surface with its shortcut
+            table (`src/audian/audian.py:263-1271`); deliberate
+            deviations: analysis results on Alt+R (the reference
+            double-books Alt+A with link-amplitude), no pan/rect submodes
+            beyond the two mouse-mode actions."""
             mb = self.menuBar()
             sh = self.shell
+            B = self.browser
 
             filem = mb.addMenu("&File")
+            self._act(filem, "&Open", "Ctrl+O", self.open_files)
+            self._act(filem, "&Close tab", "Ctrl+W", self.close_tab)
+            self._act(filem, "Save &window as", "Ctrl+Shift+S",
+                      lambda: B().save_window())
             self._act(filem, "&Screenshot", "Ctrl+Alt+S", self.screenshot)
             self._act(filem, "&Metadata", None, self.show_metadata)
-            self._act(filem, "Save &window", "Ctrl+S",
-                      lambda: self.browser().save_window())
+            self._act(filem, "&Key shortcuts", "Ctrl+K", self.key_shortcuts)
+            self._act(filem, "&About", None, self.about)
+            self._act(filem, "Next tab", "Ctrl+PgDown", sh.next_tab)
+            self._act(filem, "Previous tab", "Ctrl+PgUp", sh.previous_tab)
             self._act(filem, "&Quit", "Ctrl+Q", self.close)
 
             timem = mb.addMenu("&Time")
-            B = self.browser
-            self._act(timem, "Page &down", ["Right", "."],
+            self._act(timem, "Page &down", ["PageDown", "Right"],
                       lambda: B().time_page_down())
-            self._act(timem, "Page &up", ["Left", ","],
+            self._act(timem, "Page &up", ["PageUp", "Left"],
                       lambda: B().time_page_up())
-            self._act(timem, "Zoom &in", "X", lambda: B().time_zoom_in())
-            self._act(timem, "Zoom &out", "Shift+X",
+            self._act(timem, "Small step down", "Down",
+                      lambda: B().apply_time_ranges("small_up"))
+            self._act(timem, "Small step up", "Up",
+                      lambda: B().apply_time_ranges("small_down"))
+            self._act(timem, "Zoom &in", ["+", "="],
+                      lambda: B().time_zoom_in())
+            self._act(timem, "Zoom &out", "-",
                       lambda: B().time_zoom_out())
+            self._act(timem, "Zoom in centered", "Shift+T",
+                      lambda: B().apply_time_ranges("zoom_in_centered"))
+            self._act(timem, "Zoom out centered", "T",
+                      lambda: B().apply_time_ranges("zoom_out_centered"))
             self._act(timem, "&Home", "Home", lambda: B().time_home())
             self._act(timem, "&End", "End", lambda: B().time_end())
+            self._act(timem, "&Snap", ".",
+                      lambda: B().apply_time_ranges("snap"))
             self._act(timem, "&Auto scroll", "!", lambda: B().auto_scroll())
             self._act(timem, "Toggle &start time", "Ctrl+Shift+T",
                       self.toggle_starttime)
@@ -638,15 +660,18 @@ if HAVE_QT:
                       sh.toggle_link_timescroll)
 
             ampm = mb.addMenu("&Amplitude")
-            self._act(ampm, "Zoom &in", "Shift+Y",
-                      lambda: sh.apply_ranges("zoom_in", "xyu"))
-            self._act(ampm, "Zoom &out", "Y",
-                      lambda: sh.apply_ranges("zoom_out", "xyu"))
+            for letter in "xyu":
+                self._act(ampm, f"Zoom {letter} in", f"Shift+{letter.upper()}",
+                          lambda a=letter: sh.apply_ranges("zoom_in", a))
+                self._act(ampm, f"Zoom {letter} out", letter.upper(),
+                          lambda a=letter: sh.apply_ranges("zoom_out", a))
             self._act(ampm, "&Auto", "V", lambda: B().auto_ampl())
             self._act(ampm, "&Reset", "Shift+V",
                       lambda: sh.apply_ranges("reset", "xyu"))
             self._act(ampm, "&Center", "C",
                       lambda: sh.apply_ranges("center", "xyu"))
+            self._act(ampm, "Link &amplitude", "Alt+A",
+                      sh.toggle_link_amplitude)
 
             filtm = mb.addMenu("Fi&lter")
             self._act(filtm, "&Highpass up", "Shift+H",
@@ -659,10 +684,14 @@ if HAVE_QT:
                       lambda: self._filter(None, 0.8))
             self._act(filtm, "Link &filter", "Alt+F",
                       sh.toggle_link_filter)
+            self._act(filtm, "&Show envelope", "Ctrl+E",
+                      sh.toggle_show_envelope)
             self._act(filtm, "&Envelope up", "Shift+E",
                       lambda: self._envelope(2.0))
             self._act(filtm, "Envelope &down", "E",
                       lambda: self._envelope(0.5))
+            self._act(filtm, "Link &envelope", "Alt+E",
+                      sh.toggle_link_envelope)
 
             specm = mb.addMenu("&Spectrogram")
             self._act(specm, "Increase &resolution", "Shift+R",
@@ -675,54 +704,101 @@ if HAVE_QT:
                       lambda: B().overlap_frac_down())
             self._act(specm, "&Color map", "Shift+C",
                       lambda: B().color_map_cycler())
-            self._act(specm, "Frequency zoom &in", "Shift+F",
-                      lambda: sh.apply_ranges("zoom_in", "fw"))
-            self._act(specm, "Frequency zoom o&ut", "F",
-                      lambda: sh.apply_ranges("zoom_out", "fw"))
-            self._act(specm, "Power &up", "Shift+P",
+            self._act(specm, "Frequency f zoom in", "Shift+F",
+                      lambda: sh.apply_ranges("zoom_in", "f"))
+            self._act(specm, "Frequency f zoom out", "F",
+                      lambda: sh.apply_ranges("zoom_out", "f"))
+            self._act(specm, "Frequency w zoom in", "Shift+W",
+                      lambda: sh.apply_ranges("zoom_in", "w"))
+            self._act(specm, "Frequency w zoom out", "W",
+                      lambda: sh.apply_ranges("zoom_out", "w"))
+            # the reference moves frequencies with the arrow keys
+            # (MoveToNextChar); those keys page time here (see above), so
+            # frequency moves live on Ctrl+arrows
+            self._act(specm, "Frequency up", "Ctrl+Right",
+                      lambda: sh.apply_ranges("step_up", "fw"))
+            self._act(specm, "Frequency down", "Ctrl+Left",
+                      lambda: sh.apply_ranges("step_down", "fw"))
+            self._act(specm, "Frequency home", "Ctrl+Shift+Left",
+                      lambda: sh.apply_ranges("home", "fw"))
+            self._act(specm, "Frequency end", "Ctrl+Shift+Right",
+                      lambda: sh.apply_ranges("end", "fw"))
+            self._act(specm, "Link fre&quency", "Alt+Q",
+                      sh.toggle_link_frequency)
+            self._act(specm, "Power &up", "Shift+D",
                       lambda: sh.apply_power_ranges("up"))
-            self._act(specm, "Power &down", "P",
+            self._act(specm, "Power &down", "D",
                       lambda: sh.apply_power_ranges("down"))
+            self._act(specm, "Max power up", "Shift+K",
+                      lambda: sh.apply_power_ranges("max_up"))
+            self._act(specm, "Max power down", "K",
+                      lambda: sh.apply_power_ranges("max_down"))
+            self._act(specm, "Min power up", "Shift+J",
+                      lambda: sh.apply_power_ranges("min_up"))
+            self._act(specm, "Min power down", "J",
+                      lambda: sh.apply_power_ranges("min_down"))
+            self._act(specm, "Link &power", "Alt+W",
+                      sh.toggle_link_power)
 
             chm = mb.addMenu("&Channels")
-            self._act(chm, "&Next channel", "Down",
+            self._act(chm, "&Next channel", "Shift+Down",
                       lambda: sh.select_channels("next_channel"))
-            self._act(chm, "&Previous channel", "Up",
+            self._act(chm, "&Previous channel", "Shift+Up",
                       lambda: sh.select_channels("previous_channel"))
-            self._act(chm, "Select next", "Shift+Down",
+            self._act(chm, "Select next", "Shift+PageDown",
                       lambda: sh.select_channels("select_next_channel"))
-            self._act(chm, "Select previous", "Shift+Up",
+            self._act(chm, "Select previous", "Shift+PageUp",
                       lambda: sh.select_channels("select_previous_channel"))
             self._act(chm, "Select &all", "Ctrl+A",
                       lambda: sh.select_channels("all_channels"))
-            self._act(chm, "&Hide deselected", "Ctrl+H",
+            self._act(chm, "&Hide deselected", "Del",
                       sh.hide_deselected_channels)
             for c in range(10):
                 self._act(chm, f"Channel &{c}", str(c),
                           lambda c=c: sh.show_channel(c))
+                self._act(chm, f"Toggle channel {c}", f"Ctrl+{c}",
+                          lambda c=c: sh.toggle_channel(c))
             self._act(chm, "Link &channels", "Alt+C",
                       sh.toggle_link_channels)
 
             panm = mb.addMenu("&Panels")
             self._act(panm, "Toggle &traces", "Ctrl+T",
                       lambda: B().toggle_traces())
-            self._act(panm, "Toggle &spectrograms", "Ctrl+Shift+S",
+            self._act(panm, "Toggle &spectrograms", "Ctrl+S",
                       lambda: B().toggle_spectrograms())
             self._act(panm, "Toggle &powers", "Ctrl+P",
                       lambda: B().toggle_powers())
             self._act(panm, "Toggle &colorbars", "Ctrl+B",
                       lambda: B().toggle_colorbars())
-            self._act(panm, "Toggle &fulldata", "Ctrl+D",
+            self._act(panm, "Toggle &fulldata", "Ctrl+F",
                       lambda: B().toggle_fulldata())
             self._act(panm, "Toggle &grid", "G",
                       lambda: B().toggle_grids())
             self._act(panm, "Link &panels", "Alt+P", sh.toggle_link_panels)
 
+            audm = mb.addMenu("A&udio")
+            self._act(audm, "Use &heterodyne", None,
+                      lambda: B().set_audio(
+                          use_heterodyne=not B().audio_use_heterodyne))
+            self._act(audm, "Heterodyne frequency up", None,
+                      lambda: B().set_audio(heterodyne_freq=max(
+                          B().audio_heterodyne_freq, 100.0) * 2))
+            self._act(audm, "Heterodyne frequency down", None,
+                      lambda: B().set_audio(heterodyne_freq=max(
+                          B().audio_heterodyne_freq / 2, 100.0)))
+            self._act(audm, "Playback rate up", None,
+                      lambda: B().set_audio(
+                          rate_fac=B().audio_rate_fac * 2))
+            self._act(audm, "Playback rate down", None,
+                      lambda: B().set_audio(
+                          rate_fac=B().audio_rate_fac / 2))
+            self._act(audm, "Link audio", None, sh.toggle_link_audio)
+
             regm = mb.addMenu("&Region")
             for label, key, mode in (
-                    ("&Zoom", "Z", 0), ("&Play", "Shift+A", 1),
+                    ("&Zoom", "Z", 0), ("&Play", "P", 1),
                     ("&Analyze", "A", 2), ("&Save", "S", 3),
-                    ("As&k", "K", 4)):
+                    ("Re&quest", "Q", 4)):
                 self._act(regm, label + " mode", key,
                           lambda m=mode: B().set_region_mode(m))
             self._act(regm, "Zoom &back", ["Backspace", "Alt+Left"],
@@ -748,12 +824,76 @@ if HAVE_QT:
                 act.setEnabled(False)
                 self.marker_acts.append(act)
             self._act(regm, "Play &window", "Space", self.play_scroll)
-            self._act(regm, "Analysis &results", "Ctrl+R",
+            self._act(regm, "Analysis &results", "Alt+R",
                       self.analysis_results)
             self._act(regm, "Save &analysis", None,
                       lambda: B().save_analysis())
             self._act(regm, "&Marker table", "Ctrl+M", self.marker_table)
             self._act(regm, "&Label editor", "Ctrl+L", self.label_editor)
+
+        # -- dialogs + file actions ---------------------------------------------------
+
+        def open_files(self):
+            """Open more recordings into new tabs (`audian.py:264-267` +
+            the incremental loader `audian.py:1325-1407`)."""
+            paths, _ = QFileDialog.getOpenFileNames(
+                self, "Open recordings", "",
+                "Audio (*.wav *.WAV);;All files (*)")
+            for path in paths:
+                browser = None
+                self.shell._pending.append(path)
+                browser = self.shell.load_next()
+                if browser is not None:
+                    self._add_tab(browser)
+
+        def close_tab(self):
+            """Close the current recording (`audian.py:280-282`)."""
+            i = self.tabs.currentIndex()
+            if not (0 <= i < len(self.shell)):
+                return
+            browser = self.shell.browsers.pop(i)
+            browser.close()
+            self.tabs.removeTab(i)
+            self.shell.current = (self.shell.browsers[0]
+                                  if self.shell.browsers else None)
+
+        def key_shortcuts(self):
+            """Dialog listing every action and its keys
+            (`audian.py` key_shortcuts)."""
+            dialog = QDialog(self)
+            dialog.setWindowTitle("Audian key shortcuts")
+            vbox = QVBoxLayout(dialog)
+            widget = QTableWidget(len(self._all_acts), 2)
+            widget.setHorizontalHeaderLabels(["action", "keys"])
+            for r, act in enumerate(self._all_acts):
+                widget.setItem(r, 0, QTableWidgetItem(
+                    act.text().replace("&", "")))
+                widget.setItem(r, 1, QTableWidgetItem(
+                    ", ".join(act.shortcuts())))
+            vbox.addWidget(widget)
+            buttons = QDialogButtonBox(QDialogButtonBox.Close)
+            buttons.rejected.connect(dialog.reject)
+            vbox.addWidget(buttons)
+            dialog.show()
+            return dialog
+
+        def about(self):
+            from ..version import __version__
+
+            dialog = QDialog(self)
+            dialog.setWindowTitle("About Audian")
+            vbox = QVBoxLayout(dialog)
+            vbox.addWidget(QLabel(
+                f"<b>audian-tpu {__version__}</b><br>"
+                "TPU-native interactive analyzer for animal vocalization "
+                "recordings."))
+            buttons = QDialogButtonBox(QDialogButtonBox.Close)
+            buttons.rejected.connect(dialog.reject)
+            vbox.addWidget(buttons)
+            dialog.show()
+            return dialog
+
+        # -- mode toggles -------------------------------------------------------------
 
         def toggle_crosshair_mode(self):
             """Crosshair mode arms the marker-label key shortcuts and

@@ -268,9 +268,17 @@ class QTabWidget(QWidget):
         return self._tabs[self._current] if 0 <= self._current < len(
             self._tabs) else None
 
+    def currentIndex(self):
+        return self._current
+
     def setCurrentIndex(self, i):
         self._current = i
         self.currentChanged.emit(i)
+
+    def removeTab(self, i):
+        del self._tabs[i]
+        del self._names[i]
+        self._current = min(self._current, len(self._tabs) - 1)
 
 
 class QDialog(QWidget):
@@ -384,10 +392,16 @@ class QPushButton(QWidget):
 class QFileDialog:
     #: (path, filter) the next getSaveFileName call returns — set by tests
     save_name = ("", "")
+    #: (paths, filter) the next getOpenFileNames call returns
+    open_names = ([], "")
 
     @staticmethod
     def getSaveFileName(parent=None, caption="", directory="", filter=""):
         return QFileDialog.save_name
+
+    @staticmethod
+    def getOpenFileNames(parent=None, caption="", directory="", filter=""):
+        return QFileDialog.open_names
 
 
 class QMessageBox:

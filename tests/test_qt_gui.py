@@ -109,9 +109,9 @@ def test_scroll_and_zoom_actions(win):
     trigger(win, "Left")
     assert b.toffset == pytest.approx(t0)
     w0 = b.twindow
-    trigger(win, "X")
+    trigger(win, "+")
     assert b.twindow == pytest.approx(w0 / 2)
-    trigger(win, "Shift+X")
+    trigger(win, "-")
     assert b.twindow == pytest.approx(w0)
     # the plots track the browser window
     tab = win.tab()
@@ -335,9 +335,9 @@ def test_auto_scroll_ticks(win):
 
 def test_channel_actions(win):
     b = win.browser()
-    trigger(win, "Down")
+    trigger(win, "Shift+Down")
     assert b.current_channel == 1
-    trigger(win, "Up")
+    trigger(win, "Shift+Up")
     assert b.current_channel == 0
     trigger(win, "1")
     assert b.show_channels == [1]
@@ -375,3 +375,106 @@ def test_crosshair_mode_marker_keys(qt, win):
     assert not win.crosshair_mode
     assert all(not a.isEnabled() for a in win.marker_acts)
     assert b.crosshair_readout()["time"] is None
+
+
+# -- round-2 action-surface additions (`audian.py` shortcut table) -----------------
+
+
+def test_time_small_steps_and_snap(win):
+    b = win.browser()
+    b.set_times(0.5, 0.4)
+    trigger(win, "Down")   # small step forward (reference: down = later)
+    assert b.toffset == pytest.approx(0.52)
+    trigger(win, "Up")
+    assert b.toffset == pytest.approx(0.5)
+    trigger(win, ".")      # snap: width to 10*2^k, offset to half-widths
+    w = b.twindow
+    assert (w / 10) == 2 ** round(np.log2(w / 10))
+
+
+def test_centered_time_zoom(win):
+    b = win.browser()
+    b.set_times(0.5, 1.0)
+    trigger(win, "Shift+T")
+    assert b.twindow == pytest.approx(0.5)
+    assert b.toffset == pytest.approx(0.75)
+    trigger(win, "T")
+    assert b.twindow == pytest.approx(1.0)
+
+
+def test_power_edge_steps(win):
+    b = win.browser()
+    b.set_powers()
+    lo0, hi0 = b.get_range("p", 0)
+    trigger(win, "Shift+K")  # max power up
+    _, hi1 = b.get_range("p", 0)
+    assert hi1 > hi0
+    trigger(win, "K")
+    trigger(win, "Shift+J")  # min power up
+    lo1, _ = b.get_range("p", 0)
+    assert lo1 > lo0
+    trigger(win, "J")
+
+
+def test_frequency_steps(win):
+    b = win.browser()
+    f0 = b.get_range("f", 0)
+    trigger(win, "Shift+F")  # f zoom in
+    f1 = b.get_range("f", 0)
+    assert f1[1] - f1[0] < f0[1] - f0[0]
+    trigger(win, "Ctrl+Right")  # frequency step up (window off the top)
+    f2 = b.get_range("f", 0)
+    assert f2[0] > f1[0]
+    trigger(win, "Ctrl+Shift+Left")  # home
+    assert b.get_range("f", 0)[0] == pytest.approx(0.0)
+    trigger(win, "F")  # zoom back out
+    assert b.get_range("f", 0)[1] == pytest.approx(f0[1])
+
+
+def test_audio_menu(win):
+    b = win.browser()
+    assert not b.audio_use_heterodyne
+    for menu in win.menuBar().menus:
+        for act in menu.actions:
+            if "heterodyne" in act.text().lower() \
+                    and "frequency" not in act.text().lower():
+                act.trigger()
+    assert b.audio_use_heterodyne
+    rf = b.audio_rate_fac
+    for menu in win.menuBar().menus:
+        for act in menu.actions:
+            if act.text() == "Playback rate down":
+                act.trigger()
+    assert b.audio_rate_fac == pytest.approx(rf / 2)
+
+
+def test_open_and_close_tab(qt, win, wav2, tmp_path):
+    import shutil
+
+    other = tmp_path / "other.wav"
+    shutil.copy(wav2, other)
+    fakeqt.QFileDialog.open_names = ([str(other)], "Audio")
+    trigger(win, "Ctrl+O")
+    assert win.tabs.count() == 2
+    assert len(win.shell) == 2
+    win.tabs.setCurrentIndex(1)
+    trigger(win, "Ctrl+W")
+    assert win.tabs.count() == 1
+    assert len(win.shell) == 1
+
+
+def test_key_shortcuts_and_about_dialogs(win):
+    dialog = win.key_shortcuts()
+    # every action row is listed with its keys
+    assert dialog is not None
+    win.about()
+
+
+def test_show_envelope_toggle(win):
+    b = win.browser()
+    if "envelope" not in b.data:
+        pytest.skip("no envelope in default chain")
+    was = b.data.is_visible("envelope")
+    trigger(win, "Ctrl+E")
+    assert b.data.is_visible("envelope") != was
+    trigger(win, "Ctrl+E")
