@@ -73,14 +73,12 @@ class TraceDataItem:
         return pick_amplitude(self.trace, t, x, t1, self.channel)
 
     def amplitudes(self, t0, t1):
-        """Window min/max for auto-scaling (`timeplot.py:111-123`)."""
-        trace = self.trace
-        i0 = max(int(t0 * trace.rate) - trace.offset, 0)
-        i1 = min(int(t1 * trace.rate) - trace.offset, len(trace.buffer))
-        if i1 <= i0:
-            return 0.0, 0.0
-        part = np.asarray(trace.buffer[i0:i1, self.channel])
-        return float(part.min()), float(part.max())
+        """Window min/max for auto-scaling (`timeplot.py:111-123`) — a
+        device reduction pulling two floats per channel, not the window
+        slice (seconds over the tunneled host link)."""
+        from .render import window_extrema
+
+        return window_extrema(self.trace, t0, t1, self.channel)
 
     def update_plot(self):
         pass

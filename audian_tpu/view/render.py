@@ -213,6 +213,61 @@ def pick_amplitude(trace, t, y, t1=None, channel=0):
     return idx / rate, float(np.asarray(trace[idx, channel]))
 
 
+@functools.partial(jax.jit, static_argnames=("wb",))
+def _window_extrema(buf, start, offset, width, wb):
+    """Per-channel (min, max) of ``width`` frames at ``start + offset``,
+    reduced over a bucketed ``wb``-frame slice with masking — the
+    auto-scale reduction (`src/audian/timeplot.py:111-123`) computed on
+    device so only ``(2, channels)`` floats cross the host link.  Offset
+    and width are traced: one compiled program per bucket serves every
+    scroll position and zoom."""
+    part = jax.lax.dynamic_slice_in_dim(buf, start, wb, axis=0)
+    k = jnp.arange(wb)[:, None]
+    mask = (k >= offset) & (k < offset + width)
+    mins = jnp.min(jnp.where(mask, part, jnp.inf), axis=0)
+    maxs = jnp.max(jnp.where(mask, part, -jnp.inf), axis=0)
+    return jnp.stack([mins, maxs])
+
+
+_extrema_cache = {}
+
+
+def window_extrema(trace, t0, t1, channel):
+    """(min, max) of ``trace`` on ``channel`` over [t0, t1] seconds.
+
+    Device-resident windows reduce on device (cached per window object
+    and range, all channels in one pull); host windows fall back to
+    numpy.
+    """
+    rate = trace.rate
+    i0 = max(int(t0 * rate) - trace.offset, 0)
+    i1 = min(int(t1 * rate) - trace.offset, len(trace.buffer))
+    if i1 <= i0:
+        return 0.0, 0.0
+    buf = trace.buffer
+    if not isinstance(buf, jax.Array):
+        part = np.asarray(buf[i0:i1, channel])
+        return float(part.min()), float(part.max())
+    width = i1 - i0
+    wb = min(_pow2_at_least(width), len(buf))
+    start = max(min(i0, len(buf) - wb), 0)
+    key = (id(buf), start, i0, width, wb)
+    hit = _extrema_cache.get(key)
+    if hit is None or hit[0]() is not buf:
+        stats = np.asarray(_window_extrema(buf, start, i0 - start, width,
+                                           wb))
+        _trace.trace_event("render.pull", op="window_extrema",
+                           bytes=stats.nbytes)
+        for k in [k for k, v in _extrema_cache.items() if v[0]() is None]:
+            _extrema_cache.pop(k, None)
+        if len(_extrema_cache) > 64:
+            _extrema_cache.clear()
+        hit = (weakref.ref(buf), stats)
+        _extrema_cache[key] = hit
+    stats = hit[1]
+    return float(stats[0, channel]), float(stats[1, channel])
+
+
 @functools.partial(jax.jit, static_argnames=("nf",))
 def noise_level_stats(buf, nf):
     """Per-channel ``(q95 of top-frequency-sixteenth dB, max dB)`` over a

@@ -185,3 +185,17 @@ def test_trace_tiler_no_cross_trace_thrash(rng):
     np.testing.assert_array_equal(v1, tiler.tile(a, 0.0, 50.0, 0)[1])
     np.testing.assert_array_equal(v2, tiler.tile(b, 0.0, 50.0, 0)[1])
     assert not np.array_equal(v1, v2)
+
+
+def test_window_extrema_matches_numpy(trace):
+    from audian_tpu.view.render import window_extrema
+
+    for (t0, t1) in ((0.0, 99.0), (10.0, 20.0), (33.3, 37.9)):
+        for c in range(2):
+            lo, hi = window_extrema(trace, t0, t1, c)
+            i0, i1 = int(t0 * trace.rate), int(t1 * trace.rate)
+            part = trace.buffer[i0:i1, c]
+            assert lo == pytest.approx(float(part.min()))
+            assert hi == pytest.approx(float(part.max()))
+    # empty window
+    assert window_extrema(trace, 5.0, 5.0, 0) == (0.0, 0.0)
