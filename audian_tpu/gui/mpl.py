@@ -458,30 +458,40 @@ class MplBrowserWindow:
         art = self._artists.get("overview")
         if art is None:
             art = {"span": ax.axvspan(0.0, 1.0, color="#2255cc", alpha=0.4),
-                   "fill": None, "fill_key": None}
-            ax.set_yticks([])
+                   "fills": [], "fill_key": None}
             ax.set_xlabel("time/s")
             self._artists["overview"] = art
         ft = b.fulltrace
-        c = b.show_channels[0] if b.show_channels else 0
+        channels = list(b.show_channels) or [0]
         # while the background decimator fills ft.datas IN PLACE, the
         # array identity never changes — force refresh until it is done
         busy = ft is not None and ft.is_busy()
         key = (id(ft.datas) if ft is not None and ft.datas is not None
-               else None, c, busy)
+               else None, tuple(channels), busy)
         if busy or key != art["fill_key"]:
-            if art["fill"] is not None:
-                art["fill"].remove()
-                art["fill"] = None
+            for fill in art["fills"]:
+                fill.remove()
+            art["fills"] = []
             if key[0] is not None:
-                art["fill"] = ax.fill_between(
-                    ft.times[: len(ft.datas)],
-                    ft.datas[0::2, c].repeat(2)[: len(ft.times)],
-                    ft.datas[1::2, c].repeat(2)[: len(ft.times)],
-                    color="#888888", lw=0)
+                n = len(ft.datas)
+                peak = float(np.max(np.abs(ft.datas[:n]))) or 1.0
+                scale = 0.45 / peak
+                # one band per channel, stacked top-down like the panels
+                for k, c in enumerate(channels):
+                    base = len(channels) - 1 - k
+                    art["fills"].append(ax.fill_between(
+                        ft.times[:n],
+                        base + scale * ft.datas[0::2, c].repeat(2)[:n],
+                        base + scale * ft.datas[1::2, c].repeat(2)[:n],
+                        color="#888888", lw=0))
+                ax.set_ylim(-0.55, len(channels) - 0.45)
+                ax.set_yticks(range(len(channels)))
+                ax.set_yticklabels(
+                    [f"ch {c}" for c in reversed(channels)], fontsize=7)
             art["fill_key"] = key
         x0, x1 = b.toffset, b.toffset + b.twindow
-        art["span"].set_bounds(x0, 0.0, x1 - x0, 1.0)
+        art["span"].set_bounds(x0, -0.55, x1 - x0,
+                               len(channels) + 0.1)
         ax.set_xlim(0, b.data.frames / b.data.rate)
 
     # -- interaction --------------------------------------------------------------

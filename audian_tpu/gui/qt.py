@@ -265,12 +265,15 @@ if HAVE_QT:
                     cbar.setImageItem(img, insert_in=ps)
                     self.colorbars[c] = cbar
                     row += 1
-            # whole-recording overview (`fulltraceplot.py:62-292`)
+            # whole-recording overview, one band per channel
+            # (`fulltraceplot.py:62-292` builds one row per channel)
             self.overview = self.glw.addPlot(row=row, col=0)
-            self.overview.setMaximumHeight(90)
+            self.overview.setMaximumHeight(
+                min(60 + 25 * len(b.show_channels), 200))
             self.overview.setLabel("bottom", "time", units="s")
-            self.ov_curve = self.overview.plot(
-                pen=pg.mkPen("#888888", width=1))
+            self.ov_curves = {
+                c: self.overview.plot(pen=pg.mkPen("#888888", width=1))
+                for c in b.show_channels}
             self.region = pg.LinearRegionItem(
                 values=(b.toffset, b.toffset + b.twindow), movable=True)
             self.overview.addItem(self.region)
@@ -433,9 +436,14 @@ if HAVE_QT:
             ft = b.fulltrace
             if ft is None or ft.datas is None:
                 return
-            c = b.show_channels[0]
             n = min(len(ft.times), len(ft.datas))
-            self.ov_curve.setData(ft.times[:n], ft.datas[:n, c])
+            peak = float(np.max(np.abs(ft.datas[:n]))) if n else 0.0
+            scale = 0.45 / peak if peak > 0 else 0.0
+            # one band per channel, stacked top-down like the panels
+            for k, (c, curve) in enumerate(self.ov_curves.items()):
+                base = len(self.ov_curves) - 1 - k
+                curve.setData(ft.times[:n],
+                              base + ft.datas[:n, c] * scale)
 
         def _region_moved(self, *args):
             if self._setting_region:

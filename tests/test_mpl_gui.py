@@ -235,3 +235,13 @@ def test_colorbar_and_power_side_panel(win, browser):
     win.on_key(K())
     K.key = "z"
     win.on_key(K())
+
+
+def test_overview_shows_all_channels(win, browser):
+    """One stacked min/max band per channel in the overview
+    (`fulltraceplot.py:62-292`)."""
+    if browser.fulltrace is not None:
+        browser.fulltrace.wait()
+    win.redraw()
+    art = win._artists["overview"]
+    assert len(art["fills"]) == len(browser.show_channels)

@@ -478,3 +478,19 @@ def test_show_envelope_toggle(win):
     trigger(win, "Ctrl+E")
     assert b.data.is_visible("envelope") != was
     trigger(win, "Ctrl+E")
+
+
+def test_overview_shows_all_channels(win):
+    """The whole-recording overview stacks one min/max band per channel
+    (`fulltraceplot.py:62-292` builds a row per channel)."""
+    b = win.browser()
+    tab = win.tab()
+    assert set(tab.ov_curves) == set(b.show_channels)
+    if b.fulltrace is not None:
+        b.fulltrace.wait()
+    tab.poll.fire()
+    ys = {c: np.asarray(curve.ydata) for c, curve in tab.ov_curves.items()}
+    assert all(len(y) > 0 for y in ys.values())
+    # distinct vertical baselines per channel
+    means = sorted(float(y.mean()) for y in ys.values())
+    assert means[1] - means[0] > 0.5
