@@ -19,6 +19,8 @@ Invariants (established by :meth:`normalize`):
 
 from __future__ import annotations
 
+from numbers import Integral
+
 __all__ = ["ChannelFocus"]
 
 
@@ -43,14 +45,14 @@ class ChannelFocus:
 
     def show(self, channels):
         """Add channels to the shown window, keeping it sorted."""
-        if isinstance(channels, int):
-            channels = [channels]
+        if isinstance(channels, Integral):
+            channels = [int(channels)]
         self.shown = _merge(self.shown, channels)
 
     def select(self, channels):
         """Add channels to the selection, keeping it sorted."""
-        if isinstance(channels, int):
-            channels = [channels]
+        if isinstance(channels, Integral):
+            channels = [int(channels)]
         self.selected = _merge(self.selected, channels)
 
     def shown_selection(self):

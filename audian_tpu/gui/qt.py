@@ -43,7 +43,7 @@ try:
                                  QLabel, QScrollArea, QDialogButtonBox,
                                  QTableWidget, QTableWidgetItem,
                                  QFileDialog, QMessageBox, QHBoxLayout,
-                                 QPushButton)
+                                 QPushButton, QMenu)
     HAVE_QT = True
 except ImportError:
     HAVE_QT = False
@@ -143,10 +143,18 @@ if HAVE_QT:
             self.tab = tab
             self.channel = channel
             self.kind = kind
+            #: rect-select on left drag; False = plain pan/zoom drags
+            #: (`selectviewbox.py` pan mode)
+            self.select_enabled = True
             self.setMouseMode(pg.ViewBox.RectMode)
 
+        def set_select_mode(self, select):
+            self.select_enabled = bool(select)
+            self.setMouseMode(pg.ViewBox.RectMode if select
+                              else pg.ViewBox.PanMode)
+
         def mouseDragEvent(self, ev, axis=None):
-            if ev.button() != Qt.LeftButton:
+            if ev.button() != Qt.LeftButton or not self.select_enabled:
                 return super().mouseDragEvent(ev, axis)
             ev.accept()
             if ev.isFinish():
@@ -338,7 +346,6 @@ if HAVE_QT:
                 cmap = pg.colormap.get(b.color_map_name)
             except Exception:
                 pass
-            plo, phi = b.get_range("p", 0)
             for c, (ps, img) in self.spec_images.items():
                 ps.setVisible(c in b.show_channels and b.show_specs > 0)
                 if not ps.isVisible():
@@ -357,7 +364,7 @@ if HAVE_QT:
                     ps.setYRange(flo, fhi, padding=0)
                 self._refresh_cutoffs(c)
                 self._refresh_power(c, t0, t1)
-                self._refresh_colorbar(c, cmap, plo, phi)
+                self._refresh_colorbar(c, cmap, *b.get_range("p", c))
             for axis in self.time_axes:
                 axis.update_label()
             self._poll_fulltrace()
@@ -484,11 +491,39 @@ if HAVE_QT:
             elif verb == "play":
                 self._play(*result)
             elif verb == "ask":
-                # the reference pops a context menu (`databrowser.py:1626`);
-                # fall back to zooming like its default action
-                self.push_zoom(Rect(x0, y0, x1, y1))
-                b.handle_region(channel, x0, x1, b.zoom_region)
+                self._ask_region(channel, kind, x0, x1, y0, y1)
             self.refresh()
+
+        def _ask_region(self, channel, kind, x0, x1, y0, y1):
+            """Ask mode pops a context menu offering the region verbs
+            (`databrowser.py:1626-1642`)."""
+            from PyQt5.QtWidgets import QMenu
+            from ..view.zoom import Rect
+
+            b = self.browser
+            menu = QMenu(self)
+            modes = {}
+            for name, mode in (("&Zoom", b.zoom_region),
+                               ("&Play", b.play_region_mode),
+                               ("&Analyze", b.analyze_region_mode),
+                               ("&Save", b.save_region_mode)):
+                modes[menu.addAction(name)] = mode
+            try:
+                from PyQt5.QtGui import QCursor
+                pos = QCursor.pos()
+            except ImportError:
+                pos = None
+            chosen = menu.exec_(pos)
+            if chosen is None:
+                return
+            mode = modes[chosen]
+            if mode == b.zoom_region:
+                self.push_zoom(Rect(x0, y0, x1, y1))
+            verb, result = b.handle_region(channel, x0, x1, mode)
+            if verb == "play":
+                self._play(*result)
+            elif verb == "zoom" and kind == "spec":
+                b.set_ranges("f", y0, y1)
 
         def crosshair_at(self, channel, kind, x, y):
             b = self.browser
@@ -803,6 +838,10 @@ if HAVE_QT:
             self._act(audm, "Link audio", None, sh.toggle_link_audio)
 
             regm = mb.addMenu("&Region")
+            self._act(regm, "&Rectangle zoom", "Ctrl+R",
+                      lambda: self.set_mouse_mode(True))
+            self._act(regm, "Pa&n && zoom", "Ctrl+Z",
+                      lambda: self.set_mouse_mode(False))
             for label, key, mode in (
                     ("&Zoom", "Z", 0), ("&Play", "P", 1),
                     ("&Analyze", "A", 2), ("&Save", "S", 3),
@@ -847,12 +886,12 @@ if HAVE_QT:
             paths, _ = QFileDialog.getOpenFileNames(
                 self, "Open recordings", "",
                 "Audio (*.wav *.WAV);;All files (*)")
-            for path in paths:
-                browser = None
-                self.shell._pending.append(path)
-                browser = self.shell.load_next()
-                if browser is not None:
-                    self._add_tab(browser)
+            if not paths:
+                return
+            known = len(self.shell.browsers)
+            self.shell.load_files(paths)
+            for browser in self.shell.browsers[known:]:
+                self._add_tab(browser)
 
         def close_tab(self):
             """Close the current recording (`audian.py:280-282`)."""
@@ -902,6 +941,16 @@ if HAVE_QT:
             return dialog
 
         # -- mode toggles -------------------------------------------------------------
+
+        def set_mouse_mode(self, rect_select):
+            """Rect-select vs pan/zoom left drags on every panel
+            (`audian.py:341-354` rect_zoom / pan_zoom)."""
+            for i in range(self.tabs.count()):
+                tab = self.tabs.widget(i)
+                for pt, _ in tab.trace_plots.values():
+                    pt.vb.set_select_mode(rect_select)
+                for ps, _ in tab.spec_images.values():
+                    ps.vb.set_select_mode(rect_select)
 
         def toggle_crosshair_mode(self):
             """Crosshair mode arms the marker-label key shortcuts and

@@ -404,6 +404,35 @@ class QFileDialog:
         return QFileDialog.open_names
 
 
+class QMenu(QWidget):
+    """Popup menu; tests preselect the returned action by text via
+    ``QMenu.pick``."""
+
+    #: text of the action exec_ returns (None = dismissed)
+    pick = None
+
+    def __init__(self, parent=None):
+        super().__init__(parent)
+        self.actions = []
+
+    def addAction(self, text):
+        act = QAction(text, self)
+        self.actions.append(act)
+        return act
+
+    def exec_(self, pos=None):
+        for act in self.actions:
+            if QMenu.pick and QMenu.pick in act.text():
+                return act
+        return None
+
+
+class QCursor:
+    @staticmethod
+    def pos():
+        return FakePoint(0, 0)
+
+
 class QMessageBox:
     warnings = []
 
@@ -453,6 +482,7 @@ class _ScaleBox:
 
 class ViewBox:
     RectMode = 1
+    PanMode = 3
 
     def __init__(self, *a, **kw):
         self.rbScaleBox = _ScaleBox()
@@ -773,7 +803,8 @@ def install():
     for cls in (QApplication, QMainWindow, QTabWidget, QWidget,
                 QVBoxLayout, QHBoxLayout, QAction, QDialog, QLabel,
                 QScrollArea, QDialogButtonBox, QTableWidget,
-                QTableWidgetItem, QFileDialog, QMessageBox, QPushButton):
+                QTableWidgetItem, QFileDialog, QMessageBox, QPushButton,
+                QMenu):
         setattr(qtwidgets, cls.__name__, cls)
 
     pyqt5 = types.ModuleType("PyQt5")

@@ -494,3 +494,42 @@ def test_overview_shows_all_channels(win):
     # distinct vertical baselines per channel
     means = sorted(float(y.mean()) for y in ys.values())
     assert means[1] - means[0] > 0.5
+
+
+def test_ask_region_popup(qt, win):
+    """Ask mode pops the verb menu (`databrowser.py:1626-1642`)."""
+    b = win.browser()
+    tab = win.tab()
+    b.set_region_mode(b.ask_region)
+    b.set_times(0.0, 2.0)
+    c = b.show_channels[0]
+    fakeqt.QMenu.pick = "Zoom"
+    drag_select(qt, tab, c, "trace", 0.5, -0.4, 1.0, 0.4)
+    assert b.toffset == pytest.approx(0.5)
+    assert b.twindow == pytest.approx(0.5)
+    fakeqt.QMenu.pick = None  # dismissed menus do nothing
+    drag_select(qt, tab, c, "trace", 0.8, -0.4, 1.0, 0.4)
+    assert b.toffset == pytest.approx(0.5)
+    b.set_region_mode(b.zoom_region)
+
+
+def test_mouse_mode_toggle(qt, win):
+    """Ctrl+Z switches to pan/zoom drags, Ctrl+R back to rect select
+    (`audian.py:341-354`)."""
+    b = win.browser()
+    tab = win.tab()
+    c = b.show_channels[0]
+    vb = tab.trace_plots[c][0].vb
+    assert vb.select_enabled
+    trigger(win, "Ctrl+Z")
+    assert not vb.select_enabled
+    # drags no longer select regions
+    b.set_region_mode(b.zoom_region)
+    t0, w0 = b.toffset, b.twindow
+    ev = fakeqt.FakeMouseEvent(fakeqt._Qt.LeftButton,
+                               fakeqt.FakePoint(1.0, 0.4),
+                               fakeqt.FakePoint(0.5, -0.4), finish=True)
+    vb.mouseDragEvent(ev)
+    assert (b.toffset, b.twindow) == (t0, w0)
+    trigger(win, "Ctrl+R")
+    assert vb.select_enabled
