@@ -533,3 +533,28 @@ def test_mouse_mode_toggle(qt, win):
     assert (b.toffset, b.twindow) == (t0, w0)
     trigger(win, "Ctrl+R")
     assert vb.select_enabled
+
+
+def test_two_tabs_link_filter(qt, wav2, tmp_path):
+    """Filter scrubs propagate across open recordings when linked
+    (`audian.py:787-795` dispatch)."""
+    import shutil
+
+    other = tmp_path / "linked.wav"
+    shutil.copy(wav2, other)
+    shell = Audian([wav2, other])
+    shell.load_files()
+    win = qt.AudianWindow(shell)
+    try:
+        a, b = shell.browsers
+        assert shell.link_filter
+        hp_b = b.data["filtered"].highpass_cutoff
+        a.update_filter(highpass_cutoff=hp_b * 1.5)
+        assert b.data["filtered"].highpass_cutoff == pytest.approx(
+            hp_b * 1.5)
+        # the second tab's cutoff handles follow the linked change
+        tab_b = win.tabs.widget(1)
+        c = b.show_channels[0]
+        assert tab_b.hp_lines[c].value() == pytest.approx(hp_b * 1.5)
+    finally:
+        shell.close()
