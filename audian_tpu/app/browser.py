@@ -441,7 +441,10 @@ class DataBrowser:
             if trace.nfft != int(nfft):
                 continue  # clamped away (very short recordings)
             for c in range(self.data.channels):
+                # both tile flavors: quantize is a static jit arg, and
+                # the GUIs pull u8 while the API default is normalized
                 self.spec_tile(c)
+                self.spec_tile(c, quantize=True)
             self.power_spectrum(probe)
             self.estimate_power_levels(probe)
             count += 1

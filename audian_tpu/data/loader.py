@@ -141,6 +141,13 @@ class AudioLoader:
                     frames=str(self.frames),
                     duration=f"{self.frames / self.rate:.3f}s")
 
+    def file_start_times(self):
+        """Start time in seconds of each file within the concatenated
+        recording — feeds the per-file time-axis mode
+        (`src/audian/timeaxisitem.py:20-26` FILE_TIME)."""
+        starts = np.concatenate([[0], self.end_indices[:-1]])
+        return starts / self.rate
+
     def get_file_index(self, index):
         """(file_path, frame index within that file) for a global frame
         (`src/audian/data.py:233-236` consumes this for per-file time

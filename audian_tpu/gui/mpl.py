@@ -203,8 +203,12 @@ class MplBrowserWindow:
         if event.ydata is not None:
             parts.append(f"f={event.ydata:.1f} Hz" if kind == "spec"
                          else f"a={event.ydata:.4g}")
-        self.hover_text.set_text(" | ".join(parts))
-        self.fig.canvas.draw_idle()
+        text = " | ".join(parts)
+        # redraw only on change: every motion event repainting the whole
+        # canvas makes hovering sluggish on slow hosts
+        if text != self.hover_text.get_text():
+            self.hover_text.set_text(text)
+            self.fig.canvas.draw_idle()
 
     # string ↔ DataBrowser region-mode constants
     _mode_consts = {"zoom": DataBrowser.zoom_region,
@@ -526,8 +530,11 @@ class MplBrowserWindow:
             cut = b.data["envelope"].envelope_cutoff
             b.update_envelope(cut * (2.0 if key == "E" else 0.5))
         elif key in "rR" and "spectrogram" in b.data:
-            nfft = b.data["spectrogram"].nfft
-            b.set_resolution(nfft=nfft * 2 if key == "r" else nfft // 2)
+            # the step verbs warm the whole bucket set on first use
+            if key == "r":
+                b.freq_resolution_up()
+            else:
+                b.freq_resolution_down()
         elif key == "p":
             play, rate = b.play_visible()
             self._play(play, rate)

@@ -433,8 +433,15 @@ if HAVE_QT:
                 return
             cbar = self.colorbars[channel]
             cbar.setVisible(bool(self.browser.show_cbars))
-            if plo is not None:
-                cbar.setLevels((plo, phi))
+            # the image item holds u8 tiles mapped onto [plo, phi] dB, so
+            # the bar's levels must stay (0, 255) — setting dB levels here
+            # would re-map (and saturate) the image; the dB range goes on
+            # the bar's axis instead
+            cbar.setLevels((0, 255))
+            axis = (cbar.getAxis("right")
+                    if hasattr(cbar, "getAxis") else None)
+            if axis is not None and plo is not None and phi is not None:
+                axis.setLabel(f"{plo:.0f}…{phi:.0f} dB")
             if cmap is not None:
                 cbar.setColorMap(cmap)
 
@@ -635,15 +642,33 @@ if HAVE_QT:
         def tab(self):
             return self.tabs.currentWidget()
 
+        @staticmethod
+        def _keys(act):
+            """An action's shortcuts as plain strings (real PyQt5 returns
+            QKeySequence objects; the test fake returns strings)."""
+            return [s.toString() if hasattr(s, "toString") else s
+                    for s in act.shortcuts()]
+
         def _act(self, menu, text, shortcut, fn):
             act = QAction(text, self)
             if shortcut:
                 act.setShortcuts([shortcut] if isinstance(shortcut, str)
                                  else shortcut)
-            act.triggered.connect(lambda *_: (fn(), self._refresh()))
+            act.triggered.connect(lambda *_: self._fire(fn))
             menu.addAction(act)
             self._all_acts.append(act)
             return act
+
+        def _fire(self, fn):
+            """Run a menu verb and refresh.  With every tab closed most
+            verbs dereference the (None) current browser; swallow exactly
+            that case so stray shortcuts don't crash an empty window."""
+            try:
+                fn()
+            except AttributeError:
+                if self.shell.current is not None:
+                    raise
+            self._refresh()
 
         def _refresh(self):
             tab = self.tab()
@@ -859,17 +884,13 @@ if HAVE_QT:
                       self.toggle_crosshair_mode)
             # marker-label actions: armed only in crosshair mode, where
             # their single-letter keys take over from conflicting verbs
-            # (`databrowser.py:726-760`)
-            self.marker_acts = []
-            for lbl in (self.shell.current.marker_labels
-                        if self.shell.current else []):
-                act = self._act(
-                    regm, f"Store '{lbl.label}' marker",
-                    lbl.key_shortcut or None,
-                    lambda label=lbl.label:
-                        self.browser().store_marker(label=label))
-                act.setEnabled(False)
-                self.marker_acts.append(act)
+            # (`databrowser.py:726-760`); labels resolve at trigger time
+            # so the label editor and tab switches stay in sync
+            self._marker_menu = regm
+            self._marker_act_labels = {}
+            self._sync_marker_acts()
+            self.tabs.currentChanged.connect(
+                lambda i: self._sync_marker_acts())
             self._act(regm, "Play &window", "Space", self.play_scroll)
             self._act(regm, "Analysis &results", "Alt+R",
                       self.analysis_results)
@@ -894,15 +915,19 @@ if HAVE_QT:
                 self._add_tab(browser)
 
         def close_tab(self):
-            """Close the current recording (`audian.py:280-282`)."""
+            """Close the current recording (`audian.py:280-282`); the
+            shell's current browser follows whatever tab Qt displays
+            afterwards."""
             i = self.tabs.currentIndex()
             if not (0 <= i < len(self.shell)):
                 return
             browser = self.shell.browsers.pop(i)
             browser.close()
             self.tabs.removeTab(i)
-            self.shell.current = (self.shell.browsers[0]
-                                  if self.shell.browsers else None)
+            j = self.tabs.currentIndex()
+            self.shell.current = (self.shell.browsers[j]
+                                  if 0 <= j < len(self.shell.browsers)
+                                  else None)
 
         def key_shortcuts(self):
             """Dialog listing every action and its keys
@@ -916,7 +941,7 @@ if HAVE_QT:
                 widget.setItem(r, 0, QTableWidgetItem(
                     act.text().replace("&", "")))
                 widget.setItem(r, 1, QTableWidgetItem(
-                    ", ".join(act.shortcuts())))
+                    ", ".join(self._keys(act))))
             vbox.addWidget(widget)
             buttons = QDialogButtonBox(QDialogButtonBox.Close)
             buttons.rejected.connect(dialog.reject)
@@ -940,6 +965,30 @@ if HAVE_QT:
             dialog.show()
             return dialog
 
+        def _sync_marker_acts(self):
+            """Grow/update the marker-label actions to the current
+            browser's labels (the label editor may rename/rebind them)."""
+            labels = (self.shell.current.marker_labels
+                      if self.shell.current else [])
+            while len(self.marker_acts) < len(labels):
+                slot = {}
+                act = self._act(
+                    self._marker_menu, "marker", None,
+                    lambda s=slot: self.browser().store_marker(
+                        label=self._marker_act_labels.get(s["act"], "")))
+                slot["act"] = act
+                self.marker_acts.append(act)
+            for act, lbl in zip(self.marker_acts, labels):
+                act.setText(f"Store '{lbl.label}' marker")
+                act.setShortcuts([lbl.key_shortcut]
+                                 if lbl.key_shortcut else [])
+                self._marker_act_labels[act] = lbl.label
+                act.setEnabled(self.crosshair_mode)
+            for act in self.marker_acts[len(labels):]:
+                act.setEnabled(False)
+                act.setShortcuts([])
+                self._marker_act_labels.pop(act, None)
+
         # -- mode toggles -------------------------------------------------------------
 
         def set_mouse_mode(self, rect_select):
@@ -959,11 +1008,11 @@ if HAVE_QT:
             (`databrowser.py:726-760`)."""
             self.crosshair_mode = not self.crosshair_mode
             keys = {s.lower() for a in self.marker_acts
-                    for s in a.shortcuts()}
+                    for s in self._keys(a)}
             for act in self._all_acts:
                 if act in self.marker_acts:
                     act.setEnabled(self.crosshair_mode)
-                elif any(s.lower() in keys for s in act.shortcuts()):
+                elif any(s.lower() in keys for s in self._keys(act)):
                     act.setEnabled(not self.crosshair_mode)
             if not self.crosshair_mode:
                 b = self.browser()
@@ -1190,6 +1239,7 @@ if HAVE_QT:
                                   for k, v in conflicts.items()))
                     return
                 b.marker_labels[:] = labels
+                self._sync_marker_acts()
                 dialog.accept()
 
             hbox = QHBoxLayout()

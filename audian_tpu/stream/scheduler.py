@@ -68,22 +68,28 @@ class BlockPrefetcher:
                 self._bytes -= old.nbytes
 
     def _load_block(self, b):
-        with self._lock:
-            epoch = self._epoch
-            if b in self._cache:
-                self._cache.move_to_end(b)
-                return self._cache[b]
-        try:
-            data = self.source._read(b * self.block_frames,
-                                     self.block_frames)
-        except Exception:
-            # a failed background read must not leave the block marked
-            # pending forever (that would disable its read-ahead)
+        while True:
             with self._lock:
-                self._pending.discard(b)
-            raise
-        self._insert(b, data, epoch)
-        return data
+                epoch = self._epoch
+                if b in self._cache:
+                    self._cache.move_to_end(b)
+                    return self._cache[b]
+            try:
+                data = self.source._read(b * self.block_frames,
+                                         self.block_frames)
+            except Exception:
+                # a failed background read must not leave the block marked
+                # pending forever (that would disable its read-ahead)
+                with self._lock:
+                    self._pending.discard(b)
+                raise
+            self._insert(b, data, epoch)
+            with self._lock:
+                if epoch == self._epoch:
+                    return data
+            # invalidate() raced this read: the source's decoding
+            # parameters changed mid-flight, so re-read under the new
+            # epoch rather than serving stale samples
 
     def _schedule(self, b):
         nblocks = -(-self.source.frames // self.block_frames)

@@ -99,19 +99,23 @@ class TraceTiler:
         # plot item each) reuse one compute + one host pull per window
         self._cache = {}
 
-    def _pull(self, kernel, buf, args):
+    def _pull(self, kernel, buf, args, post=None):
         # the buffer object is part of the key: filtered and envelope
         # windows can share identical geometry, and omitting identity
         # would make them evict each other on every alternating call.
         # Entries hold the window only WEAKLY — a strong reference would
         # pin superseded device windows (~180 MB each) until eviction.
+        # ``post`` decodes the transferred tile once; the cache holds the
+        # decoded form (per-channel callers would otherwise re-decode the
+        # same all-channel tile on every call).
         key = (kernel.__name__, id(buf)) + args
         hit = self._cache.get(key)
         if hit is not None and hit[0]() is buf:
             return hit[1]
-        tile = np.asarray(kernel(buf, *args))
+        raw = np.asarray(kernel(buf, *args))
         _trace.trace_event("render.pull", op=kernel.__name__,
-                           bytes=tile.nbytes)
+                           bytes=raw.nbytes)
+        tile = raw if post is None else post(raw)
         self._cache = {k: v for k, v in self._cache.items()
                        if v[0]() is not None}
         if len(self._cache) > 32:
@@ -161,9 +165,9 @@ class TraceTiler:
             start2 = min(start, boff + len(buf) - wb * step)
             start2 = lo + ((start2 - lo) // step) * step
             if self.quantize:
-                packed = self._pull(_minmax_tile_i16, buf,
-                                    (start2 - boff, step, wb))
-                tile = _unpack_scaled_i16(packed)
+                tile = self._pull(_minmax_tile_i16, buf,
+                                  (start2 - boff, step, wb),
+                                  post=_unpack_scaled_i16)
             else:
                 tile = self._pull(_minmax_tile, buf,
                                   (start2 - boff, step, wb))
@@ -178,9 +182,9 @@ class TraceTiler:
             wb = min(_pow2_at_least(width), len(buf))
             start2 = max(min(start, boff + len(buf) - wb), boff)
             if self.quantize:
-                packed = self._pull(_slice_tile_i16, buf,
-                                    (start2 - boff, wb))
-                values = _unpack_scaled_i16(packed)
+                values = self._pull(_slice_tile_i16, buf,
+                                    (start2 - boff, wb),
+                                    post=_unpack_scaled_i16)
             else:
                 values = self._pull(_slice_tile, buf, (start2 - boff, wb))
             values = values[start - start2 : start - start2 + width]

@@ -145,6 +145,9 @@ class QAction:
     def text(self):
         return self._text
 
+    def setText(self, text):
+        self._text = text
+
     def setShortcuts(self, shortcuts):
         self._shortcuts = list(shortcuts)
 
@@ -617,6 +620,14 @@ class FakeImageItem:
         self.cmap = cmap
 
 
+class _BarAxis:
+    def __init__(self):
+        self.label = ""
+
+    def setLabel(self, text=None, units=None):
+        self.label = text
+
+
 class ColorBarItem:
     def __init__(self, values=(0.0, 1.0), colorMap=None):
         self.levels = tuple(values)
@@ -624,6 +635,10 @@ class ColorBarItem:
         self.image_item = None
         self.insert_in = None
         self._visible = True
+        self._axes = {}
+
+    def getAxis(self, side):
+        return self._axes.setdefault(side, _BarAxis())
 
     def setImageItem(self, img, insert_in=None):
         self.image_item = img
@@ -631,6 +646,9 @@ class ColorBarItem:
 
     def setLevels(self, levels):
         self.levels = tuple(levels)
+        # mirror real pyqtgraph: the bar's levels drive the linked image
+        if self.image_item is not None:
+            self.image_item.levels = self.levels
 
     def setColorMap(self, cmap):
         self.cmap = cmap

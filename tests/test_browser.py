@@ -357,10 +357,12 @@ def test_nfft_scrub_zero_compiles_after_warmup(tmp_path, rng):
         for _ in range(4):
             b.freq_resolution_up()
             b.spec_tile(0)
+            b.spec_tile(0, quantize=True)  # what the GUIs pull
             b.power_spectrum(0)
         for _ in range(5):
             b.freq_resolution_down()
             b.spec_tile(0)
+            b.spec_tile(0, quantize=True)
             b.power_spectrum(0)
         b.freq_resolution_up()
         assert b.data[b.spectrogram].nfft == 256

@@ -433,3 +433,30 @@ def test_mixed_encoding_multifile_upload_exact(tmp_path, rng):
     host = d.data.buffer.astype(np.float32)
     assert np.array_equal(dev, host)
     d.close()
+
+
+def test_file_start_times_feed_per_file_axis(tmp_path, rng):
+    """AudioLoader.file_start_times + FILE_TIME ticks label per-file
+    times (`timeaxisitem.py:20-26`; review finding: the method was
+    missing so the mode silently fell back to recording time)."""
+    from audian_tpu.data.loader import AudioLoader
+    from audian_tpu.view.axes import format_time_ticks, FILE_TIME
+
+    rate = 8000.0
+    paths = []
+    for k in range(2):
+        x = 0.1 * rng.standard_normal((int(1.5 * rate), 1))
+        p = tmp_path / f"part{k}.wav"
+        wavio.write_audio(p, x, rate, encoding="PCM_16")
+        paths.append(p)
+    ld = AudioLoader(paths)
+    starts = ld.file_start_times()
+    np.testing.assert_allclose(starts, [0.0, 1.5])
+    label, units, strings, filename = format_time_ticks(
+        [2.0, 2.5], 0.5, mode=FILE_TIME, file_times=starts,
+        file_paths=[p.name for p in paths])
+    assert label == "File"
+    assert filename == "part1.wav"
+    # 2.0 s global = 0.5 s into the second file
+    assert strings[0].startswith("0.5") or strings[0] == "0.500"
+    ld.close()

@@ -195,9 +195,13 @@ def test_colorbars_follow_toggle(win):
     assert cbar.isVisible() == b.show_cbars
     trigger(win, "Ctrl+B")
     assert cbar.isVisible() == was
-    # levels track the power range
+    # the bar's levels must match the u8 image data (dB levels here
+    # would saturate the linked image); the dB range labels the axis
+    assert cbar.levels == (0, 255)
+    assert tab.spec_images[c][1].levels == (0, 255)
     plo, phi = b.get_range("p", 0)
-    assert cbar.levels == (pytest.approx(plo), pytest.approx(phi))
+    assert f"{plo:.0f}" in cbar.getAxis("right").label
+    assert f"{phi:.0f}" in cbar.getAxis("right").label
 
 
 # -- region select + zoom history ----------------------------------------------------
@@ -556,5 +560,58 @@ def test_two_tabs_link_filter(qt, wav2, tmp_path):
         tab_b = win.tabs.widget(1)
         c = b.show_channels[0]
         assert tab_b.hp_lines[c].value() == pytest.approx(hp_b * 1.5)
+    finally:
+        shell.close()
+
+
+def test_label_editor_resyncs_marker_keys(qt, win):
+    """Editing marker labels rebinds the crosshair-mode keys
+    (review finding: the actions were built once and went stale)."""
+    from audian_tpu.app.markers import MarkerLabel
+
+    b = win.browser()
+    b.marker_labels[:] = [MarkerLabel("pulse", "u", "red"),
+                          MarkerLabel("song", "i", "green"),
+                          MarkerLabel("noise", "n", "gray")]
+    win._sync_marker_acts()
+    texts = [a.text() for a in win.marker_acts if a.shortcuts()]
+    assert any("pulse" in t for t in texts)
+    assert any("noise" in t for t in texts)
+    trigger(win, "Ctrl+C")  # arm
+    b.set_crosshair(0, t=0.33, amplitude=0.0)
+    n0 = len(b.marker_data)
+    trigger(win, "n")
+    assert len(b.marker_data) == n0 + 1
+    assert b.marker_data.data_frame()["label"].iloc[-1] == "noise"
+    trigger(win, "Ctrl+C")  # disarm
+    b.marker_labels[:] = [MarkerLabel("start", "s", "yellow"),
+                          MarkerLabel("end", "e", "blue")]
+    win._sync_marker_acts()
+
+
+def test_close_tab_follows_displayed_tab(qt, wav2, tmp_path):
+    """Closing a middle tab keeps the shell's current browser aligned
+    with the tab Qt actually displays (review finding)."""
+    import shutil
+
+    others = []
+    for k in range(2):
+        p = tmp_path / f"more{k}.wav"
+        shutil.copy(wav2, p)
+        others.append(p)
+    shell = Audian([wav2, *others])
+    shell.load_files()
+    win = qt.AudianWindow(shell)
+    try:
+        win.tabs.setCurrentIndex(1)
+        trigger(win, "Ctrl+W")
+        assert win.tabs.count() == 2
+        # the shell's current browser is the one now displayed
+        assert shell.current is shell.browsers[win.tabs.currentIndex()]
+        # closing everything leaves a crash-free window
+        trigger(win, "Ctrl+W")
+        trigger(win, "Ctrl+W")
+        assert shell.current is None
+        trigger(win, "PageDown")  # stray shortcut: no crash
     finally:
         shell.close()

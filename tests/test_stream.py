@@ -149,3 +149,32 @@ def test_prefetch_invalidate_on_unwrap(tmp_path, rng):
     ld.set_unwrap(1.5)
     assert not ld._prefetcher.cached_blocks()
     ld.close()
+
+
+def test_prefetch_no_stale_block_after_invalidate():
+    """A read racing invalidate() must re-read under the new epoch
+    instead of serving samples decoded with the old parameters."""
+    import threading
+
+    class Source:
+        frames = 4000
+        channels = 1
+
+        def __init__(self):
+            self.gain = 1.0
+            self.slow_once = threading.Event()
+
+        def _read(self, start, n):
+            if not self.slow_once.is_set():
+                self.slow_once.set()
+                # invalidate() fires while this first read is in flight
+                pf.invalidate()
+                src.gain = 2.0
+            n = min(n, self.frames - start)
+            return np.full((n, 1), self.gain, np.float32)
+
+    src = Source()
+    pf = BlockPrefetcher(src, block_frames=1000, read_ahead=0)
+    out = pf.read(0, 100)
+    assert float(out[0, 0]) == 2.0  # new-epoch data, not the stale read
+    pf.close()
