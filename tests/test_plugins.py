@@ -64,3 +64,38 @@ def test_default_factory_installs_reference_chain():
     default_setup_traces(B())
     # reference parity: filter + spectrogram only (plugins.py:11-13)
     assert names == ["filtered", "spectrogram"]
+
+
+def test_example_plugin_file_loads(tmp_path, rng, monkeypatch):
+    """The shipped example plugin (`examples/audianplugins.py`) loads
+    through CWD discovery and wires both a trace and an analyzer."""
+    import shutil
+    from pathlib import Path
+
+    from audian_tpu.app import DataBrowser
+    from audian_tpu.data import wavio
+    from audian_tpu.analysis import Plugins
+
+    repo = Path(__file__).resolve().parents[1]
+    shutil.copy(repo / "examples" / "audianplugins.py",
+                tmp_path / "audianplugins.py")
+    rate = 8000.0
+    x = 0.2 * np.sin(2 * np.pi * 440.0 *
+                     np.arange(int(1.0 * rate)) / rate)[:, None]
+    p = tmp_path / "rec.wav"
+    wavio.write_audio(p, x, rate, encoding="PCM_16")
+    monkeypatch.chdir(tmp_path)
+    plugins = Plugins()
+    plugins.load_plugins(verbose=False)
+    b = DataBrowser(p, plugins=plugins).open()
+    try:
+        assert "envelope" in b.data
+        names = [a.name for a in b.analyzers]
+        assert "zerocrossings" in names
+        b.analyze(0.1, 0.6, 0)
+        zc = b.get_analyzer("zerocrossings".upper()) or \
+            next(a for a in b.analyzers if a.name == "zerocrossings")
+        # a 440 Hz tone crosses zero ~440 times/s per direction
+        assert zc.data.rows[-1][-1] == pytest.approx(440.0, rel=0.1)
+    finally:
+        b.close()

@@ -615,3 +615,36 @@ def test_close_tab_follows_displayed_tab(qt, wav2, tmp_path):
         trigger(win, "PageDown")  # stray shortcut: no crash
     finally:
         shell.close()
+
+
+def test_many_channel_window(qt, tmp_path_factory, rng):
+    """The adapter scales past stereo: 4-channel recording builds 4 rows
+    of trace+spec plots, side panels, cutoff handles, overview bands."""
+    t = np.arange(int(1.0 * RATE)) / RATE
+    x = np.stack([0.2 * np.sin(2 * np.pi * (300 + 150 * c) * t)
+                  + 0.01 * rng.standard_normal(len(t))
+                  for c in range(4)], axis=1)
+    p = tmp_path_factory.mktemp("qt4") / "four.wav"
+    wavio.write_audio(p, x, RATE, encoding="PCM_16")
+    shell = Audian([p])
+    shell.load_files()
+    win = qt.AudianWindow(shell)
+    try:
+        tab = win.tab()
+        b = win.browser()
+        assert len(tab.trace_plots) == 4
+        assert len(tab.spec_images) == 4
+        assert len(tab.hp_lines) == 4
+        assert len(tab.power_plots) == 4
+        assert len(tab.ov_curves) == 4
+        for c in range(4):
+            assert len(tab.trace_plots[c][1].xdata) > 0
+        # channel focus drives across all four
+        trigger(win, "Shift+Down")
+        assert b.current_channel == 1
+        trigger(win, "3")
+        assert b.show_channels == [3]
+        trigger(win, "3")
+        assert b.show_channels == [0, 1, 2, 3]
+    finally:
+        shell.close()
