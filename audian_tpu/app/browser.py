@@ -961,6 +961,26 @@ class DataBrowser:
             rows.append(("File", str(fp.name), f"{local / self.data.rate:.4f}"))
         return rows
 
+    def hover_readout(self, t, y=None, kind="trace", channel=0):
+        """One status-bar line for a hover at (t, y): the per-mode time
+        rows plus the amplitude / frequency (+power) under the cursor
+        (`src/audian/timeplot.py:154-192`, `spectrogramplot.py` hover)."""
+        parts = [f"{label} {value} {unit}".strip()
+                 for label, unit, value in self.time_info(t)]
+        if y is not None:
+            if kind == "spec":
+                parts.append(f"f={y:.1f} Hz")
+                panel = (self.panels.get("spectrogram")
+                         if self.panels is not None else None)
+                power = (panel.get_power(channel, t, y)
+                         if panel is not None and len(panel) > channel
+                         else None)
+                if power is not None:
+                    parts.append(f"{power:.1f} dB")
+            else:
+                parts.append(f"a={y:.4g}")
+        return " | ".join(parts)
+
     # -- regions ------------------------------------------------------------------
 
     def analyze(self, t0, t1, channel):

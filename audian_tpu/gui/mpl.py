@@ -197,13 +197,8 @@ class MplBrowserWindow:
         kind, channel = self._axis_channel(event.inaxes)
         if kind is None:
             return
-        parts = [f"{label} {value} {unit}".strip()
-                 for label, unit, value in self.browser.time_info(
-                     event.xdata)]
-        if event.ydata is not None:
-            parts.append(f"f={event.ydata:.1f} Hz" if kind == "spec"
-                         else f"a={event.ydata:.4g}")
-        text = " | ".join(parts)
+        text = self.browser.hover_readout(event.xdata, event.ydata,
+                                          kind, channel)
         # redraw only on change: every motion event repainting the whole
         # canvas makes hovering sluggish on slow hosts
         if text != self.hover_text.get_text():

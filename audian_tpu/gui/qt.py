@@ -549,21 +549,7 @@ if HAVE_QT:
             if x is None:
                 self.on_status("")
                 return
-            b = self.browser
-            parts = [f"{label} {value} {unit}".strip()
-                     for label, unit, value in b.time_info(x)]
-            if y is not None:
-                if kind == "spec":
-                    parts.append(f"f={y:.1f} Hz")
-                    panel = b.panels.get("spectrogram")
-                    power = (panel.get_power(channel, x, y)
-                             if panel is not None and len(panel) > channel
-                             else None)
-                    if power is not None:
-                        parts.append(f"{power:.1f} dB")
-                else:
-                    parts.append(f"a={y:.4g}")
-            self.on_status(" | ".join(parts))
+            self.on_status(self.browser.hover_readout(x, y, kind, channel))
 
         def _readout_text(self):
             info = self.browser.crosshair_readout()

@@ -199,3 +199,17 @@ def test_map_files_sequential_continues_after_error():
     with pytest.raises(ValueError, match="boom"):
         map_files(fn, ["a", "bad", "c"], max_workers=1)
     assert seen == ["a", "bad", "c"]  # kept going past the failure
+
+
+def test_halo_exchange_lowers_to_collective_permute():
+    """The sequence-sharded halo exchange must lower to neighbor
+    collective-permute ops (the ICI ring of SURVEY.md section 5.7), not
+    to all-gathers that would move whole shards."""
+    mesh = make_mesh(seq=8, ch=1)
+    fn = jax.jit(jax.shard_map(
+        lambda xs: halo_exchange(xs, 5, 3, "seq"),
+        mesh=mesh, in_specs=P("seq", None), out_specs=P("seq", None)))
+    x = jax.ShapeDtypeStruct((512, 1), jnp.float32)
+    hlo = fn.lower(x).compile().as_text()
+    assert "collective-permute" in hlo
+    assert "all-gather" not in hlo
