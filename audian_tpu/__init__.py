@@ -27,6 +27,32 @@ from .version import __version__, __year__, audian_dirs
 __all__ = ["__version__", "__year__", "audian_dirs",
            "enable_compilation_cache"]
 
+
+def _tune_host_allocator():
+    """Keep large host buffers in the warm glibc arena.
+
+    On this VM class, first touch of never-before-mapped anonymous memory
+    runs ~100x slower than warm memory (measured ~30 MiB/s vs multiple
+    GiB/s), and glibc munmaps every free above M_MMAP_THRESHOLD — so each
+    fresh multi-hundred-MB decode/upload buffer would pay the fault cliff
+    again.  Raising the mmap and trim thresholds keeps freed big blocks in
+    the heap, where the pages stay resident and warm across reuse.
+    """
+    import ctypes
+    import sys
+
+    if not sys.platform.startswith("linux"):
+        return
+    try:
+        libc = ctypes.CDLL("libc.so.6")
+        libc.mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD
+        libc.mallopt(-1, 1 << 30)  # M_TRIM_THRESHOLD
+    except Exception:
+        pass
+
+
+_tune_host_allocator()
+
 _cache_enabled = False
 
 

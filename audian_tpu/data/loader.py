@@ -38,8 +38,12 @@ class _RawReader:
     def channels(self):
         return self._loader.channels
 
-    def _read(self, start, nframes):
-        return self._loader._read_direct(start, nframes)
+    @property
+    def dtype(self):
+        return self._loader.dtype
+
+    def _read(self, start, nframes, out=None):
+        return self._loader._read_direct(start, nframes, out=out)
 
 
 class AudioLoader:
@@ -93,6 +97,11 @@ class AudioLoader:
         self.follow = 0
         self.offset = 0
         self.buffer = np.zeros((0, self.channels), self.dtype)
+        #: retired window storage, recycled by the next same-shape
+        #: move_buffer (views returned by __getitem__ are only valid
+        #: until the second following buffer move, as in audioio's
+        #: in-place BufferedArray)
+        self._spare = None
         self.buffer_changed = np.zeros(self.channels, dtype=bool)
         # unwrap config (reference CLI -u/-U, audian.py:1485-1490)
         self.unwrap_thresh = 0.0
@@ -176,6 +185,7 @@ class AudioLoader:
         if self._prefetcher is not None:
             self._prefetcher.close()
         self.buffer = np.zeros((0, self.channels), self.dtype)
+        self._spare = None
 
     # -- raw reads ----------------------------------------------------------------
 
@@ -186,7 +196,18 @@ class AudioLoader:
             return self._prefetcher.read(start, nframes)
         return self._read_direct(start, nframes)
 
-    def _read_direct(self, start, nframes):
+    def _read_into(self, start, nframes, out):
+        """Fill ``out`` (a (nframes, channels) array) with frames
+        [start, start+nframes) — the recycled-buffer read path: no fresh
+        allocation, and multi-block prefetcher reads skip the concatenate
+        that ``_read`` pays."""
+        if self._prefetcher is not None:
+            self._prefetcher.read_into(start, nframes, out)
+        else:
+            self._read_direct(start, nframes, out=out)
+        return out
+
+    def _read_direct(self, start, nframes, out=None):
         start = max(0, min(int(start), self.frames))
         nframes = max(0, min(int(nframes), self.frames - start))
         if self.unwrap_thresh > 1e-3 and start > 0 and nframes > 0:
@@ -196,16 +217,29 @@ class AudioLoader:
             ext = self._read_raw(start - 1, nframes + 1)
             ext = wavio.unwrap(ext, self.unwrap_thresh, self.unwrap_clips,
                                self.ampl_max).astype(self.dtype)
+            if out is not None:
+                out[:nframes] = ext[1:]
+                return out[:nframes]
             return np.ascontiguousarray(ext[1:])
-        out = self._read_raw(start, nframes)
+        if out is not None:
+            self._read_raw(start, nframes, out=out)
+            data = out[:nframes]
+        else:
+            data = self._read_raw(start, nframes)
         if self.unwrap_thresh > 1e-3:
-            out = wavio.unwrap(out, self.unwrap_thresh, self.unwrap_clips,
-                               self.ampl_max).astype(self.dtype)
-        return out
+            unwrapped = wavio.unwrap(data, self.unwrap_thresh,
+                                     self.unwrap_clips,
+                                     self.ampl_max).astype(self.dtype)
+            if out is not None:
+                data[:] = unwrapped
+                return data
+            return unwrapped
+        return data
 
-    def _read_raw(self, start, nframes):
+    def _read_raw(self, start, nframes, out=None):
         _trace.trace_event("loader.read", start=start, frames=nframes)
-        out = np.empty((nframes, self.channels), self.dtype)
+        if out is None:
+            out = np.empty((nframes, self.channels), self.dtype)
         pos = 0
         while pos < nframes:
             g = start + pos
@@ -215,18 +249,27 @@ class AudioLoader:
             avail = int(self.end_indices[k]) - g
             n = min(nframes - pos, avail)
             info = self._infos[k]
+            dst = out[pos : pos + n]
             chunk = None
-            if self.dtype == np.float32 and info[4] is not None:
-                # native C++ read+decode fast path (WAV only; soundfile-
-                # backed containers have no byte offset to seek to)
+            if (self.dtype == np.float32 and info[4] is not None
+                    and dst.flags.c_contiguous):
+                # native C++ read+decode fast path straight into the
+                # output (WAV only; soundfile-backed containers have no
+                # byte offset to seek to)
                 chunk = native.read_frames(self.file_paths[k], info[4],
-                                           info[3], info[1], local, n)
-            if chunk is None:
-                chunk = wavio.read_frames(self.file_paths[k], local, n, info)
+                                           info[3], info[1], local, n,
+                                           out=dst)
+                if chunk is not None:
+                    m = len(chunk)
+                    if m < n:  # file shorter than header claims
+                        dst[m:] = 0.0
+                    pos += n
+                    continue
+            chunk = wavio.read_frames(self.file_paths[k], local, n, info)
             m = min(len(chunk), n)
-            out[pos : pos + m] = chunk[:m]
+            dst[:m] = chunk[:m]
             if m < n:  # file shorter than header claims: zero-fill
-                out[pos + m : pos + n] = 0.0
+                dst[m:] = 0.0
             pos += n
         return out
 
@@ -268,7 +311,15 @@ class AudioLoader:
         nframes = max(0, min(int(nframes), self.frames - offset))
         if offset >= self.offset and offset + nframes <= self.offset + len(self.buffer):
             return  # already covered
-        new = np.empty((nframes, self.channels), self.dtype)
+        # recycle the previous window's storage (never-touched pages cost
+        # ~100x on this host — see audian_tpu._tune_host_allocator); the
+        # outgoing buffer becomes the next move's spare, so steady-state
+        # scrolling ping-pongs between two warm buffers
+        spare = self._spare
+        if spare is not None and spare.shape == (nframes, self.channels):
+            new, self._spare = spare, None
+        else:
+            new = np.empty((nframes, self.channels), self.dtype)
         # reuse overlap with the current buffer
         o0 = max(offset, self.offset)
         o1 = min(offset + nframes, self.offset + len(self.buffer))
@@ -276,11 +327,14 @@ class AudioLoader:
             new[o0 - offset : o1 - offset] = self.buffer[
                 o0 - self.offset : o1 - self.offset]
             if o0 > offset:
-                new[: o0 - offset] = self._read(offset, o0 - offset)
+                self._read_into(offset, o0 - offset, new[: o0 - offset])
             if o1 < offset + nframes:
-                new[o1 - offset :] = self._read(o1, offset + nframes - o1)
+                self._read_into(o1, offset + nframes - o1,
+                                new[o1 - offset :])
         else:
-            new[:] = self._read(offset, nframes)
+            self._read_into(offset, nframes, new)
+        if len(self.buffer):
+            self._spare = self.buffer
         self.offset = offset
         self.buffer = new
         self.buffer_changed[:] = True

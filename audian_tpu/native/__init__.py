@@ -82,14 +82,26 @@ def available():
     return get_lib() is not None
 
 
-def read_frames(path, data_off, encoding, channels, start, nframes):
+def read_frames(path, data_off, encoding, channels, start, nframes,
+                out=None):
     """Native read+decode of a frame range to float32; None when the native
-    path is unavailable or the encoding unsupported."""
+    path is unavailable or the encoding unsupported.
+
+    ``out`` (optional) receives the frames in place — pass a recycled
+    (nframes, channels) float32 C-contiguous array to avoid fresh-page
+    allocation costs on hot read paths; the return value is a view of it.
+    """
     lib = get_lib()
     tb = _TAGS.get(encoding)
     if lib is None or tb is None:
         return None
-    out = np.empty((nframes, channels), np.float32)
+    if out is None:
+        out = np.empty((nframes, channels), np.float32)
+    else:
+        if (out.dtype != np.float32 or out.shape != (nframes, channels)
+                or not out.flags.c_contiguous):
+            raise ValueError("out must be C-contiguous float32 "
+                             f"of shape {(nframes, channels)}")
     got = lib.an_read_frames(
         str(path).encode(), int(data_off), tb[0], tb[1], int(channels),
         int(start), int(nframes),

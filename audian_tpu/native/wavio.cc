@@ -82,19 +82,41 @@ int an_decode(const uint8_t* raw, int64_t nsamples, int tag, int bits,
 int64_t an_read_frames(const char* path, int64_t data_off, int tag, int bits,
                        int channels, int64_t start, int64_t nframes,
                        float* out) {
+    // Stream the file through a small bounded scratch buffer and decode
+    // each piece straight into `out`.  A full-read-then-decode staging
+    // vector of nframes*bpf bytes would fault in fresh pages on every
+    // call on this host, where first-touch of new anonymous memory is
+    // ~100x slower than warm memory — the bounded scratch stays warm
+    // after the first call (thread_local: an_file_minmax's worker
+    // threads call this concurrently).
     const int64_t bpf = int64_t(channels) * (bits / 8);
+    constexpr int64_t kScratch = 4 << 20;  // bytes; multiple of any bpf*8
+    thread_local std::vector<uint8_t> raw;
     FILE* f = std::fopen(path, "rb");
     if (!f) return -1;
-    std::vector<uint8_t> raw(size_t(nframes * bpf));
+    if (std::fseek(f, long(data_off + start * bpf), SEEK_SET) != 0) {
+        std::fclose(f);
+        return 0;
+    }
+    const int64_t frames_per_piece = std::max<int64_t>(kScratch / bpf, 1);
+    raw.resize(size_t(std::min(nframes, frames_per_piece) * bpf));
     int64_t got = 0;
-    if (std::fseek(f, long(data_off + start * bpf), SEEK_SET) == 0) {
-        got = int64_t(std::fread(raw.data(), 1, size_t(nframes * bpf), f)) / bpf;
+    bool bad = false;
+    while (got < nframes) {
+        const int64_t want = std::min(nframes - got, frames_per_piece);
+        const int64_t n =
+            int64_t(std::fread(raw.data(), 1, size_t(want * bpf), f)) / bpf;
+        if (n > 0 &&
+            decode_dispatch(raw.data(), n * channels, tag, bits,
+                            out + got * channels) != 0) {
+            bad = true;
+            break;
+        }
+        got += n;
+        if (n < want) break;  // EOF / short file
     }
     std::fclose(f);
-    if (got > 0 &&
-        decode_dispatch(raw.data(), got * channels, tag, bits, out) != 0)
-        return -1;
-    return got;
+    return bad ? -1 : got;
 }
 
 // Interleaved min/max decimation: x is (frames, channels) row-major float32;

@@ -12,6 +12,8 @@ window already in memory (double-buffered host -> device feed).
 
 from __future__ import annotations
 
+import inspect
+import sys
 import threading
 from collections import OrderedDict
 from concurrent.futures import ThreadPoolExecutor
@@ -40,6 +42,18 @@ class BlockPrefetcher:
         self.read_ahead = int(read_ahead)
         self._cache = OrderedDict()  # block index -> np array
         self._bytes = 0
+        # retired full-size block buffers for reuse: never-touched pages
+        # cost ~100x on this host (see audian_tpu._tune_host_allocator),
+        # so bounding the set of distinct block buffers matters
+        self._free = []
+        self._dtype = np.dtype(getattr(source, "dtype", np.float32))
+        # sources that take out= (AudioLoader's raw path) decode straight
+        # into recycled buffers; plain sources fall back to fresh arrays
+        try:
+            self._source_out = "out" in inspect.signature(
+                source._read).parameters
+        except (TypeError, ValueError):
+            self._source_out = False
         self._lock = threading.Lock()
         self._pool = ThreadPoolExecutor(max_workers=1,
                                         thread_name_prefix="audian-prefetch")
@@ -50,6 +64,33 @@ class BlockPrefetcher:
         self.misses = 0
 
     # -- cache core ---------------------------------------------------------------
+
+    def _recycle(self, old):
+        """Return a dropped cache entry's storage to the freelist when
+        nothing outside the cache still references it (a caller-held
+        ``read()`` view keeps the base alive AND visible to this check, so
+        its pages are never overwritten under the caller).  Lock held.
+
+        The refcount arithmetic assumes exactly one caller-side local
+        holds ``old`` (CPython counts: that local + our parameter +
+        getrefcount's own argument = 3).
+        """
+        if len(self._free) >= 4:
+            return
+        full = (self.block_frames, self.source.channels)
+        if sys.getrefcount(old) != 3:
+            return  # a read() view (or other holder) is still live
+        if old.base is None:
+            if (old.shape == full and old.dtype == self._dtype
+                    and old.flags.c_contiguous):
+                self._free.append(old)
+        else:
+            base = old.base
+            # base refs: the view's .base slot + local `base` + temp = 3
+            if (base.shape == full and base.dtype == self._dtype
+                    and base.flags.c_contiguous
+                    and sys.getrefcount(base) == 3):
+                self._free.append(base)
 
     def _insert(self, b, data, epoch):
         with self._lock:
@@ -66,6 +107,35 @@ class BlockPrefetcher:
                         and len(self._cache) > self.max_blocks)):
                 _, old = self._cache.popitem(last=False)
                 self._bytes -= old.nbytes
+                self._recycle(old)
+
+    def _read_source(self, b):
+        """One block's worth of frames from the source, decoded into a
+        recycled buffer when the source supports it."""
+        start = b * self.block_frames
+        if self._source_out:
+            with self._lock:
+                buf = self._free.pop() if self._free else None
+            if buf is None:
+                buf = np.empty((self.block_frames, self.source.channels),
+                               self._dtype)
+            try:
+                data = self.source._read(start, self.block_frames, out=buf)
+            except Exception:
+                with self._lock:
+                    if len(self._free) < 4:
+                        self._free.append(buf)
+                raise
+            if data is not None and (
+                    data is buf or data.base is buf):
+                return data
+            # source ignored the buffer (e.g. dtype mismatch): hand the
+            # storage back rather than leaking it
+            with self._lock:
+                if len(self._free) < 4:
+                    self._free.append(buf)
+            return data
+        return self.source._read(start, self.block_frames)
 
     def _load_block(self, b):
         while True:
@@ -75,8 +145,7 @@ class BlockPrefetcher:
                     self._cache.move_to_end(b)
                     return self._cache[b]
             try:
-                data = self.source._read(b * self.block_frames,
-                                         self.block_frames)
+                data = self._read_source(b)
             except Exception:
                 # a failed background read must not leave the block marked
                 # pending forever (that would disable its read-ahead)
@@ -101,28 +170,21 @@ class BlockPrefetcher:
             self._pending.add(b)
         self._pool.submit(self._load_block, b)
 
-    def read(self, start, nframes):
-        """Read [start, start+nframes) through the cache.  Read-ahead is
-        scheduled mostly in the direction this request moved relative to
-        the previous one, plus one block behind (back-scrolls)."""
-        start = max(0, min(int(start), self.source.frames))
-        nframes = max(0, min(int(nframes), self.source.frames - start))
-        if nframes == 0:
-            return np.zeros((0, self.source.channels), np.float32)
-        b0 = start // self.block_frames
-        b1 = (start + nframes - 1) // self.block_frames
-        parts = []
-        for b in range(b0, b1 + 1):
-            with self._lock:
-                cached = self._cache.get(b)
-                if cached is not None:
-                    self._cache.move_to_end(b)
-            if cached is None:
-                self.misses += 1
-                cached = self._load_block(b)
-            else:
-                self.hits += 1
-            parts.append(cached)
+    def _get_block(self, b):
+        with self._lock:
+            cached = self._cache.get(b)
+            if cached is not None:
+                self._cache.move_to_end(b)
+        if cached is None:
+            self.misses += 1
+            cached = self._load_block(b)
+        else:
+            self.hits += 1
+        return cached
+
+    def _schedule_around(self, b0, b1):
+        """Read-ahead mostly in the direction this request moved relative
+        to the previous one, plus one block the other way (back-scrolls)."""
         backwards = self._last_block is not None and b0 < self._last_block
         self._last_block = b0
         if backwards:
@@ -133,16 +195,56 @@ class BlockPrefetcher:
             for k in range(1, self.read_ahead + 1):
                 self._schedule(b1 + k)
             self._schedule(b0 - 1)
-        whole = parts[0] if len(parts) == 1 else np.concatenate(parts)
-        lo = start - b0 * self.block_frames
-        return whole[lo : lo + nframes]
+
+    def read(self, start, nframes):
+        """Read [start, start+nframes) through the cache.
+
+        Single-block requests return a view of the cached block (valid
+        until the block leaves the cache); multi-block requests allocate.
+        Prefer :meth:`read_into` on hot paths.
+        """
+        start = max(0, min(int(start), self.source.frames))
+        nframes = max(0, min(int(nframes), self.source.frames - start))
+        if nframes == 0:
+            return np.zeros((0, self.source.channels), self._dtype)
+        b0 = start // self.block_frames
+        b1 = (start + nframes - 1) // self.block_frames
+        if b0 == b1:
+            block = self._get_block(b0)
+            self._schedule_around(b0, b1)
+            lo = start - b0 * self.block_frames
+            return block[lo : lo + nframes]
+        out = np.empty((nframes, self.source.channels), self._dtype)
+        return self.read_into(start, nframes, out)
+
+    def read_into(self, start, nframes, out):
+        """Copy frames [start, start+nframes) into ``out`` block by block
+        — no whole-span concatenate, and nothing in ``out`` aliases the
+        cache, so the caller's buffer can be long-lived."""
+        start = max(0, min(int(start), self.source.frames))
+        nframes = max(0, min(int(nframes), self.source.frames - start))
+        if nframes == 0:
+            return out[:0]
+        b0 = start // self.block_frames
+        b1 = (start + nframes - 1) // self.block_frames
+        for b in range(b0, b1 + 1):
+            block = self._get_block(b)
+            bstart = b * self.block_frames
+            lo = max(start, bstart)
+            hi = min(start + nframes, bstart + len(block))
+            if hi > lo:
+                out[lo - start : hi - start] = block[lo - bstart : hi - bstart]
+        self._schedule_around(b0, b1)
+        return out[:nframes]
 
     def invalidate(self):
         """Drop all cached blocks (e.g. the source's decoding parameters
         changed); reads already in flight are discarded on arrival."""
         with self._lock:
             self._epoch += 1
-            self._cache.clear()
+            while self._cache:
+                _, old = self._cache.popitem()
+                self._recycle(old)
             self._bytes = 0
 
     def drain(self):

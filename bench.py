@@ -155,13 +155,28 @@ def bench_io(fused):
     assert loader.channels == CHANNELS
     nchunks = loader.frames // IO_CHUNK
 
+    # persistent host staging: first touch of fresh pages is ~100x slower
+    # than warm memory on this host, so the read/quantize path reuses one
+    # f32 buffer and two alternating int16 upload buffers (two so a
+    # device_put still in flight never races the next chunk's rewrite)
+    ext = np.zeros((ext_frames, loader.channels), np.float32)
+    qbufs = [np.empty((ext_frames, loader.channels), np.int16)
+             for _ in range(2)]
+
     def read_ext(k):
         start = k * IO_CHUNK - hb
         lo = max(start, 0)
         hi = min(start + ext_frames, loader.frames)
-        ext = np.zeros((ext_frames, loader.channels), np.float32)
-        ext[lo - start : hi - start] = loader._read(lo, hi - lo)
-        return np.round(ext * 32768.0).astype(np.int16)
+        if lo > start:
+            ext[: lo - start] = 0.0
+        if hi - start < ext_frames:
+            ext[hi - start :] = 0.0
+        loader._read_into(lo, hi - lo, ext[lo - start : hi - start])
+        q = qbufs[k % 2]
+        np.multiply(ext, 32768.0, out=ext)
+        np.rint(ext, out=ext)
+        q[:] = ext  # cast copy into the persistent int16 buffer
+        return q
 
     # warm-up / compile on the first chunk's shapes
     _ = np.asarray(chain(prep(jax.device_put(read_ext(0))))[0])
