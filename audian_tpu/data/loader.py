@@ -273,6 +273,51 @@ class AudioLoader:
             pos += n
         return out
 
+    @property
+    def raw16_capable(self):
+        """True when :meth:`read_raw16_into` can serve reads: every file
+        is a PCM-16 WAV with a seekable data chunk and unwrapping is off
+        (unwrap rescales samples, so raw quantized values would be
+        wrong)."""
+        return (self.unwrap_thresh <= 1e-3
+                and all(i[3] == "PCM_16" and i[4] is not None
+                        for i in self._infos))
+
+    def read_raw16_into(self, start, nframes, out):
+        """Fill ``out`` (C-contiguous ``(>=nframes, channels)`` int16)
+        with the raw quantized PCM-16 samples of [start, start+nframes).
+
+        Device int16 upload paths (``Data._put_raw``, ``bench.py``)
+        dequantize as ``k / 2**15`` — exactly how :func:`wavio.
+        read_frames` decodes PCM-16 — so skipping the float decode and
+        re-quantization is bit-exact and saves several full passes over
+        the data on the host.  Bypasses the block prefetcher (this is the
+        batch-sequential path; the OS page cache covers re-reads).
+        Check :attr:`raw16_capable` first.
+        """
+        if not self.raw16_capable:
+            raise wavio.WavError(
+                "raw16 reads need all-PCM-16 WAV sources without unwrap")
+        _trace.trace_event("loader.read_raw16", start=start,
+                           frames=nframes)
+        start = max(0, min(int(start), self.frames))
+        nframes = max(0, min(int(nframes), self.frames - start))
+        pos = 0
+        while pos < nframes:
+            g = start + pos
+            k = int(np.searchsorted(self.end_indices, g, side="right"))
+            fstart = 0 if k == 0 else int(self.end_indices[k - 1])
+            local = g - fstart
+            avail = int(self.end_indices[k]) - g
+            n = min(nframes - pos, avail)
+            dst = out[pos : pos + n]
+            m = wavio.read_frames_raw16(self.file_paths[k], local, n,
+                                        self._infos[k], dst)
+            if m < n:  # file shorter than header claims: zero-fill
+                dst[m:] = 0
+            pos += n
+        return out[:nframes]
+
     def load_buffer(self, offset, nframes, buffer):
         """Fill ``buffer`` with frames [offset, offset+nframes) — the
         worker-side API of the reference's decimation pipeline

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import datetime as dt
 import struct
+import sys
 from pathlib import Path
 
 import numpy as np
@@ -409,6 +410,41 @@ def read_frames(path, start, nframes, info=None):
         f.seek(data_off + start * bpf)
         raw = f.read(nframes * bpf)
     return _decode(raw, tag, bits, channels)
+
+
+def read_frames_raw16(path, start, nframes, info, out):
+    """Read PCM-16 frames as raw little-endian int16 — no float decode.
+
+    The on-disk samples ARE the quantized values the device dequantizes
+    (sample = k / 2**15, the convention shared by :func:`read_frames` and
+    ``Data._put_raw``), so for int16 device uploads the f32 decode +
+    re-quantize round trip is pure waste; this reads the bytes straight
+    into ``out`` (a C-contiguous ``(>=nframes, channels)`` int16 array)
+    with one ``readinto`` from the page cache.
+
+    Returns the number of frames read (short files return fewer; the
+    caller zero-fills).  Raises :class:`WavError` for non-PCM-16 or
+    soundfile-backed sources — callers probe support once via
+    ``info[3] == "PCM_16" and info[4] is not None``.
+    """
+    rate, channels, frames, enc, data_off = info
+    if enc != "PCM_16" or data_off is None:
+        raise WavError(f"{path}: raw16 read needs PCM_16 WAV, got {enc}")
+    if (out.dtype != np.int16 or out.ndim != 2
+            or out.shape[1] != channels or out.shape[0] < nframes
+            or not out.flags.c_contiguous):
+        raise ValueError("out must be C-contiguous int16 "
+                         f"(>= {nframes}, {channels})")
+    bpf = channels * 2
+    start = max(0, min(start, frames))
+    nframes = max(0, min(nframes, frames - start))
+    with Path(path).open("rb") as f:
+        f.seek(data_off + start * bpf)
+        view = memoryview(out).cast("B")
+        nbytes = f.readinto(view[: nframes * bpf])
+    if sys.byteorder != "little":  # pragma: no cover - LE hosts only here
+        out[: nbytes // bpf].byteswap(inplace=True)
+    return nbytes // bpf
 
 
 # ---------------------------------------------------------------------------

@@ -206,3 +206,53 @@ def test_soundfile_fallback_loader(fake_soundfile, signal):
     part = wavio.read_frames(fake_soundfile, 10, 5)
     assert np.allclose(part, signal[10:15])
     ld.close()
+
+
+def test_read_frames_raw16_matches_decoded(tmp_path, rng):
+    """Raw int16 reads are exactly the decoder's samples times 2**15."""
+    x = np.clip(0.3 * rng.standard_normal((5000, 3)), -1, 1)
+    p = tmp_path / "raw16.wav"
+    wavio.write_audio(p, x, 44100.0, encoding="PCM_16")
+    info = wavio.wav_info(p)
+    out = np.empty((1200, 3), np.int16)
+    got = wavio.read_frames_raw16(p, 345, 1200, info, out)
+    assert got == 1200
+    dec = wavio.read_frames(p, 345, 1200, info)
+    np.testing.assert_array_equal(out, np.round(dec * 32768.0))
+
+
+def test_read_frames_raw16_rejects_other_encodings(tmp_path, rng):
+    x = 0.1 * rng.standard_normal((100, 2))
+    p = tmp_path / "f32.wav"
+    wavio.write_audio(p, x, 44100.0, encoding="FLOAT")
+    out = np.empty((10, 2), np.int16)
+    with pytest.raises(wavio.WavError):
+        wavio.read_frames_raw16(p, 0, 10, wavio.wav_info(p), out)
+
+
+def test_loader_read_raw16_across_files(tmp_path, rng):
+    """read_raw16_into stitches multi-file recordings and matches the
+    decoded read path bit-exactly."""
+    from audian_tpu.data.loader import AudioLoader
+
+    paths = []
+    xs = []
+    for i in range(2):
+        x = np.clip(0.2 * rng.standard_normal((3000, 2)), -1, 1)
+        p = tmp_path / f"part{i}.wav"
+        wavio.write_audio(p, x, 48000.0, encoding="PCM_16")
+        paths.append(p)
+        xs.append(x)
+    ld = AudioLoader(paths, prefetch=False)
+    assert ld.raw16_capable
+    out = np.empty((2000, 2), np.int16)
+    got = ld.read_raw16_into(2000, 2000, out)  # spans the boundary
+    assert got.base is out or got is out
+    dec = ld._read_direct(2000, 2000)
+    np.testing.assert_array_equal(out, np.round(dec * 32768.0))
+    # unwrap rescales samples: raw16 must refuse
+    ld.set_unwrap(0.5)
+    assert not ld.raw16_capable
+    with pytest.raises(wavio.WavError):
+        ld.read_raw16_into(0, 10, out)
+    ld.close()
