@@ -59,7 +59,15 @@ def _shift_bank(h, D, off, block=128):
 def _split_bf16(a):
     """``a = hi + lo`` with both parts exactly bf16-representable, so a
     DEFAULT-precision MXU pass multiplies them without further rounding
-    (together they carry ~16 of f32's 24 mantissa bits)."""
+    (together they carry ~16 of f32's 24 mantissa bits).
+
+    The ``astype`` round trip is safe HERE but not in plain XLA: the
+    algebraic simplifier folds ``f32(bf16(x))`` back to ``x`` outside
+    Pallas (docs/performance.md — which is why the pre-Pallas bf16-split
+    experiment failed), and ``lax.reduce_precision`` — the fold-proof
+    idiom — has no Pallas TPU lowering.  Mosaic keeps the converts
+    (validated on-device: the split path's error and runtime both differ
+    from DEFAULT and HIGHEST in exactly the predicted way)."""
     hi = a.astype(jnp.bfloat16).astype(jnp.float32)
     return hi, a - hi
 
