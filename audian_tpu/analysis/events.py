@@ -52,7 +52,13 @@ def _band_env_device(fdesign, edesign, x):
     the tunneled link one pull+re-upload of an hour-long recording costs
     about a minute).  Returns (filtered, full-rate envelope); the caller
     decimates with an eager device slice so the decimation step is not
-    baked into the compiled program."""
+    baked into the compiled program.
+
+    ``int16`` input is raw PCM-16 (sample = k/2^15, the loader's raw16
+    convention): it crosses the link at half the bytes and dequantizes
+    here, on device."""
+    if x.dtype == jnp.int16:
+        x = x.astype(jnp.result_type(float)) / 32768.0
     y = sosfiltfilt_fir(fdesign.fir, x, fdesign.zi0, fdesign.padlen, axis=0)
     e = 2.0 * sosfiltfilt_fir(edesign.fir, y * y, edesign.zi0,
                               edesign.padlen, axis=0)
@@ -94,6 +100,8 @@ def _band_env_chunks(fdesign, edesign, x, step, return_filtered):
         # a fresh device shape costs 10+ s of XLA compile on the tunneled
         # backend, far more than the compute, and small recordings come
         # in arbitrary lengths
+        if x.dtype == np.int16:  # raw PCM-16 (see _band_env_device)
+            x = x.astype(np.float64) / 32768.0
         y = sps.sosfiltfilt(fdesign.sos, x, axis=0)
         e = 2.0 * sps.sosfiltfilt(edesign.sos, y * y, axis=0)
         env = np.sqrt(np.maximum(e, 0.0)[::step]) * np.sqrt(2.0)
@@ -405,8 +413,14 @@ def band_env(data, rate, highpassfreq, lowpassfreq, envelopecutofffreq,
     compiled chunk shape, no full-rate host round trips).
 
     Returns ``(filtered_or_None, envelope, envrate)``.
+
+    ``int16`` input is raw PCM-16 (k/2^15): it skips the float64 host
+    copy (an hour at 96 kHz is GBs) and crosses the device link at half
+    the bytes, dequantizing on device.
     """
-    data = np.atleast_2d(np.asarray(data, np.float64))
+    data = np.atleast_2d(np.asarray(data))
+    if data.dtype != np.int16:
+        data = data.astype(np.float64, copy=False)
     if data.shape[0] < data.shape[1]:
         data = data.T
     # sticky pow2 kernel-length budgets (the browser's interactivity
@@ -440,9 +454,12 @@ def detect(data, rate, highpassfreq=1000.0, lowpassfreq=10000.0,
     envelope rate, thresholds, and per-channel song onset/offset times.
     ``return_filtered=False`` skips pulling the full-rate filtered stream
     to the host (``result["filtered"] is None``) — batch jobs that only
-    want the event table save that transfer.
+    want the event table save that transfer.  ``int16`` input is raw
+    PCM-16 (see :func:`band_env`).
     """
-    data = np.atleast_2d(np.asarray(data, np.float64))
+    data = np.atleast_2d(np.asarray(data))
+    if data.dtype != np.int16:
+        data = data.astype(np.float64, copy=False)
     if data.shape[0] < data.shape[1]:
         data = data.T
     log = print if verbose else (lambda *a, **k: None)

@@ -105,9 +105,23 @@ def main(cargs=None):
 
     def process(path):
         """Detect songs in one file; returns (path, nsongs, out) or the
-        error message.  Dense DSP runs on the worker's device."""
+        error message.  Dense DSP runs on the worker's device.
+
+        PCM-16 recordings load as raw int16 (no float decode, half the
+        host memory and device-link bytes; ``detect`` dequantizes on
+        device); other encodings decode to float."""
         try:
-            data, rate = load_audio(path)
+            from ..data.loader import AudioLoader
+
+            ld = AudioLoader(path, prefetch=False)
+            rate = ld.rate
+            if ld.raw16_capable:
+                data = np.empty((ld.frames, ld.channels), np.int16)
+                ld.read_raw16_into(0, ld.frames, data)
+                ld.close()
+            else:
+                ld.close()
+                data, rate = load_audio(path)
         except Exception as e:
             return f"{path}: {e}"
         if args.verbose:

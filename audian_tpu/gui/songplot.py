@@ -41,6 +41,10 @@ class SongPlot:
 
         self.plt = plt
         self.data = np.asarray(data)
+        if self.data.dtype == np.int16:
+            # raw PCM-16 from the CLI's raw16 load path: the viewer's
+            # amplitude axes and playback expect float samples
+            self.data = self.data.astype(np.float32) / 32768.0
         self.rate = float(rate)
         self.result = result
         self.filename = str(filename)

@@ -176,3 +176,35 @@ def test_single_pass_chain_stats(chain, rng, n):
     np.testing.assert_allclose(np.asarray(st["psd_sum"]),
                                np.sum(np.asarray(s), axis=0),
                                rtol=1e-5, atol=1e-9)
+
+
+def test_mixed_precision_split_is_live_and_tight(chain, signal):
+    """The default per-stage precision runs the 3-pass bf16 split on the
+    envelope/PSD stages.  Against an all-HIGHEST kernel the filtered
+    stream must be identical (same HIGHEST passes) while envelope and
+    PSD differ by a tiny but NONZERO amount — exact equality would mean
+    the hi/lo bf16 split got constant-folded back into plain dots (the
+    XLA simplifier does exactly that outside Pallas, see
+    docs/performance.md), silently degrading device accuracy to
+    DEFAULT's ~3.6e-3."""
+    from jax import lax
+    from audian_tpu.ops.pallas.chain import FusedChainKernel
+
+    ck = chain.chain_kernel
+    assert ck.precision == FusedChainKernel.DEFAULT_PRECISION
+    hi = FusedChainKernel(
+        RATE, chain._h_filt, chain._g_env, chain.env_delay,
+        np.asarray(chain.spec_w), chain.nbins,
+        env_clamp=chain.env_clamp, nfft=chain.nfft,
+        precision=lax.Precision.HIGHEST)
+    assert hi.hb == ck.hb and hi.ha == ck.ha
+    C, n = signal.shape
+    x = jnp_array(np.pad(signal, [(0, 0), (ck.hb, ck.ha)]))
+    n_out = n - (n % 128) or 128
+    y1, e1, s1 = ck(x, n_out)
+    y2, e2, s2 = hi(x, n_out)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+    de = np.abs(np.asarray(e1) - np.asarray(e2)).max()
+    ds = np.abs(np.asarray(s1) - np.asarray(s2)).max()
+    assert 0 < de < 1e-5, de   # split live (nonzero) and inside budget
+    assert 0 < ds < 1e-6, ds

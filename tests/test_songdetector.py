@@ -354,3 +354,47 @@ def test_threshold_dead_channel_among_live(rng):
     onsets, _ = detect_songs(env, 1000.0, th, min_duration=0.0)
     assert len(onsets[0]) > 0 and len(onsets[2]) > 0
     assert len(onsets[1]) == 0
+
+
+def test_band_env_int16_matches_float(rng, monkeypatch):
+    """Raw PCM-16 int16 input (the CLI's raw16 load path) produces the
+    same detection DSP as the dequantized float input, on both the
+    chunked device path and the small-recording host-scipy path."""
+    from audian_tpu.analysis import events
+
+    rate = 20000.0
+    n = 50000
+    q = np.round(np.clip(0.3 * rng.standard_normal((n, 2)), -1, 1)
+                 * 32767).astype(np.int16)
+    xf = q.astype(np.float64) / 32768.0
+    monkeypatch.setattr(events, "_CHUNK", 8192)
+    yq, eq, rq = events.band_env(q, rate, 5500.0, 7500.0, 100.0)
+    yf, ef, rf = events.band_env(xf, rate, 5500.0, 7500.0, 100.0)
+    assert rq == rf
+    np.testing.assert_allclose(np.asarray(yq), np.asarray(yf), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(eq), np.asarray(ef), atol=1e-7)
+    # host-scipy small-recording path
+    yq2, eq2, _ = events.band_env(q[:4000], rate, 5500.0, 7500.0, 100.0)
+    yf2, ef2, _ = events.band_env(xf[:4000], rate, 5500.0, 7500.0, 100.0)
+    np.testing.assert_allclose(yq2, yf2, atol=1e-12)
+    np.testing.assert_allclose(eq2, ef2, atol=1e-12)
+
+
+def test_songdetector_cli_raw16(tmp_path, rng, capsys):
+    """The CLI's raw int16 load path produces the same song table as a
+    float decode of the same PCM-16 file."""
+    from audian_tpu.data import wavio
+    from audian_tpu.data.loader import AudioLoader
+    from audian_tpu.cli import songdetector
+
+    x, _ = make_song_recording(rng, nsongs=2)
+    p = tmp_path / "songs16.wav"
+    wavio.write_audio(p, x, RATE, encoding="PCM_16")
+    ld = AudioLoader(p, prefetch=False)
+    assert ld.raw16_capable
+    ld.close()
+    out = tmp_path / "songs.csv"
+    assert songdetector.main(["-o", str(out), str(p)]) == 0
+    lines = out.read_text().strip().splitlines()
+    assert lines[0].startswith("channel,tstart/s")
+    assert len(lines) == 1 + 2 * 2  # 2 songs x 2 channels
