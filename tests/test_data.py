@@ -293,6 +293,9 @@ def test_pcm16_device_upload_exact(tmp_path, rng):
     dev = d._device_raw()
     host = d.data.buffer
     assert np.array_equal(np.asarray(dev), host.astype(np.float32))
+    # the upload staged through the raw16 direct-read path (no f32
+    # quantize passes), not just the quantize fallback
+    assert d.data.raw16_capable and len(d._q_staging) > 0
     # slide and re-check bit-exactness of the stitched device window
     for k in range(1, 5):
         d.update_times(1.5 * k, 1.5 * k + 3.0)
