@@ -406,6 +406,7 @@ class Data:
         self._dev_raw = None
         self._dev_raw_off = None
         self._last_raw_shift = None
+        self._q_staging.clear()  # shapes belong to the previous recording
         self.data = AudioLoader(
             self.file_path,
             buffer_time=self.buffer_time,
@@ -452,6 +453,7 @@ class Data:
         self._dev_raw = None
         self._dev_raw_off = None
         self._last_raw_shift = None
+        self._q_staging.clear()
 
     def __del__(self):
         try:
@@ -506,11 +508,14 @@ class Data:
                 and getattr(self.data, "unwrap_thresh", 0.0) <= 1e-3):
             if gstart is not None and getattr(self.data, "raw16_capable",
                                               False):
-                q = self._q_staging.get(hbuf.shape)
+                # small LRU of staging buffers by shape (pop+reinsert
+                # keeps the hit most-recent in dict order)
+                q = self._q_staging.pop(hbuf.shape, None)
                 if q is None:
                     q = np.empty(hbuf.shape, np.int16)
-                    if len(self._q_staging) < 4:
-                        self._q_staging[hbuf.shape] = q
+                self._q_staging[hbuf.shape] = q
+                while len(self._q_staging) > 4:
+                    self._q_staging.pop(next(iter(self._q_staging)))
                 self.data.read_raw16_into(int(gstart), len(hbuf), q)
                 return _dequant16(jax.device_put(q))
             q = np.round(np.ascontiguousarray(hbuf) * 32768.0
