@@ -828,6 +828,8 @@ if HAVE_QT:
                       lambda: B().toggle_fulldata())
             self._act(panm, "Toggle &grid", "G",
                       lambda: B().toggle_grids())
+            self._act(panm, "Toggle &maximize", "Ctrl+Shift+M",
+                      self.toggle_maximize)
             self._act(panm, "Link &panels", "Alt+P", sh.toggle_link_panels)
 
             audm = mb.addMenu("A&udio")
@@ -1075,6 +1077,13 @@ if HAVE_QT:
             verb, result = self.browser().play_scroll()
             if verb == "play":
                 self.tab()._play(*result)
+
+        def toggle_maximize(self):
+            """Toggle main-window maximization (`audian.py:1410-1414`)."""
+            if self.isMaximized():
+                self.showNormal()
+            else:
+                self.showMaximized()
 
         def screenshot(self):
             from ..app.screenshot import write_view_metadata

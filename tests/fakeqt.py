@@ -112,6 +112,17 @@ class QWidget:
     def resize(self, w, h):
         self.size = (w, h)
 
+    def isMaximized(self):
+        return getattr(self, "_maximized", False)
+
+    def showMaximized(self):
+        self._maximized = True
+        self._visible = True
+
+    def showNormal(self):
+        self._maximized = False
+        self._visible = True
+
 
 class _Layout:
     def __init__(self, parent=None):

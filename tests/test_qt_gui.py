@@ -648,3 +648,13 @@ def test_many_channel_window(qt, tmp_path_factory, rng):
         assert b.show_channels == [0, 1, 2, 3]
     finally:
         shell.close()
+
+
+def test_toggle_maximize(win):
+    """Ctrl+Shift+M toggles main-window maximization
+    (`audian.py:1410-1414`)."""
+    assert not win.isMaximized()
+    trigger(win, "Ctrl+Shift+M")
+    assert win.isMaximized()
+    trigger(win, "Ctrl+Shift+M")
+    assert not win.isMaximized()
