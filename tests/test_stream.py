@@ -245,3 +245,44 @@ def test_prefetch_no_stale_block_after_invalidate():
     out = pf.read(0, 100)
     assert float(out[0, 0]) == 2.0  # new-epoch data, not the stale read
     pf.close()
+
+
+def test_freelist_concurrent_churn_no_corruption():
+    """Hammer the prefetcher from two reader threads while invalidating:
+    recycled block buffers must never leak stale samples into a
+    concurrent reader's output (the refcount guard in _recycle)."""
+    import threading
+
+    class OutSource(FakeSource):
+        def _read(self, start, nframes, out=None):
+            self.reads += 1
+            n = min(nframes, self.frames - start)
+            if out is None:
+                return self.data[start : start + n]
+            out[:n] = self.data[start : start + n]
+            return out[:n]
+
+    src = OutSource(n=64000)
+    pf = BlockPrefetcher(src, block_frames=1000, max_blocks=3, read_ahead=1)
+    errors = []
+
+    def reader(seed):
+        rng = np.random.default_rng(seed)
+        out = np.empty((1500, 2), np.float32)
+        for _ in range(60):
+            s = int(rng.integers(0, src.frames - 1500))
+            got = pf.read_into(s, 1500, out)
+            if not np.array_equal(got, src.data[s : s + 1500]):
+                errors.append(s)
+                return
+
+    threads = [threading.Thread(target=reader, args=(k,)) for k in range(2)]
+    for t in threads:
+        t.start()
+    for _ in range(10):
+        pf.invalidate()
+    for t in threads:
+        t.join()
+    pf.drain()
+    assert not errors, f"corrupted reads at {errors[:3]}"
+    pf.close()
