@@ -769,10 +769,13 @@ class DataBrowser:
         self.set_panels()
 
     def toggle_grids(self):
-        """Cycle the 2-bit grid mask 3→2→1→0→3 (`databrowser.py:1579-1583`)."""
+        """Cycle the 2-bit grid mask 3→2→1→0→3 and apply it to every
+        panel (`databrowser.py:1579-1583`)."""
         self.grids -= 1
         if self.grids < 0:
             self.grids = 3
+        self.panels.show_grid(self.grids)
+        self.sigPanelsChanged.emit()
 
     # -- region modes (`databrowser.py:1586-1642`) -------------------------------------
 
@@ -1031,6 +1034,16 @@ class DataBrowser:
             locs = locs[sel].copy()
             labels = labels[sel]
             locs[:, 0] -= i0
+            # clamp spans into the cut: markers straddling the region
+            # start begin at 0 with their length reduced, and lengths
+            # stop at the cut end — the WAV cue/ltxt chunks pack
+            # unsigned ints, so negative values would crash the export
+            # (the reference sidesteps this by writing the positions
+            # unshifted, `databrowser.py:1899-1902`)
+            head = locs[:, 0] < 0
+            locs[head, 1] = np.maximum(locs[head, 1] + locs[head, 0], 0)
+            locs[head, 0] = 0
+            locs[:, 1] = np.clip(locs[:, 1], 0, (i1 - i0) - locs[:, 0])
         raw = np.asarray(self.data.data[i0:i1, self.selected_channels])
         wavio.write_audio(file_path, raw, rate, metadata=md, locs=locs,
                           labels=labels, encoding=encoding

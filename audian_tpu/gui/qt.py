@@ -325,6 +325,8 @@ if HAVE_QT:
             t0, t1 = b.toffset, b.toffset + b.twindow
             for c, (pt, curve) in self.trace_plots.items():
                 pt.setVisible(c in b.show_channels and b.show_traces)
+                pt.showGrid(x=bool(b.grids & 1), y=bool(b.grids & 2),
+                            alpha=0.8)
                 times, values = b.trace_tile(name, c)
                 curve.setData(times, values)
                 if "envelope" in b.data and b.data.is_visible("envelope"):
@@ -348,6 +350,8 @@ if HAVE_QT:
                 pass
             for c, (ps, img) in self.spec_images.items():
                 ps.setVisible(c in b.show_channels and b.show_specs > 0)
+                ps.showGrid(x=bool(b.grids & 1), y=bool(b.grids & 2),
+                            alpha=0.8)
                 if not ps.isVisible():
                     self._set_side_panels_visible(c, False)
                     continue

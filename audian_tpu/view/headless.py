@@ -199,6 +199,10 @@ class HeadlessAx:
         self.zrange = (r0, r1)
 
     def amplitudes(self, t0, t1):
+        """Data extrema over the visible items, or ``(None, None)`` when
+        nothing is visible — a (0, 0) fallback would let auto-scale
+        collapse the range to zero width, wedging every zoom/pan verb
+        (they all scale by the window width)."""
         lo = hi = None
         for item in self.data_items:
             if not item.isVisible():
@@ -206,8 +210,6 @@ class HeadlessAx:
             a0, a1 = item.amplitudes(t0, t1)
             lo = a0 if lo is None or a0 < lo else lo
             hi = a1 if hi is None or a1 > hi else hi
-        if lo is None:
-            return 0.0, 0.0
         return lo, hi
 
     def set_starttime(self, mode):

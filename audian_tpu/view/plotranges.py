@@ -439,14 +439,15 @@ class PlotRange:
             channels = range(len(self.r0))
         lo = hi = None
         for c in channels:
-            for ax in self._axes("x", c):
-                a0, a1 = ax.amplitudes(t0, t1)
-                lo = a0 if lo is None else min(lo, a0)
-                hi = a1 if hi is None else max(hi, a1)
-            for ax in self._axes("y", c):
-                a0, a1 = ax.amplitudes(t0, t1)
-                lo = a0 if lo is None else min(lo, a0)
-                hi = a1 if hi is None else max(hi, a1)
+            for role in ("x", "y"):
+                for ax in self._axes(role, c):
+                    a0, a1 = ax.amplitudes(t0, t1)
+                    if a0 is None:
+                        continue  # nothing visible on this plot
+                    lo = a0 if lo is None else min(lo, a0)
+                    hi = a1 if hi is None else max(hi, a1)
+        if lo is None or lo == hi:
+            return  # no visible data (or constant): keep the range
         self.set_ranges(lo, hi, None, channels, do_set)
 
     def reset(self, channels=None, do_set=True):

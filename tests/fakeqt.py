@@ -699,6 +699,9 @@ class FakePlotItem:
     def setYRange(self, a, b, padding=0):
         self.yrange = (a, b)
 
+    def showGrid(self, x=False, y=False, alpha=0.8):
+        self.grid = (bool(x), bool(y))
+
     def setVisible(self, v):
         self._visible = bool(v)
 
