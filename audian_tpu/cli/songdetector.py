@@ -22,7 +22,6 @@ import numpy as np
 
 from ..version import __version__
 from ..config import ConfigFile
-from ..data import load_audio
 from ..analysis.events import detect
 from ..analysis.table import ResultTable
 
@@ -118,10 +117,12 @@ def main(cargs=None):
             if ld.raw16_capable:
                 data = np.empty((ld.frames, ld.channels), np.int16)
                 ld.read_raw16_into(0, ld.frames, data)
-                ld.close()
             else:
-                ld.close()
-                data, rate = load_audio(path)
+                # decode through the already-open loader — a separate
+                # load_audio() would re-open and re-scan the file
+                data = np.empty((ld.frames, ld.channels), np.float32)
+                ld._read_into(0, ld.frames, data)
+            ld.close()
         except Exception as e:
             return f"{path}: {e}"
         if args.verbose:

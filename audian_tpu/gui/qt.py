@@ -323,10 +323,14 @@ if HAVE_QT:
             b = self.browser
             name = "filtered" if "filtered" in b.data else "data"
             t0, t1 = b.toffset, b.toffset + b.twindow
+            # showGrid invalidates the axis picture even when unchanged,
+            # so re-apply only when the mask actually moved
+            apply_grids = b.grids != getattr(self, "_grids_applied", None)
             for c, (pt, curve) in self.trace_plots.items():
                 pt.setVisible(c in b.show_channels and b.show_traces)
-                pt.showGrid(x=bool(b.grids & 1), y=bool(b.grids & 2),
-                            alpha=0.8)
+                if apply_grids:
+                    pt.showGrid(x=bool(b.grids & 1), y=bool(b.grids & 2),
+                                alpha=0.8)
                 times, values = b.trace_tile(name, c)
                 curve.setData(times, values)
                 if "envelope" in b.data and b.data.is_visible("envelope"):
@@ -350,8 +354,9 @@ if HAVE_QT:
                 pass
             for c, (ps, img) in self.spec_images.items():
                 ps.setVisible(c in b.show_channels and b.show_specs > 0)
-                ps.showGrid(x=bool(b.grids & 1), y=bool(b.grids & 2),
-                            alpha=0.8)
+                if apply_grids:
+                    ps.showGrid(x=bool(b.grids & 1), y=bool(b.grids & 2),
+                                alpha=0.8)
                 if not ps.isVisible():
                     self._set_side_panels_visible(c, False)
                     continue
@@ -369,6 +374,7 @@ if HAVE_QT:
                 self._refresh_cutoffs(c)
                 self._refresh_power(c, t0, t1)
                 self._refresh_colorbar(c, cmap, *b.get_range("p", c))
+            self._grids_applied = b.grids
             for axis in self.time_axes:
                 axis.update_label()
             self._poll_fulltrace()

@@ -57,9 +57,11 @@ def _shift_bank(h, D, off, block=128):
 
 
 def _split_bf16(a):
-    """``a = hi + lo`` with both parts exactly bf16-representable, so a
-    DEFAULT-precision MXU pass multiplies them without further rounding
-    (together they carry ~16 of f32's 24 mantissa bits).
+    """``a = hi + lo`` where ``hi = bf16(a)`` is exactly
+    bf16-representable and ``lo = a - hi`` is the f32 remainder — lo
+    still carries up to ~16 mantissa bits, so the DEFAULT-precision MXU
+    pass rounds it to bf16 once more on operand conversion (hence the
+    split recovers ~16 of f32's 24 mantissa bits overall, not all 24).
 
     The ``astype`` round trip is safe HERE but not in plain XLA: the
     algebraic simplifier folds ``f32(bf16(x))`` back to ``x`` outside
@@ -92,8 +94,8 @@ def _conv(z, w, off, gout, C, precision, active=None):
     all-zero padding blocks cost nothing.
 
     ``precision`` may also be :data:`BF16X3`: both operands are split
-    into exact bf16 hi+lo halves and the three significant cross
-    products run as DEFAULT-precision MXU passes — half the MXU passes
+    into a bf16 hi part plus an f32 remainder and the three significant
+    cross products run as DEFAULT-precision MXU passes — half the MXU passes
     of ``Precision.HIGHEST`` (which uses six), dropping only the
     ``lo*lo`` term (≤ 2^-18 relative per product).  Measured on-device
     against HIGHEST over the headline chain: envelope ≤ 1.4e-6 absolute

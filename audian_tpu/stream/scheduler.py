@@ -62,6 +62,12 @@ class BlockPrefetcher:
         self._last_block = None  # previous request start block (direction)
         self.hits = 0
         self.misses = 0
+        #: evicted blocks whose storage went back to the freelist vs.
+        #: skipped because a reference was still live — if ``recycle_skips``
+        #: dominates under steady scrolling, the refcount invariant in
+        #: :meth:`_recycle` has been broken by a refactor
+        self.recycled = 0
+        self.recycle_skips = 0
 
     # -- cache core ---------------------------------------------------------------
 
@@ -73,17 +79,26 @@ class BlockPrefetcher:
 
         The refcount arithmetic assumes exactly one caller-side local
         holds ``old`` (CPython counts: that local + our parameter +
-        getrefcount's own argument = 3).
+        getrefcount's own argument = 3).  FRAGILE BY NATURE: any call-site
+        refactor that keeps a second reference alive (logging the entry,
+        unpacking into a kept tuple) silently disables recycling and the
+        hot read path returns to first-touch page-fault cost.  Guards:
+        ``tests/test_stream.py::
+        test_block_buffer_freelist_recycles_only_unreferenced`` fails if
+        eviction stops feeding the freelist, and the ``recycled`` /
+        ``recycle_skips`` counters expose the rate at runtime.
         """
         if len(self._free) >= 4:
             return
         full = (self.block_frames, self.source.channels)
         if sys.getrefcount(old) != 3:
+            self.recycle_skips += 1
             return  # a read() view (or other holder) is still live
         if old.base is None:
             if (old.shape == full and old.dtype == self._dtype
                     and old.flags.c_contiguous):
                 self._free.append(old)
+                self.recycled += 1
         else:
             base = old.base
             # base refs: the view's .base slot + local `base` + temp = 3
@@ -91,6 +106,9 @@ class BlockPrefetcher:
                     and base.flags.c_contiguous
                     and sys.getrefcount(base) == 3):
                 self._free.append(base)
+                self.recycled += 1
+            else:
+                self.recycle_skips += 1
 
     def _insert(self, b, data, epoch):
         with self._lock:

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .render import pick_amplitude
+from .render import pick_amplitude, power_value
 
 __all__ = ["HeadlessLine", "HeadlessMarker", "TraceDataItem",
            "SpecDataItem", "HeadlessAx", "build_view_model"]
@@ -112,14 +112,20 @@ class SpecDataItem:
         return self.browser.data.is_visible(self.name)
 
     def get_power(self, t, f):
-        """dB power at (t, f) (`specitem.py:23-30`)."""
+        """dB power at (t, f) (`specitem.py:23-30`).
+
+        Looked up through the cached hover block
+        (:func:`~audian_tpu.view.render.power_value`) — indexing the
+        device window directly would pay a tunneled round trip per
+        mouse-motion event.
+        """
         trace = self.trace
         i = int(t * trace.rate) - trace.offset
         freqs = trace.frequencies
         j = int(np.argmin(np.abs(freqs - f)))
         if not 0 <= i < len(trace.buffer):
             return None
-        p = float(np.asarray(trace.buffer[i, self.channel, j]))
+        p = power_value(trace, i, self.channel, j)
         return 10 * np.log10(max(p, 1e-20))
 
     def amplitudes(self, t0, t1):

@@ -272,6 +272,50 @@ def window_extrema(trace, t0, t1, channel):
     return float(stats[0, channel]), float(stats[1, channel])
 
 
+@functools.partial(jax.jit, static_argnames=("wb",))
+def _power_block(buf, start, channel, wb):
+    part = jax.lax.dynamic_slice_in_dim(buf, start, wb, axis=0)
+    return jax.lax.dynamic_index_in_dim(part, channel, axis=1,
+                                        keepdims=False)
+
+
+_power_block_cache = {}
+
+#: frames per cached hover block (pow2 so compiled shapes stay bounded)
+_POWER_BLOCK = 256
+
+
+def power_value(trace, i, channel, j):
+    """Linear power of one spectrogram cell (buffer-relative frame ``i``,
+    frequency bin ``j``) for the hover readout.
+
+    A device-resident window would cost an eager gather + a tunneled
+    round trip per mouse-motion event if indexed directly; instead the
+    surrounding :data:`_POWER_BLOCK`-frame (frames, freqs) slice of the
+    hovered channel is pulled once and cached, so sweeping the cursor
+    across a window re-pulls only every few hundred pixels.
+    """
+    buf = trace.buffer
+    if not isinstance(buf, jax.Array):
+        return float(np.asarray(buf[i, channel, j]))
+    wb = min(_POWER_BLOCK, len(buf))
+    start = min((i // wb) * wb, len(buf) - wb)
+    key = (id(buf), start, channel, wb)
+    hit = _power_block_cache.get(key)
+    if hit is None or hit[0]() is not buf:
+        block = np.asarray(_power_block(buf, start, channel, wb))
+        _trace.trace_event("render.pull", op="power_block",
+                           bytes=block.nbytes)
+        for k in [k for k, v in _power_block_cache.items()
+                  if v[0]() is None]:
+            _power_block_cache.pop(k, None)
+        if len(_power_block_cache) > 16:
+            _power_block_cache.clear()
+        hit = (weakref.ref(buf), block)
+        _power_block_cache[key] = hit
+    return float(hit[1][i - start, j])
+
+
 @functools.partial(jax.jit, static_argnames=("nf",))
 def noise_level_stats(buf, nf):
     """Per-channel ``(q95 of top-frequency-sixteenth dB, max dB)`` over a
@@ -434,4 +478,7 @@ class SpecTiler:
             return None
         nb = trace.spec.more_shape[0]
         j = min(max(j, 0), nb - 1)
-        return float(np.asarray(trace[i, channel, j]))
+        ib = i - trace.offset
+        if not 0 <= ib < len(trace.buffer):
+            return float(np.asarray(trace[i, channel, j]))
+        return power_value(trace, ib, channel, j)

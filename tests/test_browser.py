@@ -299,6 +299,42 @@ def test_steady_state_pull_budget(tmp_path, rng):
     b.close()
 
 
+def test_hover_power_block_cache(tmp_path, rng):
+    """Hover power readouts match direct buffer indexing and sweep the
+    cursor through one cached block pull instead of one device round
+    trip per mouse-motion event."""
+    from audian_tpu.utils import trace as tr
+
+    rate = 8000.0
+    x = 0.1 * rng.standard_normal((int(10.0 * rate), 2))
+    p = tmp_path / "hp.wav"
+    wavio.write_audio(p, x, rate, encoding="PCM_16")
+    b = DataBrowser(str(p))
+    b.open()
+    b.set_times(0.0, 2.0)
+    panel = b.panels.get("spectrogram")
+    spec = b.data["spectrogram"]
+    freqs = spec.frequencies
+    t, f = 1.0, float(freqs[len(freqs) // 2])
+    got = panel.get_power(0, t, f)
+    i = int(t * spec.rate) - spec.offset
+    j = int(np.argmin(np.abs(freqs - f)))
+    want = 10 * np.log10(
+        max(float(np.asarray(spec.buffer[i, 0, j])), 1e-20))
+    assert got == pytest.approx(want, abs=1e-6)
+    tr.enable(log=False)
+    tr.clear()
+    try:
+        for k in range(25):
+            assert panel.get_power(0, t + 0.01 * k, f) is not None
+        pulls = [e for e in tr.events("render.pull")
+                 if e["op"] == "power_block"]
+    finally:
+        tr.disable()
+    assert len(pulls) <= 1, f"hover sweep re-pulled {len(pulls)} blocks"
+    b.close()
+
+
 def test_secs_to_str_fractional():
     assert secs_to_str(90.25) == "1m30.25s"
     assert secs_to_str(5.25) == "5.25s"

@@ -113,13 +113,15 @@ def test_prefetch_overlaps_read_with_compute():
     for k in range(nsteps):
         t1 = time.monotonic()
         pf.read(k * 1000, 1000)
-        cached_steps += time.monotonic() - t1 < 0.05
-        time.sleep(0.15)  # downstream compute, longer than one read
+        # generous vs. the 0.1 s read so scheduler jitter on a loaded
+        # 1-vCPU host does not flake the check
+        cached_steps += time.monotonic() - t1 < 0.08
+        time.sleep(0.25)  # downstream compute, well over one read
     wall = time.monotonic() - t0
     pf.close()
-    serial = nsteps * (0.1 + 0.15)
-    # the read-ahead thread hides all but the first block's read; the
-    # wall bound is kept loose so CI load does not flake it
+    serial = nsteps * (0.1 + 0.25)
+    # the read-ahead thread hides all but the first block's read; bounds
+    # are kept loose so concurrent CI load does not flake them
     assert cached_steps >= nsteps - 2, f"only {cached_steps} cached steps"
     assert wall < 0.95 * serial, f"no overlap: {wall:.2f}s vs {serial:.2f}s"
 
