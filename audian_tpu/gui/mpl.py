@@ -515,7 +515,11 @@ class MplBrowserWindow:
         elif key in "fF" and "filtered" in b.data:
             f = b.data["filtered"]
             hp = f.highpass_cutoff * (1.25 if key == "f" else 0.8)
-            b.update_filter(highpass_cutoff=max(hp, 10.0))
+            if key == "f":
+                hp = max(hp, 10.0)  # lift off the 0 Hz default
+            elif hp < 10.0:
+                hp = 0.0            # stepping below 10 Hz turns it off
+            b.update_filter(highpass_cutoff=hp)
         elif key in "lL" and "filtered" in b.data:
             f = b.data["filtered"]
             lp = (f.lowpass_cutoff or b.data.rate / 2)

@@ -147,6 +147,11 @@ if HAVE_QT:
             #: (`selectviewbox.py` pan mode)
             self.select_enabled = True
             self.setMouseMode(pg.ViewBox.RectMode)
+            # pan/wheel changes must reach the browser: tiles only cover
+            # the model's window, and the next refresh would otherwise
+            # snap the view back to browser.toffset/twindow
+            self.sigRangeChangedManually.connect(
+                lambda *a: tab.manual_view_change(self))
 
         def set_select_mode(self, select):
             self.select_enabled = bool(select)
@@ -154,7 +159,11 @@ if HAVE_QT:
                               else pg.ViewBox.PanMode)
 
         def mouseDragEvent(self, ev, axis=None):
-            if ev.button() != Qt.LeftButton or not self.select_enabled:
+            # axis is not None when an AxisItem forwards a drag along one
+            # axis (axis-local coordinates): that is the standard
+            # single-axis scale gesture, not a region selection
+            if (axis is not None or ev.button() != Qt.LeftButton
+                    or not self.select_enabled):
                 return super().mouseDragEvent(ev, axis)
             ev.accept()
             if ev.isFinish():
@@ -269,7 +278,15 @@ if HAVE_QT:
                     self.power_plots[c] = (pp, pcurve)
                     # color bar honoring toggle_colorbars
                     # (`spectrogramplot.py:87-92`)
-                    cbar = pg.ColorBarItem(values=(-100.0, 0.0))
+                    # interactive=False: tiles are pre-quantized u8 over
+                    # the power range, so the image levels must stay
+                    # (0, 255) — a draggable bar would rewrite them;
+                    # level changes go through the power-range verbs
+                    try:
+                        cbar = pg.ColorBarItem(values=(-100.0, 0.0),
+                                               interactive=False)
+                    except TypeError:  # pyqtgraph < 0.13: no kwarg
+                        cbar = pg.ColorBarItem(values=(-100.0, 0.0))
                     cbar.setImageItem(img, insert_in=ps)
                     self.colorbars[c] = cbar
                     row += 1
@@ -302,20 +319,45 @@ if HAVE_QT:
             # 50 ms auto-scroll ticks (`databrowser.py:1659-1680`)
             self.scroll_timer = QTimer(self)
             self.scroll_timer.timeout.connect(self._tick_scroll)
+            # debounce for pan/wheel view changes (manual_view_change)
+            self._manual_vb = None
+            self.pan_timer = QTimer(self)
+            self.pan_timer.timeout.connect(self._apply_manual_range)
             self.audio_marks = {
                 c: pg.InfiniteLine(angle=90, pen=pg.mkPen("m"))
                 for c in b.show_channels}
             for c, (pt, _) in self.trace_plots.items():
                 self.audio_marks[c].setVisible(False)
                 pt.addItem(self.audio_marks[c])
-            b.sigTimesChanged.connect(lambda *a: self.refresh())
-            b.sigFilterChanged.connect(self.refresh)
-            b.sigEnvelopeChanged.connect(self.refresh)
-            b.sigResolutionChanged.connect(self.refresh)
-            b.sigColorMapChanged.connect(self.refresh)
-            b.sigChannelsChanged.connect(lambda *a: self.refresh())
-            b.sigPanelsChanged.connect(self.refresh)
+            # keep (signal, slot) pairs so teardown() can disconnect:
+            # the headless browser outlives a closed tab, and dangling
+            # slots would keep refreshing dead plots
+            self._connections = []
+            for sig in (b.sigTimesChanged, b.sigChannelsChanged):
+                slot = lambda *a: self.refresh()
+                sig.connect(slot)
+                self._connections.append((sig, slot))
+            for sig in (b.sigFilterChanged, b.sigEnvelopeChanged,
+                        b.sigResolutionChanged, b.sigColorMapChanged,
+                        b.sigPanelsChanged):
+                sig.connect(self.refresh)
+                self._connections.append((sig, self.refresh))
             self.refresh()
+
+        def teardown(self):
+            """Stop timers and detach from the browser (close_tab):
+            QTabWidget.removeTab keeps the page widget alive, so without
+            this the 500 ms poll and the browser signals would drive a
+            dead tab forever."""
+            for timer in (self.poll, self.audio_timer, self.scroll_timer,
+                          self.pan_timer):
+                timer.stop()
+            for sig, slot in self._connections:
+                try:
+                    sig.disconnect(slot)
+                except ValueError:
+                    pass
+            self._connections = []
 
         # -- drawing ---------------------------------------------------------
 
@@ -461,6 +503,15 @@ if HAVE_QT:
             if ft is None or ft.datas is None:
                 return
             n = min(len(ft.times), len(ft.datas))
+            busy = ft.is_busy()
+            if not busy:
+                # decimation finished: one final redraw, then stop the
+                # 500 ms poll — otherwise every tab recomputes the peak
+                # and repaints its overview curves forever
+                self.poll.stop()
+                if n == getattr(self, "_ov_drawn", -1):
+                    return
+            self._ov_drawn = n if not busy else -1
             peak = float(np.max(np.abs(ft.datas[:n]))) if n else 0.0
             scale = 0.45 / peak if peak > 0 else 0.0
             # one band per channel, stacked top-down like the panels
@@ -493,6 +544,30 @@ if HAVE_QT:
 
         def zoom_home(self):
             self._apply_zoom(self.zoom_history.home())
+
+        # -- pan/wheel feedback --------------------------------------------------
+
+        def manual_view_change(self, vb):
+            """A pan-mode drag or wheel zoom moved a ViewBox: debounce,
+            then fold the new view into the browser (reference pan mode
+            pushes the final rect into the zoom history,
+            `selectviewbox.py:67-69`)."""
+            self._manual_vb = vb
+            self.pan_timer.start(150)
+
+        def _apply_manual_range(self):
+            from ..view.zoom import Rect
+
+            self.pan_timer.stop()
+            vb = getattr(self, "_manual_vb", None)
+            self._manual_vb = None
+            if vb is None:
+                return
+            (x0, x1), (y0, y1) = vb.viewRange()
+            b = self.browser
+            b.set_ranges("f" if vb.kind == "spec" else "x", y0, y1)
+            self.push_zoom(Rect(x0, y0, x1, y1))
+            b.set_times(x0, x1 - x0)  # sigTimesChanged refreshes tiles
 
         # -- interaction --------------------------------------------------------
 
@@ -632,6 +707,13 @@ if HAVE_QT:
         def set_status(self, text):
             self.statusBar().showMessage(text)
 
+        def _step_tab(self, step):
+            """Cycle the visible tab (`audian.py` next/previous tab)."""
+            n = self.tabs.count()
+            if n:
+                self.tabs.setCurrentIndex(
+                    (self.tabs.currentIndex() + step) % n)
+
         def browser(self):
             return self.shell.current
 
@@ -690,8 +772,14 @@ if HAVE_QT:
             self._act(filem, "&Metadata", None, self.show_metadata)
             self._act(filem, "&Key shortcuts", "Ctrl+K", self.key_shortcuts)
             self._act(filem, "&About", None, self.about)
-            self._act(filem, "Next tab", "Ctrl+PgDown", sh.next_tab)
-            self._act(filem, "Previous tab", "Ctrl+PgUp", sh.previous_tab)
+            # step the QTabWidget (not just shell.current): currentChanged
+            # keeps the shell in sync, while a shell-only step would leave
+            # the visible tab showing a different recording than the one
+            # all verbs act on
+            self._act(filem, "Next tab", "Ctrl+PgDown",
+                      lambda: self._step_tab(1))
+            self._act(filem, "Previous tab", "Ctrl+PgUp",
+                      lambda: self._step_tab(-1))
             self._act(filem, "&Quit", "Ctrl+Q", self.close)
 
             timem = mb.addMenu("&Time")
@@ -919,9 +1007,15 @@ if HAVE_QT:
             i = self.tabs.currentIndex()
             if not (0 <= i < len(self.shell)):
                 return
+            tab = self.tabs.widget(i)
+            if tab is not None:
+                tab.teardown()
             browser = self.shell.browsers.pop(i)
             browser.close()
             self.tabs.removeTab(i)
+            if tab is not None:
+                # removeTab keeps the page widget alive and parented
+                tab.deleteLater()
             j = self.tabs.currentIndex()
             self.shell.current = (self.shell.browsers[j]
                                   if 0 <= j < len(self.shell.browsers)
@@ -1073,7 +1167,14 @@ if HAVE_QT:
             if "filtered" not in b.data:
                 return
             f = b.data["filtered"]
-            hp = f.highpass_cutoff * hp_fac if hp_fac else None
+            # raising floors at 10 Hz so the keyboard can lift a highpass
+            # off the 0 Hz default (0 * fac would stay 0 forever);
+            # lowering below 10 Hz turns the highpass off again
+            hp = None
+            if hp_fac:
+                hp = f.highpass_cutoff * hp_fac
+                hp = max(hp, 10.0) if hp_fac > 1 else (
+                    hp if hp >= 10.0 else 0.0)
             lp = ((f.lowpass_cutoff or b.data.rate / 2) * lp_fac
                   if lp_fac else None)
             b.update_filter(hp, lp)

@@ -109,6 +109,9 @@ class QWidget:
         self._visible = False
         return True
 
+    def deleteLater(self):
+        self._visible = False
+
     def resize(self, w, h):
         self.size = (w, h)
 
@@ -501,6 +504,17 @@ class ViewBox:
     def __init__(self, *a, **kw):
         self.rbScaleBox = _ScaleBox()
         self.mouse_mode = None
+        self.sigRangeChangedManually = FakeSignal()
+        self._view_range = [[0.0, 1.0], [0.0, 1.0]]
+
+    def viewRange(self):
+        return [list(self._view_range[0]), list(self._view_range[1])]
+
+    def pan_to(self, x0, x1, y0=0.0, y1=1.0):
+        """Test helper: simulate a user pan/wheel, as real pyqtgraph
+        would emit sigRangeChangedManually after translate/scaleBy."""
+        self._view_range = [[x0, x1], [y0, y1]]
+        self.sigRangeChangedManually.emit((True, True))
 
     def setMouseMode(self, mode):
         self.mouse_mode = mode
@@ -640,9 +654,10 @@ class _BarAxis:
 
 
 class ColorBarItem:
-    def __init__(self, values=(0.0, 1.0), colorMap=None):
+    def __init__(self, values=(0.0, 1.0), colorMap=None, interactive=True):
         self.levels = tuple(values)
         self.cmap = colorMap
+        self.interactive = bool(interactive)
         self.image_item = None
         self.insert_in = None
         self._visible = True

@@ -137,9 +137,9 @@ def test_filter_scrub_updates_cutoff_lines(win):
     b = win.browser()
     tab = win.tab()
     f = b.data["filtered"]
-    hp0 = f.highpass_cutoff
+    want = max(f.highpass_cutoff * 1.25, 10.0)  # raising floors at 10 Hz
     trigger(win, "Shift+H")
-    assert f.highpass_cutoff == pytest.approx(hp0 * 1.25)
+    assert f.highpass_cutoff == pytest.approx(want)
     c = b.show_channels[0]
     assert tab.hp_lines[c].value() == pytest.approx(f.highpass_cutoff)
 
@@ -658,3 +658,120 @@ def test_toggle_maximize(win):
     assert win.isMaximized()
     trigger(win, "Ctrl+Shift+M")
     assert not win.isMaximized()
+
+
+def test_tab_cycling_switches_qt_tab(qt, win, wav2, tmp_path):
+    """Ctrl+PgDown/PgUp step the QTabWidget itself — a shell-only step
+    would leave the visible tab showing a different recording than the
+    one the verbs act on."""
+    import shutil
+
+    other = tmp_path / "cycle.wav"
+    shutil.copy(wav2, other)
+    fakeqt.QFileDialog.open_names = ([str(other)], "Audio")
+    trigger(win, "Ctrl+O")
+    win.tabs.setCurrentIndex(0)
+    assert win.shell.current is win.shell.browsers[0]
+    trigger(win, "Ctrl+PgDown")
+    assert win.tabs.currentIndex() == 1
+    assert win.shell.current is win.shell.browsers[1]
+    trigger(win, "Ctrl+PgUp")
+    assert win.tabs.currentIndex() == 0
+    assert win.shell.current is win.shell.browsers[0]
+    win.tabs.setCurrentIndex(1)
+    trigger(win, "Ctrl+W")
+
+
+def test_pan_feedback_updates_browser(qt, win):
+    """A pan/wheel view change reaches the browser after the debounce:
+    tiles follow the pan instead of the next refresh snapping back."""
+    b = win.browser()
+    tab = win.tab()
+    c = b.show_channels[0]
+    vb = tab.trace_plots[c][0].vb
+    depth0 = len(tab.zoom_history.history)
+    vb.pan_to(0.5, 1.0, -0.4, 0.4)
+    assert tab.pan_timer.isActive()
+    tab.pan_timer.fire()
+    assert not tab.pan_timer.isActive()
+    assert b.toffset == pytest.approx(0.5, abs=0.05)
+    assert b.twindow == pytest.approx(0.5, abs=0.05)
+    assert len(tab.zoom_history.history) == depth0 + 1
+
+
+def test_axis_drag_does_not_region_select(qt, win):
+    """AxisItem-forwarded drags (axis=0/1, axis-local coordinates) must
+    fall through to the standard single-axis gesture, not region
+    selection with garbage coordinates."""
+    b = win.browser()
+    tab = win.tab()
+    c = b.show_channels[0]
+    vb = tab.trace_plots[c][0].vb
+    b.set_region_mode(b.zoom_region)
+    t0, w0 = b.toffset, b.twindow
+    ev = fakeqt.FakeMouseEvent(fakeqt._Qt.LeftButton,
+                               fakeqt.FakePoint(200.0, 5.0),
+                               fakeqt.FakePoint(10.0, 5.0), finish=True)
+    vb.mouseDragEvent(ev, axis=0)
+    assert (b.toffset, b.twindow) == (t0, w0)
+
+
+def test_highpass_key_lifts_from_zero(win):
+    """Shift+H raises a highpass off the 0 Hz default; stepping back
+    below 10 Hz turns it off again (mpl frontend parity)."""
+    b = win.browser()
+    f = b.data["filtered"]
+    b.update_filter(highpass_cutoff=0.0)
+    trigger(win, "Shift+H")
+    assert f.highpass_cutoff == pytest.approx(10.0)
+    trigger(win, "Shift+H")
+    assert f.highpass_cutoff == pytest.approx(12.5)
+    trigger(win, "H")
+    assert f.highpass_cutoff == pytest.approx(10.0)
+    trigger(win, "H")
+    assert f.highpass_cutoff == 0.0
+
+
+def test_poll_stops_after_decimation_done(win):
+    """The 500 ms overview poll stops once the full-trace decimation is
+    finished instead of repainting every open tab forever."""
+    tab = win.tab()
+    b = win.browser()
+    ft = b.fulltrace
+    if ft is None or ft.datas is None:
+        pytest.skip("no fulltrace for this recording")
+    assert not ft.is_busy()   # 2 s recording: computed synchronously
+    tab.poll.start(500)
+    tab.poll.fire()
+    assert not tab.poll.isActive()
+
+
+def test_close_tab_teardown(qt, win, wav2, tmp_path):
+    """Closing a tab stops its timers and detaches it from the browser
+    signals (removeTab keeps the page widget alive in real Qt)."""
+    import shutil
+
+    other = tmp_path / "teardown.wav"
+    shutil.copy(wav2, other)
+    fakeqt.QFileDialog.open_names = ([str(other)], "Audio")
+    trigger(win, "Ctrl+O")
+    win.tabs.setCurrentIndex(1)
+    tab = win.tab()
+    browser = win.browser()
+    tab.poll.start(500)
+    trigger(win, "Ctrl+W")
+    for timer in (tab.poll, tab.audio_timer, tab.scroll_timer,
+                  tab.pan_timer):
+        assert not timer.isActive()
+    assert tab._connections == []
+    assert all(tab.refresh not in sig._slots
+               for sig in (browser.sigFilterChanged,
+                           browser.sigPanelsChanged))
+
+
+def test_colorbar_not_interactive(win):
+    """Color bars are non-interactive: tiles are pre-quantized u8, so a
+    user-dragged bar would rewrite the required (0, 255) image levels."""
+    tab = win.tab()
+    for cbar in tab.colorbars.values():
+        assert cbar.interactive is False
