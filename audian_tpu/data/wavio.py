@@ -126,13 +126,29 @@ def _iter_chunks(buf):
 
 
 def _parse_fmt(buf, off, size):
+    """Parse and VALIDATE a fmt chunk — malformed headers must raise
+    :class:`WavError`, not leak struct/ZeroDivision errors into callers
+    (zero channels would divide frame math by zero everywhere)."""
+    if size < 16 or off + 16 > len(buf):
+        raise WavError("fmt chunk truncated")
     tag, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", buf, off)
-    if tag == 0xFFFE and size >= 40:  # WAVE_FORMAT_EXTENSIBLE
-        (tag,) = struct.unpack_from("<H", buf, off + 24)
+    if tag == 0xFFFE and size >= 40 and off + 26 <= len(buf):
+        (tag,) = struct.unpack_from("<H", buf, off + 24)  # EXTENSIBLE
+    if channels < 1:
+        raise WavError(f"invalid channel count: {channels}")
+    if rate <= 0:
+        raise WavError(f"invalid sample rate: {rate}")
+    if bits < 8:
+        raise WavError(f"invalid bit depth: {bits}")
     return tag, channels, rate, bits
 
 
 def _decode(raw, tag, bits, channels):
+    # clamp truncated payloads to whole samples: np.frombuffer raises a
+    # bare ValueError on partial trailing bytes
+    bps = max(bits // 8, 1)
+    if len(raw) % bps:
+        raw = raw[: len(raw) - (len(raw) % bps)]
     if tag == 3:
         dtype = np.float32 if bits == 32 else np.float64
         data = np.frombuffer(raw, dtype="<f4" if bits == 32 else "<f8")
@@ -369,16 +385,16 @@ def wav_info(path):
             (size,) = struct.unpack("<I", hdr[4:])
             if cid == b"fmt ":
                 body = f.read(size + (size & 1))
-                tag, channels, rate, _, _, bits = struct.unpack_from(
-                    "<HHIIHH", body, 0)
-                if tag == 0xFFFE and size >= 40:
-                    (tag,) = struct.unpack_from("<H", body, 24)
-                fmt = (tag, channels, rate, bits)
+                fmt = _parse_fmt(body, 0, size)
             elif cid == b"data":
                 if fmt is None:
                     raise WavError(f"{path}: data before fmt")
                 tag, channels, rate, bits = fmt
-                frames = size // (channels * (bits // 8))
+                # clamp by the real file size: a truncated (or
+                # size-corrupted) file must not report frames the read
+                # paths can never deliver
+                avail = max(p.stat().st_size - f.tell(), 0)
+                frames = min(size, avail) // (channels * (bits // 8))
                 enc = {(1, 16): "PCM_16", (1, 24): "PCM_24",
                        (1, 32): "PCM_32", (3, 32): "FLOAT",
                        (3, 64): "DOUBLE"}.get((tag, bits), f"tag{tag}/{bits}")

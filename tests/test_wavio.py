@@ -256,3 +256,57 @@ def test_loader_read_raw16_across_files(tmp_path, rng):
     with pytest.raises(wavio.WavError):
         ld.read_raw16_into(0, 10, out)
     ld.close()
+
+
+def test_malformed_files_raise_waverror(tmp_path, rng):
+    """Every malformed header fails with WavError (or parses degraded),
+    never a raw struct/ValueError/ZeroDivisionError — the shell's
+    open-failure path only catches loud, typed errors."""
+    import os
+    import struct
+
+    x = (0.1 * rng.standard_normal((2000, 2))).astype(np.float32)
+    good = tmp_path / "good.wav"
+    wavio.write_audio(good, x, 8000.0, encoding="PCM_16")
+    blob = good.read_bytes()
+    idx = blob.find(b"data")
+    cases = {f"trunc_{cut}": blob[:cut]
+             for cut in (3, 11, 12, 20, 36, 44, 45, len(blob) // 2)}
+
+    def patched(off, fmt, *vals):
+        b = bytearray(blob)
+        b[off : off + struct.calcsize(fmt)] = struct.pack(fmt, *vals)
+        return bytes(b)
+
+    cases["riff_size_max"] = patched(4, "<I", 0xFFFFFFFF)
+    cases["fmt_size_max"] = patched(16, "<I", 0xFFFFFFF0)
+    cases["zero_channels"] = patched(22, "<H", 0)
+    cases["zero_rate"] = patched(24, "<I", 0)
+    cases["data_size_huge"] = patched(idx + 4, "<I", 0x7FFFFFF0)
+    cases["bad_format_tag"] = patched(20, "<H", 0x1234)
+    cases["garbage"] = os.urandom(200)
+    cases["empty"] = b""
+    for name, payload in cases.items():
+        p = tmp_path / f"{name}.wav"
+        p.write_bytes(payload)
+        for fn in (wavio.wav_info, wavio.load_audio, wavio.markers,
+                   wavio.metadata):
+            try:
+                fn(p)
+            except wavio.WavError:
+                pass
+
+
+def test_truncated_data_reports_honest_frames(tmp_path, rng):
+    """wav_info clamps the frame count to the bytes actually present, so
+    loaders never promise frames a truncated file cannot deliver."""
+    x = (0.1 * rng.standard_normal((8000, 2))).astype(np.float32)
+    good = tmp_path / "full.wav"
+    wavio.write_audio(good, x, 8000.0, encoding="PCM_16")
+    blob = good.read_bytes()
+    half = tmp_path / "half.wav"
+    half.write_bytes(blob[: len(blob) // 2])
+    info = wavio.wav_info(half)
+    assert info[2] < 4100
+    data, rate = wavio.load_audio(half)
+    assert abs(len(data) - info[2]) <= 1
