@@ -60,12 +60,73 @@ class MplBrowserWindow:
         self.plt = plt
         self.browser = browser
         self.show_spec = show_spec and "spectrogram" in browser.data
-        channels = browser.show_channels
+        self.fig = plt.figure(figsize=figsize)
+        self._artists = {}  # persistent per-axes artists (see _ax_artists)
+        self._built_channels = None
+        self._build_axes(list(browser.show_channels))
+        # interactive backends pre-connect matplotlib's default key
+        # handler (fullscreen on 'f', log-scale on 'l', save dialog on
+        # 's', toolbar pan/zoom on 'o'/'p', ...) — it would fire on top
+        # of the browser's key table, so disconnect it
+        mgr = getattr(self.fig.canvas, "manager", None)
+        kid = getattr(mgr, "key_press_handler_id", None)
+        if kid is not None:
+            self.fig.canvas.mpl_disconnect(kid)
+        self.fig.canvas.mpl_connect("key_press_event", self.on_key)
+        self.fig.canvas.mpl_connect("button_press_event", self.on_press)
+        self.fig.canvas.mpl_connect("button_release_event", self.on_release)
+        self.fig.canvas.mpl_connect("motion_notify_event", self.on_motion)
+        self.fig.canvas.mpl_connect("close_event", self._on_close)
+        self.region_mode = "zoom"  # zoom | play | analyze | save
+        self.zoom_history = ZoomHistory()
+        self.zoom_history.init(Rect(browser.toffset, 0,
+                                    browser.toffset + browser.twindow, 1))
+        self._selection = None
+        self._press_ax = None
+        self.crosshair = None  # (channel, t, y, panel_kind)
+        self.status = ""
+        #: time-axis label mode, cycled with 't'
+        #: (`src/audian/timeaxisitem.py:20-26`)
+        self.starttime_mode = 0
+        # hover readout line (`src/audian/timeplot.py:154-192`)
+        self.hover_text = self.fig.text(0.01, 0.002, "", fontsize=8,
+                                        family="monospace")
+        self._hover_drawn = 0.0
+        # 50 ms auto-scroll / audio-position ticks — the mpl analog of
+        # the reference's QTimer (`databrowser.py:1659-1680,1745-1756`)
+        self.timer = self.fig.canvas.new_timer(interval=50)
+        self.timer.add_callback(self._tick)
+        self._audio_t = None
+        # linked updates from other windows redraw this one too
+        # (`audian.py:597-612` keeps all open files in sync); pairs are
+        # kept so _on_close can disconnect — a closed window must not
+        # keep pulling device tiles for linked updates
+        self._conns = []
+        for sig in (browser.sigFilterChanged, browser.sigEnvelopeChanged,
+                    browser.sigResolutionChanged, browser.sigColorMapChanged,
+                    browser.sigPanelsChanged):
+            sig.connect(self._linked_redraw)
+            self._conns.append((sig, self._linked_redraw))
+        for sig in (browser.sigTimesChanged, browser.sigChannelsChanged):
+            slot = lambda *a: self._linked_redraw()
+            sig.connect(slot)
+            self._conns.append((sig, slot))
+        self._in_redraw = False
+        self._closed = False
+        self._redraw_serial = 0
+        self.redraw()
+
+    def _build_axes(self, channels):
+        """(Re)build the per-channel subplot grid.  Called at open and
+        whenever the shown-channel set changes — the headless channel
+        verbs can grow or scroll it past the construction-time set."""
+        for ax in list(self.fig.axes):
+            ax.remove()
+        self._artists = {}
         rows = len(channels) * (2 if self.show_spec else 1) + 1
         heights = ([3, 2] if self.show_spec else [3]) * len(channels) + [1]
         # three columns: panels | color bars | power side plots
         # (`src/audian/spectrogramplot.py:87-92,144-164`)
-        self.fig = plt.figure(figsize=figsize)
         gs = self.fig.add_gridspec(rows, 3, width_ratios=[24, 0.7, 5],
                                    height_ratios=heights, hspace=0.35,
                                    wspace=0.08)
@@ -83,40 +144,34 @@ class MplBrowserWindow:
                 self.power_axs[c] = self.fig.add_subplot(gs[k, 2])
                 k += 1
         self.overview_ax = self.fig.add_subplot(gs[rows - 1, :])
-        self.fig.canvas.mpl_connect("key_press_event", self.on_key)
-        self.fig.canvas.mpl_connect("button_press_event", self.on_press)
-        self.fig.canvas.mpl_connect("button_release_event", self.on_release)
-        self.fig.canvas.mpl_connect("motion_notify_event", self.on_motion)
-        self._artists = {}  # persistent per-axes artists (see _ax_artists)
-        self.region_mode = "zoom"  # zoom | play | analyze | save
-        self.zoom_history = ZoomHistory()
-        self.zoom_history.init(Rect(browser.toffset, 0,
-                                    browser.toffset + browser.twindow, 1))
-        self._selection = None
-        self.crosshair = None  # (channel, t, y, panel_kind)
-        self.status = ""
-        #: time-axis label mode, cycled with 't'
-        #: (`src/audian/timeaxisitem.py:20-26`)
-        self.starttime_mode = 0
-        # hover readout line (`src/audian/timeplot.py:154-192`)
-        self.hover_text = self.fig.text(0.01, 0.002, "", fontsize=8,
-                                        family="monospace")
-        # linked updates from other windows redraw this one too
-        # (`audian.py:597-612` keeps all open files in sync)
-        for sig in (browser.sigFilterChanged, browser.sigEnvelopeChanged,
-                    browser.sigResolutionChanged, browser.sigColorMapChanged,
-                    browser.sigPanelsChanged):
-            sig.connect(self._linked_redraw)
-        browser.sigTimesChanged.connect(
-            lambda *a: self._linked_redraw())
-        browser.sigChannelsChanged.connect(
-            lambda *a: self._linked_redraw())
-        self._in_redraw = False
-        self.redraw()
+        self._built_channels = list(channels)
 
     def _linked_redraw(self):
-        if not self._in_redraw:
+        if not self._in_redraw and not self._closed:
             self.redraw()
+
+    def close(self):
+        """Tear down and close the figure.  Agg never emits close_event
+        from ``plt.close``, so 'q' routes through here; window-manager
+        closes on GUI backends arrive via the close_event hook."""
+        self._on_close()
+        self.plt.close(self.fig)
+
+    def _on_close(self, *args):
+        """Figure closed (q / window button): stop the timer and detach
+        from the browser so linked updates from other windows stop
+        redrawing a dead canvas."""
+        self._closed = True
+        try:
+            self.timer.stop()
+        except Exception:
+            pass
+        for sig, slot in self._conns:
+            try:
+                sig.disconnect(slot)
+            except ValueError:
+                pass
+        self._conns = []
 
     def _axis_channel(self, ax):
         """(kind, channel) of a clicked axes."""
@@ -132,18 +187,33 @@ class MplBrowserWindow:
 
     # -- mouse ---------------------------------------------------------------------
 
+    def _toolbar_busy(self):
+        """True while the backend toolbar's pan/zoom mode is armed — its
+        drags must not double as region selections."""
+        toolbar = getattr(self.fig.canvas, "toolbar", None)
+        return bool(toolbar is not None and getattr(toolbar, "mode", ""))
+
     def on_press(self, event):
+        # only plain left-button presses select; real backends deliver
+        # right/middle buttons through the same event
+        if getattr(event, "button", 1) not in (1, None):
+            return
+        if self._toolbar_busy():
+            return
         if event.inaxes is None or event.xdata is None:
             return
         kind, channel = self._axis_channel(event.inaxes)
         if kind == "overview":
             # jump the view window to the clicked time
             b = self.browser
+            serial = self._redraw_serial
             b.set_times(event.xdata - b.twindow / 2)
-            self.redraw()
+            if serial == self._redraw_serial:  # signal didn't redraw
+                self.redraw()
             return
         if kind is None:
             return
+        self._press_ax = event.inaxes
         self._selection = SelectionModel(channel, view=kind,
                                          on_selected=self._region_selected)
         self._selection.begin(event.xdata, event.ydata)
@@ -151,17 +221,31 @@ class MplBrowserWindow:
     def on_release(self, event):
         sel = self._selection
         self._selection = None
-        if sel is None or event.xdata is None:
+        if sel is None:
             return
-        rect = Rect(sel.anchor[0], sel.anchor[1], event.xdata,
-                    event.ydata).normalized()
+        ax = self._press_ax
+        self._press_ax = None
+        if event.inaxes is ax and event.xdata is not None:
+            x, y = event.xdata, event.ydata
+        elif ax is not None:
+            # released outside the press axes (or the figure): project
+            # the pixel position into the press panel's data coordinates
+            # and clamp to its view — dragging past the edge zooms to
+            # the border instead of silently dropping the selection
+            x, y = ax.transData.inverted().transform((event.x, event.y))
+        else:
+            return
+        x0, x1 = sorted(ax.get_xlim())
+        y0, y1 = sorted(ax.get_ylim())
+        x = min(max(x, x0), x1)
+        y = min(max(y, y0), y1)
+        rect = Rect(sel.anchor[0], sel.anchor[1], x, y).normalized()
         # small drags count as clicks: place the crosshair
         if rect.right() - rect.left() < 1e-3 * self.browser.twindow:
-            self._set_crosshair(sel.view, sel.channel, event.xdata,
-                                event.ydata)
+            self._set_crosshair(sel.view, sel.channel, x, y)
             self.redraw()
             return
-        sel.finish(event.xdata, event.ydata)
+        sel.finish(x, y)
 
     def _set_crosshair(self, kind, channel, t, y):
         """Crosshair with snap-to-extremum on traces and power readout on
@@ -199,11 +283,17 @@ class MplBrowserWindow:
             return
         text = self.browser.hover_readout(event.xdata, event.ydata,
                                           kind, channel)
-        # redraw only on change: every motion event repainting the whole
-        # canvas makes hovering sluggish on slow hosts
+        # the readout embeds sub-second times so it changes on nearly
+        # every pixel of motion — rate-limit the (full-figure) repaint to
+        # 10 Hz or hovering crawls on slow hosts
         if text != self.hover_text.get_text():
+            import time
+
             self.hover_text.set_text(text)
-            self.fig.canvas.draw_idle()
+            now = time.monotonic()
+            if now - self._hover_drawn > 0.1:
+                self._hover_drawn = now
+                self.fig.canvas.draw_idle()
 
     # string ↔ DataBrowser region-mode constants
     _mode_consts = {"zoom": DataBrowser.zoom_region,
@@ -220,6 +310,7 @@ class MplBrowserWindow:
         mode = self._mode_consts.get(self.region_mode, DataBrowser.zoom_region)
         if mode == DataBrowser.zoom_region:
             self.zoom_history.add(rect)
+        serial = self._redraw_serial
         verb, result = b.handle_region(channel, t0, t1, mode)
         if verb == "play":
             self._play(*result)
@@ -231,7 +322,8 @@ class MplBrowserWindow:
         elif verb == "save":
             self.status = f"saved region to {result}"
             print(self.status)
-        self.redraw()
+        if serial == self._redraw_serial:  # no signal-driven redraw ran
+            self.redraw()
 
     # -- drawing ------------------------------------------------------------------
 
@@ -256,6 +348,9 @@ class MplBrowserWindow:
         art = {
             "cx": ax.axvline(0.0, color="#cccc00", lw=0.8, visible=False),
             "cy": ax.axhline(0.0, color="#cccc00", lw=0.8, visible=False),
+            # playback position marker, driven by the 50 ms tick
+            # (`databrowser.py:1745-1756`)
+            "audio": ax.axvline(0.0, color="m", lw=1.0, visible=False),
         }
         if kind == "trace":
             art["trace"] = ax.plot([], [], lw=0.6)[0]
@@ -277,6 +372,11 @@ class MplBrowserWindow:
 
     def _redraw(self):
         b = self.browser
+        self._redraw_serial += 1
+        # channel verbs can grow/scroll the shown set beyond the built
+        # axes — rebuild the grid when it changes
+        if list(b.show_channels) != self._built_channels:
+            self._build_axes(list(b.show_channels))
         t0, t1 = b.toffset, b.toffset + b.twindow
         name = "filtered" if "filtered" in b.data else "data"
         for c, ax in self.trace_axs.items():
@@ -353,6 +453,10 @@ class MplBrowserWindow:
             if on:
                 art["cx"].set_xdata([self.crosshair[1]] * 2)
                 art["cy"].set_ydata([self.crosshair[2]] * 2)
+            audio_on = self._audio_t is not None and kind == "trace"
+            art["audio"].set_visible(audio_on)
+            if audio_on:
+                art["audio"].set_xdata([self._audio_t] * 2)
         self._draw_overview()
         title = Path(str(b.data.file_path)).name
         f = b.data["filtered"]
@@ -500,6 +604,7 @@ class MplBrowserWindow:
         key = event.key
         if key is None:  # matplotlib delivers None for unmapped keys
             return
+        serial = self._redraw_serial
         actions = {
             "right": b.time_page_down,
             ".": b.time_page_down,
@@ -529,8 +634,10 @@ class MplBrowserWindow:
             cut = b.data["envelope"].envelope_cutoff
             b.update_envelope(cut * (2.0 if key == "E" else 0.5))
         elif key in "rR" and "spectrogram" in b.data:
-            # the step verbs warm the whole bucket set on first use
-            if key == "r":
+            # the step verbs warm the whole bucket set on first use;
+            # plain 'r' decreases like the reference and the Qt frontend
+            # (`audian.py:799-805`)
+            if key == "R":
                 b.freq_resolution_up()
             else:
                 b.freq_resolution_down()
@@ -574,10 +681,14 @@ class MplBrowserWindow:
             b.show_channel(int(key) - 1 if key != "0" else 9)
         elif key == "!":
             b.auto_scroll()
+            self._update_timer()
         elif key == " ":
             verb, result = b.play_scroll()
             if verb == "play":
                 self._play(*result)
+            elif verb == "audio-stopped":
+                self._stop_audio()
+            self._update_timer()
         elif key == "m" and self.crosshair is not None:
             # records the marker row AND freezes the crosshair as the
             # delta-readout anchor (`databrowser.py:909-939`)
@@ -594,11 +705,52 @@ class MplBrowserWindow:
             save_view_screenshot(self.fig, b, path)
             print(f"saved screenshot to {path}")
         elif key == "q":
-            self.plt.close(self.fig)
+            self.close()
             return
         else:
             return
-        self.redraw()
+        if serial == self._redraw_serial:
+            # verbs that emit browser signals already redrew through
+            # _linked_redraw; repeat only for local-only keys (modes,
+            # 't', crosshair, ...) — the full pass repeats device pulls
+            self.redraw()
+
+    def _tick(self):
+        """50 ms timer: advance auto-scroll and the playback marker."""
+        b = self.browser
+        if self._closed:
+            return
+        if b.scroll_active:
+            b.scroll_further()  # set_times redraws through the signal
+        self._audio_t = b.mark_audio()
+        if self._audio_t is not None and not b.scroll_active:
+            # only the marker moved: reposition it without a full pass
+            for key, art in self._artists.items():
+                if isinstance(key, tuple) and key[0] == "trace":
+                    art["audio"].set_visible(True)
+                    art["audio"].set_xdata([self._audio_t] * 2)
+            self.fig.canvas.draw_idle()
+        if not b.scroll_active and self._audio_t is None:
+            for key, art in self._artists.items():
+                if isinstance(key, tuple) and "audio" in art:
+                    art["audio"].set_visible(False)
+            self.fig.canvas.draw_idle()
+            self.timer.stop()
+
+    def _update_timer(self):
+        """Run the 50 ms tick while auto-scroll or playback is active."""
+        if self.browser.scroll_active or self.browser.audio_time >= 0:
+            self.timer.start()
+        else:
+            self.timer.stop()
+
+    def _stop_audio(self):
+        try:
+            import sounddevice
+
+            sounddevice.stop()
+        except Exception:
+            pass
 
     def _play(self, data, rate):
         try:
@@ -607,6 +759,7 @@ class MplBrowserWindow:
             sounddevice.play(np.asarray(data), int(rate), blocking=False)
         except Exception as e:  # no module, no device, PortAudio errors
             print(f"cannot play audio: {e}")
+        self._update_timer()
 
     def savefig(self, path, **kwargs):
         save_view_screenshot(self.fig, self.browser, path, **kwargs)

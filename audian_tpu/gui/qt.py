@@ -1188,6 +1188,14 @@ if HAVE_QT:
             verb, result = self.browser().play_scroll()
             if verb == "play":
                 self.tab()._play(*result)
+            elif verb == "audio-stopped":
+                # actually silence the device, not just the marker
+                try:
+                    import sounddevice
+
+                    sounddevice.stop()
+                except Exception:
+                    pass
 
         def toggle_maximize(self):
             """Toggle main-window maximization (`audian.py:1410-1414`)."""

@@ -245,3 +245,86 @@ def test_overview_shows_all_channels(win, browser):
     win.redraw()
     art = win._artists["overview"]
     assert len(art["fills"]) == len(browser.show_channels)
+
+
+class K:
+    def __init__(self, key):
+        self.key = key
+
+
+def test_r_key_direction_matches_reference(win, browser):
+    """Plain 'r' decreases the NFFT resolution, Shift+R increases —
+    same direction as the reference (`audian.py:799-805`) and Qt."""
+    node = browser.data["spectrogram"]
+    n0 = node.nfft
+    win.on_key(K("R"))
+    assert node.nfft > n0
+    win.on_key(K("r"))
+    assert node.nfft == n0
+
+
+def test_channel_change_rebuilds_axes(win, browser):
+    """Digit keys / channel verbs can shrink or grow the shown set —
+    the subplot grid follows instead of staying frozen."""
+    all_ch = list(browser.show_channels)
+    win.on_key(K("1"))  # only channel 0
+    assert list(win.trace_axs) == [0]
+    win.on_key(K("1"))  # restore all
+    assert list(win.trace_axs) == all_ch
+
+
+def test_close_detaches_from_browser(browser):
+    w = MplBrowserWindow(browser)
+    serial = w._redraw_serial
+    w.on_key(K("q"))
+    browser.sigFilterChanged.emit()
+    assert w._redraw_serial == serial  # no redraw on a dead window
+    assert w._conns == []
+    assert w._closed
+
+
+def test_right_button_does_not_select(win, browser):
+    ax = win.trace_axs[0]
+    t0, tw = browser.toffset, browser.twindow
+    ev = Ev(ax, 0.2, -0.5)
+    ev.button = 3
+    win.on_press(ev)
+    assert win._selection is None
+    assert (browser.toffset, browser.twindow) == (t0, tw)
+
+
+def test_release_outside_axes_clamps(win, browser):
+    """Dragging past the panel edge zooms to the border instead of
+    silently dropping the selection."""
+    browser.set_times(0.0, 1.0)
+    ax = win.trace_axs[0]
+    win.on_press(Ev(ax, 0.4, -0.5))
+    out = Ev(None, None, None)
+    # pixel coords far right of the axes
+    x1, y1 = ax.transData.transform((1.7, 0.0))
+    out.x, out.y = x1, y1
+    win.on_release(out)
+    assert browser.toffset == pytest.approx(0.4, abs=1e-6)
+    # clamped to the visible right edge (1.0), not 1.7
+    assert browser.toffset + browser.twindow <= 1.0 + 1e-6
+
+
+def test_auto_scroll_and_audio_ticks(win, browser):
+    browser.set_times(0.0, 0.5)
+    win.on_key(K("!"))
+    assert browser.scroll_active
+    t0 = browser.toffset
+    win._tick()
+    assert browser.toffset > t0
+    win.on_key(K(" "))  # space stops the scroll first
+    assert not browser.scroll_active
+    win.on_key(K(" "))  # then plays the window
+    assert browser.audio_time >= 0
+    win._tick()
+    marker = win._artists[("trace", browser.show_channels[0])]["audio"]
+    assert marker.get_visible()
+    # space again stops audio; the next tick hides the marker
+    win.on_key(K(" "))
+    assert browser.audio_time < 0
+    win._tick()
+    assert not marker.get_visible()

@@ -109,20 +109,17 @@ def test_prefetch_overlaps_read_with_compute():
     pf = BlockPrefetcher(SlowSource(), block_frames=1000, read_ahead=1)
     nsteps = 6
     t0 = time.monotonic()
-    cached_steps = 0
     for k in range(nsteps):
-        t1 = time.monotonic()
         pf.read(k * 1000, 1000)
-        # generous vs. the 0.1 s read so scheduler jitter on a loaded
-        # 1-vCPU host does not flake the check
-        cached_steps += time.monotonic() - t1 < 0.08
         time.sleep(0.25)  # downstream compute, well over one read
     wall = time.monotonic() - t0
     pf.close()
     serial = nsteps * (0.1 + 0.25)
-    # the read-ahead thread hides all but the first block's read; bounds
-    # are kept loose so concurrent CI load does not flake them
-    assert cached_steps >= nsteps - 2, f"only {cached_steps} cached steps"
+    # pf.hits counts blocks the background thread had fetched BEFORE the
+    # foreground asked — the overlap property itself, independent of
+    # wall-clock scheduling jitter on a loaded 1-vCPU CI host (per-step
+    # latency thresholds flaked there)
+    assert pf.hits >= nsteps - 2, f"only {pf.hits} read-ahead hits"
     assert wall < 0.95 * serial, f"no overlap: {wall:.2f}s vs {serial:.2f}s"
 
 
