@@ -78,6 +78,13 @@ class SongPlot:
                 "SongDetector: " + self.filename)
         except AttributeError:
             pass
+        # the default key handler would fire on top of ours (the
+        # reference strips rcParams keymaps instead,
+        # `songdetector.py:304-312`)
+        mgr = getattr(self.fig.canvas, "manager", None)
+        kid = getattr(mgr, "key_press_handler_id", None)
+        if kid is not None:
+            self.fig.canvas.mpl_disconnect(kid)
         self.fig.canvas.mpl_connect("key_press_event", self.keypress)
         self._labels = None
         self._help_text = None
