@@ -176,6 +176,11 @@ class Trace:
         for pi in self.plot_items:
             if pi is not None:
                 pi.setVisible(show)
+        # a trace updated while hidden was skipped by the lazy recompute
+        # (its window is stale/dirty); showing it must refresh before the
+        # GUI reads .buffer for tiles
+        if show and self.name.lower() in self._data._dirty:
+            self._data._recompute_buffer()
 
     # data access ---------------------------------------------------------------
 
@@ -212,6 +217,12 @@ class Trace:
     def _range(self, start, stop):
         start = max(0, min(start, self.frames))
         stop = max(start, min(stop, self.frames))
+        if self.name.lower() in self._data._dirty:
+            # the window holds pre-update content (parameter changed
+            # while this trace was hidden): compute fresh instead of
+            # serving stale — or, after an NFFT respec, geometrically
+            # misaligned — buffer rows
+            return self._data._compute_range(self.name, start, stop)
         if start >= self.offset and stop <= self.offset + len(self.buffer):
             a = start - self.offset
             w = stop - start
@@ -425,22 +436,39 @@ class Data:
         self.meta_data = dict(Format=self.data.format_dict())
         self.meta_data.update(self.data.metadata())
         self.start_time = wavio.get_datetime(self.meta_data)
-        self._reopen_graph()
+        self._reopen_graph(reset=True)
         return self
 
-    def _reopen_graph(self):
+    def _reopen_graph(self, reset=False):
+        """Re-derive node specs and the executor.  ``reset`` (a fresh
+        ``open()``) also wipes reused Trace windows — the new open can
+        have different decode semantics (unwrap) or another file, and a
+        kept window would serve the previous session's data; add/remove
+        of traces mid-session keeps the existing windows instead."""
         self.tbefore, self.tafter = self.graph.open(self._raw.spec)
         self.executor = GraphExecutor(self.graph)
         new = {}
         for node in self.graph.order:
             key = node.name.lower()
-            new[key] = self._traces.get(key) or Trace(node, self)
-            new[key]._node = node
+            tr = self._traces.get(key) or Trace(node, self)
+            tr._node = node
+            if reset:
+                tr.offset = 0
+                tr.buffer = np.zeros((0,), np.float32)
+                tr.buffer_changed = np.zeros(node.spec.channels,
+                                             dtype=bool)
+                if len(tr.plot_items) != node.spec.channels:
+                    tr.plot_items = [None] * node.spec.channels
+            new[key] = tr
         self._traces = new
+        if reset:
+            self._dirty.clear()
         # buffer sizing happens lazily per update window
         self._resize_raw_buffer()
 
     def _resize_raw_buffer(self):
+        if self.data is None:  # updates on a closed Data are no-ops
+            return
         tbuffer = self.buffer_time + self.tbefore + self.tafter
         tback = self.back_time + self.tbefore
         self.data.bufferframes = int(tbuffer * self.data.rate)
@@ -601,6 +629,14 @@ class Data:
         a = cap - W if rs > 0 else 0
         sub = _dev_slice(dev, a, W)
         out = self.executor.run(sub, off + a, targets=targets, device=True)
+        # every tracked trace must have produced output: a sub-window
+        # shorter than a node's geometry (e.g. huge NFFT vs a small
+        # scroll) yields no frames for it, and skipping the patch would
+        # freeze that trace's window at a stale offset for every
+        # following scroll
+        produced = {n for n in out if n != RAW}
+        if any(name not in produced for name in old):
+            return False
         patches = []
         for name, (o0s, arr) in out.items():
             if name == RAW or name not in old:

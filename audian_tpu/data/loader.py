@@ -340,7 +340,11 @@ class AudioLoader:
         shape — one compiled program instead of one per scroll position.
         """
         i0 = max(0, int(math.floor(t0 * self.rate)) - self.backframes)
-        i1 = min(self.frames, int(math.ceil(t1 * self.rate)))
+        # ``follow`` extends the window ahead of the request (audioio's
+        # BufferedArray semantic; the reference sets it through
+        # Data.follow_time, `src/audian/data.py:19,181`)
+        i1 = min(self.frames,
+                 int(math.ceil(t1 * self.rate)) + max(self.follow, 0))
         span = max(i1 - i0, 0)
         n = self.bufferframes
         while n < span + self.align:

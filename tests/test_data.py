@@ -463,3 +463,98 @@ def test_file_start_times_feed_per_file_axis(tmp_path, rng):
     # 2.0 s global = 0.5 s into the second file
     assert strings[0].startswith("0.5") or strings[0] == "0.500"
     ld.close()
+
+
+def test_hidden_update_never_serves_stale_reads(wav_file):
+    """A parameter update on a hidden trace marks it dirty; reads must
+    compute fresh values, and showing it again must refresh the window
+    before the GUI reads .buffer."""
+    d = Data(wav_file)
+    for node in default_traces():
+        d.add_trace(node)
+    d.open()
+    d.update_times(0.2, 0.6)
+    env = d["envelope"]
+    before = np.array(env[12000:12400, 0])
+    d.set_visible("envelope", False)
+    env.update(envelope_cutoff=env.envelope_cutoff * 4)
+    after_hidden = np.array(env[12000:12400, 0])
+    assert not np.allclose(before, after_hidden)   # not the stale buffer
+    # showing the trace refreshes its device window
+    d.set_visible("envelope", True)
+    assert "envelope" not in d._dirty
+    inwin = np.array(env[12000:12400, 0])
+    np.testing.assert_allclose(inwin, after_hidden, atol=1e-5)
+    d.close()
+
+
+def test_reopen_resets_trace_windows(wav_file):
+    """Re-opening a Data must not serve the previous open's buffers —
+    decode semantics (unwrap) or even the file can change."""
+    d = Data(wav_file)
+    for node in default_traces():
+        d.add_trace(node)
+    d.open()
+    d.update_times(0.2, 0.6)
+    assert len(d["filtered"].buffer) > 0
+    d.open()  # reopen: windows reset, nothing served from the last open
+    assert len(d["filtered"].buffer) == 0
+    assert d["filtered"].offset == 0
+    d.update_times(0.2, 0.6)
+    assert len(d["filtered"].buffer) > 0
+    d.close()
+
+
+def test_update_after_close_is_noop(wav_file):
+    d = Data(wav_file)
+    for node in default_traces():
+        d.add_trace(node)
+    d.open()
+    d.update_times(0.2, 0.4)
+    d.close()
+    d["filtered"].update(highpass_cutoff=500.0)  # must not crash
+
+
+def test_delta_update_requires_all_traces_produced(wav_file, monkeypatch):
+    """If the scroll sub-window produces no output for some tracked
+    trace (huge NFFT vs a small scroll), the fast path must fall back to
+    the full recompute instead of freezing that trace's window."""
+    from audian_tpu.graph.executor import GraphExecutor
+
+    rate = 44100.0
+    t = np.arange(int(4.0 * rate)) / rate
+    x = np.stack([0.6 * np.sin(2 * np.pi * 4800 * t),
+                  0.3 * np.sin(2 * np.pi * 900 * t)], axis=1)
+    p = wav_file.parent / "delta4s.wav"
+    wavio.write_audio(p, x.astype(np.float32), rate, encoding="FLOAT")
+    # buffer_time=1.0: the scroll sub-window (pow2ceil(shift + halo
+    # fold)) fits inside the raw window, so the delta fast path applies
+    d = Data(p, buffer_time=1.0, back_time=0.05)
+    for node in default_traces():
+        d.add_trace(node)
+    d.open()
+    d.update_times(0.0, 0.2)
+    cap = len(d.data.buffer)
+    real_run = GraphExecutor.run
+
+    def dropping_run(self, raw, raw_offset=0, targets=None, device=True):
+        out = real_run(self, raw, raw_offset=raw_offset, targets=targets,
+                       device=device)
+        if len(raw) < cap:  # the scroll sub-window run
+            out = {k: v for k, v in out.items() if k != "spectrogram"}
+        return out
+
+    monkeypatch.setattr(GraphExecutor, "run", dropping_run)
+    # scroll forward: window moves exercise the delta path every step
+    for k in range(1, 14):
+        d.update_times(0.2 * k, 0.2 * k + 0.2)
+        g_off = d["spectrogram"].offset
+        # the window must always track the executor's full plan — a
+        # frozen (stale) offset means the fast path claimed success
+        # without producing spectrogram output
+        active = d.graph.active_set(
+            [n for n in d.visible_traces() if n != "data"])
+        plan, _ = d.executor._plan(int(d.data.offset),
+                                   len(d.data.buffer), active)
+        assert g_off == plan["spectrogram"].o0, f"stale at step {k}"
+    d.close()
