@@ -20,6 +20,7 @@ shared array (`compresseddata.py:104-122`):
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import threading
@@ -46,10 +47,32 @@ def _read_index(index_path):
 
 
 def _write_index(index_path, files):
-    """Atomic index write (temp + rename)."""
-    tmp = index_path.with_suffix(".json.tmp")
+    """Atomic index write (unique temp + rename — a shared temp name
+    would let two concurrent writers truncate each other's file and
+    crash on the rename)."""
+    tmp = index_path.with_suffix(
+        f".json.{os.getpid()}.{threading.get_ident()}.tmp")
     tmp.write_text(json.dumps(files, indent=4))
     os.replace(tmp, index_path)
+
+
+@contextlib.contextmanager
+def _index_lock(cache):
+    """Cross-process lock for read-modify-write cycles on the index:
+    without it two savers (GUI + compress CLI) can pick the same free
+    artifact name and silently serve one recording's overview for
+    another."""
+    try:
+        import fcntl
+    except ImportError:  # non-posix: best effort, no locking
+        yield
+        return
+    with open(cache / "fulltraces.lock", "w") as fh:
+        fcntl.flock(fh, fcntl.LOCK_EX)
+        try:
+            yield
+        finally:
+            fcntl.flock(fh, fcntl.LOCK_UN)
 
 class FullTraceData:
     """Background-computed min/max overview of one recording."""
@@ -66,6 +89,9 @@ class FullTraceData:
         self.step = None
         self.short_data = True
         self._thread = None
+        self._stop = threading.Event()
+        #: last background-computation failure (overview may be partial)
+        self.error = None
 
     def __del__(self):
         try:
@@ -74,8 +100,12 @@ class FullTraceData:
             pass
 
     def close(self):
+        # cancel the worker: letting it stream the rest of a multi-GB
+        # recording after the browser closed would contend with the new
+        # session on this 1-vCPU host and cache a discarded overview
+        self._stop.set()
         if self._thread is not None and self._thread.is_alive():
-            self._thread.join(timeout=0.1)
+            self._thread.join(timeout=2.0)
         self._thread = None
 
     # -- compute -----------------------------------------------------------------
@@ -84,8 +114,11 @@ class FullTraceData:
         """Begin computing the overview at ``<= 2*max_pixel`` columns
         (`src/audian/compresseddata.py:79-122` semantics: step =
         frames//max_pixel, interleaved min/max, times at half steps)."""
-        if self.times is not None and self.datas is not None:
-            return
+        if (self.times is not None and self.datas is not None
+                and self.error is None):
+            return  # a failed run retries; a finished one does not
+        self.error = None
+        self._stop = threading.Event()
         frames = self.data.frames
         step = max(1, frames // max_pixel)
         self.step = step
@@ -109,6 +142,27 @@ class FullTraceData:
             self._compute(step)
 
     def _compute(self, step):
+        try:
+            self._compute_body(step)
+        except Exception as e:
+            # keep the partial (zero-filled) overview for display, but
+            # record the failure so start() retries instead of treating
+            # the zeros as a finished overview
+            self.error = e
+            print(f"fulltrace computation failed: {e}")
+            return
+        if self._stop.is_set():
+            return  # recording closed mid-compute: do not cache it
+        # persist as soon as the computation finishes so the NEXT session
+        # loads instead of recomputing (the reference saves from its GUI
+        # poll, `src/audian/fulltraceplot.py:182` — headless/batch runs
+        # here have no poll, so the worker saves directly)
+        try:
+            self.save_data()
+        except Exception:
+            pass
+
+    def _compute_body(self, step):
         out = self.datas
         if len(self.data.file_paths) == 1:
             info = self.data._infos[0]
@@ -134,6 +188,8 @@ class FullTraceData:
             if aligned:
                 row = 0
                 for k, path in enumerate(self.data.file_paths):
+                    if self._stop.is_set():
+                        return
                     info = infos[k]
                     part = native.file_minmax(path, info[4], info[3],
                                               info[1], info[2], step)
@@ -146,19 +202,13 @@ class FullTraceData:
                 frames = self.data.frames
                 nblock = max(step, (1 << 20) // step * step)
                 for start in range(0, frames, nblock):
+                    if self._stop.is_set():
+                        return
                     n = min(nblock, frames - start)
                     buf = self.data._read_direct(start, n)
                     seg = _interleaved_minmax(buf, step)
                     r = 2 * (start // step)
                     out[r : r + len(seg)] = seg
-        # persist as soon as the computation finishes so the NEXT session
-        # loads instead of recomputing (the reference saves from its GUI
-        # poll, `src/audian/fulltraceplot.py:182` — headless/batch runs
-        # here have no poll, so the worker saves directly)
-        try:
-            self.save_data()
-        except Exception:
-            pass
 
     def _compute_python(self, k, step):
         """Fallback: block-strided numpy reduction over one file."""
@@ -167,13 +217,39 @@ class FullTraceData:
         nseg = -(-frames // step)
         out = np.zeros((2 * nseg, info[1]))
         nblock = max(step, (1 << 20) // step * step)
+        unwrap = self.data.unwrap_thresh > 1e-3
+        # cumulative unwrap offset carried across blocks: this scan is
+        # sequential, so unlike the loader's random-access windows the
+        # overview can keep exact wrap state — a wrap still active at a
+        # block boundary would otherwise reset and mis-level the rest of
+        # that block
+        carried = 0.0
         for start in range(0, frames, nblock):
+            if self._stop.is_set():
+                return out
             n = min(nblock, frames - start)
-            buf = wavio.read_frames(self.data.file_paths[k], start, n, info)
-            if self.data.unwrap_thresh > 1e-3:
-                buf = wavio.unwrap(buf, self.data.unwrap_thresh,
-                                   self.data.unwrap_clips,
-                                   self.data.ampl_max)
+            if unwrap and start > 0:
+                # one sample of left context seeds the boundary jump
+                # detection; ``carried`` (the cumulative input-space
+                # shift threaded through unwrap) keeps a wrap that is
+                # still active at the boundary continuous — this scan is
+                # sequential, so the overview can be exact where the
+                # loader's random-access windows cannot
+                ext = wavio.read_frames(self.data.file_paths[k],
+                                        start - 1, n + 1, info)
+                ext, carried = wavio.unwrap(
+                    ext, self.data.unwrap_thresh, self.data.unwrap_clips,
+                    self.data.ampl_max, start_shift=carried,
+                    return_shift=True)
+                buf = ext[1:]
+            else:
+                buf = wavio.read_frames(self.data.file_paths[k], start, n,
+                                        info)
+                if unwrap:
+                    buf, carried = wavio.unwrap(
+                        buf, self.data.unwrap_thresh,
+                        self.data.unwrap_clips, self.data.ampl_max,
+                        return_shift=True)
             seg = _interleaved_minmax(buf, step)
             out[2 * (start // step) : 2 * (start // step) + len(seg)] = seg
         return out
@@ -206,8 +282,12 @@ class FullTraceData:
             return None
         rate = 1.0 / (self.times[1] - self.times[0])
         path = self._local_path()
-        wavio.write_audio(path, self.datas, self._encode_rate(rate),
+        # temp + rename: a killed writer (Ctrl-C'd compress CLI) must not
+        # leave a truncated artifact that poisons every later open
+        tmp = path.with_name(path.name + f".{os.getpid()}.tmp")
+        wavio.write_audio(tmp, self.datas, self._encode_rate(rate),
                           encoding="DOUBLE")
+        os.replace(tmp, path)
         return path
 
     def save_data(self):
@@ -218,43 +298,47 @@ class FullTraceData:
         cache = Path(audian_dirs.user_cache_path)
         cache.mkdir(parents=True, exist_ok=True)
         index_path = cache / self.fulltraces_file
-        files = {}
-        if index_path.exists():
-            files = _read_index(index_path)
-        first = os.fspath(Path(self.data.file_paths[0]).absolute())
-        last = os.fspath(Path(self.data.file_paths[-1]).absolute())
-        # re-saving the same recording updates its entry in place
-        name = next((n for n, p in files.items()
-                     if p["first"] == first and p["last"] == last), None)
-        if name is None:
-            for k in range(1, self.max_files + 10):
-                name = f"{k:08X}-fulltrace.wav"
-                if name not in files:
-                    break
-        ts = datetime.now().isoformat()
-        rate = 1.0 / (self.times[1] - self.times[0])
-        files[name] = dict(
-            first=first, last=last, rate=rate,
-            created=files.get(name, {}).get("created", ts), used=ts,
-        )
-        # LRU eviction by the `used` stamp
-        if len(files) > self.max_files:
-            order = sorted(files, key=lambda f: files[f]["used"])
-            for f in order[: len(files) - self.max_files]:
-                try:
-                    (cache / f).unlink()
-                except OSError:
-                    pass
-                files.pop(f)
-        # artifact first, atomically (temp + rename), THEN the index —
-        # this save can run on a daemon thread that interpreter shutdown
-        # kills mid-write, and an indexed truncated WAV would poison
-        # every later open of this recording
-        tmp = cache / (name + ".tmp")
-        wavio.write_audio(tmp, self.datas, self._encode_rate(rate),
-                          encoding="DOUBLE")
-        os.replace(tmp, cache / name)
-        _write_index(index_path, files)
+        # the whole read-modify-write runs under the cross-process lock:
+        # two unlocked savers could pick the same free artifact name
+        with _index_lock(cache):
+            files = {}
+            if index_path.exists():
+                files = _read_index(index_path)
+            first = os.fspath(Path(self.data.file_paths[0]).absolute())
+            last = os.fspath(Path(self.data.file_paths[-1]).absolute())
+            # re-saving the same recording updates its entry in place
+            name = next((n for n, p in files.items()
+                         if p["first"] == first and p["last"] == last),
+                        None)
+            if name is None:
+                for k in range(1, self.max_files + 10):
+                    name = f"{k:08X}-fulltrace.wav"
+                    if name not in files:
+                        break
+            ts = datetime.now().isoformat()
+            rate = 1.0 / (self.times[1] - self.times[0])
+            files[name] = dict(
+                first=first, last=last, rate=rate,
+                created=files.get(name, {}).get("created", ts), used=ts,
+            )
+            # LRU eviction by the `used` stamp
+            if len(files) > self.max_files:
+                order = sorted(files, key=lambda f: files[f]["used"])
+                for f in order[: len(files) - self.max_files]:
+                    try:
+                        (cache / f).unlink()
+                    except OSError:
+                        pass
+                    files.pop(f)
+            # artifact first, atomically (temp + rename), THEN the index
+            # — this save can run on a daemon thread that interpreter
+            # shutdown kills mid-write, and an indexed truncated WAV
+            # would poison every later open of this recording
+            tmp = cache / (name + f".{os.getpid()}.tmp")
+            wavio.write_audio(tmp, self.datas, self._encode_rate(rate),
+                              encoding="DOUBLE")
+            os.replace(tmp, cache / name)
+            _write_index(index_path, files)
         return cache / name
 
     def load_data(self):
@@ -265,7 +349,14 @@ class FullTraceData:
         self.datas = None
         local = self._local_path()
         if local.exists():
-            datas, rate = wavio.load_audio(local)
+            try:
+                datas, rate = wavio.load_audio(local)
+            except Exception as e:
+                # corrupt/truncated artifact (e.g. a pre-atomic-write
+                # killed writer): recompute instead of making the
+                # recording unopenable; the file is the user's, keep it
+                print(f"ignoring corrupt {local.name}: {e}")
+                return False
             rates = np.array([rate / 1e6, rate / 1e3, rate])
             durations = len(datas) / rates
             rate = rates[np.argmin(
@@ -285,37 +376,47 @@ class FullTraceData:
                 fpath = cache / name
                 try:
                     datas, _ = wavio.load_audio(fpath)
-                except (OSError, ValueError):
-                    datas = None  # missing/corrupt artifact -> evict
+                except Exception:
+                    # any decode failure means corrupt -> evict (WavError
+                    # subclasses vary, soundfile raises RuntimeErrors)
+                    datas = None
                 if datas is None or len(datas) == 0:
-                    del files[name]
-                    try:
-                        fpath.unlink()
-                    except OSError:
-                        pass
-                    _write_index(index_path, files)
+                    with _index_lock(cache):
+                        files = _read_index(index_path)
+                        files.pop(name, None)
+                        try:
+                            fpath.unlink()
+                        except OSError:
+                            pass
+                        _write_index(index_path, files)
                     return False
                 self.datas = datas
                 self.times = np.arange(len(datas)) / props["rate"]
-                props["used"] = datetime.now().isoformat()
-                _write_index(index_path, files)
+                with _index_lock(cache):
+                    files = _read_index(index_path)
+                    if name in files:
+                        files[name]["used"] = datetime.now().isoformat()
+                        _write_index(index_path, files)
                 return True
         return False
 
 
 def _interleaved_minmax(buf, step):
+    """Interleaved per-segment min/max; the ragged tail segment reduces
+    separately (padding two full copies of a ~1 M-frame block to a step
+    multiple cost ~16 MB of fresh pages per block on this host)."""
     n = len(buf)
     nseg = -(-n // step)
-    pad = nseg * step - n
-    if pad:
-        mn = np.pad(buf, [(0, pad)] + [(0, 0)] * (buf.ndim - 1),
-                    constant_values=np.inf)
-        mx = np.pad(buf, [(0, pad)] + [(0, 0)] * (buf.ndim - 1),
-                    constant_values=-np.inf)
-    else:
-        mn = mx = buf
-    shape = (nseg, step) + buf.shape[1:]
     out = np.empty((2 * nseg,) + buf.shape[1:])
-    out[0::2] = mn.reshape(shape).min(axis=1)
-    out[1::2] = mx.reshape(shape).max(axis=1)
+    if nseg == 0:
+        return out
+    whole = n // step
+    if whole:
+        body = buf[: whole * step].reshape((whole, step) + buf.shape[1:])
+        out[0 : 2 * whole : 2] = body.min(axis=1)
+        out[1 : 2 * whole : 2] = body.max(axis=1)
+    if whole < nseg:
+        tail = buf[whole * step :]
+        out[-2] = tail.min(axis=0)
+        out[-1] = tail.max(axis=0)
     return out

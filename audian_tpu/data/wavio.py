@@ -659,20 +659,31 @@ def add_history(md, history, key="CodingHistory", pre_history=None):
     return md
 
 
-def unwrap(data, thresh=1.5, clips=False, ampl_max=1.0):
+def unwrap(data, thresh=1.5, clips=False, ampl_max=1.0, start_shift=0.0,
+           return_shift=False):
     """Unwrap data that wrapped around the ADC range: where consecutive
     samples jump by more than ``thresh*ampl_max``, shift by the full range.
     Then either clip to the range or scale down by two (the reference's
-    ``-U`` vs ``-u`` CLI flags, `src/audian/audian.py:1485-1490`)."""
+    ``-U`` vs ``-u`` CLI flags, `src/audian/audian.py:1485-1490`).
+
+    ``start_shift`` seeds the cumulative (input-space) shift so a
+    sequential block scan can continue a wrap that is still active at a
+    block boundary; ``return_shift=True`` additionally returns the final
+    cumulative shift to carry into the next block.
+    """
     data = np.array(data, dtype=np.float64, copy=True)
     rng = 2.0 * ampl_max
     d = np.diff(data, axis=0)
     steps = np.zeros_like(data)
     steps[1:] = -rng * np.where(d > thresh * ampl_max, 1.0,
                                 np.where(d < -thresh * ampl_max, -1.0, 0.0))
-    data += np.cumsum(steps, axis=0)
+    shift = np.cumsum(steps, axis=0) + start_shift
+    data += shift
+    final = shift[-1] if len(data) else start_shift
     if clips:
         np.clip(data, -ampl_max, ampl_max, out=data)
     else:
         data *= 0.5
+    if return_shift:
+        return data, final
     return data

@@ -10,6 +10,10 @@
 //
 // Build: g++ -O3 -march=native -shared -fPIC -pthread wavio.cc -o libaudianative.so
 
+#ifndef _FILE_OFFSET_BITS
+#define _FILE_OFFSET_BITS 64  // 64-bit fseeko on 32-bit-long platforms
+#endif
+
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -94,7 +98,9 @@ int64_t an_read_frames(const char* path, int64_t data_off, int tag, int bits,
     thread_local std::vector<uint8_t> raw;
     FILE* f = std::fopen(path, "rb");
     if (!f) return -1;
-    if (std::fseek(f, long(data_off + start * bpf), SEEK_SET) != 0) {
+    // fseeko + off_t (with _FILE_OFFSET_BITS=64): plain fseek takes a
+    // `long`, which truncates offsets past 2 GiB where long is 32 bits
+    if (fseeko(f, off_t(data_off + start * bpf), SEEK_SET) != 0) {
         std::fclose(f);
         return 0;
     }

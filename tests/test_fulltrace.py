@@ -154,3 +154,132 @@ def test_multifile_overview_global_segments(tmp_path, rng):
     ft.wait()
     want = reduceat_like(x.astype(np.float64), ft.step)
     np.testing.assert_allclose(ft.datas[: len(want)], want, atol=1e-6)
+
+
+def test_corrupt_local_artifact_recomputes(wav):
+    """A truncated <stem>-fulltrace.wav must not make the recording
+    unopenable — load falls back to recomputation (the file stays: it is
+    the user's)."""
+    p, x = wav
+    bad = p.with_name(p.stem + "-fulltrace.wav")
+    bad.write_bytes(b"RIFF\x10\x00\x00\x00WAVEjunk")
+    ld = AudioLoader(p)
+    ft = FullTraceData(ld)
+    assert ft.load_data() is False
+    assert bad.exists()
+    ld.close()
+
+
+def test_save_data_local_atomic(wav, tmp_path):
+    p, x = wav
+    ld = AudioLoader(p, buffer_time=0.1, back_time=0.0)
+    ft = FullTraceData(ld)
+    ft.start(100, background=False)
+    ft.wait()
+    out = ft.save_data_local()
+    assert out is not None and out.exists()
+    leftovers = list(p.parent.glob("*-fulltrace.wav.*tmp"))
+    assert leftovers == []
+    # the artifact decodes and matches the computed overview
+    datas, _ = wavio.load_audio(out)
+    np.testing.assert_allclose(datas, ft.datas, atol=1e-12)
+    ld.close()
+
+
+def test_close_cancels_background_compute(tmp_path, rng, monkeypatch):
+    """Closing the overview mid-compute stops the worker instead of
+    letting it stream the rest of the recording (and cache it)."""
+    import time
+
+    # two files with an UNALIGNED boundary force the _read_direct block
+    # loop (the cancellable path)
+    x = (0.2 * rng.standard_normal((40001, 1))).clip(-1, 1)
+    paths = []
+    for k, sl in enumerate((x[:20001], x[20001:])):
+        p = tmp_path / f"c{k}.wav"
+        wavio.write_audio(p, sl, 48000, encoding="FLOAT")
+        paths.append(p)
+    ld = AudioLoader(paths, buffer_time=0.1, back_time=0.0)
+    reads = []
+    real = AudioLoader._read_direct
+
+    def slow_read(self, start, n, out=None):
+        reads.append(start)
+        time.sleep(0.05)
+        return real(self, start, n, out=out)
+
+    monkeypatch.setattr(AudioLoader, "_read_direct", slow_read)
+    ft = FullTraceData(ld)
+    # tiny blocks: step=1 -> nblock = 1M frames > recording, so shrink
+    # the work by using a small max_pixel (big step, one block per call)
+    ft.start(10, background=True)
+    ft._stop.set()
+    ft.close()
+    n0 = len(reads)
+    time.sleep(0.3)
+    assert not ft.is_busy()
+    assert len(reads) <= n0 + 1  # at most the in-flight block finished
+    saved = list(tmp_path.glob("*-fulltrace.wav"))
+    assert saved == []  # a cancelled compute must not cache its result
+    ld.close()
+
+
+def test_failed_compute_records_error_and_retries(wav, monkeypatch):
+    p, x = wav
+    ld = AudioLoader(p, buffer_time=0.1, back_time=0.0)
+    ft = FullTraceData(ld)
+    monkeypatch.setattr(
+        "audian_tpu.cache.fulltrace.native.file_minmax",
+        lambda *a, **k: (_ for _ in ()).throw(OSError("disk gone")))
+    ft.start(100, background=False)
+    assert ft.error is not None
+    # a later start() retries instead of treating the zeros as final
+    monkeypatch.setattr(
+        "audian_tpu.cache.fulltrace.native.file_minmax",
+        lambda *a, **k: None)  # falls back to the python path
+    ft.start(100, background=False)
+    assert ft.error is None
+    step = ft.step
+    want = reduceat_like(x.astype(np.float64), step)
+    np.testing.assert_allclose(ft.datas[: len(want)], want, atol=1e-7)
+    ld.close()
+
+
+def test_interleaved_minmax_ragged_tail(rng):
+    from audian_tpu.cache.fulltrace import _interleaved_minmax
+
+    for n, step in ((1000, 64), (1000, 1000), (5, 7), (64, 64), (65, 64)):
+        buf = rng.standard_normal((n, 3))
+        out = _interleaved_minmax(buf, step)
+        nseg = -(-n // step)
+        assert out.shape == (2 * nseg, 3)
+        for s in range(nseg):
+            seg = buf[s * step : (s + 1) * step]
+            np.testing.assert_array_equal(out[2 * s], seg.min(axis=0))
+            np.testing.assert_array_equal(out[2 * s + 1], seg.max(axis=0))
+
+
+def test_unwrap_continuous_across_compute_blocks(tmp_path):
+    """_compute_python unwraps with one sample of left context per
+    block: a wrap falling on the 1M-frame block boundary must not
+    offset the rest of the block (same contract as the loader's
+    _read_direct)."""
+    frames = (1 << 20) + 4096
+    x = np.zeros((frames, 1), np.float32)
+    # wrapped excursion straddling the block boundary at 1<<20
+    b = 1 << 20
+    x[b - 300 : b + 300, 0] = 0.9
+    x[b - 100 : b + 100, 0] = -0.95  # looks wrapped (jump > thresh)
+    p = tmp_path / "wrap.wav"
+    wavio.write_audio(p, x, 48000, encoding="FLOAT")
+    ld = AudioLoader(p, buffer_time=0.05, back_time=0.0)
+    ld.set_unwrap(1.5)
+    ft = FullTraceData(ld)
+    ft.start(frames // 2, background=False)  # step=2: nblock = 1<<20
+    assert ft.error is None
+    from audian_tpu.cache.fulltrace import _interleaved_minmax
+
+    whole = wavio.unwrap(x.astype(np.float64), 1.5, False, ld.ampl_max)
+    want = _interleaved_minmax(whole, ft.step)
+    np.testing.assert_allclose(ft.datas[: len(want)], want, atol=1e-7)
+    ld.close()
