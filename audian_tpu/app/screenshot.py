@@ -49,8 +49,18 @@ def write_view_metadata(path, browser):
         raise ValueError(f"{path}: malformed PNG")
     insert = bytearray()
     for key, val in view_metadata(browser).items():
-        body = key.encode("latin-1") + b"\x00" + val.encode("latin-1")
-        chunk = b"tEXt" + body
+        try:
+            # tEXt carries latin-1 only
+            body = key.encode("latin-1") + b"\x00" + val.encode("latin-1")
+            chunk = b"tEXt" + body
+        except UnicodeEncodeError:
+            # recording paths can carry any unicode: emit iTXt (UTF-8,
+            # uncompressed) like matplotlib's own tEXt->iTXt fallback
+            body = (key.encode("latin-1") + b"\x00"     # keyword
+                    + b"\x00\x00"                        # no compression
+                    + b"\x00" + b"\x00"                  # lang, translated
+                    + val.encode("utf-8"))
+            chunk = b"iTXt" + body
         insert += struct.pack(">I", len(body)) + chunk + struct.pack(
             ">I", zlib.crc32(chunk) & 0xFFFFFFFF)
     path.write_bytes(buf[: iend - 4] + bytes(insert) + buf[iend - 4 :])

@@ -93,6 +93,12 @@ class Audian:
         try:
             browser.open()
         except Exception as e:
+            # a partially opened browser holds a loader handle and a
+            # device-resident raw mirror — release them
+            try:
+                browser.close()
+            except Exception:
+                pass
             self.errors.append((path, e))
             self.sigBrowserFailed.emit(path, e)
             if self.verbose:
@@ -104,8 +110,39 @@ class Audian:
         self.browsers.append(browser)
         if self.current is None:
             self.current = browser
+        else:
+            self._sync_new(browser)
         self.sigBrowserAdded.emit(browser)
         return browser
+
+    def _sync_new(self, browser):
+        """Bring an incrementally loaded browser up to the current linked
+        state — window, channels, panel toggles, start-time mode — like
+        the reference's load_data (`audian.py:1386-1407`); without this a
+        late-loading tab breaks the link invariants until the next
+        user-driven change."""
+        src = self.current
+        if src is None or src is browser:
+            return
+
+        def sync():
+            if self.link_timezoom or self.link_timescroll:
+                browser.set_times(
+                    src.toffset if self.link_timescroll else None,
+                    src.twindow if self.link_timezoom else None)
+            if self.link_channels:
+                browser.set_channels(list(src.show_channels),
+                                     list(src.selected_channels))
+            if self.link_panels:
+                browser.set_panels(traces=src.show_traces,
+                                   specs=src.show_specs,
+                                   powers=src.show_powers,
+                                   cbars=src.show_cbars,
+                                   fulldata=src.show_fulldata)
+            mode = getattr(self, "starttime_mode", 0)
+            if mode and browser.plot_ranges is not None:
+                browser.plot_ranges["t"].set_starttime(mode)
+        self._dispatch(sync)
 
     def close(self):
         for b in self.browsers:
@@ -350,10 +387,16 @@ class Audian:
         if self.current is None:
             return
         self.current.auto_ampl()
-        for s in "xyu":
-            if self.link_ranges.get(s):
-                for b in self._others(self.current):
-                    b.auto_ampl(s)
+
+        def fan():
+            for s in "xyu":
+                if self.link_ranges.get(s):
+                    for b in self._others(self.current):
+                        b.auto_ampl(s)
+        # inside the guard: each browser's auto_ampl emits
+        # sigRangesChanged, and the unguarded echo overwrote everyone's
+        # auto-scaled ranges with the LAST browser's
+        self._dispatch(fan)
 
     def toggle_show_envelope(self):
         """(`audian.py:995-996`)"""
@@ -419,8 +462,9 @@ def audian_cli(cargs=None, plugins=None, shell_cls=Audian):
                         help="unwrap clipped data and clip")
     parser.add_argument("files", nargs="*", default=[], type=str,
                         help="files with the time series data")
-    # unknown args pass through to the GUI toolkit (`audian.py:1494`)
-    args, _gui_args = parser.parse_known_args(cargs)
+    # unknown args pass through to the GUI toolkit (`audian.py:1494`
+    # forwards them to QApplication; run_qt reads shell.gui_args)
+    args, gui_args = parser.parse_known_args(cargs)
 
     from ..cli.compress import parse_load_kwargs
 
@@ -435,7 +479,7 @@ def audian_cli(cargs=None, plugins=None, shell_cls=Audian):
         else:
             files.append(fn)
 
-    return shell_cls(
+    shell = shell_cls(
         files,
         load_kwargs=parse_load_kwargs(args.load_kwargs),
         plugins=plugins,
@@ -446,3 +490,5 @@ def audian_cli(cargs=None, plugins=None, shell_cls=Audian):
         unwrap_clip=unwrap_clip,
         verbose=args.verbose,
     )
+    shell.gui_args = gui_args
+    return shell

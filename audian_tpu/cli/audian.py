@@ -18,13 +18,21 @@ from ..app.screenshot import parse_view_metadata
 
 
 def _pop_option(argv, name, has_value=True):
-    if name not in argv:
-        return None
-    i = argv.index(name)
-    argv.pop(i)
-    if has_value:
-        return argv.pop(i) if i < len(argv) else None
-    return True
+    """Pop ``name`` (and its value) from argv, accepting both
+    ``--opt value`` and ``--opt=value`` forms."""
+    for i, arg in enumerate(argv):
+        if has_value and arg.startswith(name + "="):
+            argv.pop(i)
+            return arg[len(name) + 1:]
+        if arg == name:
+            argv.pop(i)
+            if not has_value:
+                return True
+            if i < len(argv) and not argv[i].startswith("-"):
+                return argv.pop(i)
+            print(f"error: {name} needs a value", file=sys.stderr)
+            return None
+    return None if has_value else False
 
 
 def main(cargs=None):
@@ -37,11 +45,17 @@ def main(cargs=None):
 
     shell = audian_cli(argv, plugins)
 
-    # screenshots restore their recorded view (view checkpoints)
+    # screenshots restore their recorded view (view checkpoints); a
+    # missing/corrupt PNG falls through as a (failing) normal input
+    # instead of crashing before any recording opens
     restores = {}
     for k, f in enumerate(list(shell._pending)):
-        if str(f).endswith(".png"):
-            view = parse_view_metadata(f)
+        if str(f).lower().endswith(".png"):
+            try:
+                view = parse_view_metadata(f)
+            except Exception as e:
+                print(f"cannot read view from {f}: {e}", file=sys.stderr)
+                view = None
             if view is not None:
                 shell._pending[k] = view["file"]
                 restores[str(view["file"])] = view
@@ -50,17 +64,22 @@ def main(cargs=None):
 
     audian_tpu.enable_compilation_cache()
     shell.load_files()
+    # the reference reports every failed file (`audian.py:1349-1352`)
+    for path, err in shell.errors:
+        print(f"failed to open {path}: {err}", file=sys.stderr)
     if not shell.browsers:
         print("error: no recordings could be opened", file=sys.stderr)
-        for path, err in shell.errors:
-            print(f"  {path}: {err}", file=sys.stderr)
         return 1
     for b in shell.browsers:
         view = restores.get(str(b.file_path))
         if view:
-            if view["channels"]:
-                b.set_channels(view["channels"])
-            b.set_times(view["toffset"], view["twindow"])
+            # inside the dispatch guard: a restore must not fan its view
+            # through the link dispatch onto the other restored browsers
+            def apply(b=b, view=view):
+                if view["channels"]:
+                    b.set_channels(view["channels"])
+                b.set_times(view["toffset"], view["twindow"])
+            shell._dispatch(apply)
 
     if screenshot:
         import matplotlib

@@ -1375,7 +1375,8 @@ def run_qt(shell):
     if not HAVE_QT:
         raise ImportError("PyQt5/pyqtgraph are not installed "
                           "(pip install audian-tpu[gui])")
-    app = QApplication(sys.argv[:1])
+    # unknown CLI args pass through to Qt (`audian.py:1494` parity)
+    app = QApplication(sys.argv[:1] + list(getattr(shell, "gui_args", [])))
     win = AudianWindow(shell)
     win.resize(1200, 800)
     win.show()

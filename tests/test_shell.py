@@ -187,3 +187,142 @@ def test_write_view_metadata_roundtrip(tmp_path):
     assert meta["file"] == "rec.wav"
     assert meta["toffset"] == 1.25 and meta["twindow"] == 0.5
     assert meta["channels"] == [0, 2]
+
+
+def test_linked_auto_amplitude_preserves_own_ranges(shell):
+    """Linked auto-amplitude must leave each browser auto-scaled to ITS
+    OWN data: the unguarded echo used to overwrite everyone's ranges
+    with the last browser's."""
+    a, b = shell.browsers[0], shell.browsers[1]
+    shell.set_current(a)
+    shell.auto_amplitude()
+    ra = a.get_range("x", 0)
+    rb = b.get_range("x", 0)
+    # recompute each browser's own auto range in isolation
+    want_a = dict(zip("ab", ra))
+    b2_lo, b2_hi = rb
+    shell._dispatch(lambda: (a.auto_ampl("x"), b.auto_ampl("x")))
+    assert a.get_range("x", 0) == pytest.approx(ra)
+    assert b.get_range("x", 0) == pytest.approx((b2_lo, b2_hi))
+
+
+def test_late_loaded_browser_syncs_linked_state(wav_files):
+    sh = Audian([str(wav_files[0])])
+    sh.load_files()
+    try:
+        a = sh.current
+        a.set_times(0.4, 0.3)
+        a.set_channels([0])
+        a.set_panels(specs=0)
+        sh.load_files([str(wav_files[1])])
+        b = sh.browsers[1]
+        assert b.twindow == pytest.approx(a.twindow)
+        assert b.show_channels == [0]
+        assert b.show_specs == 0
+    finally:
+        sh.close()
+
+
+def test_cli_reports_failures_next_to_successes(wav_files, tmp_path,
+                                                capsys):
+    from audian_tpu.cli.audian import main
+
+    out = tmp_path / "s.png"
+    rc = main([str(wav_files[0]), str(tmp_path / "nope.wav"),
+               "--screenshot", str(out)])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "nope.wav" in err
+
+
+def test_cli_pop_option_forms(tmp_path, wav_files):
+    from audian_tpu.cli.audian import _pop_option
+
+    argv = ["--screenshot=out.png", "a.wav"]
+    assert _pop_option(argv, "--screenshot") == "out.png"
+    assert argv == ["a.wav"]
+    argv = ["--screenshot", "--mpl", "a.wav"]
+    assert _pop_option(argv, "--screenshot") is None  # flag, not a value
+    assert "--mpl" in argv
+    argv = ["a.wav", "--screenshot"]
+    assert _pop_option(argv, "--screenshot") is None
+    argv = ["--mpl", "a.wav"]
+    assert _pop_option(argv, "--mpl", has_value=False) is True
+    assert argv == ["a.wav"]
+
+
+def test_corrupt_screenshot_argument_does_not_crash(wav_files, tmp_path,
+                                                    capsys):
+    from audian_tpu.cli.audian import main
+
+    bad = tmp_path / "broken.png"
+    bad.write_bytes(b"\x89PNG\r\n\x1a\njunk")
+    out = tmp_path / "shot2.png"
+    rc = main([str(wav_files[0]), str(bad), "--screenshot", str(out)])
+    assert rc == 0  # the good recording still opens
+    assert out.exists()
+
+
+def test_screenshot_restore_does_not_clobber_other_views(wav_files,
+                                                         tmp_path):
+    """Restoring several screenshots must not fan each view through the
+    link dispatch onto the other restored browsers."""
+    matplotlib.use("Agg")
+    from audian_tpu.cli.audian import main
+    from audian_tpu.gui.mpl import MplBrowserWindow
+    from audian_tpu.app.screenshot import parse_view_metadata
+
+    shots = []
+    for k, (t0, tw) in enumerate([(0.2, 0.4), (0.6, 0.8)]):
+        sh = Audian([str(wav_files[k])])
+        sh.load_files()
+        sh.current.set_times(t0, tw)
+        win = MplBrowserWindow(sh.current)
+        shot = tmp_path / f"view{k}.png"
+        win.savefig(shot)
+        win.close()
+        sh.close()
+        shots.append(shot)
+    sh = Audian([])
+    sh._pending = [str(s) for s in shots]
+    restores = {}
+    for k, f in enumerate(list(sh._pending)):
+        view = parse_view_metadata(f)
+        sh._pending[k] = view["file"]
+        restores[str(view["file"])] = view
+    sh.load_files()
+    try:
+        for b in sh.browsers:
+            view = restores[str(b.file_path)]
+            sh._dispatch(lambda b=b, v=view: b.set_times(v["toffset"],
+                                                         v["twindow"]))
+        assert sh.browsers[0].twindow == pytest.approx(0.4, abs=1e-4)
+        assert sh.browsers[1].twindow == pytest.approx(0.8, abs=1e-4)
+    finally:
+        sh.close()
+
+
+def test_unicode_path_screenshot_metadata(tmp_path, rng):
+    from audian_tpu.app import DataBrowser
+    from audian_tpu.app.screenshot import (write_view_metadata,
+                                           parse_view_metadata)
+
+    sub = tmp_path / "récordings–日本"
+    sub.mkdir()
+    x = (0.2 * rng.standard_normal((8000, 1))).astype(np.float32)
+    p = sub / "uni.wav"
+    wavio.write_audio(p, x, 8000.0, encoding="PCM_16")
+    b = DataBrowser(str(p))
+    b.open()
+    png = tmp_path / "shot.png"
+    # minimal valid PNG (8x8 gray) to inject into
+    import matplotlib.pyplot as plt
+
+    fig = plt.figure(figsize=(1, 1))
+    fig.savefig(png)
+    plt.close(fig)
+    write_view_metadata(png, b)
+    view = parse_view_metadata(png)
+    assert view is not None
+    assert view["file"] == str(p)
+    b.close()
