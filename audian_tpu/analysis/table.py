@@ -1,7 +1,7 @@
 """Result tables for analyzers.
 
 Minimal, dependency-free stand-in for ``thunderlab.tabledata.TableData``
-as the reference's analyzers use it (`src/audian/analyzer.py:10,104,170-183`
+as the reference's analyzers use it (`src/audian/analyzer.py:10,86,170-183`
 and the results-table consumption at `src/audian/databrowser.py:1777-1857`):
 labeled/united/formatted columns, row-wise appends, CSV export.
 """
@@ -25,15 +25,25 @@ class ResultTable:
 
     def append(self, label, unit=None, formats=None):
         """Add a column (thunderlab ``TableData.append`` call shape used by
-        ``Analyzer.make_column``)."""
+        ``Analyzer.make_column``).  Columns appended after rows exist pad
+        the existing rows (the reference merges tables by appending
+        columns, `databrowser.py:1852-1855`)."""
         self.labels.append(label)
         self.units.append(unit or "")
         self.formats.append(formats or "%g")
+        for row in self.rows:
+            row.append(None)
         return len(self.labels) - 1
 
     def add(self, values, start_column=0):
-        """Append one row starting at ``start_column``."""
+        """Append one row starting at ``start_column``; the row is padded
+        or truncated to the column count (extra values would otherwise be
+        stored but silently dropped from every export)."""
         row = [None] * start_column + list(values)
+        if len(row) > len(self.labels):
+            raise ValueError(
+                f"{len(row)} values for {len(self.labels)} columns "
+                f"({self.labels}) — call make_column() for each value")
         if len(row) < len(self.labels):
             row += [None] * (len(self.labels) - len(row))
         self.rows.append(row)

@@ -36,20 +36,28 @@ class MarkerLabel:
 
 
 def find_label(labels, key_shortcut):
-    """Label lookup by key shortcut with conflict-free semantics
-    (`markerdata.py:211-218`)."""
+    """First label bound to ``key_shortcut`` (case-insensitive, like the
+    reference's QKeySequence comparison in ``find_action``,
+    `markerdata.py:211-218`); None when unbound.  On duplicate keys the
+    first match wins."""
+    want = (key_shortcut or "").lower()
     for l in labels:
-        if l.key_shortcut == key_shortcut:
+        if (l.key_shortcut or "").lower() == want:
             return l
     return None
 
 
 def key_conflicts(labels):
-    """Key shortcuts used by more than one label
-    (`markerdata.py:191-209` validates these in the editor dialog)."""
+    """NON-EMPTY key shortcuts (compared case-insensitively) used by more
+    than one label.  Stricter than the reference, which only warns about
+    label keys shadowing application actions (`markerdata.py:191-209`) —
+    duplicate label keys would make marker keystrokes ambiguous here, so
+    the editor dialog rejects them."""
     seen = {}
     for l in labels:
-        seen.setdefault(l.key_shortcut, []).append(l.label)
+        key = (l.key_shortcut or "").lower()
+        if key:
+            seen.setdefault(key, []).append(l.label)
     return {k: v for k, v in seen.items() if len(v) > 1}
 
 
@@ -65,7 +73,11 @@ class MarkerData:
 
     def __init__(self, marker_labels=None):
         self.file_path = None
-        self.marker_labels = marker_labels or []
+        # keep the CALLER's list object (even when empty): the browser
+        # and the label editor mutate it in place and rely on shared
+        # identity
+        self.marker_labels = (marker_labels if marker_labels is not None
+                              else [])
         self.clear()
 
     def clear(self):
@@ -128,7 +140,10 @@ class MarkerData:
         for k in range(n):
             span = self.delta_times[k]
             ispan = int(np.round(span * rate)) if np.isfinite(span) else 0
-            i1 = int(np.round(self.times[k] * rate))
+            t1 = self.times[k]
+            # rows without a time (frequency-only markers) export at 0
+            # rather than crashing int(nan)
+            i1 = int(np.round(t1 * rate)) if np.isfinite(t1) else ispan
             locs[k, 0] = i1 - ispan
             locs[k, 1] = ispan
             labels[k, 0] = self.labels[k]
@@ -138,7 +153,9 @@ class MarkerData:
     # -- export (`markerdata.py:508-529`) ---------------------------------------------
 
     def save(self, file_path):
-        """CSV or (with openpyxl) XLSX export."""
+        """CSV or (with openpyxl) XLSX export.  Without openpyxl an
+        .xlsx request degrades to CSV with a printed notice; callers
+        should surface the RETURNED path (it may differ)."""
         df = self.data_frame()
         path = Path(file_path)
         if path.suffix.lower() == ".xlsx":
@@ -147,5 +164,7 @@ class MarkerData:
                 return path
             except (ImportError, ModuleNotFoundError):
                 path = path.with_suffix(".csv")
+                print(f"openpyxl is not installed: saving {path} instead"
+                      f" (pip install audian-tpu[export])")
         df.to_csv(path, index=False)
         return path

@@ -8,6 +8,7 @@ the data file's parent directories, dumpable to a commented ``.cfg`` file.
 
 from __future__ import annotations
 
+import sys
 from pathlib import Path
 
 __all__ = ["ConfigFile"]
@@ -78,11 +79,17 @@ class ConfigFile:
             name = name.strip()
             if name not in self._values:
                 continue
-            value = value.strip()
+            value = value.partition("#")[0].strip()  # inline comments
             unit = self._units[name]
             if unit and value.endswith(unit):
                 value = value[: -len(unit)].strip()
-            self.set(name, value)
+            try:
+                self.set(name, value)
+            except (ValueError, TypeError) as e:
+                # a hand-edited bad value must not kill the whole batch
+                # run (thunderlab's ConfigFile warns and skips too)
+                print(f"{path}: ignoring invalid value for "
+                      f"{name}: {value!r} ({e})", file=sys.stderr)
 
     def load_files(self, cfgfile, filepath, max_level=3, verbose=0):
         """Cascade-load ``cfgfile`` from the CWD and up to ``max_level``

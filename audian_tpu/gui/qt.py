@@ -1291,11 +1291,19 @@ if HAVE_QT:
                 widget.resizeColumnsToContents()
 
             def save():
+                # offer XLSX only when openpyxl can actually write it
+                # (`markerdata.py:512-516` does the same probe)
+                filters = "CSV (*.csv)"
+                try:
+                    import openpyxl  # noqa: F401
+                    filters += ";;Excel (*.xlsx)"
+                except ImportError:
+                    pass
                 path, _ = QFileDialog.getSaveFileName(
-                    self, "Save markers", "markers.csv",
-                    "CSV (*.csv);;Excel (*.xlsx)")
+                    self, "Save markers", "markers.csv", filters)
                 if path:
-                    md.save(path)
+                    saved = md.save(path)
+                    self.set_status(f"saved markers to {saved}")
 
             fill()
             buttons = QDialogButtonBox(QDialogButtonBox.Close |
@@ -1344,8 +1352,7 @@ if HAVE_QT:
                     if name:
                         labels.append(MarkerLabel(name, row_text(r, 1),
                                                   row_text(r, 2) or "yellow"))
-                conflicts = {k: v for k, v in key_conflicts(labels).items()
-                             if k}  # empty shortcuts are fine
+                conflicts = key_conflicts(labels)  # skips empty keys
                 if conflicts:
                     QMessageBox.warning(
                         dialog, "Key conflicts",

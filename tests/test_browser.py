@@ -424,3 +424,42 @@ def test_nfft_scrub_zero_compiles_after_warmup(tmp_path, rng):
     compiles = [r for r in records if "Compiling" in r or "compilation" in r]
     assert not compiles, f"NFFT scrub recompiled: {compiles[:4]}"
     b.close()
+
+
+def test_marker_nan_time_export(browser, tmp_path):
+    """Frequency-only markers (no time) export at position 0 instead of
+    crashing int(nan); the result table rejects over-long rows loudly."""
+    md = browser.marker_data
+    n0 = len(md)
+    md.add_data(0, None, frequency=1234.0, label="f")
+    locs, labels = md.get_markers(browser.data.rate)
+    assert locs[n0, 0] == 0 and locs[n0, 1] == 0
+    md.remove(n0)
+
+
+def test_result_table_row_column_contracts():
+    from audian_tpu.analysis.table import ResultTable
+
+    t = ResultTable()
+    t.append("a")
+    t.append("b", "s", "%.2f")
+    with pytest.raises(ValueError):
+        t.add([1, 2, 3])  # more values than columns: loud, not silent
+    t.add([1, 2])
+    t.append("c")  # column after rows: existing rows padded
+    assert t.rows[0] == [1, 2, None]
+    t.add([4, 5, 6])
+    df = t.to_dataframe()
+    c = list(df["c"])
+    assert (c[0] is None or np.isnan(c[0])) and c[1] == 6
+    assert t.formatted(0) == ["1", "2.00", ""]
+
+
+def test_find_label_case_insensitive():
+    from audian_tpu.app.markers import MarkerLabel, find_label, key_conflicts
+
+    labels = [MarkerLabel("song", "Ctrl+S", "red"),
+              MarkerLabel("noise", "", "gray"),
+              MarkerLabel("call", "", "blue")]
+    assert find_label(labels, "ctrl+s").label == "song"
+    assert key_conflicts(labels) == {}  # empty keys never conflict

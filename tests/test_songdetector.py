@@ -398,3 +398,21 @@ def test_songdetector_cli_raw16(tmp_path, rng, capsys):
     lines = out.read_text().strip().splitlines()
     assert lines[0].startswith("channel,tstart/s")
     assert len(lines) == 1 + 2 * 2  # 2 songs x 2 channels
+
+
+def test_config_tolerates_bad_values(tmp_path, capsys):
+    """Hand-edited config files with malformed values warn and keep the
+    defaults instead of killing the batch run (thunderlab semantics)."""
+    from audian_tpu.cli.songdetector import default_config
+
+    cfg = default_config()
+    want = cfg.value("minduration")
+    bad = tmp_path / "songdetector.cfg"
+    bad.write_text("minduration: abc\n"
+                   "highpassfreq:\n"
+                   "lowpassfreq: 9000Hz # inline comment\n")
+    cfg.load(bad)
+    err = capsys.readouterr().err
+    assert "minduration" in err and "highpassfreq" in err
+    assert cfg.value("minduration") == want
+    assert cfg.value("lowpassfreq") == 9000.0  # comment stripped
