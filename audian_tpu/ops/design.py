@@ -56,7 +56,21 @@ def design_filter(rate, highpass_cutoff=0.0, lowpass_cutoff=None, order=2):
 
 def design_envelope_filter(rate, envelope_cutoff=500.0, highpass_cutoff=0.0, order=2):
     """Envelope smoothing filter; ``None`` when the design is infeasible
-    (reference parity: `src/audian/bufferedenvelope.py:44-55`)."""
+    (reference parity: `src/audian/bufferedenvelope.py:44-55`).
+
+    Cutoffs clamp like :func:`design_filter`'s (scrub verbs must never
+    crash the redesign); the LOW end floors at ``5e-4 * rate`` — a
+    near-DC cutoff's truncated FIR needs hundreds of thousands of taps
+    (the Toeplitz bank for a 1 Hz cutoff at 96 kHz would be ~1 GB).
+    """
+    nyq = rate / 2
+    if float(envelope_cutoff) <= 0:
+        return None  # infeasible request disables the envelope
+    envelope_cutoff = min(max(float(envelope_cutoff), 5e-4 * rate),
+                          0.999 * nyq)
+    if highpass_cutoff > 0:
+        highpass_cutoff = min(float(highpass_cutoff),
+                              0.99 * envelope_cutoff)
     try:
         if highpass_cutoff > 0:
             return butter(
@@ -137,14 +151,11 @@ class FirKernels:
         a unit initial value in each state component.
     input_state : (T, 2*nsec) final-state contribution of an input applied
         ``n`` steps before the block end (column j = state component).
-    A_pow_T : (2*nsec, 2*nsec) ``A**T`` for carrying very old state (usually
-        negligible by construction).
     """
 
     h: np.ndarray
     state_out: np.ndarray
     input_state: np.ndarray
-    A_pow_T: np.ndarray
     eps: float
     #: cascade state matrix — carries the initial state across blocks
     #: SHORTER than the kernel (A**n @ s0 has not decayed below eps there)
@@ -160,9 +171,8 @@ class FirKernels:
 # long as the pow2-bucketed kernel length is unchanged.
 jax.tree_util.register_pytree_node(
     FirKernels,
-    lambda k: ((k.h, k.state_out, k.input_state, k.A_pow_T, k.A), k.eps),
-    lambda eps, ch: FirKernels(ch[0], ch[1], ch[2], ch[3], eps=eps,
-                               A=ch[4]),
+    lambda k: ((k.h, k.state_out, k.input_state, k.A), k.eps),
+    lambda eps, ch: FirKernels(ch[0], ch[1], ch[2], eps=eps, A=ch[3]),
 )
 
 
@@ -196,9 +206,8 @@ def fir_kernels(sos, eps=1e-7, max_len=1 << 20, pad_to_pow2=False,
     state_out = np.einsum("tij,i->tj", powers, C)  # row k = C @ A**k
     # state after the block from input x[N-1-j]: A**j B
     input_state = powers @ B  # (T, n)
-    A_pow_T = powers[-1] @ A
     return FirKernels(h=h, state_out=state_out, input_state=input_state,
-                      A_pow_T=A_pow_T, eps=eps, A=A)
+                      eps=eps, A=A)
 
 
 def filtfilt_sym_kernel(sos, eps=1e-7, max_len=1 << 20, pad_to=None):

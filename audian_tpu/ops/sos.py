@@ -149,6 +149,9 @@ def sosfilt(sos, x, zi=None, axis=0, block_size=1 << 17, return_zf=None):
     if return_zf is None:
         return_zf = zi is not None
     x = jnp.asarray(x)
+    # normalize: the zi/zf moveaxis below uses `1 + axis`, which is only
+    # correct for non-negative axes
+    axis = axis % max(x.ndim, 1)
     dtype = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
     x = x.astype(dtype)
     sos = _normalize_sos(sos, dtype)
@@ -199,6 +202,12 @@ def odd_ext(x, n, axis=0):
         return jnp.asarray(x)
     x = jnp.asarray(x)
     xt = jnp.moveaxis(x, axis, 0)
+    if n > xt.shape[0] - 1:
+        # scipy raises here too; jnp slice clipping would otherwise
+        # return a silently short, wrong-valued extension
+        raise ValueError(
+            f"extension length n ({n}) is too big; it must not exceed "
+            f"x.shape[axis]-1 ({xt.shape[0] - 1})")
     left = 2 * xt[0] - xt[n:0:-1]
     right = 2 * xt[-1] - xt[-2 : -(n + 2) : -1]
     out = jnp.concatenate([left, xt, right], axis=0)
@@ -374,6 +383,9 @@ def sosfilt_fir(kernels, x, zi=None, axis=0, return_zf=None,
     if return_zf is None:
         return_zf = zi is not None
     x = jnp.asarray(x)
+    # normalize: the zi/zf moveaxis below uses `1 + axis`, which is only
+    # correct for non-negative axes
+    axis = axis % max(x.ndim, 1)
     dtype = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
     x = x.astype(dtype)
     xt = jnp.moveaxis(x, axis, 0)

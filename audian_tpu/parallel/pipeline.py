@@ -31,7 +31,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..ops import (sosfilt_fir, sosfiltfilt_sym, filtfilt_sym_kernel,
                    spectrogram, hann_window)
-from ..ops.minmax import interleave_minmax
+from ..ops.minmax import minmax_interleaved
 from .shard import halo_exchange
 
 __all__ = ["ShardedPipeline"]
@@ -92,10 +92,19 @@ class ShardedPipeline:
     def _build(self):
         window = hann_window(self.nfft, jnp.float32)
 
+        seq_size = self.mesh.shape["seq"]
+
         def local(x, params):
             filt, env = params
             L = x.shape[0]
-            ext = halo_exchange(x, self.hb, self.ha, "seq")
+            if seq_size == 1:
+                # degenerate mesh: no neighbors exist and halos are zeros
+                # by construction — zero-pad directly, which also lifts
+                # the halo <= L restriction (short clips on one device)
+                ext = jnp.pad(x, [(self.hb, self.ha)]
+                              + [(0, 0)] * (x.ndim - 1))
+            else:
+                ext = halo_exchange(x, self.hb, self.ha, "seq")
             y = ext
             if filt is not None:
                 y = sosfilt_fir(filt.fir, y, axis=0, return_zf=False)
@@ -114,13 +123,10 @@ class ShardedPipeline:
                 )
             if self.minmax_step:
                 # the overview decimates the *raw* trace, like the
-                # reference's CompressedData (compresseddata.py:41-52)
-                sh = x.reshape(
-                    (L // self.minmax_step, self.minmax_step) + x.shape[1:]
-                )
-                out["minmax"] = interleave_minmax(
-                    jnp.min(sh, axis=1), jnp.max(sh, axis=1)
-                )
+                # reference's CompressedData (compresseddata.py:41-52);
+                # shared helper so decimation semantics live in one
+                # place (per-shard L is align- and hence step-aligned)
+                out["minmax"] = minmax_interleaved(x, self.minmax_step)
             return out
 
         out_specs = {"filtered": P("seq", "ch")}
@@ -155,13 +161,18 @@ class ShardedPipeline:
 
         Returns dict of global (logically unsharded) device arrays:
         ``filtered``/``envelope`` ``(n_pad, C)``, ``spectrogram``
-        ``(n_pad/hop, C, nfft//2+1)``, optional ``minmax``.
+        ``(n_pad/hop, C, nfft//2+1)``, optional ``minmax`` (real bins
+        only).  The time axis stays padded to ``padded_length(n)``;
+        channels are padded to the mesh internally and trimmed back.
         """
         x = jnp.asarray(x, self.dtype)
         n = x.shape[0]
         n_pad = self.padded_length(n)
-        L = n_pad // self.mesh.shape["seq"]
-        if max(self.hb, self.ha) > L:
+        nseq = self.mesh.shape["seq"]
+        L = n_pad // nseq
+        if nseq > 1 and max(self.hb, self.ha) > L:
+            # (with one seq shard the halos are zero padding, computed
+            # locally — any clip length works)
             raise ValueError(
                 f"per-shard length {L} frames is smaller than the halo "
                 f"(hb={self.hb}, ha={self.ha}) — one neighbor exchange "
@@ -169,6 +180,30 @@ class ShardedPipeline:
                 f"recording, or a shorter filter kernel")
         if n_pad != n:
             x = jnp.pad(x, [(0, n_pad - n)] + [(0, 0)] * (x.ndim - 1))
+        # channels must divide the ch mesh axis: pad, then trim outputs
+        nch = self.mesh.shape["ch"]
+        C = x.shape[1]
+        c_pad = _round_up(C, nch)
+        if c_pad != C:
+            x = jnp.pad(x, [(0, 0), (0, c_pad - C)]
+                        + [(0, 0)] * (x.ndim - 2))
         sharding = NamedSharding(self.mesh, P("seq", "ch"))
         x = jax.device_put(x, sharding)
-        return self._fn(x)
+        out = self._fn(x)
+        if c_pad != C:
+            out = {k: (v[:, :C] if v.ndim == 2 else v[:, :C, :])
+                   for k, v in out.items()}
+        if self.minmax_step and n_pad != n:
+            # the global zero padding lands in the overview's tail bins:
+            # keep only the real bins and recompute the final (partial)
+            # one from real samples, matching the interactive
+            # minmax_interleaved ragged-tail semantics
+            step = self.minmax_step
+            nseg = -(-n // step)
+            mm = out["minmax"][: 2 * nseg]
+            if n % step:
+                tail = x[(nseg - 1) * step : n, :C]
+                mm = mm.at[-2].set(jnp.min(tail, axis=0))
+                mm = mm.at[-1].set(jnp.max(tail, axis=0))
+            out["minmax"] = mm
+        return out

@@ -32,6 +32,12 @@ def halo_exchange(x, before, after, axis_name="seq"):
 
     Returns (before + L + after, ...).
     """
+    if max(before, after) > x.shape[0]:
+        # jnp slice clipping would silently return a shorter "halo" made
+        # of the shard's own samples, misaligning every downstream slice
+        raise ValueError(
+            f"halo ({before}, {after}) exceeds the local shard length "
+            f"{x.shape[0]}: one neighbor exchange cannot provide it")
     n = lax.axis_size(axis_name)
     idx = lax.axis_index(axis_name)
     parts = []

@@ -213,3 +213,65 @@ def test_halo_exchange_lowers_to_collective_permute():
     hlo = fn.lower(x).compile().as_text()
     assert "collective-permute" in hlo
     assert "all-gather" not in hlo
+
+
+def test_seq1_mesh_handles_short_clips(signal):
+    """A degenerate one-shard mesh has no neighbors — halos are local
+    zero padding, so clips shorter than the kernel must work and match
+    scipy exactly."""
+    mesh = make_mesh(seq=1, ch=1)
+    sos = design_filter(RATE, 2000.0, 8000.0)
+    pipe = ShardedPipeline(mesh, RATE, filt=FilterDesign.from_sos(sos),
+                           env=None, spectrogram=False)
+    x = signal[:64, :1]  # far shorter than the FIR kernel
+    out = pipe(x)
+    want = sps.sosfilt(sos, x.astype(np.float64), axis=0)
+    np.testing.assert_allclose(np.asarray(out["filtered"])[:64], want,
+                               atol=2e-5)
+
+
+def test_channel_count_pads_to_mesh(signal):
+    """Odd channel counts pad to the ch mesh axis internally and trim
+    back — a 3-channel recording must not raise a raw divisibility
+    error."""
+    mesh = make_mesh(seq=4, ch=2)
+    sos = design_filter(RATE, 2000.0, 8000.0)
+    x3 = np.concatenate([signal, signal[:, :1]], axis=1)  # 3 channels
+    pipe = ShardedPipeline(mesh, RATE, filt=FilterDesign.from_sos(sos),
+                           env=None, spectrogram=False)
+    out = pipe(x3)
+    assert out["filtered"].shape[1] == 3
+    want = sps.sosfilt(sos, x3.astype(np.float64), axis=0)
+    np.testing.assert_allclose(np.asarray(out["filtered"])[: len(x3)],
+                               want, atol=2e-5)
+
+
+def test_sharded_minmax_ragged_tail_matches_interactive(signal):
+    """The global zero padding must not leak into the overview's final
+    partial bin (the interactive minmax pads ragged tails neutrally)."""
+    from audian_tpu.ops.minmax import minmax_interleaved
+
+    mesh = make_mesh(seq=8, ch=1)
+    pipe = ShardedPipeline(mesh, RATE, filt=None, env=None,
+                           spectrogram=False, minmax_step=512)
+    n = 8 * 4096 + 100
+    x = (0.5 + 0.5 * np.abs(signal[:n, :1]))  # strictly positive
+    out = pipe(x)
+    want = np.asarray(minmax_interleaved(jnp.asarray(x), 512))
+    got = np.asarray(out["minmax"])
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    assert got.min() > 0.0  # no spurious zero bin from the padding
+
+
+def test_halo_exchange_contract_error():
+    mesh = make_mesh(seq=8, ch=1)
+    from jax import shard_map
+
+    def local(x):
+        return halo_exchange(x, 64, 0, "seq")
+
+    f = shard_map(local, mesh=mesh, in_specs=P("seq", None),
+                  out_specs=P("seq", None))
+    with pytest.raises(ValueError, match="halo"):
+        f(jnp.zeros((8 * 16, 1)))  # per-shard L=16 < before=64

@@ -280,3 +280,41 @@ def test_sosfilt_fir_short_block_streaming(signal):
     got = np.concatenate(outs)
     want = sps.sosfilt(sos, x)
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+
+
+def test_negative_axis_with_zi_matches_scipy(rng):
+    """axis=-1 with scipy-convention zi must match scipy (the zi/zf
+    moveaxis used 1+axis, which silently corrupted negative axes)."""
+    from audian_tpu.ops import fir_kernels, sosfilt_fir, sosfilt
+
+    sos = sps.butter(2, [0.1, 0.4], "bandpass", output="sos")
+    x = rng.standard_normal((3, 400))
+    zi = np.repeat(sps.sosfilt_zi(sos)[:, None], 3, axis=1)
+    want, want_zf = sps.sosfilt(sos, x, zi=zi, axis=-1)
+    got, got_zf = sosfilt(sos, x, zi=zi, axis=-1)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_zf), want_zf, atol=1e-6)
+    k = fir_kernels(sos, eps=1e-9)
+    got2, got2_zf = sosfilt_fir(k, x, zi=zi, axis=-1)
+    np.testing.assert_allclose(np.asarray(got2), want, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got2_zf), want_zf, atol=1e-5)
+
+
+def test_odd_ext_too_long_raises():
+    from audian_tpu.ops import odd_ext
+
+    with pytest.raises(ValueError, match="too big"):
+        odd_ext(np.arange(5.0), 7)
+
+
+def test_envelope_design_clamps_near_dc():
+    """Near-DC envelope cutoffs clamp to a floor so the truncated-FIR
+    kernel stays bounded (a 1 Hz cutoff at 96 kHz would need ~350k taps
+    and a ~1 GB Toeplitz bank); non-positive stays infeasible."""
+    from audian_tpu.ops import design_envelope_filter
+    from audian_tpu.ops.design import effective_impulse_length
+
+    sos = design_envelope_filter(96000.0, envelope_cutoff=1.0)
+    assert sos is not None
+    assert effective_impulse_length(sos, 2e-6) < 40000
+    assert design_envelope_filter(96000.0, 0.0) is None
