@@ -102,6 +102,8 @@ def _band_env_chunks(fdesign, edesign, x, step, return_filtered):
         # in arbitrary lengths
         if x.dtype == np.int16:  # raw PCM-16 (see _band_env_device)
             x = x.astype(np.float64) / 32768.0
+        elif x.dtype != np.float64:
+            x = x.astype(np.float64)  # small block: run at oracle f64
         y = sps.sosfiltfilt(fdesign.sos, x, axis=0)
         e = 2.0 * sps.sosfiltfilt(edesign.sos, y * y, axis=0)
         env = np.sqrt(np.maximum(e, 0.0)[::step]) * np.sqrt(2.0)
@@ -229,11 +231,20 @@ def _clamp_cutoff(freq, rate):
     return min(max(freq, 1e-6), 0.4999 * rate)
 
 
+def _clamp_band(lowf, highf, rate):
+    """Clamp a band-pass pair keeping ``lowf < highf`` — clamping both
+    edges independently collapses them to the same Nyquist-bound value
+    for low sample rates (scipy then raises 'Wn[0] must be less than
+    Wn[1]')."""
+    highf = _clamp_cutoff(highf, rate)
+    lowf = min(_clamp_cutoff(lowf, rate), 0.99 * highf)
+    return lowf, highf
+
+
 def bandpass_filter(data, rate, lowf=5500.0, highf=7500.0, order=1):
     """Zero-phase Butterworth band-pass (`songdetector.py:36-46`), on
     device (full-rate data)."""
-    sos = sps.butter(order, (_clamp_cutoff(lowf, rate),
-                             _clamp_cutoff(highf, rate)), "bandpass",
+    sos = sps.butter(order, _clamp_band(lowf, highf, rate), "bandpass",
                      fs=rate, output="sos")
     design = FilterDesign.from_sos(sos)
     return np.asarray(_filtfilt_device(design, jnp.asarray(data)))
@@ -271,7 +282,14 @@ def threshold_estimates(envelopes, fac=10.0):
     """Histogram-based per-channel detection thresholds
     (`songdetector.py:86-117`): estimate the noise mode, then place the
     threshold between noise and signal clusters (or above everything when
-    no signal cluster exists)."""
+    no signal cluster exists).
+
+    ``fac`` is accepted for config/API parity but UNUSED — the
+    reference's ``mean + fac*std`` rule is commented out there too
+    (`songdetector.py:102`, the author's own "XXX improve ... this");
+    output parity with the reference pipeline is the acceptance
+    criterion for this stage.
+    """
     envelopes = np.asarray(envelopes)
     maxe = np.max(envelopes)
     threshs = []
@@ -286,6 +304,12 @@ def threshold_estimates(envelopes, fac=10.0):
         maxi = np.argmax(h) + 1
         maxi = min(maxi + (maxi - mini), len(b) - 1)
         lower = envelopes[envelopes[:, c] < b[maxi], c]
+        if not len(lower):
+            # constant channel pinned at the global max (clipped /
+            # saturated): an empty slice would make the threshold NaN
+            # and silently drop every event; use the silent sentinel
+            threshs.append(maxe + 1.0)
+            continue
         mean = np.mean(lower)
         std = np.std(lower)
         upper = envelopes[envelopes[:, c] > mean + 3.0 * std, c]
@@ -419,17 +443,20 @@ def band_env(data, rate, highpassfreq, lowpassfreq, envelopecutofffreq,
     the bytes, dequantizing on device.
     """
     data = np.atleast_2d(np.asarray(data))
-    if data.dtype != np.int16:
-        data = data.astype(np.float64, copy=False)
+    if data.dtype != np.int16 and not np.issubdtype(data.dtype,
+                                                    np.floating):
+        data = data.astype(np.float64)
+    # floating input keeps its dtype: the chunked device path computes
+    # in f32 anyway, and a whole-recording float64 copy costs tens of
+    # seconds of host time (the scipy fallback upcasts locally)
     if data.shape[0] < data.shape[1]:
         data = data.T
     # sticky pow2 kernel-length budgets (the browser's interactivity
     # idiom): scrubbing a cutoff across a pow2 boundary would otherwise
     # change the traced kernel shapes and recompile the chunk program
     fdesign = FilterDesign.from_sos(
-        sps.butter(1, (_clamp_cutoff(highpassfreq, rate),
-                       _clamp_cutoff(lowpassfreq, rate)), "bandpass",
-                   fs=rate, output="sos"),
+        sps.butter(1, _clamp_band(highpassfreq, lowpassfreq, rate),
+                   "bandpass", fs=rate, output="sos"),
         pad_to=_KERNEL_BUDGET["filt"] or None)
     edesign = FilterDesign.from_sos(
         sps.butter(1, _clamp_cutoff(envelopecutofffreq, rate), "lowpass",
@@ -457,11 +484,7 @@ def detect(data, rate, highpassfreq=1000.0, lowpassfreq=10000.0,
     want the event table save that transfer.  ``int16`` input is raw
     PCM-16 (see :func:`band_env`).
     """
-    data = np.atleast_2d(np.asarray(data))
-    if data.dtype != np.int16:
-        data = data.astype(np.float64, copy=False)
-    if data.shape[0] < data.shape[1]:
-        data = data.T
+    # input normalization happens in band_env (the first stage)
     log = print if verbose else (lambda *a, **k: None)
     log("apply bandpass filter + envelope ...")
     fdata, env, envrate = band_env(data, rate, highpassfreq, lowpassfreq,

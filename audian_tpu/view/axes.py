@@ -161,12 +161,33 @@ def format_time_ticks(values, spacing, mode=REC_TIME, starttime=None,
     if spacing < 1:
         fs += ".{micros}"
 
-    base = starttime if mode == ABS_TIME else dt.datetime(1, 1, 1)
     strings = []
     for t in values:
-        d = base + dt.timedelta(seconds=float(t))
+        if mode == ABS_TIME:
+            # wall-clock display: datetime components (wrapping at 24 h
+            # is correct here — the date carries the day)
+            d = starttime + dt.timedelta(seconds=float(t))
+            strings.append(fs.format(
+                year=d.year, month=d.month, day=d.day, hours=d.hour,
+                mins=d.minute, secs=d.second,
+                micros=_fraction(spacing, d.microsecond)))
+            continue
+        # relative modes label TOTAL elapsed time: datetime components
+        # wrap at 24 h / 60 m (a 25 h recording would relabel as 1:00:00,
+        # and the 3600 s tick of an m:s axis as 0:00)
+        tv = float(t)
+        whole = int(tv)
+        micros = int(round((tv - whole) * 1e6))
+        if micros >= 1_000_000:  # float rounding at the next second
+            whole += 1
+            micros = 0
+        if "hours" in fs:
+            hours, mins, secs = whole // 3600, (whole // 60) % 60, whole % 60
+        elif "mins" in fs:
+            hours, mins, secs = 0, whole // 60, whole % 60
+        else:
+            hours, mins, secs = 0, 0, whole
         strings.append(fs.format(
-            year=d.year, month=d.month, day=d.day, hours=d.hour,
-            mins=d.minute, secs=d.second,
-            micros=_fraction(spacing, d.microsecond)))
+            year=1, month=1, day=1, hours=hours, mins=mins, secs=secs,
+            micros=_fraction(spacing, micros)))
     return label, units, strings, filename

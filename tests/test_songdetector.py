@@ -7,6 +7,7 @@ from audian_tpu.config import ConfigFile
 from audian_tpu.analysis.events import (
     threshold_crossings, merge_events, remove_events, widen_events,
     peak_freqs, square_envelope, threshold_estimates, detect_songs, detect,
+    bandpass_filter,
 )
 from audian_tpu.cli import songdetector
 from audian_tpu.data import wavio
@@ -416,3 +417,24 @@ def test_config_tolerates_bad_values(tmp_path, capsys):
     assert "minduration" in err and "highpassfreq" in err
     assert cfg.value("minduration") == want
     assert cfg.value("lowpassfreq") == 9000.0  # comment stripped
+
+
+def test_bandpass_defaults_survive_low_rates(rng):
+    """Default band edges above Nyquist must clamp keeping lowf < highf
+    (both edges used to collapse to the same value and crash scipy)."""
+    x = (0.1 * rng.standard_normal((4000, 1))).astype(np.float32)
+    y = bandpass_filter(x, 10000.0)  # defaults 5500/7500 vs nyq 5000
+    assert y.shape == x.shape
+    res = detect(x, 8000.0, highpassfreq=4000.0, lowpassfreq=6000.0,
+                 return_filtered=False)
+    assert res["onsets"] is not None
+
+
+def test_threshold_constant_channel_sentinel(rng):
+    """A channel pinned at the global max (clipped) gets the silent
+    sentinel threshold, not NaN (which silently dropped every event)."""
+    env = np.column_stack([np.full(1000, 3.0),
+                           0.1 * np.abs(rng.standard_normal(1000))])
+    th = threshold_estimates(env)
+    assert np.isfinite(th[0]) and th[0] > 3.0
+    assert np.isfinite(th[1])

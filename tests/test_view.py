@@ -332,3 +332,21 @@ def test_format_time_ticks_negative_values():
             [-0.01, 0.0, 1.0], 0.5, mode=mode,
             file_times=[0.0, 10.0], file_paths=["a.wav", "b.wav"])
         assert len(strings) == 3
+
+
+def test_time_ticks_label_total_elapsed():
+    """Relative modes label TOTAL elapsed time — datetime components
+    would wrap a 25 h recording back to 1:00:00 and the 3600 s tick of
+    an m:s axis to 0:00."""
+    from audian_tpu.view.axes import format_time_ticks
+
+    _, units, strs, _ = format_time_ticks([90000.0, 93600.0], 3600.0)
+    assert units == "h:m:s"
+    assert strs == ["25:00:00", "26:00:00"]
+    _, units, strs, _ = format_time_ticks([0.0, 1800.0, 3600.0], 600.0)
+    assert strs[-1] == "60:00"
+    _, units, strs, _ = format_time_ticks([0.0, 60.0], 10.0)
+    assert strs == ["0.000", "60.000"]  # s mode always shows millis
+    # fractional spacing still renders the sub-second digits
+    _, _, strs, _ = format_time_ticks([0.25], 0.05)
+    assert strs == ["0.250"]
