@@ -136,6 +136,29 @@ class SpecDataItem:
         pass
 
 
+class PowerSideItem:
+    """Stand-in for the live power side plot's data item: it must not
+    report data amplitudes, or range verbs like ``auto`` on the power
+    letter would reset the user's dB color levels to the frequency
+    extent (the reference's PowerPlot likewise exposes no amplitudes)."""
+
+    def __init__(self, item):
+        self._item = item
+
+    @property
+    def data(self):
+        return self._item.data
+
+    def isVisible(self):
+        return self._item.isVisible()
+
+    def amplitudes(self, t0, t1):
+        return None, None
+
+    def update_plot(self):
+        pass
+
+
 class HeadlessAx:
     """One per (panel, channel): holds range/limit/visibility state and
     the crosshair lines; satisfies both the Panel and PlotRange plot
@@ -176,7 +199,8 @@ class HeadlessAx:
         from .panels import Panel
 
         if letter in Panel.times:
-            return 0.0, b.data.frames / b.data.rate, 1.0
+            tmax = b.data.frames / b.data.rate
+            return 0.0, tmax, min(10.0, tmax)  # `timeplot.py:86-91`
         if letter in Panel.amplitudes:
             lo, hi = -1.0, 1.0
             for item in self.data_items:
@@ -184,12 +208,16 @@ class HeadlessAx:
                 if trace is not None and hasattr(trace, "ampl_min"):
                     lo = min(lo, float(trace.ampl_min))
                     hi = max(hi, float(trace.ampl_max))
-            return lo, hi, (hi - lo) / 8
+            return lo, hi, 1.0  # astep (`timeplot.py:97`)
         if letter in Panel.frequencies:
+            # deliberate deviation: the reference falls through to the
+            # amplitude branch (astep 1 Hz) for frequency axes, which
+            # makes edge-step verbs uselessly slow; step by fmax/16
             fmax = b.data.rate / 2
             return 0.0, fmax, fmax / 16
         if letter in Panel.powers:
-            return -120.0, 0.0, 5.0
+            # `spectrogramplot.py:167-176` z-range for p letters
+            return -200.0, 20.0, 5.0
         return None, None, None
 
     def setLimits(self, **kw):
@@ -284,7 +312,7 @@ def build_view_model(browser):
                 pname = name + "-power"
                 if pname in panels:
                     pax = HeadlessAx(browser, c, panels[pname].ax_spec,
-                                     list(items))
+                                     [PowerSideItem(i) for i in items])
                     panels[pname].add_ax(panels[pname].row, pax)
                     ranges.add_plot(pax)
     ranges.set_limits()

@@ -280,14 +280,18 @@ class Panels(dict):
         self.add(name + "-power", z + f, self[name].row, adjust_rows=False)
 
     def fill(self, data):
-        """Create panels for plugin traces that name one not yet built."""
+        """Create panels for plugin traces that name one not yet built;
+        unknown panel types are skipped like the reference
+        (`src/audian/panels.py:282-288`) — building a bogus trace panel
+        would consume a fresh amplitude letter and shift linkage."""
         for trace in data.traces:
             target = getattr(trace, "panel", None)
             if not target or target in self:
                 continue
-            if getattr(trace, "panel_type", "trace") == "spectrogram":
+            ptype = getattr(trace, "panel_type", "trace")
+            if ptype == "spectrogram":
                 self.add_spectrogram(target)
-            else:
+            elif ptype == "trace":
                 self.add_trace(target)
 
     # -- lookups and fan-out -------------------------------------------------------------

@@ -539,14 +539,11 @@ class PlotRange:
         return None, None, None
 
     def clear_stored_marker(self):
-        for ax in self._axes("x"):
-            widget = getattr(ax, "stored_marker", None)
-            if widget is not None:
-                widget.setVisible(False)
-        for ax in self._axes("y"):
-            widget = getattr(ax, "stored_marker", None)
-            if widget is not None:
-                widget.setVisible(False)
+        for role in ("x", "y"):
+            for ax in self._axes(role):
+                widget = getattr(ax, "stored_marker", None)
+                if widget is not None:
+                    widget.setVisible(False)
         self._anchor.clear()
 
     def update_crosshair(self):

@@ -63,11 +63,24 @@ class ZoomHistory:
         return None
 
     def back(self, n=1):
-        self.pointer = max(self.pointer - n, 0)
+        """Move back; None when empty OR already at the oldest entry
+        (pyqtgraph's scaleHistory no-ops at the boundary — returning the
+        same rect would make every extra keypress re-apply it)."""
+        if not self.history:
+            return None  # clamping -1 to 0 would desync the pointer
+        new = max(self.pointer - n, 0)
+        if new == self.pointer:
+            return None
+        self.pointer = new
         return self.current()
 
     def forward(self, n=1):
-        self.pointer = min(self.pointer + n, len(self.history) - 1)
+        if not self.history:
+            return None
+        new = min(self.pointer + n, len(self.history) - 1)
+        if new == self.pointer:
+            return None
+        self.pointer = new
         return self.current()
 
     def home(self):

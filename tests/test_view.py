@@ -280,7 +280,8 @@ def test_zoom_history():
     z.add(Rect(12, 0, 14, 1))
     assert z.back().x0 == 10
     z.add(Rect(11, 0, 13, 1))  # truncates forward branch
-    assert z.forward().x0 == 11
+    assert z.forward() is None  # already at the top after add
+    assert z.current().x0 == 11
     assert z.home().x0 == 0
     assert z.forward().x0 == 10
 
@@ -350,3 +351,23 @@ def test_time_ticks_label_total_elapsed():
     # fractional spacing still renders the sub-second digits
     _, _, strs, _ = format_time_ticks([0.25], 0.05)
     assert strs == ["0.250"]
+
+
+def test_zoom_history_boundaries():
+    """Empty histories and boundary presses no-op (pyqtgraph
+    scaleHistory semantics) instead of desyncing the pointer or
+    re-applying the same rect per keypress."""
+    from audian_tpu.view.zoom import Rect, ZoomHistory
+
+    z = ZoomHistory()
+    assert z.back() is None          # empty: must not clamp -1 -> 0
+    r1, r2 = Rect(0, 0, 1, 1), Rect(0, 0, 2, 2)
+    z.add(r1)
+    z.add(r2)
+    assert z.current() is r2         # pointer still in sync
+    assert z.back() is r1
+    assert z.back() is None          # already at the oldest entry
+    assert z.forward() is r2
+    assert z.forward() is None       # already at the newest entry
+    assert z.home() is r1
+    assert z.home() is None
