@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from . import design
 from .sos import _toeplitz_bank_np
-from .stft import _dft_matrices
+from .stft import _dft_matrices, one_sided_doubling
 from .pallas.window_matmul import window_matmul
 
 __all__ = ["FusedChainCF"]
@@ -116,10 +116,7 @@ class FusedChainCF:
             2.0 * np.pi * np.arange(self.nfft) / self.nfft)
         W = _dft_matrices(self.nfft, nbins, np.float64)
         scale = 1.0 / (self.rate * float(np.sum(win ** 2)))
-        dbl = np.full(nbins, 2.0)
-        dbl[0] = 1.0
-        if self.nfft % 2 == 0:
-            dbl[-1] = 1.0
+        dbl = one_sided_doubling(self.nfft)
         # fold window + sqrt(density scaling) into the analysis matrix
         amp = np.sqrt(np.concatenate([dbl * scale, dbl * scale]))
         self.spec_w = jnp.asarray((win[:, None] * W) * amp[None, :],

@@ -84,7 +84,7 @@ def pyramid_levels(n, base_step, min_len=2):
     nseg = -(-n // base_step)
     while nseg >= min_len:
         levels += 1
-        nseg //= 2
+        nseg = -(-nseg // 2)  # each fold keeps ceil(nseg/2) segments
     return max(levels, 1)
 
 
@@ -105,8 +105,12 @@ def minmax_pyramid(x, base_step, levels=None):
     for _ in range(1, levels):
         if mins.shape[0] < 2:
             break
-        mins, _ = _segment_reduce(mins, 2)
-        _, maxs = _segment_reduce(maxs, 2)
+        # one stacked fold instead of two _segment_reduce calls that
+        # each discard half their work (eager dispatches cost ~1 ms on
+        # the tunneled chip); min(-maxs) == -max(maxs)
+        both = jnp.stack([mins, -maxs], axis=-1)
+        folded, _ = _segment_reduce(both, 2)
+        mins, maxs = folded[..., 0], -folded[..., 1]
         out.append((mins, maxs))
     return out
 

@@ -6,9 +6,13 @@ channels are averaged into at most two output channels (first half ->
 left, second half -> right); with heterodyning enabled the mix is
 multiplied by ``sin(2 pi f t)``, low-passed at 20 kHz with a zero-phase
 filter and decimated to bring ultrasonic content into the audible band;
-finally audioio-style 0.1 s fades are applied.  All of it runs as one
-jitted TPU program producing the playback buffer the host hands to the
-sound device.
+finally audioio-style 0.1 s fades are applied.
+
+The production entry (:func:`prepare_playback`) runs HOST-SIDE end to
+end on purpose: playback regions come in arbitrary lengths, and every
+fresh eager device shape costs seconds of remote compile on this
+backend (see its docstring).  The jnp helpers here are shape-stable
+building blocks for device callers that manage their own geometry.
 """
 
 from __future__ import annotations

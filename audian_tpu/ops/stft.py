@@ -34,6 +34,19 @@ __all__ = [
 ]
 
 
+def one_sided_doubling(nfft):
+    """One-sided PSD doubling vector: 2 everywhere except DC (and
+    Nyquist when ``nfft`` is even) — the normalization rule shared by
+    :func:`spectrogram` and the fused chain (one copy, so the PSDs
+    cannot silently diverge)."""
+    nbins = nfft // 2 + 1
+    dbl = np.full(nbins, 2.0, np.float64)
+    dbl[0] = 1.0
+    if nfft % 2 == 0:
+        dbl[-1] = 1.0
+    return dbl
+
+
 def hann_window(nfft, dtype=jnp.float32):
     """Periodic Hann window (scipy ``get_window('hann', nfft)``)."""
     n = jnp.arange(nfft, dtype=dtype)
@@ -142,12 +155,8 @@ def spectrogram(x, rate, nfft, hop, window=None, detrend=False,
         psd = (spec.real * spec.real + spec.imag * spec.imag).astype(dtype)
     # density scaling; window may be traced, so keep this in-graph
     scale = 1.0 / (rate * jnp.sum(window * window))
-    # One-sided doubling (not DC; not Nyquist when nfft is even):
     nbins = nfft // 2 + 1
-    dbl = np.full(nbins, 2.0, np.float64)
-    dbl[0] = 1.0
-    if nfft % 2 == 0:
-        dbl[-1] = 1.0
+    dbl = one_sided_doubling(nfft)
     factors = (jnp.asarray(dbl, dtype) * scale.astype(dtype)).reshape(
         wshape[:1] + (nbins,) + wshape[2:]
     )

@@ -51,5 +51,6 @@ def db_quantize(power, zmin, zmax):
     """Power -> uint8 dB tile clipped to [zmin, zmax] — the colormap/dB
     quantization stage of the GUI tile path (BASELINE.json config 4)."""
     db = 10.0 * jnp.log10(jnp.maximum(power, 1e-20))
-    t = jnp.clip((db - zmin) / (zmax - zmin), 0.0, 1.0)
+    # span floor: degenerate zmin == zmax would put NaNs in the tile
+    t = jnp.clip((db - zmin) / jnp.maximum(zmax - zmin, 1e-12), 0.0, 1.0)
     return jnp.round(255.0 * t).astype(jnp.uint8)

@@ -356,7 +356,9 @@ def mean_power_db_slice(buf, start, channel, offset, width, wb):
 def _db_tile(power, zmin, zmax):
     safe = jnp.maximum(power, 1e-20)
     db = 10.0 * jnp.log10(safe)
-    return jnp.clip((db - zmin) / (zmax - zmin), 0.0, 1.0)
+    # span floor: degenerate zmin == zmax would put NaNs in the tile
+    return jnp.clip((db - zmin) / jnp.maximum(zmax - zmin, 1e-12),
+                    0.0, 1.0)
 
 
 @functools.partial(jax.jit, static_argnames=())

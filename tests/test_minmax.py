@@ -57,3 +57,27 @@ def test_pyramid_ragged(rng):
     for mins, maxs in pyr:
         np.testing.assert_allclose(np.asarray(mins).min(), x.min())
         np.testing.assert_allclose(np.asarray(maxs).max(), x.max())
+
+
+def test_pyramid_levels_match_fold_count():
+    """pyramid_levels counts the levels minmax_pyramid actually builds —
+    floor-halving undercounted (folds keep ceil(nseg/2) segments)."""
+    import numpy as np
+    from audian_tpu.ops.minmax import pyramid_levels, minmax_pyramid
+
+    for n, step in ((80, 16), (1000, 7), (64, 64), (130, 4)):
+        x = np.arange(n, dtype=np.float32)
+        levels = pyramid_levels(n, step)
+        pyr = minmax_pyramid(x, step)
+        assert len(pyr) == levels, (n, step, len(pyr), levels)
+        # coarsest level genuinely has < 2 segments after one more fold
+        assert pyr[-1][0].shape[0] >= 1
+        # folds are exact min-of-mins / max-of-maxs
+        for k in range(1, len(pyr)):
+            prev_min, prev_max = pyr[k - 1]
+            cur_min, cur_max = pyr[k]
+            for s in range(cur_min.shape[0]):
+                seg_min = prev_min[2 * s : 2 * s + 2]
+                seg_max = prev_max[2 * s : 2 * s + 2]
+                assert float(cur_min[s]) == float(seg_min.min())
+                assert float(cur_max[s]) == float(seg_max.max())
