@@ -219,7 +219,7 @@ def test_seq1_mesh_handles_short_clips(signal):
     """A degenerate one-shard mesh has no neighbors — halos are local
     zero padding, so clips shorter than the kernel must work and match
     scipy exactly."""
-    mesh = make_mesh(seq=1, ch=1)
+    mesh = make_mesh(seq=1, ch=1, devices=jax.devices()[:1])
     sos = design_filter(RATE, 2000.0, 8000.0)
     pipe = ShardedPipeline(mesh, RATE, filt=FilterDesign.from_sos(sos),
                            env=None, spectrogram=False)

@@ -108,19 +108,16 @@ def test_prefetch_overlaps_read_with_compute():
 
     pf = BlockPrefetcher(SlowSource(), block_frames=1000, read_ahead=1)
     nsteps = 6
-    t0 = time.monotonic()
     for k in range(nsteps):
         pf.read(k * 1000, 1000)
-        time.sleep(0.25)  # downstream compute, well over one read
-    wall = time.monotonic() - t0
+        time.sleep(0.4)  # downstream compute, 4x one read
     pf.close()
-    serial = nsteps * (0.1 + 0.25)
     # pf.hits counts blocks the background thread had fetched BEFORE the
-    # foreground asked — the overlap property itself, independent of
-    # wall-clock scheduling jitter on a loaded 1-vCPU CI host (per-step
-    # latency thresholds flaked there)
+    # foreground asked — a hit IS the overlap property (the read happened
+    # during the compute sleep).  No wall-clock assertions: both per-step
+    # latency thresholds and total-wall bounds flaked under CI load on
+    # this 1-vCPU host.
     assert pf.hits >= nsteps - 2, f"only {pf.hits} read-ahead hits"
-    assert wall < 0.95 * serial, f"no overlap: {wall:.2f}s vs {serial:.2f}s"
 
 
 def test_prefetch_direction_bias():
