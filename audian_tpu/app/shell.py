@@ -460,6 +460,11 @@ def audian_cli(cargs=None, plugins=None, shell_cls=Audian):
     parser.add_argument("-U", dest="unwrap_clip", default=0, type=float,
                         metavar="THRESH", const=1.5, nargs="?",
                         help="unwrap clipped data and clip")
+    parser.add_argument("--preset", dest="preset", default=None,
+                        metavar="NAME",
+                        help="processing-chain preset (rebuild extension): "
+                        "one of audian_tpu.models.PRESETS; installs the "
+                        "preset's trace nodes, cutoffs, and NFFT")
     parser.add_argument("files", nargs="*", default=[], type=str,
                         help="files with the time series data")
     # unknown args pass through to the GUI toolkit (`audian.py:1494`
@@ -479,13 +484,29 @@ def audian_cli(cargs=None, plugins=None, shell_cls=Audian):
         else:
             files.append(fn)
 
+    highpass, lowpass = args.highpass_cutoff, args.lowpass_cutoff
+    if args.preset:
+        from ..models import get_preset
+        from ..analysis import Plugins
+
+        preset = get_preset(args.preset)  # raises loudly on a bad name
+        plugins = plugins if plugins is not None else Plugins()
+        plugins.clear_trace_factories()
+        plugins.add_trace_factory(
+            lambda b, p=preset: [b.add_trace(n) for n in p.nodes()])
+        # explicit -f/-l override the preset's band
+        if highpass is None and preset.highpass_cutoff:
+            highpass = preset.highpass_cutoff
+        if lowpass is None and preset.lowpass_cutoff:
+            lowpass = preset.lowpass_cutoff
+
     shell = shell_cls(
         files,
         load_kwargs=parse_load_kwargs(args.load_kwargs),
         plugins=plugins,
         channels=parse_channels(args.channels),
-        highpass_cutoff=args.highpass_cutoff,
-        lowpass_cutoff=args.lowpass_cutoff,
+        highpass_cutoff=highpass,
+        lowpass_cutoff=lowpass,
         unwrap=unwrap,
         unwrap_clip=unwrap_clip,
         verbose=args.verbose,

@@ -46,18 +46,14 @@ IO_CHUNK = 1 << 21
 
 
 def build_chain():
-    from audian_tpu.ops import design_filter, design_envelope_filter
-    from audian_tpu.ops.fused import FusedChainCF
+    from audian_tpu.models import get_preset
 
-    # eps is the FIR truncation tolerance: 2e-6 keeps outputs well inside
-    # the 1e-5 scipy-oracle budget while shortening the envelope kernel
-    fused = FusedChainCF(
-        RATE,
-        filt_sos=design_filter(RATE, 2000.0, 40000.0),
-        env_sos=design_envelope_filter(RATE, 500.0),
-        nfft=NFFT, hop=HOP, eps=2e-6,
-    )
-    return fused
+    # the headline chain IS the "bioacoustics" preset (2-40 kHz bandpass
+    # + 500 Hz envelope + NFFT-256 spectrogram), so the benchmark and the
+    # interactive/batch/sharded runs agree by construction.  eps is the
+    # FIR truncation tolerance: 2e-6 keeps outputs well inside the 1e-5
+    # scipy-oracle budget while shortening the envelope kernel.
+    return get_preset("bioacoustics").fused(RATE, eps=2e-6)
 
 
 def bench_kernel(fused):

@@ -326,3 +326,31 @@ def test_unicode_path_screenshot_metadata(tmp_path, rng):
     assert view is not None
     assert view["file"] == str(p)
     b.close()
+
+
+def test_cli_preset_installs_chain(wav_files):
+    """--preset wires audian_tpu.models.PRESETS into the CLI: trace
+    nodes, cutoffs (overridable by -f/-l), and NFFT."""
+    sh = audian_cli(["--preset", "bioacoustics", str(wav_files[0])])
+    sh.load_files()
+    try:
+        b = sh.current
+        assert "envelope" in b.data          # preset adds the envelope
+        f = b.data["filtered"]
+        assert f.highpass_cutoff == 2000.0
+        # the node stores the requested cutoff; the design clamps to
+        # Nyquist internally
+        assert f.lowpass_cutoff == 40000.0
+        assert b.data["spectrogram"].nfft == 256
+    finally:
+        sh.close()
+    # explicit -f overrides the preset band
+    sh = audian_cli(["--preset", "bioacoustics", "-f", "500",
+                     str(wav_files[0])])
+    sh.load_files()
+    try:
+        assert sh.current.data["filtered"].highpass_cutoff == 500.0
+    finally:
+        sh.close()
+    with pytest.raises(KeyError, match="unknown preset"):
+        audian_cli(["--preset", "nope", str(wav_files[0])])
