@@ -342,6 +342,12 @@ if HAVE_QT:
                         b.sigPanelsChanged):
                 sig.connect(self.refresh)
                 self._connections.append((sig, self.refresh))
+            # linked range changes (shell._dispatch_ranges) arrive here
+            # with (axspec, range) args; without this a linked amplitude
+            # zoom never repaints the other tabs
+            slot = lambda *a: self.refresh()
+            b.sigRangesChanged.connect(slot)
+            self._connections.append((b.sigRangesChanged, slot))
             self.refresh()
 
         def teardown(self):
@@ -691,17 +697,33 @@ if HAVE_QT:
             self.tabs.currentChanged.connect(
                 lambda i: shell.set_current(i) if 0 <= i < len(shell)
                 else None)
-            for b in shell.browsers:
-                self._add_tab(b)
             self._all_acts = []
+            self._state_acts = []
             self.marker_acts = []
             self.crosshair_mode = False
+            self.select_mode = True  # rect-select vs pan/zoom drags
+            for b in shell.browsers:
+                self._add_tab(b)
             self._build_menus()
             self.statusBar().showMessage("")
+            self._sync_action_states()
 
         def _add_tab(self, browser):
             tab = BrowserTab(browser, on_status=self.set_status)
             self.tabs.addTab(tab, Path(str(browser.file_path)).name)
+            # a tab opened mid-session adopts the window-level view
+            # state (mouse mode, start-time labels) — otherwise it drags
+            # in RectMode while every other tab pans, and labels its
+            # time axes in a different mode
+            if not self.select_mode:
+                for pt, _ in tab.trace_plots.values():
+                    pt.vb.set_select_mode(False)
+                for ps, _ in tab.spec_images.values():
+                    ps.vb.set_select_mode(False)
+            mode = getattr(self.shell, "starttime_mode", 0)
+            if mode:
+                for axis in tab.time_axes:
+                    axis.set_starttime(mode)
             return tab
 
         def set_status(self, text):
@@ -727,7 +749,11 @@ if HAVE_QT:
             return [s.toString() if hasattr(s, "toString") else s
                     for s in act.shortcuts()]
 
-        def _act(self, menu, text, shortcut, fn):
+        def _act(self, menu, text, shortcut, fn, checked=None):
+            """``checked`` makes the action checkable; pass a zero-arg
+            getter of the underlying state, polled by
+            :meth:`_sync_action_states` — the menu checkmark always
+            reflects shell/browser state, never Qt's own toggle."""
             act = QAction(text, self)
             if shortcut:
                 act.setShortcuts([shortcut] if isinstance(shortcut, str)
@@ -735,23 +761,62 @@ if HAVE_QT:
             act.triggered.connect(lambda *_: self._fire(fn))
             menu.addAction(act)
             self._all_acts.append(act)
+            if checked is not None:
+                act.setCheckable(True)
+                self._state_acts.append((act, checked))
             return act
 
         def _fire(self, fn):
-            """Run a menu verb and refresh.  With every tab closed most
-            verbs dereference the (None) current browser; swallow exactly
-            that case so stray shortcuts don't crash an empty window."""
+            """Run a menu verb and refresh.
+
+            Exceptions MUST NOT escape: under real PyQt5 (>= 5.5) an
+            unhandled exception in a slot calls qFatal and aborts the
+            whole application, losing unsaved markers/analysis.  The
+            None-browser AttributeError (every tab closed) stays silent;
+            everything else is reported loudly.
+            """
             try:
                 fn()
             except AttributeError:
                 if self.shell.current is not None:
-                    raise
+                    import traceback
+
+                    traceback.print_exc()
+                    self.set_status("error: see console")
+            except Exception as e:
+                import traceback
+
+                traceback.print_exc()
+                self.set_status(f"error: {e}")
             self._refresh()
 
         def _refresh(self):
             tab = self.tab()
             if tab is not None:
                 tab.refresh()
+            self._sync_action_states()
+
+        def _guarded(self, fn):
+            """Run a dialog-button slot; like :meth:`_fire`, exceptions
+            must not escape into Qt (qFatal).  Returns fn() or None."""
+            try:
+                return fn()
+            except Exception as e:
+                import traceback
+
+                traceback.print_exc()
+                self.set_status(f"error: {e}")
+                return None
+
+        def _sync_action_states(self):
+            """Reflect shell/browser state in the checkable actions
+            (the reference keeps mode/link actions checkable,
+            `audian.py:342-425,494-699`)."""
+            for act, getter in self._state_acts:
+                try:
+                    act.setChecked(bool(getter()))
+                except Exception:
+                    pass
 
         def _build_menus(self):
             """The reference's full menu/action surface with its shortcut
@@ -783,9 +848,9 @@ if HAVE_QT:
             self._act(filem, "&Quit", "Ctrl+Q", self.close)
 
             timem = mb.addMenu("&Time")
-            self._act(timem, "Page &down", ["PageDown", "Right"],
+            self._act(timem, "Page &down", ["PgDown", "Right"],
                       lambda: B().time_page_down())
-            self._act(timem, "Page &up", ["PageUp", "Left"],
+            self._act(timem, "Page &up", ["PgUp", "Left"],
                       lambda: B().time_page_up())
             self._act(timem, "Small step down", "Down",
                       lambda: B().apply_time_ranges("small_up"))
@@ -807,9 +872,11 @@ if HAVE_QT:
             self._act(timem, "Toggle &start time", "Ctrl+Shift+T",
                       self.toggle_starttime)
             self._act(timem, "Link time &zoom", "Alt+Z",
-                      sh.toggle_link_timezoom)
+                      sh.toggle_link_timezoom,
+                      checked=lambda: sh.link_timezoom)
             self._act(timem, "Link time &scroll", "Alt+T",
-                      sh.toggle_link_timescroll)
+                      sh.toggle_link_timescroll,
+                      checked=lambda: sh.link_timescroll)
 
             ampm = mb.addMenu("&Amplitude")
             for letter in "xyu":
@@ -823,7 +890,8 @@ if HAVE_QT:
             self._act(ampm, "&Center", "C",
                       lambda: sh.apply_ranges("center", "xyu"))
             self._act(ampm, "Link &amplitude", "Alt+A",
-                      sh.toggle_link_amplitude)
+                      sh.toggle_link_amplitude,
+                      checked=lambda: sh.link_ranges.get("x", False))
 
             filtm = mb.addMenu("Fi&lter")
             self._act(filtm, "&Highpass up", "Shift+H",
@@ -835,15 +903,21 @@ if HAVE_QT:
             self._act(filtm, "Lowpass d&own", "L",
                       lambda: self._filter(None, 0.8))
             self._act(filtm, "Link &filter", "Alt+F",
-                      sh.toggle_link_filter)
+                      sh.toggle_link_filter,
+                      checked=lambda: sh.link_filter)
             self._act(filtm, "&Show envelope", "Ctrl+E",
-                      sh.toggle_show_envelope)
+                      sh.toggle_show_envelope,
+                      checked=lambda: (
+                          sh.current is not None
+                          and "envelope" in sh.current.data
+                          and sh.current.data.is_visible("envelope")))
             self._act(filtm, "&Envelope up", "Shift+E",
                       lambda: self._envelope(2.0))
             self._act(filtm, "Envelope &down", "E",
                       lambda: self._envelope(0.5))
             self._act(filtm, "Link &envelope", "Alt+E",
-                      sh.toggle_link_envelope)
+                      sh.toggle_link_envelope,
+                      checked=lambda: sh.link_envelope)
 
             specm = mb.addMenu("&Spectrogram")
             self._act(specm, "Increase &resolution", "Shift+R",
@@ -876,7 +950,8 @@ if HAVE_QT:
             self._act(specm, "Frequency end", "Ctrl+Shift+Right",
                       lambda: sh.apply_ranges("end", "fw"))
             self._act(specm, "Link fre&quency", "Alt+Q",
-                      sh.toggle_link_frequency)
+                      sh.toggle_link_frequency,
+                      checked=lambda: sh.link_ranges.get("f", False))
             self._act(specm, "Power &up", "Shift+D",
                       lambda: sh.apply_power_ranges("up"))
             self._act(specm, "Power &down", "D",
@@ -890,16 +965,17 @@ if HAVE_QT:
             self._act(specm, "Min power down", "J",
                       lambda: sh.apply_power_ranges("min_down"))
             self._act(specm, "Link &power", "Alt+W",
-                      sh.toggle_link_power)
+                      sh.toggle_link_power,
+                      checked=lambda: sh.link_ranges.get("p", False))
 
             chm = mb.addMenu("&Channels")
             self._act(chm, "&Next channel", "Shift+Down",
                       lambda: sh.select_channels("next_channel"))
             self._act(chm, "&Previous channel", "Shift+Up",
                       lambda: sh.select_channels("previous_channel"))
-            self._act(chm, "Select next", "Shift+PageDown",
+            self._act(chm, "Select next", "Shift+PgDown",
                       lambda: sh.select_channels("select_next_channel"))
-            self._act(chm, "Select previous", "Shift+PageUp",
+            self._act(chm, "Select previous", "Shift+PgUp",
                       lambda: sh.select_channels("select_previous_channel"))
             self._act(chm, "Select &all", "Ctrl+A",
                       lambda: sh.select_channels("all_channels"))
@@ -911,7 +987,8 @@ if HAVE_QT:
                 self._act(chm, f"Toggle channel {c}", f"Ctrl+{c}",
                           lambda c=c: sh.toggle_channel(c))
             self._act(chm, "Link &channels", "Alt+C",
-                      sh.toggle_link_channels)
+                      sh.toggle_link_channels,
+                      checked=lambda: sh.link_channels)
 
             panm = mb.addMenu("&Panels")
             self._act(panm, "Toggle &traces", "Ctrl+T",
@@ -928,12 +1005,15 @@ if HAVE_QT:
                       lambda: B().toggle_grids())
             self._act(panm, "Toggle &maximize", "Ctrl+Shift+M",
                       self.toggle_maximize)
-            self._act(panm, "Link &panels", "Alt+P", sh.toggle_link_panels)
+            self._act(panm, "Link &panels", "Alt+P", sh.toggle_link_panels,
+                      checked=lambda: sh.link_panels)
 
             audm = mb.addMenu("A&udio")
             self._act(audm, "Use &heterodyne", None,
                       lambda: B().set_audio(
-                          use_heterodyne=not B().audio_use_heterodyne))
+                          use_heterodyne=not B().audio_use_heterodyne),
+                      checked=lambda: (B() is not None
+                                       and B().audio_use_heterodyne))
             self._act(audm, "Heterodyne frequency up", None,
                       lambda: B().set_audio(heterodyne_freq=max(
                           B().audio_heterodyne_freq, 100.0) * 2))
@@ -946,19 +1026,24 @@ if HAVE_QT:
             self._act(audm, "Playback rate down", None,
                       lambda: B().set_audio(
                           rate_fac=B().audio_rate_fac / 2))
-            self._act(audm, "Link audio", None, sh.toggle_link_audio)
+            self._act(audm, "Link audio", None, sh.toggle_link_audio,
+                      checked=lambda: sh.link_audio)
 
             regm = mb.addMenu("&Region")
             self._act(regm, "&Rectangle zoom", "Ctrl+R",
-                      lambda: self.set_mouse_mode(True))
+                      lambda: self.set_mouse_mode(True),
+                      checked=lambda: self.select_mode)
             self._act(regm, "Pa&n && zoom", "Ctrl+Z",
-                      lambda: self.set_mouse_mode(False))
+                      lambda: self.set_mouse_mode(False),
+                      checked=lambda: not self.select_mode)
             for label, key, mode in (
                     ("&Zoom", "Z", 0), ("&Play", "P", 1),
                     ("&Analyze", "A", 2), ("&Save", "S", 3),
                     ("Re&quest", "Q", 4)):
                 self._act(regm, label + " mode", key,
-                          lambda m=mode: B().set_region_mode(m))
+                          lambda m=mode: B().set_region_mode(m),
+                          checked=lambda m=mode: (
+                              B() is not None and B().region_mode == m))
             self._act(regm, "Zoom &back", ["Backspace", "Alt+Left"],
                       lambda: self.tab().zoom_back())
             self._act(regm, "Zoom &forward",
@@ -967,7 +1052,8 @@ if HAVE_QT:
             self._act(regm, "Zoom &home", "Alt+Backspace",
                       lambda: self.tab().zoom_home())
             self._act(regm, "Cross &hair mode", "Ctrl+C",
-                      self.toggle_crosshair_mode)
+                      self.toggle_crosshair_mode,
+                      checked=lambda: self.crosshair_mode)
             # marker-label actions: armed only in crosshair mode, where
             # their single-letter keys take over from conflicting verbs
             # (`databrowser.py:726-760`); labels resolve at trigger time
@@ -996,9 +1082,18 @@ if HAVE_QT:
             if not paths:
                 return
             known = len(self.shell.browsers)
+            known_errors = len(self.shell.errors)
             self.shell.load_files(paths)
             for browser in self.shell.browsers[known:]:
                 self._add_tab(browser)
+            failed = self.shell.errors[known_errors:]
+            if failed:
+                # the reference shows a critical box per failed file
+                # (`audian.py:1349-1352`); silence would look like the
+                # open simply did nothing
+                QMessageBox.warning(
+                    self, "Open failed",
+                    "\n".join(f"{p}: {e}" for p, e in failed))
 
         def close_tab(self):
             """Close the current recording (`audian.py:280-282`); the
@@ -1025,6 +1120,7 @@ if HAVE_QT:
             """Dialog listing every action and its keys
             (`audian.py` key_shortcuts)."""
             dialog = QDialog(self)
+            dialog.setAttribute(Qt.WA_DeleteOnClose, True)
             dialog.setWindowTitle("Audian key shortcuts")
             vbox = QVBoxLayout(dialog)
             widget = QTableWidget(len(self._all_acts), 2)
@@ -1045,6 +1141,7 @@ if HAVE_QT:
             from ..version import __version__
 
             dialog = QDialog(self)
+            dialog.setAttribute(Qt.WA_DeleteOnClose, True)
             dialog.setWindowTitle("About Audian")
             vbox = QVBoxLayout(dialog)
             vbox.addWidget(QLabel(
@@ -1059,7 +1156,10 @@ if HAVE_QT:
 
         def _sync_marker_acts(self):
             """Grow/update the marker-label actions to the current
-            browser's labels (the label editor may rename/rebind them)."""
+            browser's labels (the label editor may rename/rebind them),
+            then recompute the shortcut parking — rebinding without
+            re-parking leaves two enabled actions on one key, which real
+            Qt treats as an ambiguous shortcut that fires NEITHER."""
             labels = (self.shell.current.marker_labels
                       if self.shell.current else [])
             while len(self.marker_acts) < len(labels):
@@ -1075,17 +1175,33 @@ if HAVE_QT:
                 act.setShortcuts([lbl.key_shortcut]
                                  if lbl.key_shortcut else [])
                 self._marker_act_labels[act] = lbl.label
-                act.setEnabled(self.crosshair_mode)
             for act in self.marker_acts[len(labels):]:
-                act.setEnabled(False)
                 act.setShortcuts([])
                 self._marker_act_labels.pop(act, None)
+            self._apply_crosshair_parking()
+
+        def _apply_crosshair_parking(self):
+            """Recompute which actions are enabled from scratch: in
+            crosshair mode the bound marker acts are armed and every
+            other action sharing one of their keys is parked; outside it
+            all ordinary actions are armed and the marker acts sleep."""
+            keys = {s.lower() for a in self.marker_acts
+                    for s in self._keys(a)}
+            for act in self._all_acts:
+                if act in self.marker_acts:
+                    act.setEnabled(self.crosshair_mode
+                                   and act in self._marker_act_labels)
+                else:
+                    conflict = any(s.lower() in keys
+                                   for s in self._keys(act))
+                    act.setEnabled(not (self.crosshair_mode and conflict))
 
         # -- mode toggles -------------------------------------------------------------
 
         def set_mouse_mode(self, rect_select):
             """Rect-select vs pan/zoom left drags on every panel
             (`audian.py:341-354` rect_zoom / pan_zoom)."""
+            self.select_mode = bool(rect_select)  # applied to new tabs
             for i in range(self.tabs.count()):
                 tab = self.tabs.widget(i)
                 for pt, _ in tab.trace_plots.values():
@@ -1099,16 +1215,11 @@ if HAVE_QT:
             restores them and clears the crosshair
             (`databrowser.py:726-760`)."""
             self.crosshair_mode = not self.crosshair_mode
-            keys = {s.lower() for a in self.marker_acts
-                    for s in self._keys(a)}
-            for act in self._all_acts:
-                if act in self.marker_acts:
-                    act.setEnabled(self.crosshair_mode)
-                elif any(s.lower() in keys for s in self._keys(act)):
-                    act.setEnabled(not self.crosshair_mode)
+            self._apply_crosshair_parking()
             if not self.crosshair_mode:
                 b = self.browser()
-                b.clear_crosshair()
+                if b is not None:
+                    b.clear_crosshair()
                 self.set_status("")
 
         def toggle_starttime(self):
@@ -1212,24 +1323,33 @@ if HAVE_QT:
             if not path:
                 return
             pixmap = self.grab()
-            pixmap.save(path, "PNG")
+            if not pixmap.save(path, "PNG"):
+                self.set_status(f"cannot write {path}")
+                return
             write_view_metadata(path, self.browser())
+            self.set_status(f"saved screenshot to {path}")
 
         def show_metadata(self):
             """Metadata dialog (`databrowser.py:677-724`) rendered from
             the headless rows."""
+            import html as _html
+
             rows = self.browser().metadata_rows()
             html = ["<table>"]
             for level, key, value in rows:
+                # metadata strings are arbitrary: unescaped '<'/'&'
+                # corrupt the rich-text table
+                key = _html.escape(str(key))
                 pad = f' style="padding-left: {level * 30}px;"'
                 if value is None:
                     html.append(f"<tr><td colspan=2{pad}><b>{key}:</b>"
                                 "</td></tr>")
                 else:
                     html.append(f"<tr><td{pad}><b>{key}</b></td>"
-                                f"<td>{value}</td></tr>")
+                                f"<td>{_html.escape(str(value))}</td></tr>")
             html.append("</table>")
             dialog = QDialog(self)
+            dialog.setAttribute(Qt.WA_DeleteOnClose, True)
             dialog.setWindowTitle("Meta data")
             vbox = QVBoxLayout(dialog)
             label = QLabel("".join(html))
@@ -1248,22 +1368,32 @@ if HAVE_QT:
             if not table:
                 return
             dialog = QDialog(self)
+            dialog.setAttribute(Qt.WA_DeleteOnClose, True)
             dialog.setWindowTitle("Audian analysis table")
             vbox = QVBoxLayout(dialog)
             widget = QTableWidget(len(table), len(table[0]))
             widget.setHorizontalHeaderLabels(list(table[0].keys()))
-            for r, row in enumerate(table):
-                for c, v in enumerate(row.values()):
-                    widget.setItem(r, c, QTableWidgetItem(str(v)))
+
+            def fill():
+                rows = self.browser().get_analysis_table()
+                widget.setRowCount(len(rows))
+                for r, row in enumerate(rows):
+                    for c, v in enumerate(row.values()):
+                        widget.setItem(r, c, QTableWidgetItem(str(v)))
+
+            fill()
             vbox.addWidget(widget)
             buttons = QDialogButtonBox(QDialogButtonBox.Close |
                                        QDialogButtonBox.Save |
                                        QDialogButtonBox.Reset)
             buttons.rejected.connect(dialog.reject)
+            # Reset must also refresh the visible table, or the user
+            # saves what LOOKS like data into an empty CSV
             buttons.button(QDialogButtonBox.Reset).clicked.connect(
-                lambda: self.browser().clear_analysis())
+                lambda *_: (self.browser().clear_analysis(), fill()))
             buttons.button(QDialogButtonBox.Save).clicked.connect(
-                lambda: self.browser().save_analysis())
+                lambda *_: self._guarded(
+                    lambda: self.browser().save_analysis()))
             vbox.addWidget(buttons)
             dialog.show()
 
@@ -1273,6 +1403,7 @@ if HAVE_QT:
             md = self.browser().marker_data
 
             dialog = QDialog(self)
+            dialog.setAttribute(Qt.WA_DeleteOnClose, True)
             dialog.setWindowTitle("Audian marker table")
             vbox = QVBoxLayout(dialog)
             widget = QTableWidget(0, len(md.headers))
@@ -1302,8 +1433,9 @@ if HAVE_QT:
                 path, _ = QFileDialog.getSaveFileName(
                     self, "Save markers", "markers.csv", filters)
                 if path:
-                    saved = md.save(path)
-                    self.set_status(f"saved markers to {saved}")
+                    saved = self._guarded(lambda: md.save(path))
+                    if saved is not None:
+                        self.set_status(f"saved markers to {saved}")
 
             fill()
             buttons = QDialogButtonBox(QDialogButtonBox.Close |
@@ -1323,6 +1455,7 @@ if HAVE_QT:
 
             b = self.browser()
             dialog = QDialog(self)
+            dialog.setAttribute(Qt.WA_DeleteOnClose, True)
             dialog.setWindowTitle("Audian marker labels")
             vbox = QVBoxLayout(dialog)
             widget = QTableWidget(len(b.marker_labels), 3)

@@ -62,6 +62,7 @@ class _Qt:
     LeftButton = 1
     RightButton = 2
     TextSelectableByMouse = 4
+    WA_DeleteOnClose = 55  # real Qt attribute id
 
 
 class QTimer:
@@ -112,6 +113,9 @@ class QWidget:
     def deleteLater(self):
         self._visible = False
 
+    def setAttribute(self, attr, on=True):
+        pass
+
     def resize(self, w, h):
         self.size = (w, h)
 
@@ -154,7 +158,21 @@ class QAction:
         self.parent = parent
         self._shortcuts = []
         self._enabled = True
+        self._checkable = False
+        self._checked = False
         self.triggered = FakeSignal()
+
+    def setCheckable(self, on):
+        self._checkable = bool(on)
+
+    def isCheckable(self):
+        return self._checkable
+
+    def setChecked(self, on):
+        self._checked = bool(on)
+
+    def isChecked(self):
+        return self._checked
 
     def text(self):
         return self._text
@@ -179,7 +197,9 @@ class QAction:
 
     def trigger(self):
         if self._enabled:
-            self.triggered.emit(False)
+            if self._checkable:  # real Qt flips before emitting
+                self._checked = not self._checked
+            self.triggered.emit(self._checked)
 
 
 class _Menu:

@@ -612,7 +612,7 @@ def test_close_tab_follows_displayed_tab(qt, wav2, tmp_path):
         trigger(win, "Ctrl+W")
         trigger(win, "Ctrl+W")
         assert shell.current is None
-        trigger(win, "PageDown")  # stray shortcut: no crash
+        trigger(win, "PgDown")  # stray shortcut: no crash
     finally:
         shell.close()
 
@@ -775,3 +775,114 @@ def test_colorbar_not_interactive(win):
     tab = win.tab()
     for cbar in tab.colorbars.values():
         assert cbar.interactive is False
+
+
+def test_checkable_actions_track_state(qt, win):
+    """Mode/link/crosshair actions are checkable and mirror shell/browser
+    state (`audian.py:342-425,494-699`)."""
+    b = win.browser()
+    acts = {a.text(): a for m in win.menuBar().menus for a in m.actions}
+    rect, pan = acts["&Rectangle zoom"], acts["Pa&n && zoom"]
+    assert rect.isCheckable() and pan.isCheckable()
+    win._sync_action_states()
+    assert rect.isChecked() and not pan.isChecked()
+    trigger(win, "Ctrl+Z")
+    assert pan.isChecked() and not rect.isChecked()
+    trigger(win, "Ctrl+R")
+    # region modes show the active one (default: ask/request)
+    assert acts["Re&quest mode"].isChecked()
+    trigger(win, "Z")
+    assert acts["&Zoom mode"].isChecked()
+    assert not acts["Re&quest mode"].isChecked()
+    # link toggles mirror the shell flags
+    la = acts["Link &amplitude"]
+    was = la.isChecked()
+    trigger(win, "Alt+A")
+    assert la.isChecked() != was
+
+
+def test_open_failure_shows_message(qt, win, tmp_path):
+    fakeqt.QMessageBox.warnings.clear()
+    bad = tmp_path / "broken.wav"
+    bad.write_bytes(b"not audio")
+    fakeqt.QFileDialog.open_names = ([str(bad)], "Audio")
+    trigger(win, "Ctrl+O")
+    assert any("broken.wav" in text
+               for _, text in fakeqt.QMessageBox.warnings)
+    assert win.tabs.count() == 1  # no tab added
+
+
+def test_menu_verb_exceptions_do_not_escape(qt, win, monkeypatch):
+    """Unhandled slot exceptions abort real PyQt5 apps via qFatal; _fire
+    must swallow and report them."""
+    b = win.browser()
+    monkeypatch.setattr(type(b), "time_page_down",
+                        lambda self: (_ for _ in ()).throw(
+                            RuntimeError("boom")))
+    trigger(win, "Right")  # must not raise
+    assert "error" in win.statusBar().message.lower()
+
+
+def test_pgdown_key_names(win):
+    """Qt decodes 'PageDown' to Key_unknown; the portable names are
+    PgDown/PgUp (silently dead shortcuts otherwise)."""
+    keys = {s for m in win.menuBar().menus
+            for a in m.actions for s in a.shortcuts()}
+    assert "PgDown" in keys and "PgUp" in keys
+    assert "Shift+PgDown" in keys and "Shift+PgUp" in keys
+    assert not any("PageDown" in k or "PageUp" in k for k in keys)
+
+
+def test_metadata_dialog_escapes_html(qt, win, monkeypatch):
+    b = win.browser()
+    monkeypatch.setattr(type(b), "metadata_rows",
+                        lambda self: [(0, "gain<10dB", "R&D <tag>")])
+    texts = []
+    real_label = qt.QLabel
+
+    class Recorder(real_label):
+        def __init__(self, text="", *a, **k):
+            texts.append(text)
+            super().__init__(text, *a, **k)
+
+    monkeypatch.setattr(qt, "QLabel", Recorder)
+    win.show_metadata()  # must not crash; content escaped
+    html = "".join(texts)
+    assert "gain&lt;10dB" in html and "R&amp;D &lt;tag&gt;" in html
+
+
+def test_new_tab_adopts_window_state(qt, win, wav2, tmp_path):
+    import shutil
+
+    trigger(win, "Ctrl+Z")          # pan mode
+    win.toggle_starttime()          # label mode 1
+    other = tmp_path / "state.wav"
+    shutil.copy(wav2, other)
+    fakeqt.QFileDialog.open_names = ([str(other)], "Audio")
+    trigger(win, "Ctrl+O")
+    tab = win.tabs.widget(win.tabs.count() - 1)
+    for pt, _ in tab.trace_plots.values():
+        assert not pt.vb.select_enabled
+    for axis in tab.time_axes:
+        assert axis.starttime_mode == win.shell.starttime_mode
+    win.tabs.setCurrentIndex(win.tabs.count() - 1)
+    trigger(win, "Ctrl+W")
+    trigger(win, "Ctrl+R")          # restore rect mode for other tests
+
+
+def test_marker_rebind_reparks_shortcuts(qt, win):
+    """Re-syncing marker acts (tab switch / label edit) must re-park
+    conflicting global actions — two enabled actions on one key are an
+    ambiguous shortcut in real Qt (neither fires)."""
+    from audian_tpu.app.markers import MarkerLabel
+
+    b = win.browser()
+    trigger(win, "Ctrl+C")  # crosshair mode on
+    b.marker_labels[:] = [MarkerLabel("zap", "z", "red")]
+    win._sync_marker_acts()
+    acts = {a.text(): a for m in win.menuBar().menus for a in m.actions}
+    assert acts["Store 'zap' marker"].isEnabled()
+    assert not acts["&Zoom mode"].isEnabled()  # parked: shares 'z'
+    win.toggle_crosshair_mode()  # off: everything restored
+    assert acts["&Zoom mode"].isEnabled()
+    assert not acts["Store 'zap' marker"].isEnabled()
