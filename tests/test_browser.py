@@ -463,3 +463,40 @@ def test_find_label_case_insensitive():
               MarkerLabel("call", "", "blue")]
     assert find_label(labels, "ctrl+s").label == "song"
     assert key_conflicts(labels) == {}  # empty keys never conflict
+
+
+def test_long_session_caches_stay_bounded(tmp_path, rng):
+    """A long interactive session (scrolls, scrubs, hovers, channel and
+    NFFT changes) must not grow any of the private caches past their
+    documented bounds — regressions here leak device windows or host
+    tiles over hours of use."""
+    from audian_tpu.view import render
+
+    rate = 8000.0
+    x = 0.1 * rng.standard_normal((int(20.0 * rate), 2))
+    p = tmp_path / "long.wav"
+    wavio.write_audio(p, x, rate, encoding="PCM_16")
+    b = DataBrowser(str(p))
+    b.open()
+    b.set_times(0.0, 2.0)
+    spec = b.data["spectrogram"]
+    fmid = float(spec.frequencies[len(spec.frequencies) // 2])
+    r = np.random.default_rng(7)
+    for k in range(60):
+        t0 = float(r.uniform(0.0, 17.0))
+        b.set_times(t0, float(r.uniform(0.5, 2.5)))
+        for c in range(2):
+            b.trace_tile("filtered", c)
+            b.spec_tile(c, quantize=True)
+        if k % 7 == 0:
+            b.update_filter(highpass_cutoff=float(r.uniform(100, 900)))
+        if k % 11 == 0:
+            b.hover_readout(t0 + 0.2, fmid, kind="spec", channel=0)
+        if k % 13 == 0:
+            b.auto_ampl()
+    assert len(b.trace_tiler._cache) <= 32
+    assert len(b.spec_tiler._cache) <= 8
+    assert len(render._extrema_cache) <= 64
+    assert len(render._power_block_cache) <= 16
+    assert len(b.data._q_staging) <= 4
+    b.close()
