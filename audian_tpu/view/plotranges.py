@@ -365,19 +365,26 @@ class PlotRange:
     # -- edge verbs -----------------------------------------------------------------
 
     def _move_edge(self, which, delta, channels, do_set):
-        """Move one window edge by ``delta``, refusing to cross the other
-        edge or the corresponding limit."""
+        """Move one window edge by ``delta``, refusing moves that would
+        collapse the window (the reference leans on pyqtgraph's viewbox
+        minXRange for this; the headless model must enforce it itself)
+        or cross the corresponding limit."""
         if self.rstep is None:
             return
         lo_lim = -np.inf if self.rmin is None else self.rmin
         hi_lim = np.inf if self.rmax is None else self.rmax
+        floor = self.min_dr or 0.0
 
         def shift(lo, hi):
             if which == "lo":
-                ok = lo < hi if delta > 0 else lo > lo_lim
-                return (lo + delta, hi) if ok else None
-            ok = hi < hi_lim if delta > 0 else hi > lo
-            return (lo, hi + delta) if ok else None
+                if delta > 0:  # raising the min must keep width > floor
+                    new = lo + delta
+                    return (new, hi) if hi - new > floor else None
+                return (lo + delta, hi) if lo > lo_lim else None
+            if delta > 0:
+                return (lo, hi + delta) if hi < hi_lim else None
+            new = hi + delta   # lowering the max must keep width > floor
+            return (lo, new) if new - lo > floor else None
 
         self._remap(shift, channels, do_set)
 

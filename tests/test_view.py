@@ -371,3 +371,38 @@ def test_zoom_history_boundaries():
     assert z.forward() is None       # already at the newest entry
     assert z.home() is r1
     assert z.home() is None
+
+
+def test_plot_range_verbs_preserve_invariants(rng=None):
+    """Any sequence of range verbs keeps every channel's window ordered,
+    inside the limits, and no narrower than the minimum zoom — the
+    clamp+broadcast engine's contract."""
+    import numpy as np
+
+    r = np.random.default_rng(3)
+    pr = PlotRanges()
+    pr.setup(3)
+    axs = [FakeAx(c, "tx", 0.0, 100.0, 10.0) for c in range(3)]
+    for ax in axs:
+        pr.add_plot(ax)
+    pr.set_limits()
+    verbs = ["zoom_in", "zoom_out", "zoom_in_centered",
+             "zoom_out_centered", "down", "up", "small_down", "small_up",
+             "step_down", "step_up", "min_down", "min_up", "max_down",
+             "max_up", "home", "end", "snap", "reset", "center"]
+    for letter in "tx":
+        p = pr[letter]
+        for k in range(300):
+            getattr(p, str(r.choice(verbs)))()
+            for c in range(3):
+                lo, hi = p.r0[c], p.r1[c]
+                assert lo < hi, (letter, k, lo, hi)
+                if p.rmin is not None:
+                    assert lo >= p.rmin - 1e-9
+                if p.rmax is not None and letter != "t":
+                    # time axes deliberately overrun rmax (end() pages
+                    # past it; the reference model does the same and
+                    # caps the VIEW via setLimits maxXRange)
+                    assert hi <= p.rmax + 1e-9
+                if p.min_dr:
+                    assert hi - lo >= p.min_dr * (1 - 1e-9)
