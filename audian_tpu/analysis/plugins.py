@@ -11,8 +11,7 @@ plugin/CLI opt-in.
 
 from __future__ import annotations
 
-import importlib
-import os
+import importlib.util
 import sys
 from pathlib import Path
 
@@ -32,6 +31,7 @@ class Plugins:
         self.plugins = {}
         self.trace_factories = [default_setup_traces]
         self.analyzer_factories = []
+        self._loaded_paths = set()  # dedup by file, not stem
 
     def add_plugin(self, name, module):
         self.plugins[name] = module
@@ -50,28 +50,46 @@ class Plugins:
 
     def load_plugins(self, directory=None, verbose=True):
         """Scan ``directory`` (CWD by default) for ``audian*.py`` and
-        register the factories found."""
+        register the factories found.
+
+        Files load by PATH (not ``import_module`` by stem): stem imports
+        resolve through sys.modules and the whole sys.path, so a second
+        directory's ``audianfoo.py`` would silently get the first one's
+        cached module, and a stem shadowing an installed package would
+        import that package instead.  A broken plugin is reported and
+        skipped — one stray file in the launch directory must not make
+        the app unlaunchable.  Already-loaded stems are skipped so a
+        repeated scan cannot register duplicate factories.
+        """
         cwd = Path(directory) if directory else Path.cwd()
-        sys.path.append(os.fspath(cwd))
-        try:
-            for module in sorted(cwd.glob("audian*.py")):
-                x = importlib.import_module(module.stem)
-                called = False
-                for k in dir(x):
-                    attr = getattr(x, k)
-                    if k.startswith("audian_") and callable(attr):
-                        if k.endswith("traces"):
-                            self.add_trace_factory(attr)
-                            called = True
-                        elif k.endswith("analyzer"):
-                            self.add_analyzer_factory(attr)
-                            called = True
-                if called:
-                    self.add_plugin(module.stem, x)
-                    if verbose:
-                        print(f"loaded audian plugins from {module.stem}")
-        finally:
-            sys.path.pop()
+        for module in sorted(cwd.glob("audian*.py")):
+            path = module.resolve()
+            if path in self._loaded_paths:
+                continue  # re-scan: factories are already registered
+            self._loaded_paths.add(path)
+            try:
+                spec = importlib.util.spec_from_file_location(
+                    module.stem, module)
+                x = importlib.util.module_from_spec(spec)
+                spec.loader.exec_module(x)
+            except Exception as e:
+                print(f"cannot load plugin {module}: {e}",
+                      file=sys.stderr)
+                continue
+            called = False
+            for k in dir(x):
+                attr = getattr(x, k)
+                if k.startswith("audian_") and callable(attr):
+                    if k.endswith("traces"):
+                        self.add_trace_factory(attr)
+                        called = True
+                    elif k.endswith("analyzer"):
+                        self.add_analyzer_factory(attr)
+                        called = True
+            if called:
+                self.add_plugin(module.stem, x)
+                if verbose:
+                    print(f"loaded audian plugins from {module.stem}")
 
     def setup_traces(self, browser):
         for f in self.trace_factories:

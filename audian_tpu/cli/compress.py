@@ -83,6 +83,12 @@ def main(cargs=None):
         data.set_unwrap(unwrap, unwrap_clip)
     ft = FullTraceData(data)
     ft.start(args.max_pixel, background=False)
+    if ft.error is not None:
+        # a swallowed read error would persist a zero-filled overview
+        # that every later open then prefers over recomputation
+        print(f"error: fulltrace computation failed: {ft.error}",
+              file=sys.stderr)
+        return 1
     ft.short_data = False  # always persist from the CLI
     path = ft.save_data_local()
     if path is not None:

@@ -31,6 +31,19 @@ p/P: play filtered/raw window    w: save waveform PNG
 ?: toggle this help              q: quit"""
 
 
+def _strip_default_keymaps(plt):
+    """Remove matplotlib default key bindings that collide with the
+    viewer's keys (the reference clears these rcParams too,
+    `songdetector.py:304-312`); covers the toolmanager routing that has
+    no key_press_handler_id to disconnect."""
+    for name in ("keymap.fullscreen", "keymap.save", "keymap.yscale",
+                 "keymap.xscale", "keymap.grid", "keymap.grid_minor",
+                 "keymap.home", "keymap.back", "keymap.forward",
+                 "keymap.pan", "keymap.zoom"):
+        if name in plt.rcParams:
+            plt.rcParams[name] = []
+
+
 class SongPlot:
     """Per-channel trace/envelope/threshold viewer over a detection
     result (the dict :func:`audian_tpu.analysis.events.detect` returns)."""
@@ -44,7 +57,8 @@ class SongPlot:
         if self.data.dtype == np.int16:
             # raw PCM-16 from the CLI's raw16 load path: the viewer's
             # amplitude axes and playback expect float samples
-            self.data = self.data.astype(np.float32) / 32768.0
+            self.data = self.data.astype(np.float32)
+            self.data /= 32768.0  # in place: no second full copy
         self.rate = float(rate)
         self.result = result
         self.filename = str(filename)
@@ -55,6 +69,13 @@ class SongPlot:
         self.envelopecutofffreq = (cfg.value("envelopecutofffreq")
                                    if cfg else 500.0)
         self.min_duration = cfg.value("minduration") if cfg else 0.5
+        # the remaining detect() knobs: a recompute must reuse the
+        # config the original result was produced with, or the viewer
+        # silently diverges from the CSV the same run just wrote
+        self.envelopefilter = cfg.value("envelopefilter") if cfg else "apply"
+        self.envelopepeakthresh = (cfg.value("envelopepeakthresh")
+                                   if cfg else 10.0)
+        self.minthreshfac = cfg.value("minthreshfac") if cfg else 1.0
         self.toffset = 0.0
         duration = self.data.shape[0] / self.rate
         self.twindow = min(60.0, 2 ** np.ceil(np.log2(max(duration, 1e-3))))
@@ -67,7 +88,9 @@ class SongPlot:
         self.ymin = np.full(self.channels, -1.0)
         self.ymax = np.full(self.channels, +1.0)
         for c in range(self.channels):
-            m = float(np.abs(self.data[:, c]).max(initial=0.0))
+            col = self.data[:, c]
+            m = max(float(col.max(initial=0.0)),
+                    -float(col.min(initial=0.0)))  # no abs() temporary
             if m > 1.0:
                 self.ymin[c], self.ymax[c] = -10.0, 10.0
         self.fig, axs = plt.subplots(self.channels, 1, sharex=True,
@@ -78,9 +101,11 @@ class SongPlot:
                 "SongDetector: " + self.filename)
         except AttributeError:
             pass
-        # the default key handler would fire on top of ours (the
-        # reference strips rcParams keymaps instead,
-        # `songdetector.py:304-312`)
+        # the default key handler would fire on top of ours; ALSO
+        # strip the conflicting rcParams keymaps like the reference
+        # (`songdetector.py:304-312`) — under toolbar='toolmanager'
+        # there is no key_press_handler_id to disconnect
+        _strip_default_keymaps(plt)
         mgr = getattr(self.fig.canvas, "manager", None)
         kid = getattr(mgr, "key_press_handler_id", None)
         if kid is not None:
@@ -191,13 +216,17 @@ class SongPlot:
         # reference's keypress handler likewise re-refines
         # (`songdetector.py:617-619`), so refinement-rejected songs do
         # not reappear after a scrub
-        freqs = events.env_freqs(ons, offs, r["envelope"], envrate)
+        freqs = events.env_freqs(ons, offs, r["envelope"], envrate,
+                                 thresh=self.envelopepeakthresh)
         ons, offs, freqs = events.clean_env_freqs(ons, offs, freqs)
-        events.filter_envelopes(ons, offs, freqs, r["envelope"], envrate,
-                                self.min_duration)
+        if self.envelopefilter in ("apply", "average"):
+            events.filter_envelopes(ons, offs, freqs, r["envelope"],
+                                    envrate, self.min_duration,
+                                    self.envelopefilter)
         ons, offs = events.analyse_songs(ons, offs, r["envelope"], envrate,
                                          freqs, r["thresholds"],
-                                         self.min_duration)
+                                         self.min_duration,
+                                         self.minthreshfac)
         r["onsets"] = [o / envrate for o in ons]
         r["offsets"] = [o / envrate for o in offs]
         r["onset_indices"] = ons
@@ -232,7 +261,11 @@ class SongPlot:
         elif key == "home":
             self.toffset = 0.0
         elif key == "end":
-            self.toffset = np.floor(duration / self.twindow) * self.twindow
+            # strict-epsilon floor: an exact multiple would otherwise
+            # land the window entirely past the data (blank panels)
+            self.toffset = max(
+                np.floor((duration - 1e-9) / self.twindow) * self.twindow,
+                0.0)
         elif key == "y":  # zoom amplitude out
             h = self.ymax - self.ymin
             v = 0.5 * (self.ymax + self.ymin)
@@ -308,11 +341,16 @@ class SongPlot:
         t1 = int(round((self.toffset + self.twindow) * self.rate))
         play = np.mean(data[t0:t1, :], axis=1)
         play -= play.mean()
-        nfade = int(0.1 * self.rate)
-        if nfade and len(play) > 2 * nfade:
-            ramp = np.linspace(0.0, 1.0, nfade)
-            play[:nfade] *= ramp
-            play[-nfade:] *= ramp[::-1]
+        # audioio sine-squared fade, host-side (playback windows come in
+        # arbitrary lengths; an eager jnp fade would compile per shape
+        # on the tunneled backend).  nf clamps so short windows still
+        # fade — a linear ramp skipped sub-0.2 s windows entirely and
+        # clicked
+        nf = min(int(round(0.1 * self.rate)), len(play) // 2)
+        if nf > 0:
+            ramp = np.sin(0.5 * np.pi * np.arange(nf) / nf) ** 2
+            play[:nf] *= ramp
+            play[-nf:] *= ramp[::-1]
         try:
             import sounddevice
 

@@ -32,11 +32,12 @@ def enable(log=True):
     logger)."""
     global _enabled
     _enabled = True
-    if log and not logger.handlers:
-        handler = logging.StreamHandler()
-        handler.setFormatter(logging.Formatter("audian %(message)s"))
-        logger.addHandler(handler)
-        logger.setLevel(logging.INFO)
+    with _lock:  # concurrent enables must not install two handlers
+        if log and not logger.handlers:
+            handler = logging.StreamHandler()
+            handler.setFormatter(logging.Formatter("audian %(message)s"))
+            logger.addHandler(handler)
+            logger.setLevel(logging.INFO)
 
 
 def disable():

@@ -283,3 +283,20 @@ def test_unwrap_continuous_across_compute_blocks(tmp_path):
     want = _interleaved_minmax(whole, ft.step)
     np.testing.assert_allclose(ft.datas[: len(want)], want, atol=1e-7)
     ld.close()
+
+
+def test_compress_cli_fails_loudly_on_compute_error(wav, monkeypatch,
+                                                    capsys):
+    """A swallowed read error must not persist a zero-filled overview
+    and exit 0 (later opens would prefer that artifact forever)."""
+    p, x = wav
+    monkeypatch.setattr(
+        "audian_tpu.cache.fulltrace.native.file_minmax",
+        lambda *a, **k: (_ for _ in ()).throw(OSError("disk gone")))
+    monkeypatch.setattr(
+        FullTraceData, "_compute_python",
+        lambda self, k, step: (_ for _ in ()).throw(OSError("disk gone")))
+    rc = compress.main([str(p)])
+    assert rc == 1
+    assert "failed" in capsys.readouterr().err
+    assert not p.with_name("rec-fulltrace.wav").exists()

@@ -99,3 +99,30 @@ def test_example_plugin_file_loads(tmp_path, rng, monkeypatch):
         assert zc.data.rows[-1][-1] == pytest.approx(440.0, rel=0.1)
     finally:
         b.close()
+
+
+def test_plugins_load_by_path_not_stem(tmp_path):
+    """Two directories with same-stem plugin files must both load (stem
+    imports would return the first one's sys.modules entry), and a
+    broken plugin is skipped without aborting discovery."""
+    d1 = tmp_path / "a"
+    d2 = tmp_path / "b"
+    d1.mkdir(), d2.mkdir()
+    (d1 / "audianfoo.py").write_text(
+        "def audian_first_traces(browser):\n    browser.tag = 'first'\n")
+    (d2 / "audianfoo.py").write_text(
+        "def audian_second_traces(browser):\n    browser.tag = 'second'\n")
+    (d2 / "audianbad.py").write_text("this is not python !!!")
+    p = Plugins()
+    p.clear_trace_factories()
+    p.load_plugins(d1, verbose=False)
+    p.load_plugins(d2, verbose=False)  # same stem, different file
+    names = [f.__name__ for f in p.trace_factories]
+    assert "audian_first_traces" in names
+    assert "audian_second_traces" in names  # NOT the cached d1 module
+    # the broken plugin was reported and skipped, discovery continued
+    assert "audianbad" not in p.plugins
+    # a re-scan of the same directory registers nothing twice
+    p.load_plugins(d1, verbose=False)
+    assert [f.__name__ for f in p.trace_factories].count(
+        "audian_first_traces") == 1

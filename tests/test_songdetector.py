@@ -438,3 +438,26 @@ def test_threshold_constant_channel_sentinel(rng):
     th = threshold_estimates(env)
     assert np.isfinite(th[0]) and th[0] > 3.0
     assert np.isfinite(th[1])
+
+
+def test_songplot_end_key_exact_multiple(rng):
+    """'end' must land on the last window WITH data when the duration is
+    an exact multiple of twindow (it used to page fully past the data)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    from audian_tpu.gui.songplot import SongPlot
+
+    rate = 8000.0
+    n = int(64.0 * rate)  # duration 64 s -> twindow 64 s (pow2 ceil)
+    x = (0.05 * rng.standard_normal((n, 1))).astype(np.float32)
+    res = detect(x, rate, return_filtered=True)
+    sp = SongPlot(x, rate, res, filename="end.wav")
+
+    class K:
+        def __init__(s, k):
+            s.key = k
+
+    sp.keypress(K("end"))
+    duration = n / rate
+    assert sp.toffset < duration  # window still overlaps the data
+    sp.plt.close(sp.fig)
