@@ -132,26 +132,54 @@ def _stage_precisions(precision):
 
 def _chain_kernel(xa, xb, wf, we, ws, yo, eo, so, po, go, qo, *, C, N, offf,
                   gy, lead, offe, nbins, env_clamp, precision, act_f, act_e,
-                  n, nf):
+                  n, nf, ablate=frozenset()):
+    # ``ablate`` (timing experiments only — see benchmarks/chain_ablate.py)
+    # skips individual kernel phases while keeping every output write and
+    # the grid/DMA structure identical, so the cost of each phase can be
+    # measured in isolation.  Production callers never set it.
     prec_f, prec_e, prec_s = _stage_precisions(precision)
     x = jnp.concatenate([xa[:, :], xb[:, :]], axis=1)
     # stage 1: filtered stream, with lead/tail margins for the consumers
-    y_ext = _conv(x, wf[:, :], offf, gy, C, prec_f,
-                  act_f).reshape(C, gy * 128)
+    if "filter" in ablate:
+        y_ext = x[:, : gy * 128]
+    else:
+        y_ext = _conv(x, wf[:, :], offf, gy, C, prec_f,
+                      act_f).reshape(C, gy * 128)
     y = y_ext[:, lead : lead + N]
     yo[:, :] = y
     # stage 2: rectified zero-phase envelope (reads y_ext in VMEM)
     v = (jnp.pi / 2) * jnp.abs(y_ext)
-    e = _conv(v, we[:, :], offe, N // 128, C, prec_e,
-              act_e).reshape(C, N)
-    e = jnp.maximum(e, 0.0) if env_clamp else e
+    if "envelope" in ablate:
+        e = v[:, :N]
+    else:
+        e = _conv(v, we[:, :], offe, N // 128, C, prec_e,
+                  act_e).reshape(C, N)
+        e = jnp.maximum(e, 0.0) if env_clamp else e
     eo[:, :] = e
     # stage 3: STFT PSD frames (windows start at lead + f*128)
     F = N // 128
-    s = _conv(y_ext, ws[:, :], lead, F, C, prec_s)  # (C*F, 2*nbins)
-    sq = s * s
-    psd = (sq[:, :nbins] + sq[:, nbins : 2 * nbins]).reshape(C, F, nbins)
-    so[0] = psd.transpose(1, 0, 2)
+    if "spectrogram" in ablate:
+        psd = jnp.zeros((C, F, nbins), jnp.float32) + y[0, 0]
+    else:
+        # ws is lane-packed to exactly nfft = 2*nbins - 2 columns (the
+        # identically-zero imaginary parts of bin 0 and the Nyquist bin
+        # are dropped): cols [0, half) are re bins 0..half-1, col half is
+        # re of the Nyquist bin, cols (half, nfft) are im bins 1..half-1.
+        # This keeps the DFT matmul on whole 128-lane MXU tiles (258
+        # columns would round up to 3 tiles; nfft is a 128 multiple).
+        s = _conv(y_ext, ws[:, :], lead, F, C, prec_s)  # (C*F, nfft)
+        sq = s * s
+        half = nbins - 1
+        sqlo = sq[:, :half]
+        sqhi = sq[:, half:]
+        keep = lax.broadcasted_iota(jnp.int32, (1, half), 1) > 0
+        main = sqlo + jnp.where(keep, sqhi, 0.0)
+        psd = jnp.concatenate([main, sqhi[:, :1]], axis=1)
+        psd = psd.reshape(C, F, nbins)
+    if "transpose" in ablate:
+        so[0] = jnp.zeros((F, C, nbins), jnp.float32) + psd[0, 0, 0]
+    else:
+        so[0] = psd.transpose(1, 0, 2)
     # per-block chunk statistics (signal power, envelope mass, PSD column
     # sums for noise-floor auto-leveling) over the valid region only —
     # these let consumers fence/inspect a chunk without re-reading the
@@ -165,9 +193,14 @@ def _chain_kernel(xa, xb, wf, we, ws, yo, eo, so, po, go, qo, *, C, N, offf,
     else:
         m = 1.0
         fm = 1.0
-    po[0, 0, :] = jnp.sum(y * y * m, axis=1)
-    go[0, 0, :] = jnp.sum(e * m, axis=1)
-    qo[0] = jnp.sum(psd * fm, axis=1)
+    if "stats" in ablate:
+        po[0, 0, :] = y[:, 0]
+        go[0, 0, :] = e[:, 0]
+        qo[0] = psd[:, 0]
+    else:
+        po[0, 0, :] = jnp.sum(y * y * m, axis=1)
+        go[0, 0, :] = jnp.sum(e * m, axis=1)
+        qo[0] = jnp.sum(psd * fm, axis=1)
 
 
 class FusedChainKernel:
@@ -222,7 +255,25 @@ class FusedChainKernel:
         be = _shift_bank(np.asarray(g_env), D=De, off=offe)
         self.we = jnp.asarray(be)
         self.act_e = active(be)
-        self.ws = jnp.asarray(np.asarray(spec_w, np.float32))
+        # lane-pack the analysis matrix: for real input and even nfft the
+        # imaginary parts of bin 0 and the Nyquist bin are identically
+        # zero, so the (nfft, 2*nbins) matrix carries exactly nfft
+        # meaningful columns — reorder to [re 0..half-1 | re Nyquist |
+        # im 1..half-1] so the DFT matmul runs on whole 128-lane tiles
+        # (2*nbins = nfft + 2 would round up to an extra MXU tile pass)
+        spec_w = np.asarray(spec_w, np.float32)
+        half = self.nbins - 1
+        assert spec_w.shape[1] == 2 * self.nbins
+        # mathematically zero; numerically ~1e-16*n from sin(pi*n)
+        tiny = 1e-9 * float(np.abs(spec_w).max())
+        assert float(np.abs(spec_w[:, self.nbins]).max()) <= tiny
+        assert float(np.abs(spec_w[:, 2 * self.nbins - 1]).max()) <= tiny
+        self.ws = jnp.asarray(np.concatenate(
+            [spec_w[:, :half],                       # re bins 0..half-1
+             spec_w[:, half : half + 1],             # re Nyquist bin
+             spec_w[:, self.nbins + 1 : 2 * self.nbins - 1]],  # im 1..half-1
+            axis=1))
+        assert self.ws.shape == (self.nfft, self.nfft)
         assert self.ws.shape[0] % 128 == 0
         # per-program geometry
         self.gy = (self.lead + self.N + self.tail) // 128
@@ -263,9 +314,10 @@ class FusedChainKernel:
             bool(stats))
 
 
-@functools.partial(jax.jit, static_argnums=tuple(range(4, 17)))
+@functools.partial(jax.jit, static_argnums=tuple(range(4, 18)))
 def _chain_call(x_ext, wf, we, ws, n, N, hb, Hx, gy, lead, offe, nbins,
-                env_clamp, precision, act_f, act_e, stats):
+                env_clamp, precision, act_f, act_e, stats,
+                ablate=frozenset()):
     C = x_ext.shape[0]
     nprog = -(-n // N)
     nf = n // 128
@@ -283,7 +335,8 @@ def _chain_call(x_ext, wf, we, ws, n, N, hb, Hx, gy, lead, offe, nbins,
                           env_clamp=env_clamp, precision=precision,
                           act_f=act_f, act_e=act_e,
                           n=n if partial_tail else None,
-                          nf=nf if partial_tail else None),
+                          nf=nf if partial_tail else None,
+                          ablate=ablate),
         grid=(nprog,),
         in_specs=[
             pl.BlockSpec((C, N), lambda i: (0, i), memory_space=pltpu.VMEM),

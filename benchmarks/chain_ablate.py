@@ -71,7 +71,7 @@ def main():
     H = lax.Precision.HIGHEST
     D = lax.Precision.DEFAULT
 
-    def variant(precision=None, act_f=None, act_e=None):
+    def variant(precision=None, act_f=None, act_e=None, ablate=()):
         precision = ck.precision if precision is None else precision
         act_f = ck.act_f if act_f is None else act_f
         act_e = ck.act_e if act_e is None else act_e
@@ -80,27 +80,29 @@ def main():
             _y, _e, _s, st = _chain_call(
                 ext, ck.wf, ck.we, ck.ws, CHUNK, ck.N, ck.hb, ck.Hx,
                 ck.gy, ck.lead, ck.offe, ck.nbins, ck.env_clamp,
-                precision, act_f, act_e, True)
+                precision, act_f, act_e, True, frozenset(ablate))
             return st["power"], st["env_sum"], st["psd_sum"]
 
         return fn
 
     time_fn(variant(), chunks, "baseline (H, x3, x3)")
     time_fn(variant(precision=(D, D, D)), chunks, "all DEFAULT (1 pass/stage)")
-    time_fn(variant(precision=(H, H, H)), chunks, "all HIGHEST (6 passes/stage)")
-    time_fn(variant(precision=(BF16X3, BF16X3, BF16X3)), chunks,
-            "all bf16x3 (3 passes/stage)")
-    time_fn(variant(precision=(D, BF16X3, BF16X3)), chunks,
-            "filter DEFAULT, rest baseline")
-    time_fn(variant(act_e=(ck.act_e[0],)), chunks,
-            "envelope 1/11 blocks (timing only)")
-    time_fn(variant(act_e=ck.act_e[:4]), chunks,
-            "envelope 4/11 blocks (timing only)")
-    time_fn(variant(act_f=ck.act_f[:1]), chunks,
-            "filter 1/3 blocks (timing only)")
-    time_fn(variant(act_f=ck.act_f[:1], act_e=(ck.act_e[0],),
-                    precision=(D, D, D)),
-            chunks, "floor: 1-block stages, DEFAULT")
+    time_fn(variant(ablate=["filter"]), chunks, "- filter conv")
+    time_fn(variant(ablate=["envelope"]), chunks, "- envelope conv")
+    time_fn(variant(ablate=["spectrogram"]), chunks, "- stft conv+psd")
+    time_fn(variant(ablate=["transpose"]), chunks, "- psd transpose")
+    time_fn(variant(ablate=["stats"]), chunks, "- stats reductions")
+    time_fn(variant(ablate=["filter", "envelope", "spectrogram",
+                            "transpose", "stats"]),
+            chunks, "floor: DMA+concat+abs only")
+    time_fn(variant(ablate=["envelope", "spectrogram",
+                            "transpose", "stats"]),
+            chunks, "floor + filter conv (H)")
+    time_fn(variant(ablate=["filter", "spectrogram",
+                            "transpose", "stats"]),
+            chunks, "floor + envelope conv (x3)")
+    time_fn(variant(ablate=["filter", "envelope", "transpose", "stats"]),
+            chunks, "floor + stft conv+psd (x3)")
     time_fn(variant(), chunks, "baseline again (drift check)")
 
 
