@@ -86,6 +86,16 @@ def _dot(a, b, precision):
 #: precision sentinel: split-operand 3-pass bf16 convolution (see _conv)
 BF16X3 = "bf16x3"
 
+#: precision sentinel: split-operand 4-pass bf16 convolution.  Keeping
+#: the lo*lo cross product halves BF16X3's error (measured 5.8e-6 vs
+#: 1e-5 on the headline filter) but no better: the bf16 rounding of the
+#: f32 remainders feeding the hi*lo passes contributes the same ~2^-18
+#: order as the term the 4th pass restores.  Available for designs that
+#: need a middle rung on the precision ladder; not the filter default —
+#: on-device it bought only ~2% end-to-end (the chain sits near its
+#: DMA/compute balance point) for a 40x worse error floor than HIGHEST.
+BF16X4 = "bf16x4"
+
 
 def _conv(z, w, off, gout, C, precision, active=None):
     """``out[c, g*128+o] = sum_r z[c, g*128+off+r] w[r, o]`` via 128-wide
@@ -108,7 +118,7 @@ def _conv(z, w, off, gout, C, precision, active=None):
     budget, which is why DEFAULT_PRECISION keeps the filter at HIGHEST.
     """
     K = w.shape[0]
-    split = precision == BF16X3
+    split = precision in (BF16X3, BF16X4)
     if active is None:
         active = tuple((kb, True) for kb in range(K // 128))
     y = None
@@ -123,6 +133,8 @@ def _conv(z, w, off, gout, C, precision, active=None):
             wh, wl = _split_bf16(wb)
             d = lax.Precision.DEFAULT
             t = _dot(xh, wh, d) + (_dot(xh, wl, d) + _dot(xl, wh, d))
+            if precision == BF16X4:
+                t = t + _dot(xl, wl, d)
         else:
             t = _dot(xs, wb, precision)
         y = t if y is None else y + t
@@ -224,10 +236,13 @@ class FusedChainKernel:
     #: default per-stage (filter, envelope, stft) precisions.  The filter
     #: output feeds every downstream consumer (region export, the scipy
     #: 1e-5 accuracy contract), so it keeps the exact six-pass HIGHEST
-    #: decomposition; the envelope and PSD stages use the three-pass
-    #: split-operand mode (:data:`BF16X3`) — measured on-device ~2e-6
-    #: absolute envelope error and ~0.15 dB at the PSD noise floor, both
-    #: far inside their budgets, for ~40% fewer MXU passes overall.
+    #: decomposition (the 3- and 4-pass split modes measured 1e-5 and
+    #: 5.8e-6 on coherent signals — too close to the budget for their
+    #: ~2% end-to-end gain); the envelope and PSD stages use the
+    #: three-pass split-operand mode (:data:`BF16X3`) — measured
+    #: on-device ~2e-6 absolute envelope error and ~0.15 dB at the PSD
+    #: noise floor, both far inside their budgets, for ~40% fewer MXU
+    #: passes overall.
     DEFAULT_PRECISION = (lax.Precision.HIGHEST, BF16X3, BF16X3)
 
     #: sub-blocks whose coefficient L1 mass is below this fraction of the

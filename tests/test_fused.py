@@ -208,3 +208,31 @@ def test_mixed_precision_split_is_live_and_tight(chain, signal):
     ds = np.abs(np.asarray(s1) - np.asarray(s2)).max()
     assert 0 < de < 1e-5, de   # split live (nonzero) and inside budget
     assert 0 < ds < 1e-6, ds
+
+
+def test_bf16x4_filter_tightens_the_x3_split(chain, signal):
+    """The 4-pass split mode (BF16X4) keeps the lo*lo cross product the
+    3-pass mode drops: against an all-HIGHEST filter it must land at
+    least as close as BF16X3 does, and both stay inside the 1e-5
+    budget (on-device measurements: x3 ~1e-5, x4 ~5.8e-6, HIGHEST
+    ~1e-7 — see chain.py's precision ladder notes)."""
+    from jax import lax
+    from audian_tpu.ops.pallas.chain import (FusedChainKernel, BF16X3,
+                                             BF16X4)
+
+    def mk(prec_f):
+        return FusedChainKernel(
+            RATE, chain._h_filt, chain._g_env, chain.env_delay,
+            np.asarray(chain.spec_w), chain.nbins,
+            env_clamp=chain.env_clamp, nfft=chain.nfft,
+            precision=(prec_f, BF16X3, BF16X3))
+
+    C, n = signal.shape
+    ck = chain.chain_kernel
+    x = jnp_array(np.pad(signal, [(0, 0), (ck.hb, ck.ha)]))
+    n_out = n - (n % 128) or 128
+    y_hi = np.asarray(mk(lax.Precision.HIGHEST)(x, n_out)[0])
+    d3 = np.abs(np.asarray(mk(BF16X3)(x, n_out)[0]) - y_hi).max()
+    d4 = np.abs(np.asarray(mk(BF16X4)(x, n_out)[0]) - y_hi).max()
+    assert 0 < d3 < 1e-5, d3
+    assert d4 <= d3, (d4, d3)
