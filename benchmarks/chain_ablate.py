@@ -44,6 +44,17 @@ def make_chunks(hb, ha, n=4):
 
 
 def time_fn(fn, chunks, label):
+    # degenerate ablation combos can crash Mosaic's remote compile
+    # (observed: the all-ablated "floor" variant SIGABRTs tpu_compile);
+    # keep the sweep alive and report the failure instead
+    try:
+        return _time_fn(fn, chunks, label)
+    except Exception as exc:  # noqa: BLE001 - timing harness only
+        print(f"{label:52s} FAILED: {type(exc).__name__}", flush=True)
+        return float("nan")
+
+
+def _time_fn(fn, chunks, label):
     _ = np.asarray(fn(chunks[0])[0])
     t0 = time.perf_counter()
     out = None
