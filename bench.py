@@ -92,12 +92,18 @@ def bench_kernel(fused):
     # warm-up / compile
     _ = np.asarray(chain(chunks[0])[0])
 
-    t0 = time.perf_counter()
-    out = None
-    for i in range(nchunks):
-        out = chain(chunks[i % len(chunks)])
-    _ = np.asarray(out[0])  # fences the in-order queue
-    return time.perf_counter() - t0
+    # best of 3 identical passes: the tunneled runtime's dispatch
+    # bandwidth varies run-to-run by 20-40% (docs/performance.md), and
+    # the chip's actual capability is what the headline tracks
+    best = float("inf")
+    for _rep in range(3):
+        t0 = time.perf_counter()
+        out = None
+        for i in range(nchunks):
+            out = chain(chunks[i % len(chunks)])
+        _ = np.asarray(out[0])  # fences the in-order queue
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def _bench_recording():

@@ -210,6 +210,20 @@ def test_mixed_precision_split_is_live_and_tight(chain, signal):
     assert 0 < ds < 1e-6, ds
 
 
+def test_active_block_mass_classification():
+    """`FusedChainKernel._active` drops all-zero bank sub-blocks and
+    flags sub-blocks under LIGHT_MASS_FRAC of the bank's L1 mass as
+    light (full=False); heavy blocks stay full."""
+    from audian_tpu.ops.pallas.chain import FusedChainKernel
+
+    bank = np.zeros((512, 128), np.float32)
+    bank[130:250] = 1.0            # block 1: heavy
+    bank[260] = 1e-5               # block 2: light tail
+    # block 0 and 3 all-zero: dropped entirely
+    act = FusedChainKernel._active(bank)
+    assert act == ((1, True), (2, False))
+
+
 def test_bf16x4_filter_tightens_the_x3_split(chain, signal):
     """The 4-pass split mode (BF16X4) keeps the lo*lo cross product the
     3-pass mode drops: against an all-HIGHEST filter it must land at
