@@ -63,8 +63,14 @@ def run_pallas(x, total, label):
 
 
 def run_xla(x, total, label):
-    g = jax.jit(lambda a: jnp.sum((a + 1.0)[:, ::1024]))
-    timed(g, x, label, total)
+    # optimization_barrier forces the copy to materialize: without it
+    # XLA fuses the add into the strided-slice consumer and the "copy"
+    # reads ~1/1024 of the elements and writes nothing
+    def body(a):
+        y = jax.lax.optimization_barrier(a + 1.0)
+        return jnp.sum(y[:, ::1024])
+
+    timed(jax.jit(body), x, label, total)
 
 
 def main():

@@ -14,7 +14,6 @@ Run on the real chip:
     python benchmarks/dma_floor_bench.py
 """
 
-import functools
 import sys
 import time
 from pathlib import Path
@@ -91,7 +90,7 @@ def run_copy_pm(xpm, N, label):
     timed(g, xpm, label, TOTAL)
 
 
-def outputs_kernel(xr, yo, eo, so, po, go, qo, *, F, nbins):
+def outputs_kernel(xr, yo, eo, so, po, go, qo):
     x = xr[:, :]
     yo[:, :] = x + 1.0
     eo[:, :] = x + 2.0
@@ -101,7 +100,7 @@ def outputs_kernel(xr, yo, eo, so, po, go, qo, *, F, nbins):
     qo[0] = jnp.zeros(qo.shape[1:], jnp.float32) + x[0, 2]
 
 
-def run_outputs(x, N, nbins, label, psd=True):
+def run_outputs(x, N, nbins, label):
     nprog = TOTAL // N
     F = N // 128
     outs = [
@@ -125,7 +124,7 @@ def run_outputs(x, N, nbins, label, psd=True):
         jax.ShapeDtypeStruct((nprog, C, nbins), jnp.float32),
     ]
     f = pl.pallas_call(
-        functools.partial(outputs_kernel, F=F, nbins=nbins),
+        outputs_kernel,
         grid=(nprog,),
         in_specs=[pl.BlockSpec((C, N), lambda i: (0, i),
                                memory_space=pltpu.VMEM)],

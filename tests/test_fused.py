@@ -212,8 +212,9 @@ def test_mixed_precision_split_is_live_and_tight(chain, signal):
 
 def test_active_block_mass_classification():
     """`FusedChainKernel._active` drops all-zero bank sub-blocks and
-    flags sub-blocks under LIGHT_MASS_FRAC of the bank's L1 mass as
-    light (full=False); heavy blocks stay full."""
+    flags the lightest blocks (full=False) while their AGGREGATE L1
+    mass stays under LIGHT_MASS_FRAC of the bank total; heavy blocks
+    stay full."""
     from audian_tpu.ops.pallas.chain import FusedChainKernel
 
     bank = np.zeros((512, 128), np.float32)
@@ -222,6 +223,22 @@ def test_active_block_mass_classification():
     # block 0 and 3 all-zero: dropped entirely
     act = FusedChainKernel._active(bank)
     assert act == ((1, True), (2, False))
+
+    # many tails each under the per-block threshold must NOT all go
+    # light: the budget is aggregate, so only the smallest fit under it.
+    # Bulk mass ~49152 -> budget ~49.2; tails of mass 32 each (6.5e-4 of
+    # the total individually) sum to 96 — greedy admits exactly one.
+    bank = np.zeros((8 * 128, 128), np.float32)
+    bank[0 * 128] = 1e-4               # tiny tail: mass 0.0128
+    bank[1 * 128] = 0.25               # three near-threshold tails...
+    bank[2 * 128] = 0.25
+    bank[3 * 128] = 0.25
+    bank[4 * 128 : 7 * 128] = 1.0      # heavy bulk
+    act = FusedChainKernel._active(bank)
+    flags = dict(act)
+    assert flags[0] is False
+    assert sum(not flags[k] for k in (1, 2, 3)) == 1
+    assert flags[4] and flags[5] and flags[6]
 
 
 def test_bf16x4_filter_tightens_the_x3_split(chain, signal):
