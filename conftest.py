@@ -20,7 +20,10 @@ import jax
 
 if not os.environ.get("AUDIAN_TPU_TESTS_ON_TPU"):
     jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+    # float64 so kernels can be validated against scipy float64 oracles
+    # at tight tolerances; NOT set on the TPU path (no f64 there — the
+    # device suite compares f32 device outputs against host oracles)
+    jax.config.update("jax_enable_x64", True)
 
 assert jax.default_backend() == "cpu" or os.environ.get(
     "AUDIAN_TPU_TESTS_ON_TPU"

@@ -1,0 +1,137 @@
+"""Real-TPU device-numerics regression suite (opt-in).
+
+The regular suite runs on a forced virtual CPU mesh where Pallas
+interprets and every precision mode is exact f32 — it cannot observe
+the MXU's bf16 behavior.  This module pins the ON-DEVICE accuracy
+contract (device f32 within 1e-5 of scipy float64, CLAUDE.md
+"Architecture invariants") and the measured error budgets of the mixed
+per-stage / per-sub-block precision scheme.  Run it on the real chip:
+
+    AUDIAN_TPU_TESTS_ON_TPU=1 python -m pytest tests/test_device_tpu.py -q
+
+(the root conftest skips its CPU-mesh forcing under that variable).
+Everything here is skipped unless the active jax backend is ``tpu``.
+First run in a fresh process compiles over the tunnel (~1-3 min); the
+persistent compilation cache makes later runs fast.
+"""
+
+import numpy as np
+import pytest
+import scipy.signal as sig
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="device-numerics suite runs on the real TPU only "
+           "(AUDIAN_TPU_TESTS_ON_TPU=1)")
+
+RATE = 96000.0
+C, N = 4, 1 << 17
+
+
+@pytest.fixture(scope="module")
+def _cache():
+    import audian_tpu
+
+    audian_tpu.enable_compilation_cache()
+
+
+@pytest.fixture(scope="module")
+def signal():
+    rng = np.random.default_rng(0)
+    t = np.arange(N) / RATE
+    tone = 0.4 * np.sin(2 * np.pi * 30000.0 * t) * (
+        np.sin(2 * np.pi * 5.0 * t) > 0)
+    return (tone[None, :]
+            + 0.05 * rng.standard_normal((C, N))).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def fused(_cache):
+    from audian_tpu.models import get_preset
+
+    return get_preset("bioacoustics").fused(RATE, eps=2e-6)
+
+
+def test_chain_matches_scipy_float64_on_device(fused, signal):
+    """The production fused chain on the real chip vs scipy float64
+    oracles — the 1e-5 contract, measured where bf16 is real."""
+    from audian_tpu.ops import design_filter, design_envelope_filter
+
+    ck = fused.chain_kernel
+    x_ext = np.pad(signal, [(0, 0), (ck.hb, ck.ha)])
+    y, e, s = fused.chain_cf(jnp.asarray(x_ext), N)
+    y, e, s = np.asarray(y), np.asarray(e), np.asarray(s)
+
+    sos_f = np.asarray(design_filter(RATE, 2000.0, 40000.0), np.float64)
+    sos_e = np.asarray(design_envelope_filter(RATE, 500.0), np.float64)
+    x64 = np.pad(signal.astype(np.float64), [(0, 0), (ck.hb, ck.ha)])
+    y64 = sig.sosfilt(sos_f, x64, axis=1)
+    v64 = (np.pi / 2) * np.abs(y64)
+    e64 = np.maximum(
+        sig.sosfiltfilt(sos_e, v64, axis=1, padtype=None), 0.0)
+    y64 = y64[:, ck.hb : ck.hb + N]
+    e64 = e64[:, ck.hb : ck.hb + N]
+
+    assert np.max(np.abs(y - y64)) < 1e-5
+    assert np.max(np.abs(e - e64)) < 1e-5
+
+    _f, _t, S = sig.spectrogram(
+        y64, fs=RATE, window="hann", nperseg=256, noverlap=128,
+        detrend=False, mode="psd", axis=1)
+    ref = S.transpose(2, 0, 1)[: s.shape[0]]
+    got = s[: ref.shape[0]]
+    mask = ref > ref.max() * 1e-6  # within 60 dB of the peak
+    ddb = np.abs(10 * np.log10(np.maximum(got, 1e-30))
+                 - 10 * np.log10(np.maximum(ref, 1e-30)))[mask].max()
+    assert ddb < 0.05  # u8 display tiles step ~0.3 dB
+
+
+def test_light_blocks_within_budget_on_device(fused, signal):
+    """The per-sub-block DEFAULT demotion vs an all-full all-HIGHEST
+    kernel: errors must stay an order under the 1e-5 budget (measured
+    6e-8 filter / 1.6e-6 envelope / 0.011 dB PSD when this landed)."""
+    from audian_tpu.ops.pallas.chain import _chain_call
+
+    ck = fused.chain_kernel
+    assert any(not full for _kb, full in ck.act_e), \
+        "headline design should have light envelope blocks"
+    x_ext = jnp.asarray(np.pad(signal, [(0, 0), (ck.hb, ck.ha)]))
+
+    def run(precision, act_f, act_e):
+        return _chain_call(
+            x_ext, ck.wf, ck.we, ck.ws, N, ck.N, ck.hb, ck.Hx, ck.gy,
+            ck.lead, ck.offe, ck.nbins, ck.env_clamp, precision,
+            act_f, act_e, False)
+
+    H = lax.Precision.HIGHEST
+    all_full_f = tuple((kb, True) for kb, _ in ck.act_f)
+    all_full_e = tuple((kb, True) for kb, _ in ck.act_e)
+    yo, eo, so = run((H, H, H), all_full_f, all_full_e)
+    yn, en, sn = run(ck.precision, ck.act_f, ck.act_e)
+
+    dy = float(jnp.max(jnp.abs(yn - yo)))
+    de = float(jnp.max(jnp.abs(en - eo)))
+    assert 0 < dy < 1e-6, dy   # nonzero: bf16 demotion is live on MXU
+    assert 0 < de < 5e-6, de
+    so, sn = np.asarray(so), np.asarray(sn)
+    mask = so > so.max() * 1e-6
+    ddb = np.abs(10 * np.log10(np.maximum(sn, 1e-30))
+                 - 10 * np.log10(np.maximum(so, 1e-30)))[mask].max()
+    assert ddb < 0.05, ddb
+
+
+def test_fir_filter_matches_scipy_on_device(_cache, signal):
+    """The standalone production FIR path (ops public API) on device."""
+    from audian_tpu.ops import design_filter, fir_kernels, sosfilt_fir
+
+    sos = design_filter(RATE, 2000.0, 10000.0)
+    y = np.asarray(sosfilt_fir(fir_kernels(sos), jnp.asarray(signal),
+                               axis=1))
+    y64 = sig.sosfilt(np.asarray(sos, np.float64),
+                      signal.astype(np.float64), axis=1)
+    # truncated-FIR design tolerance + device f32: the 1e-5 contract
+    assert np.max(np.abs(y - y64)) < 1e-5
