@@ -123,8 +123,11 @@ class MplBrowserWindow:
         for ax in list(self.fig.axes):
             ax.remove()
         self._artists = {}
-        rows = len(channels) * (2 if self.show_spec else 1) + 1
-        heights = ([3, 2] if self.show_spec else [3]) * len(channels) + [1]
+        # a thin spacer row keeps the bottom data panel's time label
+        # clear of the overview strip
+        rows = len(channels) * (2 if self.show_spec else 1) + 2
+        heights = (([3, 2] if self.show_spec else [3]) * len(channels)
+                   + [0.25, 1])
         # three columns: panels | color bars | power side plots
         # (`src/audian/spectrogramplot.py:87-92,144-164`)
         gs = self.fig.add_gridspec(rows, 3, width_ratios=[24, 0.7, 5],
@@ -379,10 +382,15 @@ class MplBrowserWindow:
             self._build_axes(list(b.show_channels))
         t0, t1 = b.toffset, b.toffset + b.twindow
         name = "filtered" if "filtered" in b.data else "data"
+        # visibility pre-pass: _bottom_data_ax (the single time-label
+        # carrier) must see THIS frame's layout before either panel loop
+        # formats its axis
         for c, ax in self.trace_axs.items():
-            visible = c in b.show_channels and b.show_traces
-            ax.set_visible(visible)
-            if not visible:
+            ax.set_visible(c in b.show_channels and b.show_traces)
+        for c, ax in self.spec_axs.items():
+            ax.set_visible(c in b.show_channels and b.show_specs > 0)
+        for c, ax in self.trace_axs.items():
+            if not ax.get_visible():
                 continue
             art = self._ax_artists("trace", c, ax)
             times, values = b.trace_tile(name, c)
@@ -419,7 +427,6 @@ class MplBrowserWindow:
             if lo is not None and hi is not None and hi > lo:
                 ax.set_ylim(lo, hi)
         for c, ax in self.spec_axs.items():
-            ax.set_visible(c in b.show_channels and b.show_specs > 0)
             if not ax.get_visible():
                 for side in (self.cbar_axs.get(c), self.power_axs.get(c)):
                     if side is not None:
@@ -469,6 +476,19 @@ class MplBrowserWindow:
         self.fig.suptitle(title, fontsize=10)
         self.fig.canvas.draw_idle()
 
+    def _bottom_data_ax(self):
+        """The lowest visible data panel — the only one carrying the
+        time-axis label (stacked panels share ticks; repeating the label
+        under every panel collides with the panel below)."""
+        best = None
+        for ax in (list(self.trace_axs.values())
+                   + list(self.spec_axs.values())):
+            if not ax.get_visible():
+                continue
+            if best is None or ax.get_position().y0 < best.get_position().y0:
+                best = ax
+        return best
+
     def _format_time_axis(self, ax, t0, t1):
         """Tick the time axis through :mod:`audian_tpu.view.axes`: the
         width-aware 1/2/5 spacing and the current start-time label mode
@@ -494,6 +514,9 @@ class MplBrowserWindow:
             file_paths=file_paths)
         ax.set_xticks(ticks)
         ax.set_xticklabels(strings)
+        if ax is not self._bottom_data_ax():
+            ax.set_xlabel("")
+            return
         text = label or "time"
         if label == "File" and filename:
             text = f"File {filename}"
