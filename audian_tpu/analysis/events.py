@@ -241,13 +241,39 @@ def _clamp_band(lowf, highf, rate):
     return lowf, highf
 
 
+def _filtfilt_chunks(design, x):
+    """Chunked fixed-shape zero-phase filtering for the standalone API
+    entry points, with :func:`_band_env_chunks`'s geometry rules: host
+    scipy float64 below one chunk (small inputs come in arbitrary
+    lengths, and a fresh device shape costs 10+ s of remote XLA compile
+    on the tunneled backend), sliding fixed-W device windows above it —
+    arbitrarily long inputs reuse ONE compiled shape."""
+    x = np.asarray(x)
+    if not np.issubdtype(x.dtype, np.floating):
+        x = x.astype(np.float64)
+    n = x.shape[0]
+    halo = int(design.fir.length + design.padlen)
+    halo = 1 << max(halo - 1, 2047).bit_length()
+    W = _CHUNK + 2 * halo
+    if n <= W:
+        return sps.sosfiltfilt(design.sos, x.astype(np.float64), axis=0)
+    outs = []
+    for pos in range(0, n, _CHUNK):
+        L = min(_CHUNK, n - pos)
+        a = min(max(pos - halo, 0), n - W)
+        y = _filtfilt_device(design,
+                             jnp.asarray(x[a : a + W], jnp.float32))
+        outs.append(np.asarray(y)[pos - a : pos - a + L])
+    return np.concatenate(outs)
+
+
 def bandpass_filter(data, rate, lowf=5500.0, highf=7500.0, order=1):
-    """Zero-phase Butterworth band-pass (`songdetector.py:36-46`), on
-    device (full-rate data)."""
+    """Zero-phase Butterworth band-pass (`songdetector.py:36-46`) —
+    host-scipy under one chunk, the fixed-shape chunked device path
+    above it (never a per-recording-length device compile)."""
     sos = sps.butter(order, _clamp_band(lowf, highf, rate), "bandpass",
                      fs=rate, output="sos")
-    design = FilterDesign.from_sos(sos)
-    return np.asarray(_filtfilt_device(design, jnp.asarray(data)))
+    return _filtfilt_chunks(FilterDesign.from_sos(sos), data)
 
 
 def lowpass_filter(data, rate, freq=100.0, order=1):
@@ -264,18 +290,21 @@ def square_envelope(data, rate, freq=100.0):
     """Squared-signal envelope, decimated to ~10x the cutoff
     (`songdetector.py:57-69`): ``sqrt(2 * lowpass(x^2)) * sqrt(2)`` —
     i.e. twice the running RMS (sqrt(2) times the amplitude of a tone);
-    distinct from the browser's pi/2-rectified envelope."""
+    distinct from the browser's pi/2-rectified envelope.  Routed through
+    the fixed-shape chunk driver; the decimation happens host-side so
+    the step never bakes a fresh device shape."""
     sos = sps.butter(1, _clamp_cutoff(freq, rate), "lowpass", fs=rate,
                      output="sos")
-    design = FilterDesign.from_sos(sos)
-    x = jnp.asarray(data)
-    e = 2.0 * _filtfilt_device(design, x * x)
-    e = jnp.maximum(e, 0.0)
+    x = np.asarray(data)
+    if not np.issubdtype(x.dtype, np.floating):
+        x = x.astype(np.float64)
+    e = 2.0 * _filtfilt_chunks(FilterDesign.from_sos(sos), x * x)
+    e = np.maximum(e, 0.0)
     envrate = min(freq * 10, rate)
     step = int(np.round(rate / envrate))
-    env = jnp.sqrt(e[::step]) * np.sqrt(2.0)
-    # writable copy: filter_envelopes refines it in place
-    return np.array(env), rate / step
+    # strided-view copy: writable (filter_envelopes refines in place)
+    env = np.ascontiguousarray(np.sqrt(e[::step]) * np.sqrt(2.0))
+    return env, rate / step
 
 
 def threshold_estimates(envelopes, fac=10.0):

@@ -66,16 +66,20 @@ class Plugins:
             path = module.resolve()
             if path in self._loaded_paths:
                 continue  # re-scan: factories are already registered
-            self._loaded_paths.add(path)
             try:
                 spec = importlib.util.spec_from_file_location(
                     module.stem, module)
                 x = importlib.util.module_from_spec(spec)
                 spec.loader.exec_module(x)
             except Exception as e:
+                # NOT recorded as loaded: a failed exec registered no
+                # factories, so a later rescan (after the user fixes the
+                # file) can retry instead of blacklisting it for the
+                # session
                 print(f"cannot load plugin {module}: {e}",
                       file=sys.stderr)
                 continue
+            self._loaded_paths.add(path)
             called = False
             for k in dir(x):
                 attr = getattr(x, k)

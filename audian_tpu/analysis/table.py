@@ -36,9 +36,10 @@ class ResultTable:
         return len(self.labels) - 1
 
     def add(self, values, start_column=0):
-        """Append one row starting at ``start_column``; the row is padded
-        or truncated to the column count (extra values would otherwise be
-        stored but silently dropped from every export)."""
+        """Append one row starting at ``start_column``; short rows are
+        padded with ``None`` to the column count, and EXTRA values raise
+        ``ValueError`` (they would otherwise be stored but silently
+        dropped from every export — call :meth:`make_column` first)."""
         row = [None] * start_column + list(values)
         if len(row) > len(self.labels):
             raise ValueError(

@@ -90,6 +90,7 @@ class FullTraceData:
         self.short_data = True
         self._thread = None
         self._stop = threading.Event()
+        self._cancelled = False
         #: last background-computation failure (overview may be partial)
         self.error = None
 
@@ -115,9 +116,10 @@ class FullTraceData:
         (`src/audian/compresseddata.py:79-122` semantics: step =
         frames//max_pixel, interleaved min/max, times at half steps)."""
         if (self.times is not None and self.datas is not None
-                and self.error is None):
-            return  # a failed run retries; a finished one does not
+                and self.error is None and not self._cancelled):
+            return  # a failed/cancelled run retries; a finished one does not
         self.error = None
+        self._cancelled = False
         self._stop = threading.Event()
         frames = self.data.frames
         step = max(1, frames // max_pixel)
@@ -136,12 +138,12 @@ class FullTraceData:
         self.datas = np.zeros((2 * nseg, self.data.channels))
         if background:
             self._thread = threading.Thread(
-                target=self._compute, args=(step,), daemon=True)
+                target=self._compute, args=(step, True), daemon=True)
             self._thread.start()
         else:
-            self._compute(step)
+            self._compute(step, False)
 
-    def _compute(self, step):
+    def _compute(self, step, background=True):
         try:
             self._compute_body(step)
         except Exception as e:
@@ -152,7 +154,16 @@ class FullTraceData:
             print(f"fulltrace computation failed: {e}")
             return
         if self._stop.is_set():
-            return  # recording closed mid-compute: do not cache it
+            # recording closed mid-compute: the zero-filled tail is NOT a
+            # finished overview — do not cache it, and let a later
+            # start() recompute instead of early-returning on it
+            self._cancelled = True
+            return
+        if not background:
+            # the synchronous caller (audian-compress) manages
+            # persistence itself; saving here too would write the
+            # artifact twice and churn the user cache's LRU
+            return
         # persist as soon as the computation finishes so the NEXT session
         # loads instead of recomputing (the reference saves from its GUI
         # poll, `src/audian/fulltraceplot.py:182` — headless/batch runs
@@ -201,11 +212,32 @@ class FullTraceData:
             else:
                 frames = self.data.frames
                 nblock = max(step, (1 << 20) // step * step)
+                unwrap = self.data.unwrap_thresh > 1e-3
+                # sequential scan: thread the cumulative unwrap shift
+                # across blocks (same reasoning as _compute_python —
+                # _read_direct's random-access unwrap would restart the
+                # shift at every block boundary and mis-level the rest
+                # of the block when a wrap is still active there)
+                carried = 0.0
                 for start in range(0, frames, nblock):
                     if self._stop.is_set():
                         return
                     n = min(nblock, frames - start)
-                    buf = self.data._read_direct(start, n)
+                    if unwrap and start > 0:
+                        ext = self.data._read_raw(start - 1, n + 1)
+                        ext, carried = wavio.unwrap(
+                            ext, self.data.unwrap_thresh,
+                            self.data.unwrap_clips, self.data.ampl_max,
+                            start_shift=carried, return_shift=True)
+                        buf = ext[1:]
+                    elif unwrap:
+                        buf, carried = wavio.unwrap(
+                            self.data._read_raw(start, n),
+                            self.data.unwrap_thresh,
+                            self.data.unwrap_clips, self.data.ampl_max,
+                            return_shift=True)
+                    else:
+                        buf = self.data._read_direct(start, n)
                     seg = _interleaved_minmax(buf, step)
                     r = 2 * (start // step)
                     out[r : r + len(seg)] = seg

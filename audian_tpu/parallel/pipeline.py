@@ -72,10 +72,15 @@ class ShardedPipeline:
         # envelope as one symmetric conv (batch fast path; interior matches
         # scipy filtfilt to the design eps)
         if env is not None:
-            self._env_sym = filtfilt_sym_kernel(env.sos, eps=env.fir.eps)
-            env_halo = self._env_sym[1] + 1
+            g, delay = filtfilt_sym_kernel(env.sos, eps=env.fir.eps)
+            # device-resident: the kernel is passed as a traced argument
+            # per call (numpy would re-upload it every chunk)
+            self._env_sym = (jnp.asarray(g, jnp.float32), delay)
+            self._env_delay = delay
+            env_halo = delay + 1
         else:
             self._env_sym = None
+            self._env_delay = 0
             env_halo = 0
         hb = (filt.fir.length if filt else 0) + env_halo
         ha = max(env_halo, (self.nfft - self.hop) if self.with_spec else 0)
@@ -95,7 +100,11 @@ class ShardedPipeline:
         seq_size = self.mesh.shape["seq"]
 
         def local(x, params):
-            filt, env = params
+            # traced per call: filter design pytree + the envelope's
+            # symmetric kernel — coefficient rebinds (same kernel-length
+            # budget) take effect without a retrace.  Geometry (halos,
+            # envelope delay, nfft/hop) is construction-frozen.
+            filt, env_g = params
             L = x.shape[0]
             if seq_size == 1:
                 # degenerate mesh: no neighbors exist and halos are zeros
@@ -109,10 +118,9 @@ class ShardedPipeline:
             if filt is not None:
                 y = sosfilt_fir(filt.fir, y, axis=0, return_zf=False)
             out = {"filtered": y[self.hb : self.hb + L]}
-            if env is not None:
+            if env_g is not None:
                 rect = (jnp.pi / 2) * jnp.abs(y)
-                g, delay = self._env_sym
-                e = sosfiltfilt_sym(g, delay, rect, axis=0)
+                e = sosfiltfilt_sym(env_g, self._env_delay, rect, axis=0)
                 if self.env_clamp:
                     e = jnp.maximum(e, 0.0)
                 out["envelope"] = e[self.hb : self.hb + L]
@@ -137,17 +145,12 @@ class ShardedPipeline:
         if self.minmax_step:
             out_specs["minmax"] = P("seq", "ch")
 
-        shardfn = jax.shard_map(
+        return jax.shard_map(
             local,
             mesh=self.mesh,
             in_specs=(P("seq", "ch"), (P(), P())),
             out_specs=out_specs,
         )
-
-        def run(x):
-            return shardfn(x, (self.filt, self.env))
-
-        return run
 
     # -- execution ------------------------------------------------------------
 
@@ -189,7 +192,8 @@ class ShardedPipeline:
                         + [(0, 0)] * (x.ndim - 2))
         sharding = NamedSharding(self.mesh, P("seq", "ch"))
         x = jax.device_put(x, sharding)
-        out = self._fn(x)
+        out = self._fn(x, (self.filt,
+                           self._env_sym[0] if self._env_sym else None))
         if c_pad != C:
             out = {k: (v[:, :C] if v.ndim == 2 else v[:, :C, :])
                    for k, v in out.items()}

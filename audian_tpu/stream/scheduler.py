@@ -186,7 +186,14 @@ class BlockPrefetcher:
             if b in self._cache or b in self._pending:
                 return
             self._pending.add(b)
-        self._pool.submit(self._load_block, b)
+        try:
+            self._pool.submit(self._load_block, b)
+        except RuntimeError:
+            # close() (or a racing drain()) shut the pool down: read-ahead
+            # is best-effort, and synchronous reads must keep working —
+            # just un-mark the block so a later rescheduling can retry
+            with self._lock:
+                self._pending.discard(b)
 
     def _get_block(self, b):
         with self._lock:

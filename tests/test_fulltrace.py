@@ -285,6 +285,62 @@ def test_unwrap_continuous_across_compute_blocks(tmp_path):
     ld.close()
 
 
+def test_unwrap_continuous_across_blocks_multifile(tmp_path):
+    """The MULTI-FILE non-aligned path must thread the cumulative unwrap
+    shift across its 1M-frame compute blocks just like _compute_python —
+    a wrap still active at a block boundary would otherwise reset to
+    shift 0 and mis-level the rest of the block."""
+    frames = (1 << 20) + 4096
+    x = np.zeros((frames, 1), np.float32)
+    b = 1 << 20
+    x[b - 300 : b + 300, 0] = 0.9
+    x[b - 100 : b + 100, 0] = -0.95  # wrapped excursion over the boundary
+    # split into two files so the loader takes the multi-file branch
+    cut = frames // 2 + 7
+    p1, p2 = tmp_path / "w1.wav", tmp_path / "w2.wav"
+    wavio.write_audio(p1, x[:cut], 48000, encoding="FLOAT")
+    wavio.write_audio(p2, x[cut:], 48000, encoding="FLOAT")
+    ld = AudioLoader([p1, p2], buffer_time=0.05, back_time=0.0)
+    ld.set_unwrap(1.5)
+    ft = FullTraceData(ld)
+    ft.start(frames // 2, background=False)  # step=2: nblock = 1<<20
+    assert ft.error is None
+    from audian_tpu.cache.fulltrace import _interleaved_minmax
+
+    whole = wavio.unwrap(x.astype(np.float64), 1.5, False, ld.ampl_max)
+    want = _interleaved_minmax(whole, ft.step)
+    np.testing.assert_allclose(ft.datas[: len(want)], want, atol=1e-7)
+    ld.close()
+
+
+def test_cancelled_compute_recomputes_on_restart(wav):
+    """close() mid-compute leaves a zero-filled tail: a later start()
+    must treat that as cancelled (recompute), not as finished."""
+    p, x = wav
+    ld = AudioLoader(p, buffer_time=0.01, back_time=0.0)
+    ft = FullTraceData(ld)
+    # simulate a cancellation race: the stop flag trips mid-compute
+    orig = FullTraceData._compute_body
+
+    def stopping_body(self, step):
+        self._stop.set()
+        return orig(self, step)
+
+    FullTraceData._compute_body = stopping_body
+    try:
+        ft.start(len(x) // 4, background=False)
+    finally:
+        FullTraceData._compute_body = orig
+    assert ft._cancelled
+    ft.start(len(x) // 4, background=False)  # must NOT early-return
+    assert ft.error is None and not ft._cancelled
+    from audian_tpu.cache.fulltrace import _interleaved_minmax
+
+    want = _interleaved_minmax(x.astype(np.float64), ft.step)
+    np.testing.assert_allclose(ft.datas[: len(want)], want, atol=1e-7)
+    ld.close()
+
+
 def test_compress_cli_fails_loudly_on_compute_error(wav, monkeypatch,
                                                     capsys):
     """A swallowed read error must not persist a zero-filled overview

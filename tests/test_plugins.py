@@ -126,3 +126,19 @@ def test_plugins_load_by_path_not_stem(tmp_path):
     p.load_plugins(d1, verbose=False)
     assert [f.__name__ for f in p.trace_factories].count(
         "audian_first_traces") == 1
+
+
+def test_broken_plugin_retries_after_fix(tmp_path):
+    """A plugin that fails to load is NOT blacklisted for the session:
+    a rescan after the user fixes the file loads it."""
+    f = tmp_path / "audianfix.py"
+    f.write_text("this is not python !!!")
+    p = Plugins()
+    p.clear_trace_factories()
+    p.load_plugins(tmp_path, verbose=False)
+    assert not [x for x in p.trace_factories
+                if x.__name__ == "audian_fixed_traces"]
+    f.write_text("def audian_fixed_traces(browser):\n    pass\n")
+    p.load_plugins(tmp_path, verbose=False)
+    names = [x.__name__ for x in p.trace_factories]
+    assert names.count("audian_fixed_traces") == 1

@@ -282,3 +282,16 @@ def test_freelist_concurrent_churn_no_corruption():
     pf.drain()
     assert not errors, f"corrupted reads at {errors[:3]}"
     pf.close()
+
+
+def test_read_after_close_serves_synchronously():
+    """read() after close() (or racing drain()) must serve the request
+    synchronously instead of crashing when read-ahead scheduling hits
+    the shut-down executor."""
+    src = FakeSource()
+    pf = BlockPrefetcher(src, block_frames=1000, read_ahead=2)
+    out1 = pf.read(0, 100)
+    pf.close()
+    out2 = pf.read(3000, 100)  # uncached block + read-ahead attempts
+    np.testing.assert_array_equal(out1, src.data[:100])
+    np.testing.assert_array_equal(out2, src.data[3000:3100])
