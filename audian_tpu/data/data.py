@@ -28,10 +28,7 @@ from ..graph import (
 )
 from . import wavio
 from .loader import AudioLoader
-
-
-def _pow2ceil(n):
-    return 1 << max(int(n) - 1, 0).bit_length() if n > 1 else 1
+from ..utils import pow2_at_least as _pow2ceil
 
 
 @jax.jit

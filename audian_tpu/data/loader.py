@@ -170,15 +170,16 @@ class AudioLoader:
         return Path(path if path is not None else self.filepath).name
 
     def set_unwrap(self, thresh, clips=False, down_scale=False, unit=""):
+        """``down_scale``/``unit`` are accepted for audioio signature
+        parity only: with ``clips=False`` this loader always scales the
+        unwrapped data down by two (the reference CLI's ``-u`` semantic,
+        `src/audian/audian.py:1485-1490`), so the amplitude range —
+        and hence ``ampl_max`` — never changes."""
         self.unwrap_thresh = float(thresh)
         self.unwrap_clips = bool(clips)
         if self._prefetcher is not None:
             # cached blocks were decoded with the previous unwrap config
             self._prefetcher.invalidate()
-        if thresh > 1e-3 and not clips:
-            # unwrapped data can reach twice the input range, then is
-            # scaled down by two: amplitude range stays, values shrink
-            self.ampl_max = self.ampl_max
         return self
 
     def close(self):
@@ -346,7 +347,9 @@ class AudioLoader:
         i1 = min(self.frames,
                  int(math.ceil(t1 * self.rate)) + max(self.follow, 0))
         span = max(i1 - i0, 0)
-        n = self.bufferframes
+        # a zero-frame budget (buffer_time*rate < 1) must still grow to
+        # cover the request — n*=2 from 0 would loop forever
+        n = max(self.bufferframes, self.align, 1)
         while n < span + self.align:
             n *= 2
         i0 = (i0 // self.align) * self.align
@@ -397,8 +400,23 @@ class AudioLoader:
             frame_key, rest = key, ()
         if isinstance(frame_key, slice):
             start, stop, step = frame_key.indices(self.frames)
-            if start >= self.offset and stop <= self.offset + len(self.buffer):
-                data = self.buffer[start - self.offset : stop - self.offset : step]
+            if step < 0:
+                # normalize to a forward read then stride backwards over
+                # it: the forward formulas would compute 0 frames for the
+                # disk path, and stop=-1 (a reversed slice reaching frame
+                # 0) would be re-interpreted as end-relative by numpy
+                lo, hi = stop + 1, start + 1
+                n = max(hi - lo, 0)
+                if (n and lo >= self.offset
+                        and hi <= self.offset + len(self.buffer)):
+                    fwd = self.buffer[lo - self.offset : hi - self.offset]
+                else:
+                    fwd = self._read(lo, n)
+                data = fwd[start - lo :: step] if n else fwd
+            elif (start >= self.offset
+                    and stop <= self.offset + len(self.buffer)):
+                data = self.buffer[start - self.offset
+                                   : stop - self.offset : step]
             else:
                 data = self._read(start, max(stop - start, 0))[::step]
             return data[(slice(None),) + rest] if rest else data

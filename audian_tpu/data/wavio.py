@@ -245,6 +245,10 @@ def load_wav(path, return_buffer=False):
         if cid == b"fmt ":
             fmt = _parse_fmt(buf, off, size)
         elif cid == b"data":
+            if fmt is None:
+                # same guard as wav_info: a reordered RIFF must raise
+                # WavError, not leak a TypeError from unpacking None
+                raise WavError(f"{path}: data chunk before fmt")
             tag, channels, rate, bits = fmt
             data = _decode(buf[off : off + size], tag, bits, channels)
         else:

@@ -18,6 +18,7 @@ from __future__ import annotations
 import dataclasses
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .graph import RAW, TraceGraph
@@ -41,9 +42,12 @@ class GraphExecutor:
     def __init__(self, graph: TraceGraph):
         self.graph = graph
         self._compiled = {}
+        #: name -> (host params object, device-resident copy)
+        self._dev_params = {}
 
     def clear_cache(self):
         self._compiled.clear()
+        self._dev_params.clear()
 
     @property
     def cache_size(self):
@@ -139,10 +143,22 @@ class GraphExecutor:
             self._compiled[key] = compiled
             _trace.trace_event("graph.build", frames=raw_frames,
                                nodes=",".join(sorted(plan)))
-        params = {
-            n.name.lower(): n.params()
-            for n in self.graph.order if n.name.lower() in plan
-        }
+        params = {}
+        for n in self.graph.order:
+            nm = n.name.lower()
+            if nm not in plan:
+                continue
+            p = n.params()
+            # device-resident params cache, invalidated by object
+            # identity (nodes REPLACE their design pytree on update,
+            # never mutate it): feeding the numpy design leaves raw
+            # would re-upload the FIR kernel arrays (~0.5 MB with the
+            # pow2 budgets) on every chunk run — a per-scroll tunnel tax
+            cached = self._dev_params.get(nm)
+            if cached is None or cached[0] is not p:
+                cached = (p, jax.tree_util.tree_map(jnp.asarray, p))
+                self._dev_params[nm] = cached
+            params[nm] = cached[1]
         # the structured replacement for the reference's per-chunk print
         # (`src/audian/buffereddata.py:92`)
         with _trace.timed("graph.run", offset=int(raw_offset),

@@ -19,6 +19,8 @@ reference's buffer sizing ``nsource = (ndest-1)*hop + nfft``
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -47,10 +49,20 @@ def one_sided_doubling(nfft):
     return dbl
 
 
+@functools.lru_cache(maxsize=64)
 def hann_window(nfft, dtype=jnp.float32):
-    """Periodic Hann window (scipy ``get_window('hann', nfft)``)."""
-    n = jnp.arange(nfft, dtype=dtype)
-    return 0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * n / nfft)
+    """Periodic Hann window (scipy ``get_window('hann', nfft)``).
+
+    Returns a CACHED host numpy array (float64 math, requested dtype):
+    eager device arange/cos here would dispatch per call on hot paths
+    (SpectrogramNode.params runs every chunk execution), and each eager
+    op can hit the ~30 s remote compile path on the tunneled backend.
+    Numpy (not a device array) so a call made inside a jit trace cannot
+    leak a tracer into the cache; the stable object identity also lets
+    GraphExecutor's device-params cache upload it exactly once."""
+    n = np.arange(nfft, dtype=np.float64)
+    return np.asarray(0.5 - 0.5 * np.cos(2.0 * np.pi * n / nfft),
+                      np.dtype(dtype))
 
 
 def num_frames(n, nfft, hop):

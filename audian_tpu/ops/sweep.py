@@ -46,11 +46,18 @@ def spectrogram_sweep(x, rate, nffts=SWEEP_NFFTS, overlap_frac=0.5):
                   float(overlap_frac))
 
 
+def db_normalize(power, zmin, zmax):
+    """Power -> dB normalized to [0, 1] over [zmin, zmax] — THE dB/
+    colormap normalization formula (one copy; the GUI tilers wrap it, so
+    sweep tiles and view tiles cannot quantize differently)."""
+    db = 10.0 * jnp.log10(jnp.maximum(power, 1e-20))
+    # span floor: degenerate zmin == zmax would put NaNs in the tile
+    return jnp.clip((db - zmin) / jnp.maximum(zmax - zmin, 1e-12), 0.0, 1.0)
+
+
 @jax.jit
 def db_quantize(power, zmin, zmax):
     """Power -> uint8 dB tile clipped to [zmin, zmax] — the colormap/dB
     quantization stage of the GUI tile path (BASELINE.json config 4)."""
-    db = 10.0 * jnp.log10(jnp.maximum(power, 1e-20))
-    # span floor: degenerate zmin == zmax would put NaNs in the tile
-    t = jnp.clip((db - zmin) / jnp.maximum(zmax - zmin, 1e-12), 0.0, 1.0)
-    return jnp.round(255.0 * t).astype(jnp.uint8)
+    return jnp.round(255.0 * db_normalize(power, zmin, zmax)).astype(
+        jnp.uint8)

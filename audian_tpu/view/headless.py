@@ -242,6 +242,9 @@ class HeadlessAx:
             if not item.isVisible():
                 continue
             a0, a1 = item.amplitudes(t0, t1)
+            if a0 is None or a1 is None:
+                continue  # side items report (None, None) — skip, don't
+                          # compare None against a float from another item
             lo = a0 if lo is None or a0 < lo else lo
             hi = a1 if hi is None or a1 > hi else hi
         return lo, hi

@@ -22,12 +22,9 @@ import jax
 import jax.numpy as jnp
 
 from ..utils import trace as _trace
+from ..utils import pow2_at_least as _pow2_at_least
 
 __all__ = ["TraceTiler", "SpecTiler", "pick_amplitude"]
-
-
-def _pow2_at_least(n):
-    return 1 << max(int(n) - 1, 0).bit_length() if n > 1 else 1
 
 
 @functools.partial(jax.jit, static_argnames=("step", "width"))
@@ -352,18 +349,16 @@ def mean_power_db_slice(buf, start, channel, offset, width, wb):
     return 10.0 * jnp.log10(jnp.maximum(mean, 1e-20))
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _db_tile(power, zmin, zmax):
-    safe = jnp.maximum(power, 1e-20)
-    db = 10.0 * jnp.log10(safe)
-    # span floor: degenerate zmin == zmax would put NaNs in the tile
-    return jnp.clip((db - zmin) / jnp.maximum(zmax - zmin, 1e-12),
-                    0.0, 1.0)
+# one dB/colormap formula for the whole repo (ops.sweep owns it)
+from ..ops.sweep import db_normalize as _db_normalize
+
+_db_tile = jax.jit(_db_normalize)
 
 
 @functools.partial(jax.jit, static_argnames=())
 def _db_tile_u8(power, zmin, zmax):
-    return jnp.round(255.0 * _db_tile(power, zmin, zmax)).astype(jnp.uint8)
+    return jnp.round(255.0 * _db_normalize(power, zmin, zmax)).astype(
+        jnp.uint8)
 
 
 @functools.partial(jax.jit, static_argnames=("wb", "quantize", "pool"))
@@ -429,7 +424,7 @@ class SpecTiler:
         # bucketed width + back-shifted start: a handful of compiled
         # programs serve every scroll/zoom (see TraceTiler.tile); frames
         # beyond the screen width max-pool on device before the pull
-        wb = 1 << max(width - 1, 0).bit_length()
+        wb = _pow2_at_least(width)
         pool = 1
         while wb // pool > self.max_pixels * 2:
             pool *= 2

@@ -558,3 +558,44 @@ def test_delta_update_requires_all_traces_produced(wav_file, monkeypatch):
                                    len(d.data.buffer), active)
         assert g_off == plan["spectrogram"].o0, f"stale at step {k}"
     d.close()
+
+
+def test_loader_negative_step_slices(wav_file, cricket_like):
+    """Reversed slices must serve correct data from both the buffered
+    and the disk path (the forward formulas returned empty arrays)."""
+    x, rate = cricket_like
+    ld = AudioLoader(wav_file, buffer_time=0.05, back_time=0.0)
+    ld.update_time(0.0, 0.04)  # buffer holds an initial window
+    # buffered, reaching frame 0 (stop=-1 would go end-relative in numpy)
+    np.testing.assert_allclose(ld[5::-1], x[5::-1], atol=1e-7)
+    # outside the buffer: the disk path
+    n = ld.frames
+    np.testing.assert_allclose(ld[n - 1 : n - 51 : -1],
+                               x[n - 1 : n - 51 : -1], atol=1e-7)
+    np.testing.assert_allclose(ld[n - 1 : n - 51 : -2],
+                               x[n - 1 : n - 51 : -2], atol=1e-7)
+    ld.close()
+
+
+def test_loader_zero_buffer_time_does_not_hang(wav_file):
+    """buffer_time*rate < 1 gave bufferframes 0 and an infinite
+    n *= 2 loop in update_time."""
+    ld = AudioLoader(wav_file, buffer_time=0.0, back_time=0.0)
+    ld.update_time(0.0, 0.01)
+    assert len(ld.buffer) > 0
+    ld.close()
+
+
+def test_wav_data_chunk_before_fmt_raises_waverror(tmp_path):
+    """A reordered RIFF (data before fmt) must raise WavError from
+    load_wav, not leak a TypeError."""
+    import struct
+
+    payload = b"data" + struct.pack("<I", 4) + b"\0\0\0\0"
+    payload += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000,
+                                     2, 16)
+    riff = b"RIFF" + struct.pack("<I", 4 + len(payload)) + b"WAVE" + payload
+    p = tmp_path / "reordered.wav"
+    p.write_bytes(riff)
+    with pytest.raises(wavio.WavError):
+        wavio.load_wav(p)
