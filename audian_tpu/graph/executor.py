@@ -102,6 +102,12 @@ class GraphExecutor:
         nodes = [n for n in self.graph.order if n.name.lower() in plan]
 
         def fn(raw, params):
+            if raw.dtype == jnp.int16:
+                # raw PCM-16 chunk (sample = k/2^15, the loader's raw16
+                # convention): dequantize once at the head of the program
+                # — XLA fuses the convert into the consumers' reads, and
+                # the "data" trace is the dequantized signal
+                raw = raw.astype(jnp.float32) * (1.0 / 32768.0)
             bufs = {RAW: raw}
             for node in nodes:
                 name = node.name.lower()

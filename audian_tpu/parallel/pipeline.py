@@ -114,6 +114,13 @@ class ShardedPipeline:
                               + [(0, 0)] * (x.ndim - 1))
             else:
                 ext = halo_exchange(x, self.hb, self.ha, "seq")
+            if ext.dtype == jnp.int16:
+                # raw PCM-16 shards (sample = k/2^15, the loader's raw16
+                # convention): the halo exchange above moved int16 over
+                # the ICI ring at half the f32 bytes; dequantize once
+                # here, shard-locally (bit-exact for PCM-16 sources)
+                ext = ext.astype(jnp.float32) * (1.0 / 32768.0)
+                x = ext[self.hb : self.hb + L]
             y = ext
             if filt is not None:
                 y = sosfilt_fir(filt.fir, y, axis=0, return_zf=False)
@@ -168,7 +175,12 @@ class ShardedPipeline:
         only).  The time axis stays padded to ``padded_length(n)``;
         channels are padded to the mesh internally and trimmed back.
         """
-        x = jnp.asarray(x, self.dtype)
+        x = jnp.asarray(x)
+        if x.dtype != jnp.int16:
+            # int16 stays int16 (raw PCM-16 fast path: half the ICI/HBM
+            # bytes, dequantized shard-locally inside the program);
+            # everything else casts to the pipeline dtype
+            x = x.astype(self.dtype)
         n = x.shape[0]
         n_pad = self.padded_length(n)
         nseq = self.mesh.shape["seq"]
@@ -207,6 +219,8 @@ class ShardedPipeline:
             mm = out["minmax"][: 2 * nseg]
             if n % step:
                 tail = x[(nseg - 1) * step : n, :C]
+                if tail.dtype == jnp.int16:
+                    tail = tail.astype(jnp.float32) * (1.0 / 32768.0)
                 mm = mm.at[-2].set(jnp.min(tail, axis=0))
                 mm = mm.at[-1].set(jnp.max(tail, axis=0))
             out["minmax"] = mm

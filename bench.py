@@ -16,7 +16,11 @@ Two metrics, one JSON line each:
 2. ``spectrogram+bandpass+envelope ... wall`` (the headline, printed
    LAST): the device compute path with on-device synthesized audio, so
    the tunnel doesn't pollute the kernel numbers.  This is the
-   BASELINE.md < 2 s target.
+   BASELINE.md < 2 s target.  The chunks are device-resident in the
+   loader's raw PCM-16 upload format (int16, sample = k/2^15 — what a
+   real recording looks like after ``Data._put_raw``); the chain kernel
+   dequantizes in VMEM, bit-equal to feeding dequantized float32 but at
+   half the HBM read bytes of a DMA-bound kernel.
 
 Timing note: on this backend ``block_until_ready`` does not actually block,
 so completion is forced by pulling a (tiny) reduced result to the host —
@@ -70,8 +74,14 @@ def bench_kernel(fused):
         t = (jnp.arange(shape[1], dtype=jnp.float32) / RATE)[None, :]
         tone = jnp.sin(2 * jnp.pi * 30000.0 * t) * (
             jnp.sin(2 * jnp.pi * 5.0 * t) > 0)
-        return (0.5 * tone + 0.05 * jax.random.normal(key, shape)
-                ).astype(jnp.float32)
+        x = 0.5 * tone + 0.05 * jax.random.normal(key, shape)
+        # int16: the chunk is a PCM-16 recording resident on device in
+        # the loader's raw16 upload format (sample = k/2^15); the chain
+        # kernel dequantizes in VMEM — half the HBM read bytes on a
+        # DMA-bound chain, outputs bit-equal to feeding the dequantized
+        # f32 stream (tests/test_fused.py::test_single_pass_chain_int16_input)
+        return jnp.clip(jnp.round(x * 32768.0), -32768, 32767
+                        ).astype(jnp.int16)
 
     @jax.jit
     def chain(ext):
@@ -145,8 +155,10 @@ def bench_io(fused):
 
     @jax.jit
     def prep(q):
-        # dequantize + transpose on device: the host link carries int16
-        return (q.astype(jnp.float32) / 32768.0).T
+        # transpose on device (int16: half the bytes of an f32 transpose);
+        # the host link carries int16 and the chain kernel dequantizes
+        # in VMEM (bit-exact for PCM-16 — ops/pallas/chain.py)
+        return q.T
 
     @jax.jit
     def chain(ext):

@@ -192,3 +192,22 @@ def test_chain_kernel_chunked_equals_whole(rng):
         f0 = lo // 128
         np.testing.assert_allclose(s_c, s_w[f0 : f0 + chunk // 128],
                                    rtol=1e-4, atol=1e-9)
+
+
+def test_executor_int16_raw_matches_float(recording):
+    """An int16 (raw PCM-16) chunk runs the same program family with the
+    dequantization fused into the head of the program — outputs equal
+    feeding the dequantized float32 chunk, and the "data" trace is the
+    dequantized signal (graph/executor.py raw16 convention)."""
+    x = np.asarray(recording)
+    q = np.clip(np.round(x * 32768.0), -32768, 32767).astype(np.int16)
+    xq = (q.astype(np.float32) / 32768.0)
+    g = open_graph(len(x))
+    ex = GraphExecutor(g)
+    out_f = ex.run(xq, 0, device=False)
+    out_q = ex.run(q, 0, device=False)
+    assert set(out_q) == set(out_f)
+    for k in out_f:
+        assert out_q[k][0] == out_f[k][0]
+        np.testing.assert_array_equal(out_q[k][1], out_f[k][1])
+    np.testing.assert_array_equal(out_q["data"][1], xq)

@@ -267,3 +267,22 @@ def test_bf16x4_filter_tightens_the_x3_split(chain, signal):
     d4 = np.abs(np.asarray(mk(BF16X4)(x, n_out)[0]) - y_hi).max()
     assert 0 < d3 < 1e-5, d3
     assert d4 <= d3, (d4, d3)
+
+
+def test_single_pass_chain_int16_input(chain, signal):
+    """int16 (raw PCM-16) input is dequantized inside the kernel with the
+    loader's k/2^15 convention and gives exactly the same outputs as
+    feeding the dequantized float32 stream (half the HBM read bytes on a
+    DMA-bound chain — docs/performance.md)."""
+    import jax.numpy as jnp
+
+    ck = chain.chain_kernel
+    n = 2048
+    x = jnp.pad(jnp_array(signal), [(0, 0), (ck.hb, 0)])
+    q = jnp.clip(jnp.round(x * 32768.0), -32768, 32767).astype(jnp.int16)
+    xq = q.astype(jnp.float32) / 32768.0
+    y_f, e_f, s_f = chain.chain_cf(xq, n)
+    y_q, e_q, s_q = chain.chain_cf(q, n)
+    np.testing.assert_array_equal(np.asarray(y_q), np.asarray(y_f))
+    np.testing.assert_array_equal(np.asarray(e_q), np.asarray(e_f))
+    np.testing.assert_array_equal(np.asarray(s_q), np.asarray(s_f))

@@ -275,3 +275,23 @@ def test_halo_exchange_contract_error():
                   out_specs=P("seq", None))
     with pytest.raises(ValueError, match="halo"):
         f(jnp.zeros((8 * 16, 1)))  # per-shard L=16 < before=64
+
+
+def test_sharded_pipeline_int16_matches_float(signal):
+    """int16 (raw PCM-16) recordings run the sharded chain with int16
+    halo exchange over the ring and shard-local dequantization — the
+    outputs equal feeding the dequantized float32 stream exactly."""
+    mesh = make_mesh(seq=4, ch=2)
+    filt = FilterDesign.from_sos(design_filter(RATE, 1000.0, 8000.0))
+    env = FilterDesign.from_sos(design_envelope_filter(RATE, 500.0))
+    pipe = ShardedPipeline(mesh, RATE, filt=filt, env=env, nfft=256,
+                           minmax_step=500)  # ragged tail: n % 500 != 0
+    q = np.clip(np.round(np.asarray(signal) * 32768.0),
+                -32768, 32767).astype(np.int16)
+    xq = q.astype(np.float32) / 32768.0
+    out_q = pipe(q)
+    out_f = pipe(xq)
+    assert set(out_q) == set(out_f)
+    for k in out_f:
+        np.testing.assert_array_equal(np.asarray(out_q[k]),
+                                      np.asarray(out_f[k]))
