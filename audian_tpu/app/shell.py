@@ -72,6 +72,18 @@ class Audian:
 
     # -- loading (incremental, failure-tolerant: `audian.py:1339-1407`) ----------
 
+    @property
+    def pending(self):
+        """Recordings queued but not yet opened (progressive loading)."""
+        return list(self._pending)
+
+    def queue_files(self, file_paths):
+        """Queue recordings for later :meth:`load_next` calls without
+        opening them now — the Qt frontend pumps the queue one file per
+        event-loop tick so the window stays responsive while a long list
+        loads (`audian.py:1339-1343,1369-1373`)."""
+        self._pending.extend(file_paths)
+
     def load_files(self, file_paths=None):
         if file_paths is not None:
             self._pending.extend(file_paths)

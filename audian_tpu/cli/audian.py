@@ -63,6 +63,44 @@ def main(cargs=None):
     import audian_tpu
 
     audian_tpu.enable_compilation_cache()
+
+    # apply view restores as each browser comes up — works for both the
+    # eager mpl/screenshot path and the progressive Qt path.  Inside the
+    # dispatch guard: a restore must not fan its view through the link
+    # dispatch onto the other restored browsers.
+    def apply_restore(b):
+        view = restores.get(str(b.file_path))
+        if view:
+            def apply():
+                if view["channels"]:
+                    b.set_channels(view["channels"])
+                b.set_times(view["toffset"], view["twindow"])
+            shell._dispatch(apply)
+
+    shell.sigBrowserAdded.connect(apply_restore)
+
+    run_qt = None
+    if not use_mpl and not screenshot:
+        try:
+            from ..gui import qt as qt_gui
+
+            if qt_gui.HAVE_QT:
+                run_qt = qt_gui.run_qt
+        except ImportError:
+            run_qt = None
+    if run_qt is not None:
+        # open only the first recording before the window shows; the
+        # window pumps the rest one per event-loop tick
+        # (`audian.py:1339-1407`)
+        while shell.pending and not shell.browsers:
+            shell.load_next()
+        for path, err in shell.errors:
+            print(f"failed to open {path}: {err}", file=sys.stderr)
+        if not shell.browsers:
+            print("error: no recordings could be opened", file=sys.stderr)
+            return 1
+        return run_qt(shell)
+
     shell.load_files()
     # the reference reports every failed file (`audian.py:1349-1352`)
     for path, err in shell.errors:
@@ -70,16 +108,6 @@ def main(cargs=None):
     if not shell.browsers:
         print("error: no recordings could be opened", file=sys.stderr)
         return 1
-    for b in shell.browsers:
-        view = restores.get(str(b.file_path))
-        if view:
-            # inside the dispatch guard: a restore must not fan its view
-            # through the link dispatch onto the other restored browsers
-            def apply(b=b, view=view):
-                if view["channels"]:
-                    b.set_channels(view["channels"])
-                b.set_times(view["toffset"], view["twindow"])
-            shell._dispatch(apply)
 
     if screenshot:
         import matplotlib
@@ -93,13 +121,6 @@ def main(cargs=None):
         shell.close()
         return 0
 
-    if not use_mpl:
-        try:
-            from ..gui.qt import run_qt
-
-            return run_qt(shell)
-        except ImportError:
-            pass
     from ..gui.mpl import show
 
     show(shell)

@@ -704,9 +704,16 @@ if HAVE_QT:
             self.select_mode = True  # rect-select vs pan/zoom drags
             for b in shell.browsers:
                 self._add_tab(b)
+            # recordings opened later (the progressive startup pump,
+            # more files via Open) surface as tabs through the shell's
+            # signals, so every load path shares one wiring
+            self._load_pump_active = False
+            shell.sigBrowserAdded.connect(self._on_browser_added)
+            shell.sigBrowserFailed.connect(self._on_browser_failed)
             self._build_menus()
             self.statusBar().showMessage("")
             self._sync_action_states()
+            self._pump_loads()
 
         def _add_tab(self, browser):
             tab = BrowserTab(browser, on_status=self.set_status)
@@ -728,6 +735,40 @@ if HAVE_QT:
 
         def set_status(self, text):
             self.statusBar().showMessage(text)
+
+        # -- progressive loading (`audian.py:1339-1407`) --------------------------
+
+        def _pump_loads(self):
+            """Open queued recordings one per event-loop tick, so the
+            window paints and stays responsive while a long file list
+            loads — the reference defers each open with a 100 ms
+            single-shot timer (`audian.py:1339,1406`)."""
+            if self._load_pump_active or not self.shell.pending:
+                return
+            self._load_pump_active = True
+            QTimer.singleShot(100, self._load_tick)
+
+        def _load_tick(self):
+            self._load_pump_active = False
+            if not self.shell.pending:
+                return
+            name = Path(str(self.shell.pending[0])).name
+            self.set_status(f"loading {name} ...")
+            self.shell.load_next()
+            if self.shell.pending:
+                self._load_pump_active = True
+                QTimer.singleShot(100, self._load_tick)
+            else:
+                self.set_status("")
+
+        def _on_browser_added(self, browser):
+            self._add_tab(browser)
+            self._sync_action_states()
+
+        def _on_browser_failed(self, path, err):
+            # one dialog per failed file (`audian.py:1349-1352`)
+            QMessageBox.critical(self, "Error",
+                                 f"Cannot open file {path}: {err}")
 
         def _step_tab(self, step):
             """Cycle the visible tab (`audian.py` next/previous tab)."""
@@ -1081,19 +1122,10 @@ if HAVE_QT:
                 "Audio (*.wav *.WAV);;All files (*)")
             if not paths:
                 return
-            known = len(self.shell.browsers)
-            known_errors = len(self.shell.errors)
-            self.shell.load_files(paths)
-            for browser in self.shell.browsers[known:]:
-                self._add_tab(browser)
-            failed = self.shell.errors[known_errors:]
-            if failed:
-                # the reference shows a critical box per failed file
-                # (`audian.py:1349-1352`); silence would look like the
-                # open simply did nothing
-                QMessageBox.warning(
-                    self, "Open failed",
-                    "\n".join(f"{p}: {e}" for p, e in failed))
+            # non-blocking: tabs appear as the pump opens each file;
+            # failures surface as per-file dialogs via sigBrowserFailed
+            self.shell.queue_files(paths)
+            self._pump_loads()
 
         def close_tab(self):
             """Close the current recording (`audian.py:280-282`); the

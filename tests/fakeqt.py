@@ -68,10 +68,26 @@ class _Qt:
 class QTimer:
     """Manual-fire timer: tests call ``fire()`` to simulate a tick."""
 
+    #: queued ``singleShot`` callbacks; tests drain with :func:`flush_single_shots`
+    single_shots = []
+
     def __init__(self, parent=None):
         self.timeout = FakeSignal()
         self.interval = None
         self.active = False
+
+    @classmethod
+    def singleShot(cls, ms, fn):
+        cls.single_shots.append((ms, fn))
+
+    @classmethod
+    def flush_single_shots(cls):
+        """Run one generation of queued single-shot callbacks (callbacks
+        may queue follow-ups; call again to run those)."""
+        shots, cls.single_shots = cls.single_shots, []
+        for _ms, fn in shots:
+            fn()
+        return len(shots)
 
     def start(self, ms):
         self.interval = ms
@@ -861,6 +877,7 @@ _INSTALLED = []
 
 def install():
     """Thread the fakes into sys.modules as PyQt5 + pyqtgraph."""
+    QTimer.single_shots = []
     qtcore = types.ModuleType("PyQt5.QtCore")
     qtcore.Qt = _Qt
     qtcore.QTimer = QTimer

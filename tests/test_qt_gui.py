@@ -459,12 +459,46 @@ def test_open_and_close_tab(qt, win, wav2, tmp_path):
     shutil.copy(wav2, other)
     fakeqt.QFileDialog.open_names = ([str(other)], "Audio")
     trigger(win, "Ctrl+O")
+    # Open queues the file; the next event-loop tick opens it
+    # (`audian.py:1339-1407` progressive loading)
+    assert win.shell.pending == [str(other)]
+    fakeqt.QTimer.flush_single_shots()
     assert win.tabs.count() == 2
     assert len(win.shell) == 2
     win.tabs.setCurrentIndex(1)
     trigger(win, "Ctrl+W")
     assert win.tabs.count() == 1
     assert len(win.shell) == 1
+
+
+def test_progressive_startup_loads_one_file_per_tick(qt, wav2, tmp_path):
+    """A window over a shell with queued recordings opens them one per
+    event-loop tick (`audian.py:1339-1407`): tabs appear progressively,
+    a failing file raises one dialog and is dropped, and the pump stops
+    once the queue drains."""
+    bogus = tmp_path / "missing.wav"  # never written -> open fails
+    shell = Audian([wav2, bogus, wav2])
+    win = qt.AudianWindow(shell)
+    try:
+        assert win.tabs.count() == 0
+        assert len(shell.pending) == 3
+        n_warn = len(fakeqt.QMessageBox.warnings)
+        fakeqt.QTimer.flush_single_shots()
+        assert win.tabs.count() == 1
+        # the bogus file: dialog, no tab, loading continues
+        fakeqt.QTimer.flush_single_shots()
+        assert win.tabs.count() == 1
+        assert len(fakeqt.QMessageBox.warnings) == n_warn + 1
+        fakeqt.QTimer.flush_single_shots()
+        assert win.tabs.count() == 2
+        assert not shell.pending
+        # drained queue: no further ticks scheduled
+        assert fakeqt.QTimer.flush_single_shots() == 0
+        # the late tabs are fully built plot surfaces
+        tab = win.tabs.widget(1)
+        assert set(tab.trace_plots) == set(shell[1].show_channels)
+    finally:
+        shell.close()
 
 
 def test_key_shortcuts_and_about_dialogs(win):
@@ -670,6 +704,7 @@ def test_tab_cycling_switches_qt_tab(qt, win, wav2, tmp_path):
     shutil.copy(wav2, other)
     fakeqt.QFileDialog.open_names = ([str(other)], "Audio")
     trigger(win, "Ctrl+O")
+    fakeqt.QTimer.flush_single_shots()
     win.tabs.setCurrentIndex(0)
     assert win.shell.current is win.shell.browsers[0]
     trigger(win, "Ctrl+PgDown")
@@ -755,6 +790,7 @@ def test_close_tab_teardown(qt, win, wav2, tmp_path):
     shutil.copy(wav2, other)
     fakeqt.QFileDialog.open_names = ([str(other)], "Audio")
     trigger(win, "Ctrl+O")
+    fakeqt.QTimer.flush_single_shots()
     win.tabs.setCurrentIndex(1)
     tab = win.tab()
     browser = win.browser()
@@ -807,6 +843,7 @@ def test_open_failure_shows_message(qt, win, tmp_path):
     bad.write_bytes(b"not audio")
     fakeqt.QFileDialog.open_names = ([str(bad)], "Audio")
     trigger(win, "Ctrl+O")
+    fakeqt.QTimer.flush_single_shots()
     assert any("broken.wav" in text
                for _, text in fakeqt.QMessageBox.warnings)
     assert win.tabs.count() == 1  # no tab added
