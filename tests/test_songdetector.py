@@ -16,19 +16,20 @@ from audian_tpu.data import wavio
 RATE = 20000.0
 
 
-def make_song_recording(rng, nsongs=5, carrier=6500.0, amfreq=30.0):
+def make_song_recording(rng, nsongs=5, carrier=6500.0, amfreq=30.0,
+                        amp=0.6, noise=0.02):
     """Chirpy songs: AM-modulated carrier bursts over noise; the
     recording is just long enough for the requested number of songs."""
     dur = 2.0 + 3.3 * nsongs
     n = int(dur * RATE)
     t = np.arange(n) / RATE
-    x = 0.02 * rng.standard_normal(n)
+    x = noise * rng.standard_normal(n)
     onsets = []
     for k in range(nsongs):
         t0 = 2.0 + 3.3 * k
         sel = (t >= t0) & (t < t0 + 1.2)
         am = 0.5 * (1 + np.sin(2 * np.pi * amfreq * t[sel]))
-        x[sel] += 0.6 * am * np.sin(2 * np.pi * carrier * t[sel])
+        x[sel] += amp * am * np.sin(2 * np.pi * carrier * t[sel])
         onsets.append(t0)
     return np.stack([x, 0.5 * x], axis=1), onsets
 
@@ -91,6 +92,39 @@ def test_detect_pipeline_finds_songs(rng):
         assert len(result["onsets"][c]) == len(true_onsets)
         for got, want in zip(result["onsets"][c], true_onsets):
             assert got == pytest.approx(want, abs=0.3)
+
+
+@pytest.mark.parametrize("amp", [0.6, 0.2, 0.06])
+def test_detection_quality_across_snr(rng, amp):
+    """Quantified operating envelope for the whole pipeline.  The
+    reference ships its threshold heuristic without any validation
+    (`songdetector.py:102`, the author's own "XXX improve ... this");
+    here ground-truth recordings pin precision AND recall at 100% for
+    song amplitudes from 30x down to 3x the broadband noise floor, with
+    onsets within 0.3 s.  A quality regression in any stage (band
+    filter, envelope, threshold, refinement) breaks this.
+
+    Measured boundary (seed 42): at 2x and below the histogram threshold
+    stops separating the clusters and the pipeline goes SILENT — recall
+    0, still zero false positives — which is the designed conservative
+    failure mode (`threshold_estimates` places the threshold above
+    everything when no signal cluster stands out)."""
+    x, true_onsets = make_song_recording(rng, amp=amp)
+    result = detect(x, RATE, highpassfreq=5500.0, lowpassfreq=7500.0,
+                    envelopecutofffreq=100.0, minduration=0.5)
+    for c in range(2):
+        got = np.asarray(result["onsets"][c])
+        matched = np.zeros(len(true_onsets), bool)
+        false_pos = 0
+        for g in got:
+            d = np.abs(np.asarray(true_onsets) - g)
+            if d.min() <= 0.3:
+                matched[int(d.argmin())] = True
+            else:
+                false_pos += 1
+        recall = matched.mean()
+        assert recall == 1.0, (amp, c, got, true_onsets)
+        assert false_pos == 0, (amp, c, got)
 
 
 def test_config_roundtrip(tmp_path):
