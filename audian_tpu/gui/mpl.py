@@ -464,6 +464,14 @@ class MplBrowserWindow:
             art["audio"].set_visible(audio_on)
             if audio_on:
                 art["audio"].set_xdata([self._audio_t] * 2)
+        # selected channels carry an emphasized panel border
+        # (`databrowser.py:367,969-974`)
+        sel = set(b.selected_channels)
+        for axs in (self.trace_axs, self.spec_axs):
+            for c, ax in axs.items():
+                for spine in ax.spines.values():
+                    spine.set_edgecolor("#888888" if c in sel else "black")
+                    spine.set_linewidth(2.0 if c in sel else 0.8)
         self._draw_overview()
         title = Path(str(b.data.file_path)).name
         f = b.data["filtered"]

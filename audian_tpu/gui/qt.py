@@ -219,6 +219,9 @@ if HAVE_QT:
             self.marker_dots = {}
             self.xlines = {}
             self.time_axes = []
+            #: (channel, plot) in top-to-bottom row order — drives the
+            #: bottom-only time-tick rule and the selection borders
+            self._rows = []
             self._updating_cutoffs = False
             row = 0
             b = browser
@@ -243,6 +246,7 @@ if HAVE_QT:
                 self.env_curves[c] = env
                 self.marker_dots[c] = dots
                 self.xlines[c] = xline
+                self._rows.append((c, pt))
                 row += 1
                 if b.spectrogram in b.data:
                     vbs = SelectViewBox(self, c, "spec")
@@ -255,6 +259,7 @@ if HAVE_QT:
                     img = pg.ImageItem()
                     ps.addItem(img)
                     self.spec_images[c] = (ps, img)
+                    self._rows.append((c, ps))
                     # draggable filter-cutoff handles
                     # (`spectrogramplot.py:99-121,199-217`)
                     hp = pg.InfiniteLine(angle=0, movable=True,
@@ -425,6 +430,7 @@ if HAVE_QT:
             self._grids_applied = b.grids
             for axis in self.time_axes:
                 axis.update_label()
+            self._sync_axes_and_borders()
             self._poll_fulltrace()
             self._setting_region = True
             self.region.setRegion((t0, t1))
@@ -433,6 +439,24 @@ if HAVE_QT:
                 self.scroll_timer.start(50)
             else:
                 self.scroll_timer.stop()
+
+        def _sync_axes_and_borders(self):
+            """Only the bottom-most visible data panel keeps its time
+            tick values and axis label; the panels above hide them
+            (`databrowser.py:994-1008`).  Selected channels get a grey
+            border around their viewboxes
+            (`databrowser.py:367,969-974`)."""
+            b = self.browser
+            visible = [pt for _, pt in self._rows if pt.isVisible()]
+            bottom = visible[-1] if visible else None
+            sel = set(b.selected_channels)
+            pen = pg.mkPen("#aaaaaa", width=1)
+            for c, pt in self._rows:
+                show = pt is bottom
+                ax = pt.getAxis("bottom")
+                ax.setStyle(showValues=show)
+                ax.showLabel(show)
+                pt.getViewBox().setBorder(pen if c in sel else None)
 
         def _set_side_panels_visible(self, channel, visible):
             if channel in self.power_plots:

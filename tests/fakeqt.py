@@ -542,6 +542,10 @@ class ViewBox:
         self.mouse_mode = None
         self.sigRangeChangedManually = FakeSignal()
         self._view_range = [[0.0, 1.0], [0.0, 1.0]]
+        self.border = None
+
+    def setBorder(self, pen=None):
+        self.border = pen
 
     def viewRange(self):
         return [list(self._view_range[0]), list(self._view_range[1])]
@@ -573,10 +577,22 @@ class AxisItem:
         self.orientation = orientation
         self.label_text = ""
         self.label_units = None
+        self.label_shown = True
+        self.values_shown = True
 
     def setLabel(self, text=None, units=None):
         self.label_text = text
         self.label_units = units
+        # mirror real pyqtgraph: setting a label text shows it
+        if text:
+            self.label_shown = True
+
+    def showLabel(self, show=True):
+        self.label_shown = bool(show)
+
+    def setStyle(self, showValues=None, **kw):
+        if showValues is not None:
+            self.values_shown = bool(showValues)
 
     def tickSpacing(self, minVal, maxVal, size):
         return [((maxVal - minVal) / 5.0, 0)]
@@ -767,6 +783,11 @@ class FakePlotItem:
 
     def getViewBox(self):
         return self.vb
+
+    def getAxis(self, side):
+        if side not in self.axes:
+            self.axes[side] = AxisItem(side)
+        return self.axes[side]
 
 
 class GraphicsLayoutWidget(QWidget):

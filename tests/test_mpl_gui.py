@@ -332,3 +332,18 @@ def test_auto_scroll_and_audio_ticks(win, browser):
     assert browser.audio_time < 0
     win._tick()
     assert not marker.get_visible()
+
+
+def test_selection_borders_on_spines(win, browser):
+    """Selected channels get an emphasized panel border
+    (`databrowser.py:367,969-974`)."""
+    win.redraw()
+    n = browser.data.channels
+    assert sorted(browser.selected_channels) == list(range(n))
+    for ax in win.trace_axs.values():
+        assert ax.spines["top"].get_linewidth() == 2.0
+    browser.select_channels([0])
+    win.redraw()
+    for c, ax in win.trace_axs.items():
+        want = 2.0 if c == 0 else 0.8
+        assert ax.spines["left"].get_linewidth() == want

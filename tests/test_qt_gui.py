@@ -923,3 +923,40 @@ def test_marker_rebind_reparks_shortcuts(qt, win):
     win.toggle_crosshair_mode()  # off: everything restored
     assert acts["&Zoom mode"].isEnabled()
     assert not acts["Store 'zap' marker"].isEnabled()
+
+
+def test_bottom_panel_owns_the_time_ticks(win):
+    """Only the bottom-most visible data panel shows time tick values
+    and the axis label (`databrowser.py:994-1008`); hiding the
+    spectrograms hands the ticks to the last trace panel."""
+    tab = win.tab()
+    shown = [pt for _, pt in tab._rows if pt.isVisible()]
+    for _, pt in tab._rows:
+        ax = pt.getAxis("bottom")
+        assert ax.values_shown == (pt is shown[-1])
+        assert ax.label_shown == (pt is shown[-1])
+    # the bottom row is the last channel's spectrogram
+    assert shown[-1] is tab.spec_images[tab._rows[-1][0]][0]
+    # hide all spectrograms: ticks move to the last trace panel
+    win.browser().set_panels(specs=0)
+    tab.refresh()
+    shown = [pt for _, pt in tab._rows if pt.isVisible()]
+    assert shown[-1] is tab.trace_plots[max(tab.trace_plots)][0]
+    assert shown[-1].getAxis("bottom").values_shown
+    for _, pt in tab._rows:
+        if pt is not shown[-1]:
+            assert not pt.getAxis("bottom").values_shown
+
+
+def test_selection_borders_track_selected_channels(win):
+    """Selected channels carry a grey viewbox border
+    (`databrowser.py:367,969-974`)."""
+    tab = win.tab()
+    b = win.browser()
+    assert sorted(b.selected_channels) == [0, 1]
+    for _, pt in tab._rows:
+        assert pt.getViewBox().border is not None
+    b.select_channels([1])
+    tab.refresh()
+    for c, pt in tab._rows:
+        assert (pt.getViewBox().border is not None) == (c == 1)
