@@ -24,12 +24,24 @@ __all__ = ["Analyzer", "PlainAnalyzer", "EventRecorder"]
 
 class EventRecorder:
     """Headless event sink with the pyqtgraph ScatterPlotItem call surface
-    the reference's analyzers use (setData/addPoints/clear)."""
+    the reference's analyzers use (setData/addPoints/clear).
 
-    def __init__(self, symbol=None, color=None, size=None):
+    Unlike the reference — which pushes real ScatterPlotItems into the
+    plots at creation time (`src/audian/analyzer.py:186-252`,
+    `databrowser.py:243-245`) — the recorder also remembers WHERE the
+    events belong (channel + trace or panel), and the frontends pull the
+    recorded points into their own plot items on every refresh.  The
+    same analyzer therefore runs identically headless, under matplotlib,
+    or under Qt."""
+
+    def __init__(self, symbol=None, color=None, size=None,
+                 channel=0, trace_name=None, panel_name=None):
         self.symbol = symbol
         self.color = color
         self.size = size
+        self.channel = channel
+        self.trace_name = trace_name
+        self.panel_name = panel_name
         self.x = np.zeros(0)
         self.y = np.zeros(0)
 

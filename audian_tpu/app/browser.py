@@ -171,9 +171,22 @@ class DataBrowser:
 
     def make_event_item(self, channel=0, trace_name=None, panel_name=None,
                         symbol=None, color=None, size=None):
-        """Event-marker sink factory; GUI subclasses return real plot
-        items, the headless core records the data."""
-        return EventRecorder(symbol, color, size)
+        """Event-marker sink factory.  Always returns a placement-aware
+        :class:`EventRecorder`; the frontends pull the recorded points
+        into their own scatter artists on refresh (the reference instead
+        pushes ScatterPlotItems into the plots at creation time,
+        `src/audian/analyzer.py:186-252`, `databrowser.py:243-245`)."""
+        return EventRecorder(symbol, color, size, channel=channel,
+                             trace_name=trace_name, panel_name=panel_name)
+
+    def iter_event_items(self):
+        """Yield every live analyzer event recorder as
+        ``(analyzer, event_name, recorder)`` — the frontends' render
+        source for analyzer markers."""
+        for a in self.analyzers:
+            for name, items in a.events.items():
+                for rec in items:
+                    yield a, name, rec
 
     # -- lifecycle ----------------------------------------------------------------
 

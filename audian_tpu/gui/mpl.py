@@ -369,9 +369,33 @@ class MplBrowserWindow:
                                   aspect="auto", interpolation="nearest",
                                   vmin=0, vmax=255, extent=(0, 1, 0, 1),
                                   visible=False)
+            art["events"] = ax.scatter([], [], s=16, zorder=5)
             ax.set_ylabel("f/Hz")
         self._artists[(kind, c)] = art
         return art
+
+    def _set_event_offsets(self, scatter, channel, panel):
+        """Fill one panel's analyzer-event scatter.  Panel ownership
+        mirrors the reference's ``add_to_panel_trace``
+        (`databrowser.py:243-245`): a trace event lands in the panel
+        showing the trace, a panel event in the named panel."""
+        b = self.browser
+        xs, ys, cols = [], [], []
+        for a, name, rec in b.iter_event_items():
+            if rec.channel != channel or not len(rec.x):
+                continue
+            owner = rec.panel_name
+            if rec.trace_name is not None and rec.trace_name in b.data:
+                owner = b.data[rec.trace_name].panel
+            if (owner == "spectrogram") != (panel == "spectrogram"):
+                continue
+            xs.extend(rec.x)
+            ys.extend(rec.y)
+            cols.extend([rec.color or "red"] * len(rec.x))
+        scatter.set_offsets(
+            np.column_stack([xs, ys]) if xs else np.empty((0, 2)))
+        if cols:
+            scatter.set_color(cols)
 
     def _redraw(self):
         b = self.browser
@@ -408,19 +432,8 @@ class MplBrowserWindow:
                  for tm, ch in zip(b.marker_data.times,
                                    b.marker_data.channels)
                  if t0 <= tm <= t1 and (ch == c or ch < 0)])
-            # analyzer event markers
-            xs, ys, cols = [], [], []
-            for a in b.analyzers:
-                for items in a.events.values():
-                    if c < len(items) and len(items[c].x):
-                        xs.extend(items[c].x)
-                        ys.extend(items[c].y)
-                        cols.extend([items[c].color or "red"]
-                                    * len(items[c].x))
-            art["events"].set_offsets(
-                np.column_stack([xs, ys]) if xs else np.empty((0, 2)))
-            if cols:
-                art["events"].set_color(cols)
+            # analyzer event markers owned by this channel's trace panel
+            self._set_event_offsets(art["events"], c, "trace")
             ax.set_xlim(t0, t1)
             self._format_time_axis(ax, t0, t1)
             lo, hi = b.get_range("x", c)
@@ -445,6 +458,7 @@ class MplBrowserWindow:
                                       rect[1], rect[3]))
                 art["im"].set_cmap(CET_TO_MPL.get(b.color_map_name,
                                                   "magma"))
+            self._set_event_offsets(art["events"], c, "spectrogram")
             ax.set_xlim(t0, t1)
             self._format_time_axis(ax, t0, t1)
             self._draw_cbar(c, art)

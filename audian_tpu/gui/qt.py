@@ -222,6 +222,9 @@ if HAVE_QT:
             #: (channel, plot) in top-to-bottom row order — drives the
             #: bottom-only time-tick rule and the selection borders
             self._rows = []
+            #: analyzer event scatters keyed by (analyzer id, event
+            #: name, channel) -> (recorder, host plot, scatter item)
+            self.event_scatter = {}
             self._updating_cutoffs = False
             row = 0
             b = browser
@@ -428,6 +431,7 @@ if HAVE_QT:
                 self._refresh_power(c, t0, t1)
                 self._refresh_colorbar(c, cmap, *b.get_range("p", c))
             self._grids_applied = b.grids
+            self._refresh_analyzer_events()
             for axis in self.time_axes:
                 axis.update_label()
             self._sync_axes_and_borders()
@@ -439,6 +443,49 @@ if HAVE_QT:
                 self.scroll_timer.start(50)
             else:
                 self.scroll_timer.stop()
+
+        def _refresh_analyzer_events(self):
+            """Pull analyzer event recorders into scatter items on the
+            owning plots.  The reference pushes real ScatterPlotItems
+            into the plots when the analyzer is constructed
+            (`analyzer.py:186-252`, `databrowser.py:243-245`); pulling
+            on refresh instead keeps analyzers frontend-agnostic."""
+            b = self.browser
+            live = set()
+            for a, name, rec in b.iter_event_items():
+                key = (id(a), name, rec.channel)
+                live.add(key)
+                # panel ownership mirrors add_to_panel_trace
+                # (`databrowser.py:243-245`): a trace event lands in the
+                # panel that shows the trace, a panel event in the named
+                # panel
+                panel = rec.panel_name
+                if rec.trace_name is not None and rec.trace_name in b.data:
+                    panel = b.data[rec.trace_name].panel
+                if panel == "spectrogram" and rec.channel in self.spec_images:
+                    host = self.spec_images[rec.channel][0]
+                else:
+                    host = self.trace_plots.get(rec.channel, (None,))[0]
+                old = self.event_scatter.get(key)
+                if old is not None and (old[0] is not rec or
+                                        old[1] is not host):
+                    old[1].removeItem(old[2])
+                    old = None
+                if host is None:
+                    self.event_scatter.pop(key, None)
+                    continue
+                if old is None:
+                    sp = pg.ScatterPlotItem(
+                        symbol=rec.symbol or "o", size=rec.size or 8,
+                        brush=pg.mkBrush(rec.color or "r"),
+                        pen=pg.mkPen(None))
+                    host.addItem(sp)
+                    self.event_scatter[key] = (rec, host, sp)
+                self.event_scatter[key][2].setData(list(rec.x), list(rec.y))
+            for key in list(self.event_scatter):
+                if key not in live:
+                    _, host, sp = self.event_scatter.pop(key)
+                    host.removeItem(sp)
 
         def _sync_axes_and_borders(self):
             """Only the bottom-most visible data panel keeps its time

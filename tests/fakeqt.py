@@ -613,7 +613,11 @@ class FakeCurve:
 
 
 class ScatterPlotItem:
-    def __init__(self, size=5, brush=None):
+    def __init__(self, size=5, brush=None, symbol=None, pen=None):
+        self.size = size
+        self.brush = brush
+        self.symbol = symbol
+        self.pen = pen
         self.xdata = []
         self.ydata = []
         self._visible = True
@@ -756,6 +760,10 @@ class FakePlotItem:
 
     def addItem(self, item):
         self.items.append(item)
+
+    def removeItem(self, item):
+        if item in self.items:
+            self.items.remove(item)
 
     def setLabel(self, side, text=None, units=None):
         self.labels[side] = (text, units)

@@ -347,3 +347,33 @@ def test_selection_borders_on_spines(win, browser):
     for c, ax in win.trace_axs.items():
         want = 2.0 if c == 0 else 0.8
         assert ax.spines["left"].get_linewidth() == want
+
+
+def test_analyzer_events_split_across_panels(win, browser):
+    """Trace events land on the trace axes, spectrogram-panel events on
+    the spectrogram axes (`analyzer.py:186-252`,
+    `databrowser.py:243-245`)."""
+    from audian_tpu.analysis import Analyzer
+
+    class PeakAnalyzer(Analyzer):
+        def __init__(self, b):
+            super().__init__(b, "peaks", "filtered")
+            self.make_trace_events("peaks", "filtered", "o", "red", 5)
+            self.make_panel_events("bands", "spectrogram", "x", "blue", 4)
+
+        def analyze(self, t0, t1, channel, traces):
+            self.set_events("peaks", channel, [t0, t1], [0.1, -0.1])
+            self.set_events("bands", channel, [t0], [800.0])
+
+    pa = PeakAnalyzer(browser)
+    browser.analyze(0.5, 0.7, 0)
+    win.redraw()
+    tr = win._artists[("trace", 0)]["events"].get_offsets()
+    sp = win._artists[("spec", 0)]["events"].get_offsets()
+    assert [list(p) for p in tr] == [[0.5, 0.1], [0.7, -0.1]]
+    assert [list(p) for p in sp] == [[0.5, 800.0]]
+    # other channels' recorders were cleared by set_events(channel=0)
+    assert len(win._artists[("trace", 1)]["events"].get_offsets()) == 0
+    browser.remove_analyzer("peaks")
+    win.redraw()
+    assert len(win._artists[("trace", 0)]["events"].get_offsets()) == 0

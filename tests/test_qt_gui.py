@@ -960,3 +960,46 @@ def test_selection_borders_track_selected_channels(win):
     tab.refresh()
     for c, pt in tab._rows:
         assert (pt.getViewBox().border is not None) == (c == 1)
+
+
+def test_analyzer_events_render_as_scatter_items(win):
+    """Analyzer event recorders surface as scatter items on the plot
+    that owns the trace/panel (reference `analyzer.py:186-252`,
+    `databrowser.py:243-245`), updating and vanishing with the
+    analyzer."""
+    from audian_tpu.analysis import Analyzer
+
+    b = win.browser()
+    tab = win.tab()
+
+    class PeakAnalyzer(Analyzer):
+        def __init__(self, browser):
+            super().__init__(browser, "peaks", "filtered")
+            self.make_trace_events("peaks", "filtered", "o", "red", 5)
+            self.make_panel_events("bands", "spectrogram", "x", "blue", 4)
+
+        def analyze(self, t0, t1, channel, traces):
+            self.set_events("peaks", channel, [t0, t1], [0.1, -0.1])
+            self.set_events("bands", channel, [t0], [800.0])
+
+    pa = PeakAnalyzer(b)
+    b.analyze(0.5, 0.7, 0)
+    tab.refresh()
+    trace_host = tab.trace_plots[0][0]
+    spec_host = tab.spec_images[0][0]
+    scatters = {k: v for k, v in tab.event_scatter.items()}
+    assert (id(pa), "peaks", 0) in scatters
+    rec, host, sp = scatters[(id(pa), "peaks", 0)]
+    assert host is trace_host and sp in trace_host.items
+    assert sp.xdata == [0.5, 0.7] and sp.ydata == [0.1, -0.1]
+    assert sp.symbol == "o" and sp.size == 5
+    rec, host, sp = scatters[(id(pa), "bands", 0)]
+    assert host is spec_host and sp in spec_host.items
+    assert sp.xdata == [0.5] and sp.ydata == [800.0]
+    # channel 1 recorders exist but hold no points yet
+    assert tab.event_scatter[(id(pa), "peaks", 1)][2].xdata == []
+    # removing the analyzer prunes every scatter from its plot
+    b.remove_analyzer("peaks")
+    tab.refresh()
+    assert not any(k[0] == id(pa) for k in tab.event_scatter)
+    assert sp not in spec_host.items
