@@ -126,8 +126,13 @@ class MplBrowserWindow:
         # a thin spacer row keeps the bottom data panel's time label
         # clear of the overview strip
         rows = len(channels) * (2 if self.show_spec else 1) + 2
-        heights = (([3, 2] if self.show_spec else [3]) * len(channels)
-                   + [0.25, 1])
+        # trace rows shrink relative to the spectrograms as the
+        # show_specs level grows (`databrowser.py:118,1050-1052`)
+        b = self.browser
+        frac = b.trace_fracs.get(b.show_specs, 1) if self.show_spec else 1
+        heights = (([max(2 * frac, 0.3), 2] if self.show_spec else [3])
+                   * len(channels) + [0.25, 1])
+        self._built_spec_level = b.show_specs if self.show_spec else None
         # three columns: panels | color bars | power side plots
         # (`src/audian/spectrogramplot.py:87-92,144-164`)
         gs = self.fig.add_gridspec(rows, 3, width_ratios=[24, 0.7, 5],
@@ -401,8 +406,11 @@ class MplBrowserWindow:
         b = self.browser
         self._redraw_serial += 1
         # channel verbs can grow/scroll the shown set beyond the built
-        # axes — rebuild the grid when it changes
-        if list(b.show_channels) != self._built_channels:
+        # axes — rebuild the grid when it changes, or when the
+        # show_specs level moved the trace/spec height split
+        if (list(b.show_channels) != self._built_channels
+                or (self.show_spec and b.show_specs > 0
+                    and b.show_specs != self._built_spec_level)):
             self._build_axes(list(b.show_channels))
         t0, t1 = b.toffset, b.toffset + b.twindow
         name = "filtered" if "filtered" in b.data else "data"

@@ -504,6 +504,28 @@ if HAVE_QT:
                 ax.setStyle(showValues=show)
                 ax.showLabel(show)
                 pt.getViewBox().setBorder(pen if c in sel else None)
+            self._apply_row_stretch()
+
+        def _apply_row_stretch(self):
+            """Trace rows shrink relative to spectrogram rows as the
+            ``show_specs`` level grows (`databrowser.py:118,1050-1052`);
+            hidden rows collapse to zero height (the reference pins
+            per-panel fixed heights instead, `databrowser.py:1078-1082`
+            — stretch factors fit our single-grid layout)."""
+            b = self.browser
+            frac = b.trace_fracs.get(b.show_specs, 1)
+            layout = self.glw.ci.layout
+            spec_rows = {id(ps) for ps, _ in self.spec_images.values()}
+            for row, (c, pt) in enumerate(self._rows):
+                if not pt.isVisible():
+                    layout.setRowFixedHeight(row, 0)
+                    layout.setRowStretchFactor(row, 0)
+                    continue
+                layout.setRowMinimumHeight(row, 0)
+                layout.setRowMaximumHeight(row, 16777215)
+                is_spec = id(pt) in spec_rows
+                layout.setRowStretchFactor(
+                    row, 1000 if is_spec else max(1, int(1000 * frac)))
 
         def _set_side_panels_visible(self, channel, visible):
             if channel in self.power_plots:

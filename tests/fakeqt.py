@@ -798,10 +798,42 @@ class FakePlotItem:
         return self.axes[side]
 
 
+class _GridLayout:
+    """Records the QGraphicsGridLayout row-sizing calls."""
+
+    def __init__(self):
+        self.row_stretch = {}
+        self.row_fixed = {}
+        self.row_min = {}
+        self.row_max = {}
+
+    def setRowStretchFactor(self, row, stretch):
+        self.row_stretch[row] = stretch
+
+    def setRowFixedHeight(self, row, height):
+        self.row_fixed[row] = height
+
+    def setRowMinimumHeight(self, row, height):
+        self.row_min[row] = height
+        if self.row_fixed.get(row) is not None:
+            del self.row_fixed[row]
+
+    def setRowMaximumHeight(self, row, height):
+        self.row_max[row] = height
+        if self.row_fixed.get(row) is not None:
+            del self.row_fixed[row]
+
+
+class _CentralItem:
+    def __init__(self):
+        self.layout = _GridLayout()
+
+
 class GraphicsLayoutWidget(QWidget):
     def __init__(self, parent=None):
         super().__init__(parent)
         self.plots = {}
+        self.ci = _CentralItem()
 
     def addPlot(self, row=0, col=0, viewBox=None, axisItems=None):
         plot = FakePlotItem(viewBox, axisItems)

@@ -377,3 +377,25 @@ def test_analyzer_events_split_across_panels(win, browser):
     browser.remove_analyzer("peaks")
     win.redraw()
     assert len(win._artists[("trace", 0)]["events"].get_offsets()) == 0
+
+
+def test_spec_level_shrinks_trace_rows(win, browser):
+    """Cycling the spectrogram level rebuilds the grid with trace rows
+    shrunk by the level's height fraction
+    (`databrowser.py:118,1050-1052`)."""
+    c = browser.show_channels[0]
+    try:
+        assert browser.show_specs == 1
+        win.redraw()
+        h1 = win.trace_axs[c].get_position().height
+        s1 = win.spec_axs[c].get_position().height
+        browser.toggle_spectrograms()  # -> level 2: traces at half height
+        assert browser.show_specs == 2
+        win.redraw()
+        h2 = win.trace_axs[c].get_position().height
+        s2 = win.spec_axs[c].get_position().height
+        assert h2 < 0.65 * h1
+        assert s2 > s1  # the spectrogram rows take the freed space
+    finally:
+        browser.set_panels(specs=1)
+        win.redraw()

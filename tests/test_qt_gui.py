@@ -1003,3 +1003,38 @@ def test_analyzer_events_render_as_scatter_items(win):
     tab.refresh()
     assert not any(k[0] == id(pa) for k in tab.event_scatter)
     assert sp not in spec_host.items
+
+
+def test_spec_level_rebalances_row_heights(win):
+    """Cycling the spectrogram level reweighs trace vs spectrogram
+    rows (`databrowser.py:118,1050-1052`): level 2 halves the trace
+    rows, level 0 collapses the spectrogram rows entirely."""
+    tab = win.tab()
+    b = win.browser()
+    layout = tab.glw.ci.layout
+    spec_plots = {id(ps) for ps, _ in tab.spec_images.values()}
+    trace_rows = [r for r, (_, pt) in enumerate(tab._rows)
+                  if id(pt) not in spec_plots]
+    spec_rows = [r for r, (_, pt) in enumerate(tab._rows)
+                 if id(pt) in spec_plots]
+    assert trace_rows and spec_rows
+    try:
+        assert b.show_specs == 1
+        tab.refresh()
+        for r in trace_rows + spec_rows:
+            assert layout.row_stretch[r] == 1000
+        b.toggle_spectrograms()  # -> level 2: traces at half height
+        assert b.show_specs == 2
+        for r in spec_rows:
+            assert layout.row_stretch[r] == 1000
+        for r in trace_rows:
+            assert layout.row_stretch[r] == 500
+        b.set_panels(specs=0)  # hidden spec rows pin to zero height
+        for r in spec_rows:
+            assert layout.row_stretch[r] == 0
+            assert layout.row_fixed[r] == 0
+        for r in trace_rows:
+            assert layout.row_stretch[r] == 1000
+            assert layout.row_fixed.get(r) is None
+    finally:
+        b.set_panels(specs=1)
