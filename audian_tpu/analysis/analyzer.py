@@ -57,6 +57,15 @@ class EventRecorder:
         self.x = np.zeros(0)
         self.y = np.zeros(0)
 
+    def owner_panel(self, browser):
+        """Resolve the panel that owns these events — the single home of
+        the placement rule both frontends render by
+        (`databrowser.py:243-245`): a trace event lands in the panel
+        showing the trace, a panel event in the named panel."""
+        if self.trace_name is not None and self.trace_name in browser.data:
+            return browser.data[self.trace_name].panel
+        return self.panel_name
+
 
 class Analyzer:
     """Base class for analyzing selected regions (see reference docstring

@@ -81,13 +81,12 @@ def main(cargs=None):
 
     run_qt = None
     if not use_mpl and not screenshot:
-        try:
-            from ..gui import qt as qt_gui
+        # gui.qt always imports — it guards its own Qt imports and
+        # reports their absence through HAVE_QT
+        from ..gui import qt as qt_gui
 
-            if qt_gui.HAVE_QT:
-                run_qt = qt_gui.run_qt
-        except ImportError:
-            run_qt = None
+        if qt_gui.HAVE_QT:
+            run_qt = qt_gui.run_qt
     if run_qt is not None:
         # open only the first recording before the window shows; the
         # window pumps the rest one per event-loop tick

@@ -28,14 +28,12 @@ from ..graph import (
 )
 from . import wavio
 from .loader import AudioLoader
+from ..ops import raw16
 from ..utils import pow2_at_least as _pow2ceil
 
 
-@jax.jit
-def _dequant16(q):
-    """PCM-16 -> f32 on device (k / 2^15; exact, matches the host decode
-    bit-for-bit)."""
-    return q.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
+#: PCM-16 -> f32 on device (shared raw16 convention, `ops/raw16.py`)
+_dequant16 = jax.jit(raw16.dequant16)
 
 
 @functools.partial(jax.jit, static_argnames=("tail",))

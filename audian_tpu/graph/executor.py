@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .graph import RAW, TraceGraph
+from ..ops.raw16 import dequant16
 from ..utils import trace as _trace
 
 
@@ -103,11 +104,10 @@ class GraphExecutor:
 
         def fn(raw, params):
             if raw.dtype == jnp.int16:
-                # raw PCM-16 chunk (sample = k/2^15, the loader's raw16
-                # convention): dequantize once at the head of the program
-                # — XLA fuses the convert into the consumers' reads, and
-                # the "data" trace is the dequantized signal
-                raw = raw.astype(jnp.float32) * (1.0 / 32768.0)
+                # raw PCM-16 chunk: dequantize once at the head of the
+                # program — XLA fuses the convert into the consumers'
+                # reads, and the "data" trace is the dequantized signal
+                raw = dequant16(raw)
             bufs = {RAW: raw}
             for node in nodes:
                 name = node.name.lower()

@@ -127,10 +127,13 @@ class MplBrowserWindow:
         # clear of the overview strip
         rows = len(channels) * (2 if self.show_spec else 1) + 2
         # trace rows shrink relative to the spectrograms as the
-        # show_specs level grows (`databrowser.py:118,1050-1052`)
+        # show_specs level grows (`databrowser.py:118,1050-1052`); at
+        # level 0 the hidden spectrogram rows collapse to (near) zero
+        # height so the traces get the figure back
         b = self.browser
         frac = b.trace_fracs.get(b.show_specs, 1) if self.show_spec else 1
-        heights = (([max(2 * frac, 0.3), 2] if self.show_spec else [3])
+        spec_h = 2 if b.show_specs > 0 else 0.001
+        heights = (([max(2 * frac, 0.3), spec_h] if self.show_spec else [3])
                    * len(channels) + [0.25, 1])
         self._built_spec_level = b.show_specs if self.show_spec else None
         # three columns: panels | color bars | power side plots
@@ -380,18 +383,14 @@ class MplBrowserWindow:
         return art
 
     def _set_event_offsets(self, scatter, channel, panel):
-        """Fill one panel's analyzer-event scatter.  Panel ownership
-        mirrors the reference's ``add_to_panel_trace``
-        (`databrowser.py:243-245`): a trace event lands in the panel
-        showing the trace, a panel event in the named panel."""
+        """Fill one panel's analyzer-event scatter with the events whose
+        resolved owner (`EventRecorder.owner_panel`) matches ``panel``."""
         b = self.browser
         xs, ys, cols = [], [], []
         for a, name, rec in b.iter_event_items():
             if rec.channel != channel or not len(rec.x):
                 continue
-            owner = rec.panel_name
-            if rec.trace_name is not None and rec.trace_name in b.data:
-                owner = b.data[rec.trace_name].panel
+            owner = rec.owner_panel(b)
             if (owner == "spectrogram") != (panel == "spectrogram"):
                 continue
             xs.extend(rec.x)
@@ -407,9 +406,10 @@ class MplBrowserWindow:
         self._redraw_serial += 1
         # channel verbs can grow/scroll the shown set beyond the built
         # axes — rebuild the grid when it changes, or when the
-        # show_specs level moved the trace/spec height split
+        # show_specs level moved the trace/spec height split (level 0
+        # included: it collapses the spec rows and restores the traces)
         if (list(b.show_channels) != self._built_channels
-                or (self.show_spec and b.show_specs > 0
+                or (self.show_spec
                     and b.show_specs != self._built_spec_level)):
             self._build_axes(list(b.show_channels))
         t0, t1 = b.toffset, b.toffset + b.twindow
@@ -543,10 +543,14 @@ class MplBrowserWindow:
             starttime=data.start_time, file_times=file_times,
             file_paths=file_paths)
         ax.set_xticks(ticks)
-        ax.set_xticklabels(strings)
         if ax is not self._bottom_data_ax():
+            # only the bottom data panel shows tick values and the axis
+            # label; the stacked panels above keep bare tick marks
+            # (`databrowser.py:994-1008`)
+            ax.set_xticklabels([""] * len(ticks))
             ax.set_xlabel("")
             return
+        ax.set_xticklabels(strings)
         text = label or "time"
         if label == "File" and filename:
             text = f"File {filename}"

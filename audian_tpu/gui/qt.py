@@ -455,15 +455,10 @@ if HAVE_QT:
             for a, name, rec in b.iter_event_items():
                 key = (id(a), name, rec.channel)
                 live.add(key)
-                # panel ownership mirrors add_to_panel_trace
-                # (`databrowser.py:243-245`): a trace event lands in the
-                # panel that shows the trace, a panel event in the named
-                # panel
-                panel = rec.panel_name
-                if rec.trace_name is not None and rec.trace_name in b.data:
-                    panel = b.data[rec.trace_name].panel
-                if panel == "spectrogram" and rec.channel in self.spec_images:
-                    host = self.spec_images[rec.channel][0]
+                # spectrogram-owned events NEVER fall back onto the
+                # amplitude plot — their y values are frequencies
+                if rec.owner_panel(b) == "spectrogram":
+                    host = self.spec_images.get(rec.channel, (None,))[0]
                 else:
                     host = self.trace_plots.get(rec.channel, (None,))[0]
                 old = self.event_scatter.get(key)
@@ -842,12 +837,15 @@ if HAVE_QT:
             QTimer.singleShot(100, self._load_tick)
 
         def _load_tick(self):
+            # guarded like every other slot: an exception escaping a Qt
+            # slot is qFatal under real PyQt5 and would abort the app
+            # mid-load; a failed open must not stop the remaining files
             self._load_pump_active = False
             if not self.shell.pending:
                 return
             name = Path(str(self.shell.pending[0])).name
             self.set_status(f"loading {name} ...")
-            self.shell.load_next()
+            self._guarded(self.shell.load_next)
             if self.shell.pending:
                 self._load_pump_active = True
                 QTimer.singleShot(100, self._load_tick)
@@ -855,8 +853,9 @@ if HAVE_QT:
                 self.set_status("")
 
         def _on_browser_added(self, browser):
-            self._add_tab(browser)
-            self._sync_action_states()
+            # _fire contains tab-build exceptions (qFatal otherwise) and
+            # refreshes + resyncs the action states afterwards
+            self._fire(lambda: self._add_tab(browser))
 
         def _on_browser_failed(self, path, err):
             # one dialog per failed file (`audian.py:1349-1352`)

@@ -32,6 +32,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ..ops import (sosfilt_fir, sosfiltfilt_sym, filtfilt_sym_kernel,
                    spectrogram, hann_window)
 from ..ops.minmax import minmax_interleaved
+from ..ops.raw16 import dequant16
 from .shard import halo_exchange
 
 __all__ = ["ShardedPipeline"]
@@ -115,11 +116,10 @@ class ShardedPipeline:
             else:
                 ext = halo_exchange(x, self.hb, self.ha, "seq")
             if ext.dtype == jnp.int16:
-                # raw PCM-16 shards (sample = k/2^15, the loader's raw16
-                # convention): the halo exchange above moved int16 over
-                # the ICI ring at half the f32 bytes; dequantize once
-                # here, shard-locally (bit-exact for PCM-16 sources)
-                ext = ext.astype(jnp.float32) * (1.0 / 32768.0)
+                # raw PCM-16 shards: the halo exchange above moved int16
+                # over the ICI ring at half the f32 bytes; dequantize
+                # once here, shard-locally
+                ext = dequant16(ext)
                 x = ext[self.hb : self.hb + L]
             y = ext
             if filt is not None:
@@ -220,7 +220,7 @@ class ShardedPipeline:
             if n % step:
                 tail = x[(nseg - 1) * step : n, :C]
                 if tail.dtype == jnp.int16:
-                    tail = tail.astype(jnp.float32) * (1.0 / 32768.0)
+                    tail = dequant16(tail)
                 mm = mm.at[-2].set(jnp.min(tail, axis=0))
                 mm = mm.at[-1].set(jnp.max(tail, axis=0))
             out["minmax"] = mm

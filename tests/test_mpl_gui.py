@@ -196,8 +196,9 @@ def test_starttime_cycles_time_axis(win, browser):
     assert win.starttime_mode == 0
     win.on_key(K())
     assert win.starttime_mode == 1
-    ax = win.trace_axs[0]
-    # 2 s recording, no start time in the WAV: absolute falls back to REC
+    # 2 s recording, no start time in the WAV: absolute falls back to REC;
+    # only the bottom data panel shows the tick value strings
+    ax = win._bottom_data_ax()
     labels = [t.get_text() for t in ax.get_xticklabels()]
     assert labels and all(lbl for lbl in labels)
     win.on_key(K())
@@ -205,9 +206,9 @@ def test_starttime_cycles_time_axis(win, browser):
     assert win.starttime_mode == 0
     # only the bottom-most visible data panel carries the label text
     # (repeating it under every panel collides with the panel below);
-    # the others keep the ticks but an empty label
-    assert "REC" in win._bottom_data_ax().get_xlabel()
-    assert ax.get_xlabel() == ""
+    # the others keep the ticks but empty value strings and no label
+    assert "REC" in ax.get_xlabel()
+    assert win.trace_axs[0].get_xlabel() == ""
 
 
 def test_colorbar_and_power_side_panel(win, browser):
@@ -399,3 +400,42 @@ def test_spec_level_shrinks_trace_rows(win, browser):
     finally:
         browser.set_panels(specs=1)
         win.redraw()
+
+
+def test_spec_level_zero_restores_trace_rows(win, browser):
+    """Cycling the level to 0 hides the spectrograms AND collapses their
+    rows, giving the figure back to full-height traces — not level-4
+    slivers against blank space (`databrowser.py:1050-1052,1116-1126`)."""
+    c = browser.show_channels[0]
+    try:
+        browser.set_panels(specs=4)
+        win.redraw()
+        h4 = win.trace_axs[c].get_position().height
+        browser.set_panels(specs=0)
+        win.redraw()
+        assert not win.spec_axs[c].get_visible()
+        h0 = win.trace_axs[c].get_position().height
+        assert h0 > 3 * h4  # traces get the figure back
+        assert win.spec_axs[c].get_position().height < 0.01 * h0
+    finally:
+        browser.set_panels(specs=1)
+        win.redraw()
+
+
+def test_time_tick_values_only_on_the_bottom_panel(win, browser):
+    """Stacked panels keep bare tick marks; only the bottom data panel
+    shows the tick value strings and the axis label
+    (`databrowser.py:994-1008`)."""
+    win.redraw()
+    axs = [ax for ax in (list(win.trace_axs.values())
+                         + list(win.spec_axs.values()))
+           if ax.get_visible()]
+    bottom = min(axs, key=lambda ax: ax.get_position().y0)
+    for ax in axs:
+        texts = [t.get_text() for t in ax.get_xticklabels()]
+        if ax is bottom:
+            assert any(texts)
+            assert ax.get_xlabel()
+        else:
+            assert not any(texts)
+            assert not ax.get_xlabel()

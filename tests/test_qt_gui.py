@@ -1038,3 +1038,69 @@ def test_spec_level_rebalances_row_heights(win):
             assert layout.row_fixed.get(r) is None
     finally:
         b.set_panels(specs=1)
+
+
+def test_spectrogram_events_drop_without_a_spec_plot(win):
+    """Frequency-valued (spectrogram-owned) analyzer events must never
+    fall back onto an amplitude plot when the channel has no spectrogram
+    plot — their y values are in Hz (`databrowser.py:243-245`)."""
+    from audian_tpu.analysis import Analyzer
+
+    b = win.browser()
+    tab = win.tab()
+
+    class BandAnalyzer(Analyzer):
+        def __init__(self, browser):
+            super().__init__(browser, "bands", "filtered")
+            self.make_panel_events("bands", "spectrogram", "x", "blue", 4)
+
+        def analyze(self, t0, t1, channel, traces):
+            self.set_events("bands", channel, [t0], [800.0])
+
+    ba = BandAnalyzer(b)
+    b.analyze(0.5, 0.7, 0)
+    spec_entry = tab.spec_images.pop(0)  # channel 0: no spectrogram plot
+    try:
+        tab.refresh()
+        key = (id(ba), "bands", 0)
+        assert key not in tab.event_scatter
+        trace_host = tab.trace_plots[0][0]
+        assert not any(h is trace_host and r.panel_name == "spectrogram"
+                       for r, h, _ in tab.event_scatter.values())
+    finally:
+        tab.spec_images[0] = spec_entry
+        b.remove_analyzer("bands")
+        tab.refresh()
+
+
+def test_tab_build_failure_does_not_abort_the_pump(qt, wav2, monkeypatch):
+    """An exception while building a tab (e.g. device pulls failing mid
+    load) must not escape the Qt slot — under real PyQt5 an unhandled
+    slot exception is qFatal and aborts the app.  The pump reports the
+    error and keeps loading the remaining files."""
+    shell = Audian([wav2, wav2])
+    win = qt.AudianWindow(shell)
+    try:
+        orig = type(win)._add_tab
+        calls = []
+
+        def boom(self, browser):
+            # stale single-shots from earlier tests' windows may fire in
+            # our flushes — count (and break) only this window's builds
+            if self is not win:
+                return orig(self, browser)
+            calls.append(browser)
+            if len(calls) == 1:
+                raise RuntimeError("device pull failed")
+            return orig(self, browser)
+
+        monkeypatch.setattr(type(win), "_add_tab", boom)
+        fakeqt.QTimer.flush_single_shots()  # file 1: build raises, caught
+        fakeqt.QTimer.flush_single_shots()  # file 2 still loads
+        while fakeqt.QTimer.flush_single_shots():
+            pass
+        assert len(calls) == 2
+        assert win.tabs.count() == 1
+        assert not shell.pending
+    finally:
+        shell.close()
