@@ -282,6 +282,21 @@ class MplBrowserWindow:
             self.status += "  " + "  ".join(deltas)
         self.crosshair = (channel, t, y, kind)
 
+    def _browser_crosshair(self):
+        """The crosshair as the headless browser knows it — the single
+        source of truth, so placements through ``browser.set_crosshair``
+        render identically to clicks."""
+        pr = self.browser.plot_ranges
+        t = pr.marker_time()[1]
+        if t is None:
+            return None
+        channel = next((pr[s].marker_channel for s in "txyufwpq"
+                        if pr[s].marker_channel is not None), 0)
+        freq = pr.marker_frequency()[1]
+        if freq is not None:
+            return (channel, t, freq, "spec")
+        return (channel, t, pr.marker_amplitude()[1], "trace")
+
     def on_motion(self, event):
         """Hover readout: the per-mode time rows plus the hovered value
         (`src/audian/timeplot.py:154-192`,
@@ -356,12 +371,18 @@ class MplBrowserWindow:
             return art
         from matplotlib.collections import LineCollection
 
+        # the cursor/playback lines sit ABOVE the data artists
+        # (zorder > the event scatters' 5): a dense min/max waveform can
+        # fill the whole panel and would otherwise paint over them
         art = {
-            "cx": ax.axvline(0.0, color="#cccc00", lw=0.8, visible=False),
-            "cy": ax.axhline(0.0, color="#cccc00", lw=0.8, visible=False),
+            "cx": ax.axvline(0.0, color="#cccc00", lw=0.8, visible=False,
+                             zorder=6),
+            "cy": ax.axhline(0.0, color="#cccc00", lw=0.8, visible=False,
+                             zorder=6),
             # playback position marker, driven by the 50 ms tick
             # (`databrowser.py:1745-1756`)
-            "audio": ax.axvline(0.0, color="m", lw=1.0, visible=False),
+            "audio": ax.axvline(0.0, color="m", lw=1.0, visible=False,
+                                zorder=6),
         }
         if kind == "trace":
             art["trace"] = ax.plot([], [], lw=0.6)[0]
@@ -471,6 +492,9 @@ class MplBrowserWindow:
             self._format_time_axis(ax, t0, t1)
             self._draw_cbar(c, art)
             self._draw_power(c, t0, t1)
+        # the headless browser is the source of truth for the crosshair —
+        # placements through browser.set_crosshair render without a click
+        self.crosshair = self._browser_crosshair()
         for key, art in self._artists.items():
             if not isinstance(key, tuple) or "cx" not in art:
                 continue
@@ -478,19 +502,29 @@ class MplBrowserWindow:
             on = (self.crosshair is not None
                   and self.crosshair[3] == kind and self.crosshair[0] == c)
             art["cx"].set_visible(on)
-            art["cy"].set_visible(on)
+            art["cy"].set_visible(on and self.crosshair[2] is not None)
             if on:
                 art["cx"].set_xdata([self.crosshair[1]] * 2)
-                art["cy"].set_ydata([self.crosshair[2]] * 2)
+                if self.crosshair[2] is not None:
+                    art["cy"].set_ydata([self.crosshair[2]] * 2)
             audio_on = self._audio_t is not None and kind == "trace"
             art["audio"].set_visible(audio_on)
             if audio_on:
                 art["audio"].set_xdata([self._audio_t] * 2)
         # selected channels carry an emphasized panel border
-        # (`databrowser.py:367,969-974`)
+        # (`databrowser.py:367,969-974`); the grid mask is re-applied on
+        # every pass so it reflects browser state and survives grid
+        # rebuilds (channel/spec-level changes recreate the axes)
         sel = set(b.selected_channels)
         for axs in (self.trace_axs, self.spec_axs):
             for c, ax in axs.items():
+                # mpl enables the grid whenever style kwargs are passed,
+                # so the off case must not carry alpha
+                for axis, bit in (("x", 1), ("y", 2)):
+                    if b.grids & bit:
+                        ax.grid(True, axis=axis, alpha=0.4)
+                    else:
+                        ax.grid(False, axis=axis)
                 for spine in ax.spines.values():
                     spine.set_edgecolor("#888888" if c in sel else "black")
                     spine.set_linewidth(2.0 if c in sel else 0.8)
@@ -721,11 +755,7 @@ class MplBrowserWindow:
                 print("  " * level + (f"{k}:" if val is None
                                       else f"{k}: {val}"))
         elif key == "g":
-            b.toggle_grids()
-            for axs in (self.trace_axs, self.spec_axs):
-                for ax in axs.values():
-                    ax.grid((b.grids & 1) > 0, axis="x", alpha=0.4)
-                    ax.grid((b.grids & 2) > 0, axis="y", alpha=0.4)
+            b.toggle_grids()  # _redraw applies the mask to every panel
         elif key == "down":
             b.next_channel()
         elif key == "up":

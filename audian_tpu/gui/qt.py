@@ -431,6 +431,16 @@ if HAVE_QT:
                 self._refresh_power(c, t0, t1)
                 self._refresh_colorbar(c, cmap, *b.get_range("p", c))
             self._grids_applied = b.grids
+            # the crosshair time line follows the headless browser's
+            # marker state: script/linked placements render, and leaving
+            # crosshair mode (which clears the browser marker) hides it
+            ct = b.plot_ranges.marker_time()[1]
+            for xline in self.xlines.values():
+                if ct is None:
+                    xline.setVisible(False)
+                else:
+                    xline.setPos(ct)
+                    xline.setVisible(True)
             self._refresh_analyzer_events()
             for axis in self.time_axes:
                 axis.update_label()

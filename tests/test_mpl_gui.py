@@ -439,3 +439,54 @@ def test_time_tick_values_only_on_the_bottom_panel(win, browser):
         else:
             assert not any(texts)
             assert not ax.get_xlabel()
+
+
+def test_browser_driven_crosshair_and_grid_render(win, browser):
+    """The headless browser is the source of truth: a crosshair placed
+    through ``browser.set_crosshair`` and a grid mask toggled through
+    ``browser.toggle_grids`` both render on the next redraw, without a
+    click or key press, and the grid mask survives a grid rebuild."""
+    try:
+        browser.set_crosshair(0, t=0.5, amplitude=0.1)
+        win.redraw()
+        art = win._artists[("trace", 0)]
+        assert art["cx"].get_visible() and art["cy"].get_visible()
+        assert art["cx"].get_xdata()[0] == pytest.approx(0.5)
+        # and it must actually PAINT: a dense min/max waveform fills the
+        # panel, so the cursor lines need a zorder above the data artists
+        win.fig.canvas.draw()
+        buf = np.asarray(win.fig.canvas.buffer_rgba())
+        mask = ((buf[..., 0] >= 190) & (buf[..., 1] >= 190)
+                & (buf[..., 2] <= 90))
+        assert mask.any(), "crosshair color not present in the render"
+        # frequency placement moves it to the spectrogram panel
+        browser.set_crosshair(0, t=1.2, frequency=900.0)
+        win.redraw()
+        assert not win._artists[("trace", 0)]["cx"].get_visible()
+        assert win._artists[("spec", 0)]["cx"].get_visible()
+        browser.clear_crosshair()
+        win.redraw()
+        assert not win._artists[("spec", 0)]["cx"].get_visible()
+
+        assert browser.grids == 0
+        browser.toggle_grids()
+        win.redraw()
+        ax = win.trace_axs[0]
+        assert any(gl.get_visible() for gl in ax.xaxis.get_gridlines())
+        # grid rebuilds (spec level change) keep the mask applied
+        browser.set_panels(specs=2)
+        win.redraw()
+        ax = win.trace_axs[0]
+        assert any(gl.get_visible() for gl in ax.xaxis.get_gridlines())
+        # cycling back to 0 really turns the grid off (mpl re-enables
+        # the grid if the off call carries style kwargs)
+        while browser.grids != 0:
+            browser.toggle_grids()
+        win.redraw()
+        assert not any(gl.get_visible() for gl in ax.xaxis.get_gridlines())
+    finally:
+        while browser.grids != 0:
+            browser.toggle_grids()
+        browser.clear_crosshair()
+        browser.set_panels(specs=1)
+        win.redraw()

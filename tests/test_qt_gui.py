@@ -1104,3 +1104,24 @@ def test_tab_build_failure_does_not_abort_the_pump(qt, wav2, monkeypatch):
         assert not shell.pending
     finally:
         shell.close()
+
+
+def test_crosshair_line_follows_browser_state(win):
+    """The crosshair time lines track the headless browser's marker on
+    refresh: script placements render without a click, and leaving
+    crosshair mode (which clears the browser marker,
+    `databrowser.py:726-760`) hides the lines."""
+    tab = win.tab()
+    b = win.browser()
+    try:
+        b.set_crosshair(0, t=0.8, amplitude=0.1)
+        tab.refresh()
+        for xline in tab.xlines.values():
+            assert xline.isVisible() and xline.value() == 0.8
+        win.crosshair_mode = True
+        win.toggle_crosshair_mode()  # leave the mode: clears the marker
+        tab.refresh()
+        assert not any(x.isVisible() for x in tab.xlines.values())
+    finally:
+        b.clear_crosshair()
+        tab.refresh()
