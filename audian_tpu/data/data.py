@@ -809,8 +809,11 @@ class Data:
 
 
 def default_traces():
-    """The default derived-trace chain the reference's plugin system
-    installs (`src/audian/plugins.py:11-13`)."""
+    """The full demo chain (filter + envelope + spectrogram) used by the
+    tests and the library examples.  NOTE: the browser's default plugin
+    set installs only filter + spectrogram, like the reference's
+    ``default_setup_traces`` (`src/audian/plugins.py:11-13`) — there the
+    envelope is a plugin/CLI opt-in."""
     return [
         FilterNode("filtered", "data"),
         EnvelopeNode("envelope", "filtered"),

@@ -477,6 +477,16 @@ def _encode(data, encoding):
     data = np.asarray(data)
     if data.ndim == 1:
         data = data[:, None]
+    if np.issubdtype(data.dtype, np.unsignedinteger):
+        raise WavError("unsigned integer samples are ambiguous; pass "
+                       "signed PCM codes or float in [-1, 1]")
+    if np.issubdtype(data.dtype, np.integer):
+        # integer input is PCM codes at the dtype's width (the raw16
+        # convention k / 2^15 for int16, k / 2^31 for int32) — NOT
+        # floats to clip.  An int16 array written as PCM_16 round-trips
+        # bit-exactly.
+        width = data.dtype.itemsize * 8
+        data = data.astype(np.float64) / float(2 ** (width - 1))
     if tag == 3:
         return data.astype("<f4" if bits == 32 else "<f8").tobytes(), tag, bits
     clipped = np.clip(data, -1.0, 1.0 - 2.0 ** (1 - bits))

@@ -310,3 +310,29 @@ def test_truncated_data_reports_honest_frames(tmp_path, rng):
     assert info[2] < 4100
     data, rate = wavio.load_audio(half)
     assert abs(len(data) - info[2]) <= 1
+
+
+def test_integer_input_is_pcm_codes(tmp_path):
+    """Integer arrays passed to write_audio are PCM codes at their dtype
+    width (raw16 convention), not floats to clip: an int16 array written
+    as PCM_16 round-trips bit-exactly, and a ±20000-code sine must NOT
+    come back as a full-scale square wave."""
+    rate = 48000.0
+    t = np.arange(4800) / rate
+    q = (np.sin(2 * np.pi * 800 * t)[:, None] * 20000).astype(np.int16)
+    p = tmp_path / "codes.wav"
+    wavio.write_audio(p, q, rate)
+    y, r = wavio.load_audio(p)
+    assert r == rate
+    assert np.abs(y).max() == pytest.approx(20000 / 32768, abs=1e-6)
+    np.testing.assert_array_equal(
+        np.round(y * 32768.0).astype(np.int16), q)
+    # int32 codes scale by 2^31
+    q32 = (q.astype(np.int64) << 16).astype(np.int32)
+    p32 = tmp_path / "codes32.wav"
+    wavio.write_audio(p32, q32, rate, encoding="PCM_32")
+    y32, _ = wavio.load_audio(p32)
+    np.testing.assert_allclose(y32, y, atol=1e-9)
+    # unsigned input is ambiguous and refused
+    with pytest.raises(wavio.WavError):
+        wavio.write_audio(tmp_path / "u.wav", q.astype(np.uint16), rate)
