@@ -307,6 +307,22 @@ class FullTraceData:
         fp = Path(self.data.filepath)
         return fp.with_name(fp.stem + "-fulltrace.wav")
 
+    def _source_stamp(self):
+        """(newest mtime, total bytes) over the source files — cached
+        overviews of a recording that changed on disk are stale.  The
+        reference matches cache entries by path alone
+        (`src/audian/compresseddata.py:223-231`) and would serve the old
+        overview after a re-export; the stamp closes that hole."""
+        mtime, size = 0.0, 0
+        for p in self.data.file_paths:
+            try:
+                st = os.stat(p)
+            except OSError:
+                continue
+            mtime = max(mtime, st.st_mtime)
+            size += st.st_size
+        return mtime, size
+
     def save_data_local(self):
         """Persist next to the data file
         (`src/audian/compresseddata.py:147-155`)."""
@@ -349,8 +365,10 @@ class FullTraceData:
                         break
             ts = datetime.now().isoformat()
             rate = 1.0 / (self.times[1] - self.times[0])
+            mtime, size = self._source_stamp()
             files[name] = dict(
                 first=first, last=last, rate=rate,
+                mtime=mtime, size=size,
                 created=files.get(name, {}).get("created", ts), used=ts,
             )
             # LRU eviction by the `used` stamp
@@ -382,6 +400,10 @@ class FullTraceData:
         local = self._local_path()
         if local.exists():
             try:
+                if local.stat().st_mtime < self._source_stamp()[0]:
+                    # the recording changed after the artifact was
+                    # written (re-export/re-record): stale, recompute
+                    return False
                 datas, rate = wavio.load_audio(local)
             except Exception as e:
                 # corrupt/truncated artifact (e.g. a pre-atomic-write
@@ -389,6 +411,8 @@ class FullTraceData:
                 # recording unopenable; the file is the user's, keep it
                 print(f"ignoring corrupt {local.name}: {e}")
                 return False
+            if datas.ndim != 2 or datas.shape[1] != self.data.channels:
+                return False  # stale: channel layout changed
             rates = np.array([rate / 1e6, rate / 1e3, rate])
             durations = len(datas) / rates
             rate = rates[np.argmin(
@@ -406,12 +430,21 @@ class FullTraceData:
         for name, props in list(files.items()):
             if props["first"] == first and props["last"] == last:
                 fpath = cache / name
+                stamp = self._source_stamp()
+                stale = ("mtime" in props
+                         and (abs(props["mtime"] - stamp[0]) > 1e-6
+                              or props.get("size") != stamp[1]))
                 try:
-                    datas, _ = wavio.load_audio(fpath)
+                    datas, _ = (None, None) if stale \
+                        else wavio.load_audio(fpath)
                 except Exception:
                     # any decode failure means corrupt -> evict (WavError
                     # subclasses vary, soundfile raises RuntimeErrors)
                     datas = None
+                if (datas is not None and len(datas)
+                        and (datas.ndim != 2
+                             or datas.shape[1] != self.data.channels)):
+                    datas = None  # stale: channel layout changed
                 if datas is None or len(datas) == 0:
                     with _index_lock(cache):
                         files = _read_index(index_path)

@@ -356,3 +356,40 @@ def test_compress_cli_fails_loudly_on_compute_error(wav, monkeypatch,
     assert rc == 1
     assert "failed" in capsys.readouterr().err
     assert not p.with_name("rec-fulltrace.wav").exists()
+
+
+def test_stale_caches_recompute_when_source_changes(wav, tmp_path,
+                                                    monkeypatch):
+    """Cached overviews of a recording that changed on disk are stale:
+    both the local artifact and the user-cache entry must miss when the
+    source file is rewritten (the reference matches by path alone,
+    `compresseddata.py:223-231`, and would serve the old overview)."""
+    import os
+    import time
+
+    import audian_tpu.cache.fulltrace as mod
+
+    class Dirs:
+        user_cache_path = tmp_path / "cache"
+
+    monkeypatch.setattr(mod, "audian_dirs", Dirs)
+    p, x = wav
+    ft = FullTraceData(AudioLoader(p))
+    ft.start(100, background=False)
+    ft.wait()
+    ft.short_data = False
+    local = ft.save_data_local()
+    ft.save_data()
+    # rewrite the recording with MORE channels and different content
+    y = np.stack([x[:, 0], x[:, 1], 0.5 * x[:, 0]], axis=1)
+    wavio.write_audio(p, y, 48000, encoding="FLOAT")
+    # push the source mtime safely past the artifact's
+    st = os.stat(local)
+    os.utime(p, (st.st_atime, st.st_mtime + 10))
+    ft2 = FullTraceData(AudioLoader(p))
+    assert not ft2.load_data()
+    # after removing the outdated local artifact, the user cache must
+    # also refuse its (path-matching, stale-stamped) entry
+    os.unlink(local)
+    ft3 = FullTraceData(AudioLoader(p))
+    assert not ft3.load_data()
