@@ -384,6 +384,12 @@ def clean_env_freqs(onsets, offsets, freqs, fac=6.0):
     cf = ffreqs[(~np.isnan(ffreqs)) & (ffreqs >= lq) & (ffreqs <= uq)]
     if len(cf):
         m, s = np.mean(cf), np.std(cf)
+        # deviation from the reference (`songdetector.py:163-166`): with
+        # near-identical songs the inner-quartile std collapses to ~0 and
+        # ANY numeric jitter would mark a song an outlier — a recording
+        # of three identical pulse trains lost its middle song.  Floor
+        # the outlier tolerance at 1% of the mean envelope frequency.
+        s = max(s, 0.01 * abs(m) / fac)
         for c in range(len(freqs)):
             bad = (~np.isnan(freqs[c])) & ((freqs[c] < m - fac * s)
                                            | (freqs[c] > m + fac * s))

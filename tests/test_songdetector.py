@@ -495,3 +495,28 @@ def test_songplot_end_key_exact_multiple(rng):
     duration = n / rate
     assert sp.toffset < duration  # window still overlaps the data
     sp.plt.close(sp.fig)
+
+
+def test_identical_songs_all_detected(tmp_path):
+    """Three identical pulse-train songs must ALL be detected: the
+    reference's outlier cleaning (`songdetector.py:155-175`) collapses to
+    zero tolerance when the inner-quartile envelope-frequency spread is
+    ~0 and arbitrarily drops songs; the rebuild floors the tolerance at
+    1% of the mean envelope frequency."""
+    from audian_tpu.data import wavio
+    from audian_tpu.analysis import events
+
+    rate = 48000
+    t = np.arange(int(20.0 * rate)) / rate
+    rng2 = np.random.default_rng(7)
+    song = np.zeros_like(t)
+    for s in (2.0, 7.5, 14.0):
+        m = (t >= s) & (t < s + 1.5)
+        song[m] = (np.sin(2 * np.pi * 6000 * t[m])
+                   * (0.5 + 0.5 * np.sign(np.sin(2 * np.pi * 20 * t[m]))))
+    x = song + 0.02 * rng2.standard_normal(t.size)
+    res = events.detect(x[:, None].astype(np.float64), float(rate),
+                        return_filtered=False)
+    onsets = np.asarray(res["onsets"][0])
+    assert len(onsets) == 3, onsets
+    np.testing.assert_allclose(onsets, [2.0, 7.5, 14.0], atol=0.1)
