@@ -121,6 +121,10 @@ class FullTraceData:
         self.error = None
         self._cancelled = False
         self._stop = threading.Event()
+        # stamp the source NOW, before any bytes are read: a recording
+        # re-exported DURING the (minutes-long) background compute must
+        # not get the resulting stale overview stamped as fresh
+        self._read_stamp = self._source_stamp()
         frames = self.data.frames
         step = max(1, frames // max_pixel)
         self.step = step
@@ -365,7 +369,9 @@ class FullTraceData:
                         break
             ts = datetime.now().isoformat()
             rate = 1.0 / (self.times[1] - self.times[0])
-            mtime, size = self._source_stamp()
+            # the stamp captured when the data was read, NOT now
+            mtime, size = getattr(self, "_read_stamp", None) \
+                or self._source_stamp()
             files[name] = dict(
                 first=first, last=last, rate=rate,
                 mtime=mtime, size=size,
@@ -399,27 +405,27 @@ class FullTraceData:
         self.datas = None
         local = self._local_path()
         if local.exists():
+            datas = None
             try:
-                if local.stat().st_mtime < self._source_stamp()[0]:
-                    # the recording changed after the artifact was
-                    # written (re-export/re-record): stale, recompute
-                    return False
-                datas, rate = wavio.load_audio(local)
+                if local.stat().st_mtime >= self._source_stamp()[0]:
+                    datas, rate = wavio.load_audio(local)
+                # else: the recording changed after the artifact was
+                # written (re-export/re-record) — stale; fall through to
+                # the user cache, which validates its own stamp
             except Exception as e:
                 # corrupt/truncated artifact (e.g. a pre-atomic-write
-                # killed writer): recompute instead of making the
+                # killed writer): fall through instead of making the
                 # recording unopenable; the file is the user's, keep it
                 print(f"ignoring corrupt {local.name}: {e}")
-                return False
-            if datas.ndim != 2 or datas.shape[1] != self.data.channels:
-                return False  # stale: channel layout changed
-            rates = np.array([rate / 1e6, rate / 1e3, rate])
-            durations = len(datas) / rates
-            rate = rates[np.argmin(
-                np.abs(durations - self.data.frames / self.data.rate))]
-            self.datas = datas
-            self.times = np.arange(len(datas)) / rate
-            return True
+            if (datas is not None and datas.ndim == 2
+                    and datas.shape[1] == self.data.channels):
+                rates = np.array([rate / 1e6, rate / 1e3, rate])
+                durations = len(datas) / rates
+                rate = rates[np.argmin(
+                    np.abs(durations - self.data.frames / self.data.rate))]
+                self.datas = datas
+                self.times = np.arange(len(datas)) / rate
+                return True
         cache = Path(audian_dirs.user_cache_path)
         index_path = cache / self.fulltraces_file
         if not index_path.exists():

@@ -847,25 +847,52 @@ if HAVE_QT:
             QTimer.singleShot(100, self._load_tick)
 
         def _load_tick(self):
-            # guarded like every other slot: an exception escaping a Qt
-            # slot is qFatal under real PyQt5 and would abort the app
-            # mid-load; a failed open must not stop the remaining files
+            # an exception escaping a Qt slot is qFatal under real
+            # PyQt5; open() failures are contained inside load_next
+            # itself (sigBrowserFailed -> one dialog, file dropped), so
+            # this guard covers the post-open wiring only — and a
+            # failure must not stop the remaining files
             self._load_pump_active = False
             if not self.shell.pending:
                 return
             name = Path(str(self.shell.pending[0])).name
             self.set_status(f"loading {name} ...")
-            self._guarded(self.shell.load_next)
+            ok = True
+            try:
+                self.shell.load_next()
+            except Exception as e:
+                import traceback
+
+                traceback.print_exc()
+                QMessageBox.critical(self, "Error",
+                                     f"Cannot open file {name}: {e}")
+                ok = False
             if self.shell.pending:
                 self._load_pump_active = True
                 QTimer.singleShot(100, self._load_tick)
-            else:
+            elif ok:
+                # don't wipe an error message the except branch just set
                 self.set_status("")
 
         def _on_browser_added(self, browser):
-            # _fire contains tab-build exceptions (qFatal otherwise) and
-            # refreshes + resyncs the action states afterwards
-            self._fire(lambda: self._add_tab(browser))
+            # guarded: a tab-build exception is qFatal under real PyQt5.
+            # On failure the browser must leave the shell too — tab
+            # index i maps to shell.browsers[i] everywhere
+            # (currentChanged, close_tab), so a browser without a tab
+            # would desync every later verb onto the wrong recording
+            tab = self._guarded(lambda: self._add_tab(browser))
+            if tab is None and browser in self.shell.browsers:
+                self.shell.browsers.remove(browser)
+                if self.shell.current is browser:
+                    j = self.tabs.currentIndex()
+                    self.shell.current = (
+                        self.shell.browsers[j]
+                        if 0 <= j < len(self.shell.browsers) else None)
+                try:
+                    browser.close()
+                except Exception:
+                    pass
+            self._sync_action_states()
 
         def _on_browser_failed(self, path, err):
             # one dialog per failed file (`audian.py:1349-1352`)

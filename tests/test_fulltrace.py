@@ -393,3 +393,32 @@ def test_stale_caches_recompute_when_source_changes(wav, tmp_path,
     os.unlink(local)
     ft3 = FullTraceData(AudioLoader(p))
     assert not ft3.load_data()
+    # recompute + save refreshes the user cache; a STALE local artifact
+    # must fall through to the now-fresh user cache (not force an
+    # eternal recompute) — and the entry's stamp is the one captured
+    # when the data was read, so a source touched DURING the compute
+    # stays stale
+    ft3.start(100, background=False)
+    ft3.wait()
+    ft3.short_data = False
+    ft3.save_data()
+    ft4 = FullTraceData(AudioLoader(p))
+    assert ft4.load_data()          # fresh user-cache hit
+    np.testing.assert_allclose(ft4.datas, ft3.datas, atol=1e-12)
+    local2 = ft3.save_data_local()
+    os.utime(p, (time.time(), time.time() + 30))  # re-export after write
+    ft5 = FullTraceData(AudioLoader(p))
+    assert not ft5.load_data()      # stale local falls through, stale
+    #                                 user-cache stamp refuses too
+    ft6 = FullTraceData(AudioLoader(p))
+    ft6._read_stamp = None
+    ft6.start(100, background=False)
+    # the source changes DURING the compute: the recorded stamp must be
+    # the at-read one, so the saved entry is immediately stale
+    os.utime(p, (time.time(), time.time() + 60))
+    ft6.wait()
+    ft6.short_data = False
+    os.unlink(local2)
+    ft6.save_data()
+    ft7 = FullTraceData(AudioLoader(p))
+    assert not ft7.load_data()

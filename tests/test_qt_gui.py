@@ -1102,6 +1102,11 @@ def test_tab_build_failure_does_not_abort_the_pump(qt, wav2, monkeypatch):
         assert len(calls) == 2
         assert win.tabs.count() == 1
         assert not shell.pending
+        # the failed browser left the shell: tab index i must keep
+        # mapping to shell.browsers[i] (currentChanged, close_tab)
+        assert len(shell.browsers) == 1
+        assert shell.current is shell.browsers[0]
+        assert win.tabs.widget(0).browser is shell.browsers[0]
     finally:
         shell.close()
 
