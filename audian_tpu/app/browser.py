@@ -986,8 +986,13 @@ class DataBrowser:
         if y is not None:
             if kind == "spec":
                 parts.append(f"f={y:.1f} Hz")
-                panel = (self.panels.get("spectrogram")
-                         if self.panels is not None else None)
+                # resolve through the spectrogram trace's own panel —
+                # plugin chains may name it something other than
+                # "spectrogram" (`databrowser.py:243-245` routing)
+                panel = None
+                if self.panels is not None and self.spectrogram in self.data:
+                    panel = self.panels.get(
+                        self.data[self.spectrogram].panel)
                 power = (panel.get_power(channel, t, y)
                          if panel is not None and len(panel) > channel
                          else None)

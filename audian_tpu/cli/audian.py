@@ -28,7 +28,10 @@ def _pop_option(argv, name, has_value=True):
             argv.pop(i)
             if not has_value:
                 return True
-            if i < len(argv) and not argv[i].startswith("-"):
+            # a following token is the value unless it is clearly
+            # another long option — filenames like "-shot.png" are
+            # legitimate values and must not trip the missing-value path
+            if i < len(argv) and not argv[i].startswith("--"):
                 return argv.pop(i)
             print(f"error: {name} needs a value", file=sys.stderr)
             return None

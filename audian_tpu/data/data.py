@@ -214,10 +214,13 @@ class Trace:
         stop = max(start, min(stop, self.frames))
         if self.name.lower() in self._data._dirty:
             # the window holds pre-update content (parameter changed
-            # while this trace was hidden): compute fresh instead of
-            # serving stale — or, after an NFFT respec, geometrically
-            # misaligned — buffer rows
-            return self._data._compute_range(self.name, start, stop)
+            # while this trace was hidden): refresh the window once and
+            # serve reads from it — per-access fresh computes would run
+            # one device program per __getitem__ (an analyzer doing
+            # per-index reads would pay a raw read + upload + chain run
+            # + pull each time)
+            if not self._data._refresh_trace(self.name):
+                return self._data._compute_range(self.name, start, stop)
         if start >= self.offset and stop <= self.offset + len(self.buffer):
             a = start - self.offset
             w = stop - start
@@ -653,6 +656,23 @@ class Data:
         for tr, g, arr, shift, pos in patches:
             tr._set_window(g.o0, _slide_patch(tr.buffer, arr, shift, pos))
         return True
+
+    def _refresh_trace(self, name):
+        """Recompute one dirty (hidden) trace's window in place, so reads
+        through :meth:`Trace._range` are served from the refreshed buffer
+        instead of paying a fresh device program per access.  Same chunk
+        geometry as the last scroll — always a compile cache hit.  Returns
+        False when there is no raw window to compute from."""
+        if self.data is None or len(self.data.buffer) == 0:
+            return False
+        dev = self._device_raw()
+        out = self.executor.run(dev, self.data.offset,
+                                targets=[name], device=True)
+        for n, (off, arr) in out.items():
+            if n != RAW and n in self._traces:
+                self._traces[n]._set_window(off, arr)
+        self._dirty.difference_update(out)
+        return name.lower() in out
 
     def _recompute_buffer(self):
         """Re-run the fused program over the raw buffer already in memory —

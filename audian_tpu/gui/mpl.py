@@ -483,8 +483,10 @@ class MplBrowserWindow:
             art["im"].set_visible(bool(img.size))
             if img.size:
                 art["im"].set_data(img.T)
+                # rect is (x, y, w, h) — the same contract the Qt
+                # frontend's QRectF consumes
                 art["im"].set_extent((rect[0], rect[0] + rect[2],
-                                      rect[1], rect[3]))
+                                      rect[1], rect[1] + rect[3]))
                 art["im"].set_cmap(CET_TO_MPL.get(b.color_map_name,
                                                   "magma"))
             self._set_event_offsets(art["events"], c, "spectrogram")

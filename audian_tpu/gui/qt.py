@@ -229,7 +229,12 @@ if HAVE_QT:
             row = 0
             b = browser
             fmax = b.data.rate / 2
-            for c in b.show_channels:
+            # rows exist for EVERY channel of the recording (the
+            # reference builds per-channel figures for all channels,
+            # `databrowser.py:53-240`); refresh() shows/hides them as
+            # the channel verbs scroll or toggle the shown set — a tab
+            # opened with a restricted set must still reveal the others
+            for c in range(b.data.channels):
                 vb = SelectViewBox(self, c, "trace")
                 taxis = TimeAxisItem(b)
                 self.time_axes.append(taxis)
@@ -302,11 +307,11 @@ if HAVE_QT:
             # (`fulltraceplot.py:62-292` builds one row per channel)
             self.overview = self.glw.addPlot(row=row, col=0)
             self.overview.setMaximumHeight(
-                min(60 + 25 * len(b.show_channels), 200))
+                min(60 + 25 * b.data.channels, 200))
             self.overview.setLabel("bottom", "time", units="s")
             self.ov_curves = {
                 c: self.overview.plot(pen=pg.mkPen("#888888", width=1))
-                for c in b.show_channels}
+                for c in range(b.data.channels)}
             self.region = pg.LinearRegionItem(
                 values=(b.toffset, b.toffset + b.twindow), movable=True)
             self.overview.addItem(self.region)
@@ -333,7 +338,7 @@ if HAVE_QT:
             self.pan_timer.timeout.connect(self._apply_manual_range)
             self.audio_marks = {
                 c: pg.InfiniteLine(angle=90, pen=pg.mkPen("m"))
-                for c in b.show_channels}
+                for c in range(b.data.channels)}
             for c, (pt, _) in self.trace_plots.items():
                 self.audio_marks[c].setVisible(False)
                 pt.addItem(self.audio_marks[c])
@@ -387,6 +392,10 @@ if HAVE_QT:
                 if apply_grids:
                     pt.showGrid(x=bool(b.grids & 1), y=bool(b.grids & 2),
                                 alpha=0.8)
+                if not pt.isVisible():
+                    # hidden rows keep stale data; they are refreshed on
+                    # the sigChannelsChanged redraw that reveals them
+                    continue
                 times, values = b.trace_tile(name, c)
                 curve.setData(times, values)
                 if "envelope" in b.data and b.data.is_visible("envelope"):

@@ -335,6 +335,36 @@ def test_hover_power_block_cache(tmp_path, rng):
     b.close()
 
 
+def test_hover_readout_resolves_custom_spectrogram_panel(tmp_path, rng):
+    """The spectrogram dB hover resolves the panel through the trace's
+    own ``.panel`` — plugin chains may name it something other than
+    "spectrogram" (`databrowser.py:243-245` routing)."""
+    from audian_tpu.graph import FilterNode, SpectrogramNode
+
+    rate = 8000.0
+    x = 0.1 * rng.standard_normal((int(5.0 * rate), 1))
+    p = tmp_path / "custom_panel.wav"
+    wavio.write_audio(p, x, rate, encoding="PCM_16")
+    plugins = Plugins()
+    plugins.clear_trace_factories()
+
+    def traces(b):
+        b.add_trace(FilterNode("filtered", "data"))
+        b.add_trace(SpectrogramNode("spectrogram", "filtered",
+                                    panel="myspec"))
+
+    plugins.add_trace_factory(traces)
+    b = DataBrowser(str(p), plugins=plugins).open()
+    try:
+        b.set_times(0.0, 2.0)
+        spec = b.data["spectrogram"]
+        fmid = float(spec.frequencies[len(spec.frequencies) // 2])
+        line = b.hover_readout(1.0, fmid, kind="spec", channel=0)
+        assert "dB" in line, line
+    finally:
+        b.close()
+
+
 def test_secs_to_str_fractional():
     assert secs_to_str(90.25) == "1m30.25s"
     assert secs_to_str(5.25) == "5.25s"

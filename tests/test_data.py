@@ -488,6 +488,47 @@ def test_hidden_update_never_serves_stale_reads(wav_file):
     d.close()
 
 
+def test_hidden_dirty_trace_reads_refresh_the_window_once(wav_file):
+    """Reading a hidden-but-dirty trace refreshes its device window ONCE
+    and serves later reads from it — per-access fresh computes would run
+    one device program (raw read + upload + chain + pull) per
+    ``__getitem__``."""
+    d = Data(wav_file)
+    for node in default_traces():
+        d.add_trace(node)
+    d.open()
+    d.update_times(0.2, 0.6)
+    env = d["envelope"]
+    d.set_visible("envelope", False)
+    env.update(envelope_cutoff=env.envelope_cutoff * 4)
+    assert "envelope" in d._dirty
+    calls = []
+    orig = d.executor.run
+
+    def counting_run(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    d.executor.run = counting_run
+    try:
+        first = np.array(env[12000:12400, 0])
+        assert "envelope" not in d._dirty
+        n_first = len(calls)
+        assert n_first >= 1
+        again = np.array(env[12000:12400, 0])
+        shifted = np.array(env[12100:12300, 0])
+        assert len(calls) == n_first  # in-window reads: no new programs
+    finally:
+        d.executor.run = orig
+    np.testing.assert_allclose(again, first, atol=1e-6)
+    np.testing.assert_allclose(shifted, first[100:300], atol=1e-6)
+    # the refreshed window holds the post-update values
+    d.set_visible("envelope", True)
+    np.testing.assert_allclose(np.array(env[12000:12400, 0]), first,
+                               atol=1e-5)
+    d.close()
+
+
 def test_reopen_resets_trace_windows(wav_file):
     """Re-opening a Data must not serve the previous open's buffers —
     decode semantics (unwrap) or even the file can change."""

@@ -684,6 +684,46 @@ def test_many_channel_window(qt, tmp_path_factory, rng):
         shell.close()
 
 
+def test_restricted_channel_tab_reveals_other_channels(qt, tmp_path_factory,
+                                                       rng):
+    """A tab opened with a restricted channel set (``audian -c 0``) still
+    builds plot rows for EVERY channel of the recording, so channel verbs
+    that scroll or toggle other channels into view reveal live plots —
+    the reference builds per-channel figures for all channels
+    (`databrowser.py:53-240`) and only toggles visibility."""
+    t = np.arange(int(1.0 * RATE)) / RATE
+    x = np.stack([0.2 * np.sin(2 * np.pi * (300 + 150 * c) * t)
+                  + 0.01 * rng.standard_normal(len(t))
+                  for c in range(3)], axis=1)
+    p = tmp_path_factory.mktemp("qtrc") / "three.wav"
+    wavio.write_audio(p, x, RATE, encoding="PCM_16")
+    shell = Audian([p], channels=[0])
+    shell.load_files()
+    win = qt.AudianWindow(shell)
+    try:
+        tab = win.tab()
+        b = win.browser()
+        assert b.show_channels == [0]
+        # rows exist for all three channels; only channel 0 is visible
+        assert set(tab.trace_plots) == {0, 1, 2}
+        assert tab.trace_plots[0][0].isVisible()
+        assert not tab.trace_plots[1][0].isVisible()
+        # step to the next channel: its plot must be visible WITH data
+        trigger(win, "Shift+Down")
+        assert b.show_channels == [1]
+        pt, curve = tab.trace_plots[1]
+        assert pt.isVisible()
+        assert len(curve.xdata) > 0
+        assert not tab.trace_plots[0][0].isVisible()
+        # spectrogram row follows
+        if 1 in tab.spec_images:
+            ps, img = tab.spec_images[1]
+            assert ps.isVisible()
+            assert img.image is not None and img.image.size > 0
+    finally:
+        shell.close()
+
+
 def test_toggle_maximize(win):
     """Ctrl+Shift+M toggles main-window maximization
     (`audian.py:1410-1414`)."""

@@ -244,6 +244,10 @@ def test_cli_pop_option_forms(tmp_path, wav_files):
     argv = ["--screenshot", "--mpl", "a.wav"]
     assert _pop_option(argv, "--screenshot") is None  # flag, not a value
     assert "--mpl" in argv
+    # a value starting with a single dash is a legitimate filename
+    argv = ["--screenshot", "-shot.png", "a.wav"]
+    assert _pop_option(argv, "--screenshot") == "-shot.png"
+    assert argv == ["a.wav"]
     argv = ["a.wav", "--screenshot"]
     assert _pop_option(argv, "--screenshot") is None
     argv = ["--mpl", "a.wav"]
