@@ -55,6 +55,15 @@ def wav3(tmp_path_factory, rng):
 
 def _check_invariants(b):
     """Structural invariants that must hold after EVERY verb."""
+    from audian_tpu.view import render
+
+    # interactive caches never exceed their documented bounds (the
+    # long-session leak contract of tests/test_browser.py)
+    assert len(b.trace_tiler._cache) <= 32
+    assert len(b.spec_tiler._cache) <= 8
+    assert len(render._extrema_cache) <= 64
+    assert len(render._power_block_cache) <= 16
+    assert len(b.data._q_staging) <= 4
     assert np.isfinite(b.toffset) and b.toffset >= 0.0
     assert np.isfinite(b.twindow) and b.twindow > 0.0
     nch = b.data.channels
