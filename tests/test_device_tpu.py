@@ -124,6 +124,82 @@ def test_light_blocks_within_budget_on_device(fused, signal):
     assert ddb < 0.05, ddb
 
 
+def test_interactive_browser_on_device(_cache, tmp_path):
+    """Product-level interactive session on the real chip: open a PCM-16
+    recording through the public :class:`DataBrowser`, scroll, scrub the
+    filter, pull render tiles — windowed trace reads stay within the
+    1e-5 contract of scipy float64 oracles, and once warm the steady
+    state compiles nothing (the interactivity contract, on real
+    hardware instead of the CPU mesh)."""
+    import logging
+
+    from audian_tpu.app import DataBrowser
+    from audian_tpu.data import wavio
+    from audian_tpu.ops import design_filter
+
+    rate = 48000.0
+    rng = np.random.default_rng(3)
+    n = int(10.0 * rate)
+    t = np.arange(n) / rate
+    x = np.stack([
+        0.4 * np.sin(2 * np.pi * 9000.0 * t) * (
+            np.sin(2 * np.pi * 4.0 * t) > 0)
+        + 0.05 * rng.standard_normal(n),
+        0.3 * np.sin(2 * np.pi * 5000.0 * t),
+    ], axis=1)
+    p = tmp_path / "dev.wav"
+    wavio.write_audio(p, x, rate, encoding="PCM_16")
+    x16, _ = wavio.load_audio(p)  # ground truth after PCM-16 quantization
+
+    b = DataBrowser(str(p))
+    b.open()
+
+    def interact(k):
+        b.set_times(0.5 + 0.6 * k, 1.0)
+        b.update_filter(highpass_cutoff=1500.0 + 100.0 * (k % 3),
+                        lowpass_cutoff=20000.0)
+        for c in range(2):
+            b.trace_tile("filtered", c)
+            b.spec_tile(c, quantize=True)
+        b.power_spectrum(0)
+
+    for k in range(4):  # warmup: compile every program variant (cached
+        interact(k)     # across sessions by the persistent XLA cache)
+
+    records = []
+
+    class Grab(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    handler = Grab()
+    loggers = [logging.getLogger("jax._src.dispatch"),
+               logging.getLogger("jax._src.interpreters.pxla")]
+    jax.config.update("jax_log_compiles", True)
+    try:
+        for lg in loggers:
+            lg.addHandler(handler)
+        for k in range(4, 8):
+            interact(k)
+    finally:
+        jax.config.update("jax_log_compiles", False)
+        for lg in loggers:
+            lg.removeHandler(handler)
+    compiles = [r for r in records if "Compiling" in r or "compilation" in r]
+    assert not compiles, f"steady state recompiled on device: {compiles[:4]}"
+
+    # windowed read of the filtered trace vs the scipy float64 oracle
+    b.set_times(2.0, 1.0)
+    tr = b.data["filtered"]
+    i0, i1 = int(2.0 * rate), int(3.0 * rate)
+    got = np.asarray(tr[i0:i1])
+    sos = np.asarray(design_filter(rate, 1500.0 + 100.0 * (7 % 3),
+                                   20000.0), np.float64)
+    want = sig.sosfilt(sos, x16.astype(np.float64), axis=0)[i0:i1]
+    assert np.max(np.abs(got - want)) < 1e-5
+    b.close()
+
+
 def test_fir_filter_matches_scipy_on_device(_cache, signal):
     """The standalone production FIR path (ops public API) on device."""
     from audian_tpu.ops import design_filter, fir_kernels, sosfilt_fir

@@ -128,7 +128,10 @@ def _verb_pool(b, rng):
         c = rand_channel()
         freqs, db = b.power_spectrum(c)
         assert np.all(np.isfinite(freqs))
-        assert np.all(np.isfinite(db))
+        # a window too small to hold one spectrogram frame returns the
+        # documented all--inf fill (browser.power_spectrum); otherwise
+        # both compute paths clamp at -200 dB and stay finite
+        assert np.all(np.isfinite(db)) or np.all(np.isneginf(db))
         b.estimate_power_levels(c)
 
     def analyze_region():
