@@ -95,8 +95,17 @@ class Node:
     def halo_seconds(self):
         """(before, after) in seconds of source time, including the STFT
         window overhang — the quantity the graph folds backward to size
-        the raw fetch (`src/audian/data.py:154-166` analog)."""
-        overhang = max(self.window - self.step, 0) / self.source_spec.rate
+        the raw fetch (`src/audian/data.py:154-166` analog).
+
+        The overhang is ``window - 1`` (not ``window - step``): the last
+        frame whose grid position falls inside a chunk can start up to
+        ``step - 1`` samples before the chunk edge, so folding only
+        ``window - step`` drops exactly one boundary frame whenever chunk
+        edges are not step-aligned AND the upstream halos are smaller
+        than a window (found by tests/test_graph_fuzz.py).  The aligned
+        interactive path never sees the difference; arbitrary
+        :class:`GraphExecutor` chunkings stay gap-free for free."""
+        overhang = max(self.window - 1, 0) / self.source_spec.rate
         return self.halo_before, self.halo_after + overhang
 
     def source_range(self, o0, o1):

@@ -102,7 +102,7 @@ def test_halo_folding_matches_reference_rules():
     assert env.halo_before > 0
     assert tb == pytest.approx(env.halo_before)
     assert ta == pytest.approx(max(env.halo_after,
-                                   (spect.nfft - spect.hop) / spec.rate))
+                                   (spect.nfft - 1) / spec.rate))
     # activating the filter adds its warm-up in front of everything
     g["filtered"].update(highpass_cutoff=2000.0, lowpass_cutoff=10000.0)
     tb2, ta2 = g.refold()
@@ -113,7 +113,7 @@ def test_halo_folding_matches_reference_rules():
     nb, na = g.output_halo("filtered")
     assert nb == pytest.approx(env.halo_before)
     assert na == pytest.approx(max(env.halo_after,
-                                   (spect.nfft - spect.hop) / spec.rate))
+                                   (spect.nfft - 1) / spec.rate))
 
 
 def test_active_set_pulls_ancestors():
