@@ -84,8 +84,11 @@ def read_png_metadata(path):
         elif ctype == b"zTXt":
             key, _, rest = body.partition(b"\x00")
             if rest[:1] == b"\x00":
-                meta[key.decode("latin-1")] = zlib.decompress(
-                    rest[1:]).decode("latin-1")
+                try:
+                    meta[key.decode("latin-1")] = zlib.decompress(
+                        rest[1:]).decode("latin-1")
+                except zlib.error:
+                    pass  # corrupted chunk: skip, keep scanning
         elif ctype == b"iTXt":
             key, _, rest = body.partition(b"\x00")
             if len(rest) >= 2:
@@ -93,7 +96,11 @@ def read_png_metadata(path):
                 rest = rest[2:]
                 # skip language tag and translated keyword
                 rest = rest.partition(b"\x00")[2].partition(b"\x00")[2]
-                text = zlib.decompress(rest) if comp_flag else rest
+                try:
+                    text = zlib.decompress(rest) if comp_flag else rest
+                except zlib.error:
+                    pos += 12 + length
+                    continue  # corrupted chunk: skip, keep scanning
                 meta[key.decode("latin-1")] = text.decode("utf-8", "replace")
         elif ctype == b"IEND":
             break
