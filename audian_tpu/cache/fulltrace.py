@@ -41,9 +41,21 @@ def _read_index(index_path):
     """The cache index, tolerating a missing or corrupt file (a killed
     writer must not poison every later open)."""
     try:
-        return json.loads(index_path.read_text())
+        files = json.loads(index_path.read_text())
     except (OSError, ValueError):
         return {}
+    if not isinstance(files, dict):
+        return {}  # valid JSON of the wrong shape is corruption too
+
+    # entries must carry the lookup schema (load_data reads these keys
+    # unconditionally); drop anything else so callers can rely on it
+    def _valid(v):
+        return (isinstance(v, dict)
+                and isinstance(v.get("first"), str)
+                and isinstance(v.get("last"), str)
+                and isinstance(v.get("rate"), (int, float)))
+
+    return {k: v for k, v in files.items() if _valid(v)}
 
 
 def _write_index(index_path, files):
