@@ -231,7 +231,8 @@ class FusedChainCF:
                 self._chain_kernel = False
         return self._chain_kernel or None
 
-    def chain_cf(self, x_ext, n, stats=False):
+    def chain_cf(self, x_ext, n, stats=False,
+                 outputs=("filtered", "envelope", "spectrogram")):
         """Run the whole chain in ONE device pass over an extended stream
         ``[hb | n | ha]`` (``hb = chain_kernel.hb``,
         ``ha >= chain_kernel.ha``).  Returns ``(filtered, envelope, psd)``
@@ -240,18 +241,27 @@ class FusedChainCF:
         per-chunk statistics (per-channel signal power, envelope mass,
         and PSD column sums — the inputs to noise-floor auto-leveling);
         pulling just those tiny arrays fences the chunk without re-reading
-        the three full outputs from HBM."""
+        the three full outputs from HBM.
+
+        ``outputs`` masks the chain statically: stages not requested skip
+        their MXU passes and HBM writes (the chain is DMA-bound, so an
+        envelope-only batch consumer runs measurably faster); masked
+        entries return ``None`` in their tuple positions."""
         ck = self.chain_kernel
         if ck is None:
             raise ValueError(
                 "the single-pass chain kernel needs filter + envelope "
                 "designs and hop == 128; use the per-stage methods")
-        return ck(x_ext, n, stats=stats)
+        return ck(x_ext, n, stats=stats, outputs=outputs)
 
-    def __call__(self, x_cf, nspec_frames=None):
+    def __call__(self, x_cf, nspec_frames=None,
+                 outputs=("filtered", "envelope", "spectrogram")):
         y = self.filtered_cf(x_cf)
-        out = {"filtered": y}
-        if self.env_mode is not None:
+        out = {}
+        if "filtered" in outputs:
+            out["filtered"] = y
+        if self.env_mode is not None and "envelope" in outputs:
             out["envelope"] = self.envelope_cf(y)
-        out["spectrogram"] = self.spectrogram_fc(y, nspec_frames)
+        if "spectrogram" in outputs:
+            out["spectrogram"] = self.spectrogram_fc(y, nspec_frames)
         return out

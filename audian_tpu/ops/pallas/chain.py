@@ -151,11 +151,18 @@ def _stage_precisions(precision):
 
 def _chain_kernel(xa, xb, wf, we, ws, yo, eo, so, po, go, qo, *, C, N, offf,
                   gy, lead, offe, nbins, env_clamp, precision, act_f, act_e,
-                  n, nf, ablate=frozenset()):
+                  n, nf, outputs, ablate=frozenset()):
     # ``ablate`` (timing experiments only — see benchmarks/chain_ablate.py)
     # skips individual kernel phases while keeping every output write and
     # the grid/DMA structure identical, so the cost of each phase can be
     # measured in isolation.  Production callers never set it.
+    # ``outputs`` is the static output mask: stages not requested skip
+    # both their MXU passes and their full-size HBM writes (the chain is
+    # DMA-bound — an envelope-only consumer saves ~2/3 of the write
+    # traffic); masked out-buffers shrink to one 128-lane column.
+    want_f = "filtered" in outputs
+    want_e = "envelope" in outputs
+    want_s = "spectrogram" in outputs
     prec_f, prec_e, prec_s = _stage_precisions(precision)
     x = jnp.concatenate([xa[:, :], xb[:, :]], axis=1)
     if x.dtype == jnp.int16:
@@ -171,19 +178,25 @@ def _chain_kernel(xa, xb, wf, we, ws, yo, eo, so, po, go, qo, *, C, N, offf,
         y_ext = _conv(x, wf[:, :], offf, gy, C, prec_f,
                       act_f).reshape(C, gy * 128)
     y = y_ext[:, lead : lead + N]
-    yo[:, :] = y
+    yo[:, :] = y if want_f else y[:, :128]
     # stage 2: rectified zero-phase envelope (reads y_ext in VMEM)
-    v = (jnp.pi / 2) * jnp.abs(y_ext)
-    if "envelope" in ablate:
-        e = v[:, :N]
+    if not want_e:
+        e = None
+        eo[:, :] = y[:, :128]
+    elif "envelope" in ablate:
+        e = (jnp.pi / 2) * jnp.abs(y_ext)[:, :N]
+        eo[:, :] = e
     else:
+        v = (jnp.pi / 2) * jnp.abs(y_ext)
         e = _conv(v, we[:, :], offe, N // 128, C, prec_e,
                   act_e).reshape(C, N)
         e = jnp.maximum(e, 0.0) if env_clamp else e
-    eo[:, :] = e
+        eo[:, :] = e
     # stage 3: STFT PSD frames (windows start at lead + f*128)
     F = N // 128
-    if "spectrogram" in ablate:
+    if not want_s:
+        psd = None
+    elif "spectrogram" in ablate:
         psd = jnp.zeros((C, F, nbins), jnp.float32) + y[0, 0]
     else:
         # ws is lane-packed to exactly nfft = 2*nbins - 2 columns (the
@@ -201,7 +214,9 @@ def _chain_kernel(xa, xb, wf, we, ws, yo, eo, so, po, go, qo, *, C, N, offf,
         main = sqlo + jnp.where(keep, sqhi, 0.0)
         psd = jnp.concatenate([main, sqhi[:, :1]], axis=1)
         psd = psd.reshape(C, F, nbins)
-    if "transpose" in ablate:
+    if not want_s:
+        so[0] = jnp.zeros((1, C, nbins), jnp.float32)
+    elif "transpose" in ablate:
         so[0] = jnp.zeros((F, C, nbins), jnp.float32) + psd[0, 0, 0]
     else:
         so[0] = psd.transpose(1, 0, 2)
@@ -220,12 +235,16 @@ def _chain_kernel(xa, xb, wf, we, ws, yo, eo, so, po, go, qo, *, C, N, offf,
         fm = 1.0
     if "stats" in ablate:
         po[0, 0, :] = y[:, 0]
-        go[0, 0, :] = e[:, 0]
-        qo[0] = psd[:, 0]
+        go[0, 0, :] = e[:, 0] if e is not None else y[:, 0]
+        qo[0] = psd[:, 0] if psd is not None else jnp.zeros(
+            (C, nbins), jnp.float32)
     else:
+        # stats cover the computed stages only: masked stages report zero
         po[0, 0, :] = jnp.sum(y * y * m, axis=1)
-        go[0, 0, :] = jnp.sum(e * m, axis=1)
-        qo[0] = jnp.sum(psd * fm, axis=1)
+        go[0, 0, :] = (jnp.sum(e * m, axis=1) if e is not None
+                       else jnp.zeros((C,), jnp.float32))
+        qo[0] = (jnp.sum(psd * fm, axis=1) if psd is not None
+                 else jnp.zeros((C, nbins), jnp.float32))
 
 
 class FusedChainKernel:
@@ -354,7 +373,10 @@ class FusedChainKernel:
                 f"raise block_frames (N = 128*block_frames) or shorten "
                 f"the filter kernels (higher cutoffs / lower order)")
 
-    def __call__(self, x_ext, n, stats=False):
+    #: the full output set (and the default ``outputs`` mask)
+    ALL_OUTPUTS = ("filtered", "envelope", "spectrogram")
+
+    def __call__(self, x_ext, n, stats=False, outputs=ALL_OUTPUTS):
         """Run the chain over ``x_ext = [hb | n | ha...]`` (channels-first).
 
         ``x_ext`` may be float32 or int16; int16 is raw PCM-16
@@ -369,21 +391,37 @@ class FusedChainKernel:
         per-channel envelope mass, ``psd_sum`` = per-channel PSD column
         sums over the chunk's frames) — reading them fences the chunk
         without pulling the three full outputs back out of HBM.
+
+        ``outputs`` is a static mask (any subset of ``ALL_OUTPUTS``):
+        stages not requested skip their MXU passes and their full-size
+        HBM writes — on this DMA-bound chip an envelope-only consumer
+        pays roughly 1/3 of the full chain's write traffic.  Masked
+        entries come back as ``None`` (positions preserved) and their
+        stats report zero.
         """
+        outputs = tuple(outputs)
+        bad = set(outputs) - set(self.ALL_OUTPUTS)
+        if bad or not outputs:
+            raise ValueError(
+                f"outputs must be a non-empty subset of "
+                f"{self.ALL_OUTPUTS}, got {outputs!r}")
         return _chain_call(
             x_ext, self.wf, self.we, self.ws, int(n), self.N, self.hb,
             self.Hx, self.gy, self.lead, self.offe, self.nbins,
             self.env_clamp, self.precision, self.act_f, self.act_e,
-            bool(stats))
+            bool(stats), outputs)
 
 
-@functools.partial(jax.jit, static_argnums=tuple(range(4, 18)))
+@functools.partial(jax.jit, static_argnums=tuple(range(4, 19)))
 def _chain_call(x_ext, wf, we, ws, n, N, hb, Hx, gy, lead, offe, nbins,
                 env_clamp, precision, act_f, act_e, stats,
-                ablate=frozenset()):
+                outputs=FusedChainKernel.ALL_OUTPUTS, ablate=frozenset()):
     C = x_ext.shape[0]
     nprog = -(-n // N)
     nf = n // 128
+    want_f = "filtered" in outputs
+    want_e = "envelope" in outputs
+    want_s = "spectrogram" in outputs
     # program i reads columns [i*N, i*N+N) plus the halo [i*N+N, i*N+N+Hx)
     need = nprog * N + Hx
     if x_ext.shape[1] < need:
@@ -392,6 +430,11 @@ def _chain_call(x_ext, wf, we, ws, n, N, hb, Hx, gy, lead, offe, nbins,
         x_ext = x_ext[:, :need]
     F = N // 128
     partial_tail = n < nprog * N
+    # masked outputs shrink to one 128-lane column (filtered/envelope) or
+    # one frame row (spectrogram) per program — negligible HBM writes
+    Ny = N if want_f else 128
+    Ne = N if want_e else 128
+    Fs = F if want_s else 1
     y, e, s, p, g, q = pl.pallas_call(
         functools.partial(_chain_kernel, C=C, N=N, offf=0, gy=gy,
                           lead=lead, offe=offe, nbins=nbins,
@@ -399,7 +442,7 @@ def _chain_call(x_ext, wf, we, ws, n, N, hb, Hx, gy, lead, offe, nbins,
                           act_f=act_f, act_e=act_e,
                           n=n if partial_tail else None,
                           nf=nf if partial_tail else None,
-                          ablate=ablate),
+                          outputs=outputs, ablate=ablate),
         grid=(nprog,),
         in_specs=[
             pl.BlockSpec((C, N), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -413,9 +456,11 @@ def _chain_call(x_ext, wf, we, ws, n, N, hb, Hx, gy, lead, offe, nbins,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((C, N), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, N), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, F, C, nbins), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((C, Ny), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, Ne), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Fs, C, nbins), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, C), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -425,9 +470,9 @@ def _chain_call(x_ext, wf, we, ws, n, N, hb, Hx, gy, lead, offe, nbins,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((C, nprog * N), jnp.float32),
-            jax.ShapeDtypeStruct((C, nprog * N), jnp.float32),
-            jax.ShapeDtypeStruct((nprog, F, C, nbins), jnp.float32),
+            jax.ShapeDtypeStruct((C, nprog * Ny), jnp.float32),
+            jax.ShapeDtypeStruct((C, nprog * Ne), jnp.float32),
+            jax.ShapeDtypeStruct((nprog, Fs, C, nbins), jnp.float32),
             jax.ShapeDtypeStruct((nprog, 1, C), jnp.float32),
             jax.ShapeDtypeStruct((nprog, 1, C), jnp.float32),
             jax.ShapeDtypeStruct((nprog, C, nbins), jnp.float32),
@@ -438,7 +483,9 @@ def _chain_call(x_ext, wf, we, ws, n, N, hb, Hx, gy, lead, offe, nbins,
             vmem_limit_bytes=100 * (1 << 20)),
         interpret=jax.default_backend() != "tpu",
     )(x_ext, x_ext, wf, we, ws)
-    out = (y[:, :n], e[:, :n], s.reshape(nprog * F, C, nbins)[:nf])
+    out = (y[:, :n] if want_f else None,
+           e[:, :n] if want_e else None,
+           s.reshape(nprog * Fs, C, nbins)[:nf] if want_s else None)
     if stats:
         return out + ({"power": jnp.sum(p, axis=(0, 1)),
                        "env_sum": jnp.sum(g, axis=(0, 1)),

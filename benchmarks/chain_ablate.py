@@ -91,7 +91,7 @@ def main():
             _y, _e, _s, st = _chain_call(
                 ext, ck.wf, ck.we, ck.ws, CHUNK, ck.N, ck.hb, ck.Hx,
                 ck.gy, ck.lead, ck.offe, ck.nbins, ck.env_clamp,
-                precision, act_f, act_e, True, frozenset(ablate))
+                precision, act_f, act_e, True, ablate=frozenset(ablate))
             return st["power"], st["env_sum"], st["psd_sum"]
 
         return fn

@@ -286,3 +286,60 @@ def test_single_pass_chain_int16_input(chain, signal):
     np.testing.assert_array_equal(np.asarray(y_q), np.asarray(y_f))
     np.testing.assert_array_equal(np.asarray(e_q), np.asarray(e_f))
     np.testing.assert_array_equal(np.asarray(s_q), np.asarray(s_f))
+
+
+def test_single_pass_chain_output_mask(chain, signal):
+    """The static ``outputs`` mask returns exactly the requested stages
+    with values identical to the full chain (masked positions are None,
+    their stats report zero) — the DMA-traffic lever for batch consumers
+    that need only one output (e.g. envelope-only song detection)."""
+    import itertools
+
+    import jax.numpy as jnp
+
+    ck = chain.chain_kernel
+    n = 2048
+    x = jnp.pad(jnp_array(signal), [(0, 0), (ck.hb, 0)])
+    y0, e0, s0, st0 = chain.chain_cf(x, n, stats=True)
+    names = ("filtered", "envelope", "spectrogram")
+    refs = dict(zip(names, (y0, e0, s0)))
+    for r in (1, 2):
+        for outputs in itertools.combinations(names, r):
+            got = chain.chain_cf(x, n, stats=True, outputs=outputs)
+            *vals, st = got
+            for name, val in zip(names, vals):
+                if name in outputs:
+                    np.testing.assert_array_equal(
+                        np.asarray(val), np.asarray(refs[name]),
+                        err_msg=f"{name} with outputs={outputs}")
+                else:
+                    assert val is None, (name, outputs)
+            np.testing.assert_array_equal(np.asarray(st["power"]),
+                                          np.asarray(st0["power"]))
+            for key, name in (("env_sum", "envelope"),
+                              ("psd_sum", "spectrogram")):
+                if name in outputs:
+                    np.testing.assert_array_equal(np.asarray(st[key]),
+                                                  np.asarray(st0[key]))
+                else:
+                    assert not np.any(np.asarray(st[key]))
+
+
+def test_chain_output_mask_rejects_bad_names(chain, signal):
+    import jax.numpy as jnp
+
+    ck = chain.chain_kernel
+    x = jnp.zeros((2, ck.hb + 256), jnp.float32)
+    with pytest.raises(ValueError, match="outputs"):
+        chain.chain_cf(x, 128, outputs=("psd",))
+    with pytest.raises(ValueError, match="outputs"):
+        chain.chain_cf(x, 128, outputs=())
+
+
+def test_fused_call_output_mask(chain, signal):
+    """The per-stage ``FusedChainCF.__call__`` honors the same mask."""
+    full = chain(signal)
+    env_only = chain(signal, outputs=("envelope",))
+    assert set(env_only) == {"envelope"}
+    np.testing.assert_array_equal(np.asarray(env_only["envelope"]),
+                                  np.asarray(full["envelope"]))
