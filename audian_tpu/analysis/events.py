@@ -75,7 +75,24 @@ _CHUNK = 1 << 21
 _KERNEL_BUDGET = {"filt": 0, "env": 0}
 
 
-def _band_env_chunks(fdesign, edesign, x, step, return_filtered):
+def _make_envdet(fdesign, edesign, step, halo):
+    """Build the fused decimating envelope program for the chunk
+    geometry, or return ``None`` when it cannot cover the kernels (the
+    caller then stays on the unfused driver)."""
+    from ..ops.envdet import EnvDet
+
+    nout = _CHUNK // step + 1
+    try:
+        ed = EnvDet(fdesign, edesign, step, nout, hb=halo)
+    except ValueError:
+        return None
+    if ed.window_need(halo + step - 1) > _CHUNK + 2 * halo:
+        return None
+    return ed
+
+
+def _band_env_chunks(fdesign, edesign, x, step, return_filtered,
+                     fused=False):
     """Chunked driver around :func:`_band_env_device`.
 
     Interior chunks carry halos covering the full influence length of the
@@ -84,6 +101,12 @@ def _band_env_chunks(fdesign, edesign, x, step, return_filtered):
     tail the extension window coincides with the true signal edge, so the
     scipy odd-extension semantics apply exactly.  Every chunk reuses ONE
     compiled shape (windows are slid, never padded).
+
+    With ``fused=True`` and ``return_filtered=False`` the envelope comes
+    from the decimating fused path (:func:`_band_env_fused`) instead —
+    measurably faster on a DMA-bound chip, at the cost of baking ``step``
+    and the kernel budgets into the compiled program (batch semantics;
+    interactive scrubs keep the default step-free program).
     """
     n = x.shape[0]
     halo = int(fdesign.fir.length + edesign.fir.length
@@ -109,9 +132,28 @@ def _band_env_chunks(fdesign, edesign, x, step, return_filtered):
         env = np.sqrt(np.maximum(e, 0.0)[::step]) * np.sqrt(2.0)
         return (np.asarray(y) if return_filtered else None,
                 np.ascontiguousarray(env))
+    envdet = (_make_envdet(fdesign, edesign, step, halo)
+              if fused and not return_filtered else None)
     outs_y, outs_e = [], []
     for pos in range(0, n, Lc):
         L = min(Lc, n - pos)
+        if envdet is not None and pos - halo >= 0 and pos - halo + W <= n:
+            # interior chunk on the fused decimating path: only the
+            # decimated envelope crosses HBM and the host link.  The
+            # first/last chunks (windows touching the recording edges)
+            # stay on the exact path below — scipy's padlen+zi edge
+            # semantics cannot be expressed as an input extension
+            # through the nonlinear (squared) stage, and a long odd
+            # reflection measures ~0.7 of the envelope scale off at the
+            # head; interiors of both paths agree to kernel truncation.
+            a = pos - halo
+            g0 = -(-pos // step) * step
+            if g0 < pos + L:
+                cnt = (pos + L - 1 - g0) // step + 1
+                env = np.asarray(envdet(jnp.asarray(x[a : a + W]),
+                                        g0 - a))
+                outs_e.append(env[:cnt])
+            continue
         a = min(max(pos - halo, 0), n - W)
         y, env = _band_env_device(fdesign, edesign, jnp.asarray(x[a : a + W]))
         hb = pos - a
@@ -465,7 +507,7 @@ def analyse_songs(onsets, offsets, envelopes, rate, envfreqs, thresholds,
 
 
 def band_env(data, rate, highpassfreq, lowpassfreq, envelopecutofffreq,
-             return_filtered=True):
+             return_filtered=True, fused=False):
     """Zero-phase band-pass + decimated squared-RMS envelope on the
     chunked fused device path — the front half of :func:`detect`, also
     used by the interactive viewer's filter/envelope redesign (one
@@ -476,6 +518,12 @@ def band_env(data, rate, highpassfreq, lowpassfreq, envelopecutofffreq,
     ``int16`` input is raw PCM-16 (k/2^15): it skips the float64 host
     copy (an hour at 96 kHz is GBs) and crosses the device link at half
     the bytes, dequantizing on device.
+
+    ``fused=True`` (batch jobs; requires ``return_filtered=False``)
+    computes the envelope on the decimating fused path
+    (:mod:`audian_tpu.ops.envdet`): only the decimated envelope crosses
+    HBM and the host link, but the decimation step is baked into the
+    compiled program — leave it off for interactive cutoff scrubbing.
     """
     data = np.atleast_2d(np.asarray(data))
     if data.dtype != np.int16 and not np.issubdtype(data.dtype,
@@ -502,7 +550,7 @@ def band_env(data, rate, highpassfreq, lowpassfreq, envelopecutofffreq,
     envrate_t = min(envelopecutofffreq * 10, rate)
     step = int(np.round(rate / envrate_t))
     fdata, env = _band_env_chunks(fdesign, edesign, data, step,
-                                  return_filtered)
+                                  return_filtered, fused=fused)
     return fdata, env, rate / step
 
 
@@ -516,7 +564,9 @@ def detect(data, rate, highpassfreq=1000.0, lowpassfreq=10000.0,
     envelope rate, thresholds, and per-channel song onset/offset times.
     ``return_filtered=False`` skips pulling the full-rate filtered stream
     to the host (``result["filtered"] is None``) — batch jobs that only
-    want the event table save that transfer.  ``int16`` input is raw
+    want the event table save that transfer AND run the envelope on the
+    decimating fused path (only the decimated envelope is ever written
+    to HBM — see :mod:`audian_tpu.ops.envdet`).  ``int16`` input is raw
     PCM-16 (see :func:`band_env`).
     """
     # input normalization happens in band_env (the first stage)
@@ -524,7 +574,8 @@ def detect(data, rate, highpassfreq=1000.0, lowpassfreq=10000.0,
     log("apply bandpass filter + envelope ...")
     fdata, env, envrate = band_env(data, rate, highpassfreq, lowpassfreq,
                                    envelopecutofffreq,
-                                   return_filtered=return_filtered)
+                                   return_filtered=return_filtered,
+                                   fused=not return_filtered)
     log("low-pass filter envelope ...")
     slowenv = lowpass_filter(env, envrate, 1.0 / minduration)
     log("estimate thresholds ...")

@@ -4,7 +4,7 @@ BASELINE.md target: full NFFT-256/50% spectrogram + 2-40 kHz bandpass +
 envelope over a 1 hour x 16 channel x 96 kHz recording in under 2 s on one
 TPU v5e chip.
 
-Two metrics, one JSON line each:
+Three metrics, one JSON line each:
 
 1. ``io+compute``: the honest end-to-end path — a real two-file PCM-16
    recording on disk read through :class:`audian_tpu.data.AudioLoader`
@@ -13,7 +13,11 @@ Two metrics, one JSON line each:
    (recording seconds processed per wall second; target 1x).  On this dev
    host the number is dominated by the environment (slow disk, tunneled
    device link) — see docs/performance.md.
-2. ``spectrogram+bandpass+envelope ... wall`` (the headline, printed
+2. ``batch song-detect envelope``: detect()'s front half (the
+   ``audian-songdetector`` hot loop) on the fused decimating path
+   (``ops/envdet.py``) over device-resident chunks; ``vs_baseline`` is
+   the speedup over the unfused chunk program it replaced.
+3. ``spectrogram+bandpass+envelope ... wall`` (the headline, printed
    LAST): the device compute path with on-device synthesized audio, so
    the tunnel doesn't pollute the kernel numbers.  This is the
    BASELINE.md < 2 s target.  The chunks are device-resident in the
@@ -114,6 +118,74 @@ def bench_kernel(fused):
         _ = np.asarray(out[0])  # fences the in-order queue
         best = min(best, time.perf_counter() - t0)
     return best
+
+
+def bench_detect():
+    """Batch song-detection envelope (detect()'s front half, the
+    ``audian-songdetector`` hot loop) over 1 h x 16 ch x 96 kHz,
+    device-resident chunks: the fused decimating path
+    (``ops/envdet.py`` — band-pass, squaring, smoothing, and 1-in-19
+    decimation in two VMEM-resident window passes) vs the unfused chunk
+    program that materializes every full-rate intermediate in HBM.
+    Returns (fused_s, unfused_s)."""
+    import scipy.signal as sps
+
+    from audian_tpu.ops import FilterDesign
+    from audian_tpu.analysis import events
+
+    fdesign = FilterDesign.from_sos(
+        sps.butter(1, (1000.0, 10000.0), "bandpass", fs=RATE,
+                   output="sos"))
+    edesign = FilterDesign.from_sos(
+        sps.butter(1, 500.0, "lowpass", fs=RATE, output="sos"))
+    step = int(np.round(RATE / min(500.0 * 10, RATE)))
+    halo = int(fdesign.fir.length + edesign.fir.length
+               + fdesign.padlen + edesign.padlen)
+    halo = 1 << max(halo - 1, 2047).bit_length()
+    Lc = events._CHUNK
+    W = Lc + 2 * halo
+    nchunks = -(-int(HOURS * 3600 * RATE) // Lc)
+
+    @jax.jit
+    def make_chunk(seed):
+        key = jax.random.fold_in(jax.random.PRNGKey(2), seed)
+        t = (jnp.arange(W, dtype=jnp.float32) / RATE)[:, None]
+        tone = jnp.sin(2 * jnp.pi * 6500.0 * t) * (
+            jnp.sin(2 * jnp.pi * 1.0 * t) > 0)
+        x = 0.4 * tone + 0.05 * jax.random.normal(key, (W, CHANNELS))
+        return jnp.clip(jnp.round(x * 32768.0), -32768, 32767
+                        ).astype(jnp.int16)
+
+    chunks = [make_chunk(i) for i in range(3)]
+    _ = [np.asarray(c[0, 0]) for c in chunks]
+
+    envdet = events._make_envdet(fdesign, edesign, step, halo)
+
+    def fused_fn(xw):
+        return jnp.sum(envdet(xw, halo))
+
+    @jax.jit
+    def unfused_fn(xw):
+        _y, env = events._band_env_device(fdesign, edesign, xw)
+        return jnp.sum(events._strided_at(env, 0, step))
+
+    def run(fn, reps):
+        _ = np.asarray(fn(chunks[0]))  # compile
+        best = float("inf")
+        for _rep in range(reps):
+            t0 = time.perf_counter()
+            out = None
+            for i in range(nchunks):
+                out = fn(chunks[i % len(chunks)])
+            _ = np.asarray(out)  # fences the in-order queue
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    # the unfused path is only the comparison point: one rep keeps the
+    # benchmark short (it is ~13x the fused wall time)
+    unfused_s = run(unfused_fn, 1)
+    fused_s = run(fused_fn, 3)
+    return fused_s, unfused_s
 
 
 def _bench_recording():
@@ -242,6 +314,16 @@ def main():
         "value": round(io_elapsed, 4),
         "unit": "s",
         "vs_baseline": round(audio_seconds / io_elapsed / 1.0, 3),
+    }))
+
+    detect_s, detect_unfused_s = bench_detect()
+    print(json.dumps({
+        "metric": ("batch song-detect envelope 1h x 16ch x 96kHz wall "
+                   "(fused decimating path; vs_baseline = speedup over "
+                   "the unfused chunk program)"),
+        "value": round(detect_s, 4),
+        "unit": "s",
+        "vs_baseline": round(detect_unfused_s / detect_s, 3),
     }))
 
     elapsed = bench_kernel(fused)

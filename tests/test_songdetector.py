@@ -520,3 +520,80 @@ def test_identical_songs_all_detected(tmp_path):
     onsets = np.asarray(res["onsets"][0])
     assert len(onsets) == 3, onsets
     np.testing.assert_allclose(onsets, [2.0, 7.5, 14.0], atol=0.1)
+
+
+def test_band_env_fused_matches_unfused(rng, monkeypatch):
+    """The decimating fused batch path (ops/envdet.py) reproduces the
+    exact chunked driver: interior chunks to kernel-truncation f32
+    tolerance, edge chunks bit-identically (they share the exact path —
+    scipy's padlen+zi edge semantics survive)."""
+    import scipy.signal as sps
+    from audian_tpu.analysis import events
+
+    rate = 20000.0
+    n = 50000
+    x = rng.standard_normal((n, 2))
+    monkeypatch.setattr(events, "_CHUNK", 8192)
+    monkeypatch.setattr(events, "_KERNEL_BUDGET", {"filt": 0, "env": 0})
+    y_ref, env_ref, r_ref = events.band_env(
+        x, rate, 5500.0, 7500.0, 100.0, return_filtered=False)
+    y_f, env_f, r_f = events.band_env(
+        x, rate, 5500.0, 7500.0, 100.0, return_filtered=False, fused=True)
+    assert y_f is None and r_f == r_ref
+    assert env_f.shape == env_ref.shape
+    scale = np.abs(env_ref).max()
+    np.testing.assert_allclose(env_f, env_ref, atol=1e-5 * scale)
+    # scipy float64 oracle end to end (including the recording edges)
+    want_y = sps.sosfiltfilt(
+        sps.butter(1, (5500.0, 7500.0), "bandpass", fs=rate, output="sos"),
+        x, axis=0)
+    want_e = 2.0 * sps.sosfiltfilt(
+        sps.butter(1, 100.0, "lowpass", fs=rate, output="sos"),
+        want_y ** 2, axis=0)
+    want = np.sqrt(np.maximum(want_e, 0.0))[::20] * np.sqrt(2.0)
+    np.testing.assert_allclose(env_f, want, atol=2e-5 * scale)
+
+
+def test_band_env_fused_int16_and_tail(rng, monkeypatch):
+    """Fused path: raw PCM-16 windows dequantize in VMEM (k/2^15) and a
+    misaligned tail still lands on the global decimation grid."""
+    from audian_tpu.analysis import events
+
+    rate = 20000.0
+    n = 50010  # forces off0 % step != 0 in later chunks
+    x = (0.3 * rng.standard_normal((n, 1))).astype(np.float64)
+    q = np.clip(np.round(x * 32768.0), -32768, 32767).astype(np.int16)
+    xq = q.astype(np.float64) / 32768.0
+    monkeypatch.setattr(events, "_CHUNK", 8192)
+    monkeypatch.setattr(events, "_KERNEL_BUDGET", {"filt": 0, "env": 0})
+    _, env_ref, _ = events.band_env(xq, rate, 5500.0, 7500.0, 100.0,
+                                    return_filtered=False)
+    _, env_q, _ = events.band_env(q, rate, 5500.0, 7500.0, 100.0,
+                                  return_filtered=False, fused=True)
+    assert env_q.shape == env_ref.shape
+    scale = np.abs(env_ref).max()
+    np.testing.assert_allclose(env_q, env_ref, atol=1e-5 * scale)
+
+
+def test_detect_fused_same_songs(rng, monkeypatch):
+    """detect() with return_filtered=False (the batch CLI path, fused
+    envelope) finds exactly the same songs as the plot path."""
+    from audian_tpu.analysis import events
+
+    rate = 20000.0
+    t = np.arange(int(rate * 16)) / rate
+    x = 0.02 * rng.standard_normal(len(t))
+    for s in (3.0, 9.0):
+        m = (t >= s) & (t < s + 1.5)
+        am = 0.5 * (1 + np.sin(2 * np.pi * 30.0 * t[m]))
+        x[m] += 0.6 * am * np.sin(2 * np.pi * 6500.0 * t[m])
+    monkeypatch.setattr(events, "_CHUNK", 1 << 15)
+    monkeypatch.setattr(events, "_KERNEL_BUDGET", {"filt": 0, "env": 0})
+    full = events.detect(x, rate, 5500.0, 7500.0, 100.0,
+                         return_filtered=True)
+    fast = events.detect(x, rate, 5500.0, 7500.0, 100.0,
+                         return_filtered=False)
+    assert fast["filtered"] is None
+    for key in ("onset_indices", "offset_indices"):
+        for cf, cr in zip(fast[key], full[key]):
+            np.testing.assert_array_equal(cf, cr)
