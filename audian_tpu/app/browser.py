@@ -135,6 +135,7 @@ class DataBrowser:
         self.trace_tiler = TraceTiler()
         self.spec_tiler = SpecTiler()
         self._resolutions_warmed = False
+        self._warm_thread = None
         self._power_level_stats = None  # (window, per-channel levels)
         self.fulltrace = None
         # view model (Panels + PlotRanges over headless axes), built in open()
@@ -466,16 +467,69 @@ class DataBrowser:
         self._resolutions_warmed = True
         return count
 
-    # resolution step verbs (`databrowser.py:1225-1245`); the first step
-    # warms the whole bucket set so scrubbing NFFT never compiles again
+    def warm_resolutions_async(self, nffts=None):
+        """Warm the NFFT sweep in the background WITHOUT blocking the
+        first keypress or touching this browser's state: a throwaway
+        headless clone of this session (same recording, channels, and
+        aligned window geometry — hence identical program shapes) visits
+        every bucket through the real warm path on a daemon thread.
+
+        The render-side jits are module-level, so the clone fills the
+        same in-process caches this browser's first scrub will read; the
+        per-session graph programs land in the persistent XLA
+        compilation cache, where this session's first visit of each
+        bucket picks them up without the 10-60 s remote compile
+        (docs/performance.md).  Returns the started thread, or ``None``
+        when there is nothing to warm."""
+        if self._resolutions_warmed or self.spectrogram not in self.data:
+            return None
+        import threading
+
+        import audian_tpu
+
+        audian_tpu.enable_compilation_cache()
+        t0, t1 = self.toffset, self.toffset + self.twindow
+        channels = list(self.show_channels) or None
+
+        def work():
+            clone = None
+            try:
+                clone = DataBrowser(
+                    self.file_path, channels=channels,
+                    plugins=self.plugins,
+                    buffer_time=self.data.buffer_time,
+                    back_time=self.data.back_time,
+                    load_kwargs=self.load_kwargs, unwrap=self.unwrap,
+                    unwrap_clip=self.unwrap_clip)
+                clone.open()
+                clone.set_times(t0, t1 - t0)
+                clone.warm_resolutions(nffts)
+            except Exception:
+                pass  # best-effort prefetch; the UI path stays correct
+            finally:
+                if clone is not None:
+                    try:
+                        clone.close()
+                    except Exception:
+                        pass
+
+        th = threading.Thread(target=work, daemon=True,
+                              name="audian-warm-resolutions")
+        th.start()
+        self._warm_thread = th
+        return th
+
+    # resolution step verbs (`databrowser.py:1225-1245`): a step compiles
+    # only its own bucket — the full sweep warms in the background
+    # (warm_resolutions_async) or on an explicit warm_resolutions() call,
+    # never inline on the first keypress (a cold persistent cache would
+    # stall it for minutes over the tunneled backend)
     def freq_resolution_down(self):
         if self.spectrogram in self.data:
-            self.warm_resolutions()
             self.set_resolution(nfft=self.data[self.spectrogram].nfft // 2)
 
     def freq_resolution_up(self):
         if self.spectrogram in self.data:
-            self.warm_resolutions()
             self.set_resolution(nfft=2 * self.data[self.spectrogram].nfft)
 
     def overlap_frac_up(self):
@@ -1141,21 +1195,31 @@ class DataBrowser:
         node = trace._node
         nf = max(buf.shape[2] // 16, 1)
         if isinstance(buf, jax.Array):
-            # all-channel device reduction, cached per window: the naive
-            # route pulls the whole ~200 MB spectrogram window to the
-            # host per channel (seconds over the tunneled link)
+            # all-channel device reduction, cached STICKY per content
+            # epoch (the naive route pulls the whole ~200 MB spectrogram
+            # window to the host per channel — seconds over the tunneled
+            # link).  Sticky = the reference's "first-time auto color
+            # levels" semantics (`plotranges.py:461-478`): scrolling
+            # keeps the levels, a parameter change (epoch bump)
+            # re-estimates from the new window.  Per-window re-leveling
+            # would also shift zmin/zmax a little every slide and force
+            # a full image re-pull where the scroll-delta tile path
+            # reuses all overlapping columns.
             import weakref
 
+            epoch = trace.content_epoch
             cached = self._power_level_stats
-            if cached is None or cached[0]() is not buf:
+            key = (id(trace), trace.nfft, epoch)
+            if cached is None or cached[0] != key or (
+                    epoch is None and cached[1]() is not buf):
                 stats = np.asarray(noise_level_stats(buf, nf))
                 _trace.trace_event("render.pull", op="noise_levels",
                                    bytes=stats.nbytes)
                 # weak ref: a strong one would pin the superseded
                 # spectrogram window (~200 MB) on the device
-                cached = (weakref.ref(buf), stats)
+                cached = (key, weakref.ref(buf), stats)
                 self._power_level_stats = cached
-            db_tail, db_all = cached[1][channel]
+            db_tail, db_all = cached[2][channel]
         else:
             with np.errstate(all="ignore"):
                 db_tail = 10 * np.log10(

@@ -101,6 +101,9 @@ def main(cargs=None):
         if not shell.browsers:
             print("error: no recordings could be opened", file=sys.stderr)
             return 1
+        # background-compile the NFFT sweep so the first resolution
+        # keypress never waits on the 10-60 s remote compiles
+        shell.current.warm_resolutions_async()
         return run_qt(shell)
 
     shell.load_files()
@@ -125,6 +128,8 @@ def main(cargs=None):
 
     from ..gui.mpl import show
 
+    # see the Qt path: warm the NFFT sweep off the first keypress
+    shell.current.warm_resolutions_async()
     show(shell)
     shell.close()
     return 0

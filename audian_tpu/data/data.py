@@ -158,7 +158,20 @@ class Trace:
     def __len__(self):
         return self.frames
 
-    # visibility (laziness gate) ----------------------------------------------
+    @property
+    def content_epoch(self):
+        """Generation counter of this trace's VALUES: scrolling the
+        window leaves it unchanged (same global frames -> same values,
+        the chunked==whole invariant), while any upstream parameter
+        change bumps it.  Render caches key delta-reusable tile columns
+        on it (:mod:`audian_tpu.view.render`).  While the trace is dirty
+        (hidden during the change, window not yet refreshed) this is
+        ``None`` — the buffer content does not correspond to the new
+        epoch yet, so caches fall back to buffer-object identity."""
+        name = self.name.lower()
+        if name in self._data._dirty:
+            return None
+        return self._data._content_epoch.get(name, 0)
 
     def is_visible(self):
         vis = [pi.isVisible() for pi in self.plot_items if pi is not None]
@@ -319,6 +332,7 @@ class Data:
         self.graph = TraceGraph()
         self.executor = None
         self._traces = {}         # name -> Trace (derived only)
+        self._content_epoch = {}  # trace name -> generation of its VALUES
         self._dirty = set()       # traces with stale content (hidden at
                                   # the time of a parameter update)
         self._raw = None
@@ -507,6 +521,12 @@ class Data:
         # mark keeps the scroll fast path from serving them after they
         # are shown again
         self._dirty |= self._descendants(name)
+        # bump the VALUE generation of every affected trace: render-side
+        # caches may reuse window content across scrolls (same global
+        # frames -> same values, the chunked==whole invariant) but must
+        # refetch after any parameter change
+        for n in self._descendants(name):
+            self._content_epoch[n] = self._content_epoch.get(n, 0) + 1
         self.tbefore, self.tafter = self.graph.refold()
         self._resize_raw_buffer()
         self._recompute_buffer()

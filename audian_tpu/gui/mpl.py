@@ -727,8 +727,9 @@ class MplBrowserWindow:
             cut = b.data["envelope"].envelope_cutoff
             b.update_envelope(cut * (2.0 if key == "E" else 0.5))
         elif key in "rR" and "spectrogram" in b.data:
-            # the step verbs warm the whole bucket set on first use;
-            # plain 'r' decreases like the reference and the Qt frontend
+            # a step compiles only its own bucket (the sweep warms in
+            # the background — warm_resolutions_async); plain 'r'
+            # decreases like the reference and the Qt frontend
             # (`audian.py:799-805`)
             if key == "R":
                 b.freq_resolution_up()

@@ -76,6 +76,55 @@ def _slice_tile_i16(buf, start, width):
         jax.lax.dynamic_slice_in_dim(buf, start, width, axis=0))
 
 
+def _delta_columns(cache, key, trace, buf, g0, w, unit, r, fetch, hi_g,
+                   max_entries=32):
+    """Tile-column cache with scroll-delta reuse.
+
+    Returns ``w`` decoded columns starting at GLOBAL frame ``g0`` (one
+    column = ``unit`` frames, ``r`` output rows per column).  Columns
+    overlapping the cached previous request of the same ``key`` are
+    copied host-side; only missing columns cross the host link through
+    ``fetch(global_start, ncolumns)`` (bucketed widths, a handful of
+    compiled shapes).  Content identity across window objects comes from
+    ``trace.content_epoch`` — scrolling keeps it (same global frames ->
+    same values, the chunked==whole invariant), parameter changes bump
+    it; objects without an epoch fall back to buffer identity, i.e. the
+    pre-delta behavior.  ``hi_g`` is the (global) end of the loaded
+    window; partial reuse requires the request inside it."""
+    epoch = getattr(trace, "content_epoch", None)
+    g1 = g0 + w * unit
+    hit = cache.get(key)
+    fresh = hit is not None and (
+        (epoch is not None and hit["epoch"] == epoch)
+        or (epoch is None and hit["buf"]() is buf))
+    if fresh and hit["g0"] <= g0 and g1 <= hit["g1"]:
+        a = (g0 - hit["g0"]) // unit
+        return hit["data"][r * a : r * (a + w)]
+    if fresh and hit["g0"] < g1 and g0 < hit["g1"] and g1 <= hi_g:
+        c0, c1, old = hit["g0"], hit["g1"], hit["data"]
+        tile = np.empty((r * w,) + old.shape[1:], old.dtype)
+        a = (max(g0, c0) - g0) // unit
+        b = (min(g1, c1) - g0) // unit
+        s = (max(g0, c0) - c0) // unit
+        tile[r * a : r * b] = old[r * s : r * s + r * (b - a)]
+        if g0 < c0:  # scrolled left: new columns before the cache
+            need = (c0 - g0) // unit
+            wc = min(_pow2_at_least(need), w)
+            tile[: r * need] = fetch(g0, wc)[: r * need]
+        if c1 < g1:  # scrolled right: new columns after the cache
+            need = (g1 - c1) // unit
+            wc = min(_pow2_at_least(need), w)
+            tile[r * (w - need):] = fetch(g1 - wc * unit,
+                                          wc)[r * (wc - need):]
+    else:
+        tile = fetch(g0, w)
+    if key not in cache and len(cache) >= max_entries:
+        cache.clear()
+    cache[key] = {"epoch": epoch, "buf": weakref.ref(buf),
+                  "g0": g0, "g1": g1, "data": tile}
+    return tile
+
+
 class TraceTiler:
     """Min/max decimation of a windowed trace to screen pixels.
 
@@ -93,32 +142,39 @@ class TraceTiler:
         #: for callers needing bit-exact buffer values.
         self.quantize = bool(quantize)
         # the device tile covers ALL channels; per-channel callers (one
-        # plot item each) reuse one compute + one host pull per window
+        # plot item each) reuse one compute + one host pull per window.
+        # Entries additionally carry their GLOBAL column coverage, so a
+        # scroll (new window object, same trace values — guaranteed by
+        # the chunked==whole invariant, invalidated per parameter change
+        # through Trace.content_epoch) re-pulls only the newly exposed
+        # columns over the slow host link.
         self._cache = {}
 
-    def _pull(self, kernel, buf, args, post=None):
-        # the buffer object is part of the key: filtered and envelope
-        # windows can share identical geometry, and omitting identity
-        # would make them evict each other on every alternating call.
-        # Entries hold the window only WEAKLY — a strong reference would
-        # pin superseded device windows (~180 MB each) until eviction.
-        # ``post`` decodes the transferred tile once; the cache holds the
-        # decoded form (per-channel callers would otherwise re-decode the
-        # same all-channel tile on every call).
-        key = (kernel.__name__, id(buf)) + args
-        hit = self._cache.get(key)
-        if hit is not None and hit[0]() is buf:
-            return hit[1]
-        raw = np.asarray(kernel(buf, *args))
-        _trace.trace_event("render.pull", op=kernel.__name__,
-                           bytes=raw.nbytes)
-        tile = raw if post is None else post(raw)
-        self._cache = {k: v for k, v in self._cache.items()
-                       if v[0]() is not None}
-        if len(self._cache) > 32:
-            self._cache.clear()
-        self._cache[key] = (weakref.ref(buf), tile)
-        return tile
+    def _columns(self, trace, buf, boff, step, g0, w, minmax):
+        """Decoded tile columns for ``w`` segments of ``step`` frames
+        starting at GLOBAL frame ``g0`` (on the ``g0 % step`` grid,
+        fully inside the loaded window).  Overlapping columns come from
+        the previous pull of the same trace at the same geometry; only
+        missing columns cross the host link (bucketed widths, so scrolls
+        reuse a handful of compiled shapes)."""
+        if minmax:
+            kernel = _minmax_tile_i16 if self.quantize else _minmax_tile
+        else:
+            kernel = _slice_tile_i16 if self.quantize else _slice_tile
+        post = _unpack_scaled_i16 if self.quantize else None
+
+        def fetch(gs, wc):
+            args = ((gs - boff, step, wc) if minmax
+                    else (gs - boff, wc))
+            raw = np.asarray(kernel(buf, *args))
+            _trace.trace_event("render.pull", op=kernel.__name__,
+                               bytes=raw.nbytes)
+            return raw if post is None else post(raw)
+
+        key = (kernel.__name__, id(trace), step, g0 % step)
+        return _delta_columns(
+            self._cache, key, trace, buf, g0, w, step,
+            2 if minmax else 1, fetch, boff + len(buf))
 
     def tile(self, trace, t0, t1, channel=None):
         """Render tile for view range [t0, t1].
@@ -161,13 +217,8 @@ class TraceTiler:
             wb = min(_pow2_at_least(width), avail)
             start2 = min(start, boff + len(buf) - wb * step)
             start2 = lo + ((start2 - lo) // step) * step
-            if self.quantize:
-                tile = self._pull(_minmax_tile_i16, buf,
-                                  (start2 - boff, step, wb),
-                                  post=_unpack_scaled_i16)
-            else:
-                tile = self._pull(_minmax_tile, buf,
-                                  (start2 - boff, step, wb))
+            tile = self._columns(trace, buf, boff, step, start2, wb,
+                                 minmax=True)
             k0 = (start - start2) // step
             values = tile[2 * k0 : 2 * (k0 + width)]
             half = step / 2
@@ -178,12 +229,8 @@ class TraceTiler:
             width = max(stop - start, 0)
             wb = min(_pow2_at_least(width), len(buf))
             start2 = max(min(start, boff + len(buf) - wb), boff)
-            if self.quantize:
-                values = self._pull(_slice_tile_i16, buf,
-                                    (start2 - boff, wb),
-                                    post=_unpack_scaled_i16)
-            else:
-                values = self._pull(_slice_tile, buf, (start2 - boff, wb))
+            values = self._columns(trace, buf, boff, 1, start2, wb,
+                                   minmax=False)
             values = values[start - start2 : start - start2 + width]
             times = (start + np.arange(width)) / rate
         if channel is not None:
@@ -435,21 +482,25 @@ class SpecTiler:
         s2 = (s2 // pool) * pool
         if levels is not None:
             levels = np.asarray(levels, np.float32)
-            key = (id(buf), s2, wb, pool, bool(quantize), levels.tobytes())
-            hit = self._cache.get(key)
-            if hit is None or hit[0]() is not buf:
+            boff = trace.offset
+
+            def fetch(gs, wc):
                 stack = np.asarray(_db_tile_slice_all(
-                    buf, s2, jnp.asarray(levels[:, 0]),
-                    jnp.asarray(levels[:, 1]), wb, bool(quantize), pool))
+                    buf, gs - boff, jnp.asarray(levels[:, 0]),
+                    jnp.asarray(levels[:, 1]), wc * pool, bool(quantize),
+                    pool))
                 _trace.trace_event("render.pull", op="db_tile_all",
                                    bytes=stack.nbytes)
-                self._cache = {k: v for k, v in self._cache.items()
-                               if v[0]() is not None}
-                if len(self._cache) > 8:
-                    self._cache.clear()
-                hit = (weakref.ref(buf), stack)
-                self._cache[key] = hit
-            img = hit[1][:, channel, :]
+                return stack
+
+            # delta reuse across scrolls (one column = ``pool`` frames):
+            # a one-bucket scroll pulls only the newly exposed columns
+            key = (id(trace), pool, (boff + s2) % pool, bool(quantize),
+                   levels.tobytes())
+            stack = _delta_columns(
+                self._cache, key, trace, buf, boff + s2, wb // pool,
+                pool, 1, fetch, boff + len(buf), max_entries=8)
+            img = stack[:, channel, :]
         else:
             img = np.asarray(_db_tile_slice(jnp.asarray(buf), s2, channel,
                                             float(zmin), float(zmax), wb,

@@ -530,3 +530,103 @@ def test_long_session_caches_stay_bounded(tmp_path, rng):
     assert len(render._power_block_cache) <= 16
     assert len(b.data._q_staging) <= 4
     b.close()
+
+
+def test_first_nfft_step_compiles_only_its_bucket(tmp_path, rng):
+    """The first resolution keypress after open must not warm the whole
+    sweep inline (a cold compile cache would stall the keypress for
+    minutes over a tunneled backend): it compiles at most its own
+    bucket, and the full sweep warms in the BACKGROUND through a
+    throwaway clone that never touches this browser's state."""
+    rate = 8000.0
+    x = (0.3 * np.sin(2 * np.pi * 440.0 *
+                      np.arange(int(20.0 * rate)) / rate)
+         + 0.02 * rng.standard_normal(int(20.0 * rate)))
+    p = tmp_path / "warmasync.wav"
+    wavio.write_audio(p, x[:, None], rate, encoding="PCM_16")
+    b = DataBrowser(str(p))
+    b.open()
+    b.set_times(0.0, 2.0)
+    b.spec_tile(0)  # settle the initial bucket's programs
+    nfft0 = b.data[b.spectrogram].nfft
+    n0 = b.data.executor.cache_size
+    b.freq_resolution_up()
+    b.spec_tile(0)
+    assert b.data[b.spectrogram].nfft == 2 * nfft0
+    # exactly the new bucket's program was added — not the whole sweep
+    assert b.data.executor.cache_size <= n0 + 1
+    assert not b._resolutions_warmed
+
+    th = b.warm_resolutions_async()
+    assert th is not None
+    th.join(timeout=600)
+    assert not th.is_alive()
+    # the clone warmed the caches without touching this browser's state
+    assert b.data[b.spectrogram].nfft == 2 * nfft0
+    assert b.data.executor.cache_size <= n0 + 1
+    # warming again on this browser is now served from warm caches and
+    # leaves its own sweep programs compiled
+    assert b.warm_resolutions() > 0
+    assert b.warm_resolutions_async() is None  # already warm
+    b.close()
+
+
+def test_scroll_delta_tile_pulls(tmp_path, rng):
+    """A half-window scroll re-pulls only the newly exposed tile
+    columns (render caches key on global columns + content epoch, not
+    whole windows): bytes pulled are well under 60% of a full-window
+    pull, and the assembled tiles equal a fresh full pull."""
+    from audian_tpu.utils import trace as tr
+    from audian_tpu.view.render import TraceTiler, SpecTiler
+
+    rate = 8000.0
+    x = 0.1 * rng.standard_normal((int(30.0 * rate), 2))
+    p = tmp_path / "delta.wav"
+    wavio.write_audio(p, x, rate, encoding="PCM_16")
+    b = DataBrowser(str(p))
+    b.open()
+
+    def view(t0):
+        b.set_times(t0, 4.0)
+        for c in range(2):
+            b.trace_tile("filtered", c)
+            b.spec_tile(c, quantize=True)
+
+    def pulled(fn):
+        tr.enable(log=False)
+        tr.clear()
+        try:
+            fn()
+            return sum(e["bytes"] for e in tr.events("render.pull")
+                       if "tile" in e["op"])
+        finally:
+            tr.disable()
+
+    view(0.0)  # settle programs and caches
+    full = pulled(lambda: view(10.0))     # jump: no overlap, full pull
+    assert full > 0
+    delta = pulled(lambda: view(12.0))    # half-window scroll
+    assert delta < 0.6 * full, (delta, full)
+    # param change invalidates content: the next pull is full again
+    b.update_filter(highpass_cutoff=500.0)
+    redo = pulled(lambda: view(12.0))
+    assert redo > 0.9 * full, (redo, full)
+
+    # assembled delta tiles == a fresh tiler's full pull
+    ft = b.data["filtered"]
+    tt = TraceTiler()
+    times_a, vals_a = b.trace_tiler.tile(ft, 12.0, 16.0)
+    times_b, vals_b = tt.tile(ft, 12.0, 16.0)
+    np.testing.assert_array_equal(times_a, times_b)
+    np.testing.assert_allclose(vals_a, vals_b, atol=2e-4)
+    st = SpecTiler()
+    lv = np.array([b.estimate_power_levels(c) for c in range(2)],
+                  np.float32)
+    spec = b.data[b.spectrogram]
+    img_a, rect_a = b.spec_tiler.tile(spec, 0, None, None, quantize=True,
+                                      t0=12.0, t1=16.0, levels=lv)
+    img_b, rect_b = st.tile(spec, 0, None, None, quantize=True,
+                            t0=12.0, t1=16.0, levels=lv)
+    assert rect_a == rect_b
+    np.testing.assert_array_equal(img_a, img_b)
+    b.close()

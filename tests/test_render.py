@@ -142,8 +142,8 @@ def test_trace_tiler_cache_reuses_window(trace):
     assert len(tiler._cache) == 1
     t2, v2 = tiler.tile(trace, 0.0, 50.0, channel=1)
     assert len(tiler._cache) == 1  # second channel reuses the pulled tile
-    (buf_ref, tile) = next(iter(tiler._cache.values()))
-    assert buf_ref() is trace.buffer  # held weakly (no device pinning)
+    entry = next(iter(tiler._cache.values()))
+    assert entry["buf"]() is trace.buffer  # held weakly (no device pinning)
     # a new window object invalidates the entry
     trace.buffer = trace.buffer.copy()
     t3, v3 = tiler.tile(trace, 0.0, 50.0, channel=0)
