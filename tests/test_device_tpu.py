@@ -11,9 +11,24 @@ per-stage / per-sub-block precision scheme.  Run it on the real chip:
 
 (the root conftest skips its CPU-mesh forcing under that variable).
 Everything here is skipped unless the active jax backend is ``tpu``.
-First run in a fresh process compiles over the tunnel (~1-3 min); the
-persistent compilation cache makes later runs fast.
+First run in a fresh process compiles over the tunnel (~1-3 min cold;
+the persistent compilation cache makes later runs fast — a warm full
+run is ~2-5 min).
+
+Tunnel watchdog: the dev tunnel can go down for hours (CLAUDE.md), and
+a hung tunnel used to be indistinguishable from a long first compile
+(two observed 590 s zero-output hangs).  This module now prints a
+per-test progress line, pre-flights the tunnel with a 120 s budget
+before the first test, and runs a background heartbeat (a tiny cached
+device op, verified to execute concurrently with in-flight remote
+compiles) — four consecutive missed heartbeats (~2 min dead) abort the
+run loudly instead of hanging silently.
 """
+
+import os
+import sys
+import threading
+import time
 
 import numpy as np
 import pytest
@@ -30,6 +45,121 @@ pytestmark = pytest.mark.skipif(
 
 RATE = 96000.0
 C, N = 4, 1 << 17
+
+
+class _TunnelWatchdog:
+    """Background heartbeat distinguishing 'still compiling over the
+    tunnel' (heartbeat alive) from 'tunnel hung' (heartbeat dead).
+    Device execution of a tiny cached program proceeds concurrently
+    with a remote compile (measured: ~50-100 ms heartbeats while a
+    fresh chain kernel compiled), so dead heartbeats mean the tunnel
+    itself stopped serving."""
+
+    #: consecutive missed heartbeats before aborting (~2 min dead)
+    MAX_MISSES = 4
+
+    def __init__(self):
+        self.current = "<collection>"
+        self.t_test = time.monotonic()
+        self._stop = threading.Event()
+        self._thread = None
+        self._hb = jax.jit(lambda x: jnp.sum(x) * 2.0)
+
+    def _say(self, msg):
+        print(f"[device-suite] {msg}", file=sys.stderr, flush=True)
+
+    def _pulse(self, timeout):
+        """Run the heartbeat op with a timeout; seconds or None."""
+        out = {}
+
+        def run():
+            try:
+                out["v"] = float(np.asarray(
+                    self._hb(jnp.ones((8, 8), jnp.float32))))
+            except Exception as e:  # pragma: no cover - backend failure
+                out["err"] = e
+
+        th = threading.Thread(target=run, daemon=True)
+        t0 = time.monotonic()
+        th.start()
+        th.join(timeout)
+        if th.is_alive() or "err" in out:
+            return None
+        return time.monotonic() - t0
+
+    def preflight(self):
+        self._say("pre-flighting the TPU tunnel (budget 120 s; first "
+                  "heartbeat includes one tiny compile) ...")
+        dt = self._pulse(120.0)
+        if dt is None:
+            pytest.exit(
+                "TPU tunnel unresponsive: a trivial device op did not "
+                "complete within 120 s.  The tunnel is likely DOWN "
+                "(CLAUDE.md documents multi-hour outages where every "
+                "fresh process hangs) — retry when "
+                "`timeout 60 python -c 'import jax; jax.devices()'` "
+                "answers.", returncode=3)
+        self._say(f"tunnel alive (heartbeat {dt * 1000:.0f} ms)")
+
+    def start(self):
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="tunnel-watchdog")
+        self._thread.start()
+
+    def stop(self):
+        self._stop.set()
+
+    def _loop(self):
+        misses = 0
+        while not self._stop.wait(10.0):
+            dt = self._pulse(20.0)
+            in_test = time.monotonic() - self.t_test
+            if dt is None:
+                misses += 1
+                self._say(
+                    f"tunnel heartbeat MISSED ({misses}/"
+                    f"{self.MAX_MISSES}) during {self.current!r} — a "
+                    f"compile would NOT block the heartbeat; the tunnel "
+                    f"looks hung")
+                if misses >= self.MAX_MISSES:
+                    self._say(
+                        f"ABORTING: {self.MAX_MISSES} consecutive "
+                        f"missed heartbeats (~2 min with the tunnel "
+                        f"dead) while in {self.current!r}.  This is a "
+                        f"hung TPU tunnel, not a long compile — see "
+                        f"CLAUDE.md 'Environment gotchas'.")
+                    os._exit(3)
+            else:
+                if misses:
+                    self._say(f"tunnel recovered (heartbeat "
+                              f"{dt * 1000:.0f} ms)")
+                misses = 0
+                if in_test > 45:
+                    self._say(
+                        f"{self.current!r} still running after "
+                        f"{in_test:.0f} s; tunnel alive (heartbeat "
+                        f"{dt * 1000:.0f} ms) — a cold first compile "
+                        f"can take ~3 min")
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _watchdog():
+    wd = _TunnelWatchdog()
+    wd.preflight()
+    wd.start()
+    yield wd
+    wd.stop()
+
+
+@pytest.fixture(autouse=True)
+def _progress(request, _watchdog):
+    _watchdog.current = request.node.name
+    _watchdog.t_test = t0 = time.monotonic()
+    print(f"\n[device-suite] {request.node.name} ...", file=sys.stderr,
+          flush=True)
+    yield
+    print(f"[device-suite] {request.node.name} finished in "
+          f"{time.monotonic() - t0:.1f} s", file=sys.stderr, flush=True)
 
 
 @pytest.fixture(scope="module")
