@@ -1,4 +1,4 @@
-"""Randomized action fuzzing of the Qt frontend (fake toolkit).
+"""Randomized action fuzzing of the Qt frontend (both backends).
 
 Triggers hundreds of random menu actions — the full keyboard surface of
 `src/audian/audian.py:263-1271` — on a two-file shell and checks after
@@ -17,7 +17,8 @@ import shutil
 import numpy as np
 import pytest
 
-import fakeqt
+import fakeqt  # noqa: F401  (fake backend installed via qtcompat)
+import qtcompat as qtc
 from audian_tpu.app import Audian
 from audian_tpu.data import wavio
 from test_fuzz_interaction import _check_invariants
@@ -29,16 +30,11 @@ RATE = 8000.0
 SKIP = {"&Quit", "&Open", "&Close tab", "Save &window as", "&Screenshot"}
 
 
-@pytest.fixture(scope="module")
-def qt():
-    fakeqt.install()
-    import audian_tpu.gui.qt as qtmod
-
-    qtmod = importlib.reload(qtmod)
-    assert qtmod.HAVE_QT
+@pytest.fixture(scope="module", params=qtc.qt_backends())
+def qt(request):
+    qtmod, teardown = qtc.setup_backend(request.param)
     yield qtmod
-    fakeqt.uninstall()
-    importlib.reload(qtmod)
+    teardown()
 
 
 @pytest.fixture(scope="module")
@@ -71,8 +67,8 @@ def test_qt_action_fuzz(qt, wavs):
 
         win.set_status = record_status
 
-        actions = [act for menu in win.menuBar().menus
-                   for act in menu.actions if act.text() not in SKIP]
+        actions = [act for act in qtc.all_actions(win)
+                   if act.text() not in SKIP]
         assert len(actions) > 60  # the full reference action surface
 
         rng = np.random.default_rng(5)
