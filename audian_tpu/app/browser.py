@@ -93,14 +93,17 @@ class DataBrowser:
 
     def __init__(self, file_path, channels=None, plugins=None,
                  buffer_time=60.0, back_time=20.0, load_kwargs=None,
-                 unwrap=0.0, unwrap_clip=False):
+                 unwrap=0.0, unwrap_clip=False, mesh=None):
         self.file_path = file_path
         self.load_kwargs = dict(load_kwargs or {})
         self.unwrap = unwrap
         self.unwrap_clip = unwrap_clip
         self.plugins = plugins or Plugins()
+        # mesh: channel-shard the interactive session across chips
+        # (Data docstring; the browser itself is sharding-agnostic)
         self.data = Data(file_path, buffer_time=buffer_time,
-                         back_time=back_time, **self.load_kwargs)
+                         back_time=back_time, mesh=mesh,
+                         **self.load_kwargs)
         self._requested_channels = channels
         self.show_channels = []
         self.selected_channels = []
@@ -500,7 +503,7 @@ class DataBrowser:
                     buffer_time=self.data.buffer_time,
                     back_time=self.data.back_time,
                     load_kwargs=self.load_kwargs, unwrap=self.unwrap,
-                    unwrap_clip=self.unwrap_clip)
+                    unwrap_clip=self.unwrap_clip, mesh=self.data.mesh)
                 clone.open()
                 clone.set_times(t0, t1 - t0)
                 clone.warm_resolutions(nffts)

@@ -315,12 +315,20 @@ class Data:
     updates (reference parity: `src/audian/data.py:14-236`)."""
 
     def __init__(self, file_path, buffer_time=60.0, back_time=20.0,
-                 follow_time=0.0, **load_kwargs):
+                 follow_time=0.0, mesh=None, **load_kwargs):
         self.file_path = file_path
         self.load_kwargs = load_kwargs
         self.buffer_time = buffer_time
         self.back_time = back_time
         self.follow_time = follow_time
+        #: optional jax Mesh with a "ch" axis: the device raw window (and
+        #: through XLA's sharding propagation every derived window and
+        #: render tile) is sharded channel-wise across the mesh — the
+        #: interactive analog of the batch ShardedPipeline's channel
+        #: axis (BASELINE config 3).  The chain is channel-independent,
+        #: so no collectives are inserted; channel counts that do not
+        #: divide the axis stay replicated.
+        self.mesh = mesh
         self.data = None          # AudioLoader
         self.rate = None
         self.channels = 0
@@ -548,6 +556,7 @@ class Data:
         f32 data — into a recycled per-shape staging buffer (fresh pages
         cost ~100x on this host).
         """
+        put = self._device_put
         infos = getattr(self.data, "_infos", None)
         all_pcm16 = bool(infos) and all(i[3] == "PCM_16" for i in infos)
         if (hbuf.dtype == np.float32 and all_pcm16
@@ -563,11 +572,27 @@ class Data:
                 while len(self._q_staging) > 4:
                     self._q_staging.pop(next(iter(self._q_staging)))
                 self.data.read_raw16_into(int(gstart), len(hbuf), q)
-                return _dequant16(jax.device_put(q))
+                return _dequant16(put(q))
             q = np.round(np.ascontiguousarray(hbuf) * 32768.0
                          ).astype(np.int16)
-            return _dequant16(jax.device_put(q))
-        return jax.device_put(np.ascontiguousarray(hbuf))
+            return _dequant16(put(q))
+        return put(np.ascontiguousarray(hbuf))
+
+    def _device_put(self, array):
+        """``jax.device_put`` honoring the optional channel mesh: with a
+        mesh whose "ch" axis divides the channel count, the window lands
+        channel-sharded and XLA propagates that sharding through every
+        derived-window and render-tile program (zero collectives — the
+        chain is channel-independent)."""
+        if self.mesh is not None and array.ndim >= 2 \
+                and "ch" in self.mesh.shape \
+                and array.shape[1] % self.mesh.shape["ch"] == 0:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            spec = PartitionSpec(*([None, "ch"]
+                                   + [None] * (array.ndim - 2)))
+            return jax.device_put(array, NamedSharding(self.mesh, spec))
+        return jax.device_put(array)
 
     def _device_raw(self):
         """Device mirror of the loader's host window.

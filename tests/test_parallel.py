@@ -295,3 +295,66 @@ def test_sharded_pipeline_int16_matches_float(signal):
     for k in out_f:
         np.testing.assert_array_equal(np.asarray(out_q[k]),
                                       np.asarray(out_f[k]))
+
+
+def test_mesh_backed_interactive_session(tmp_path, rng):
+    """Data(..., mesh=...) channel-shards the interactive session's
+    device windows across the mesh (XLA propagates the sharding through
+    every derived-window and render-tile program, no collectives) and
+    every read/tile matches the single-device session — the interactive
+    analog of BASELINE config 3."""
+    from audian_tpu.app import DataBrowser
+    from audian_tpu.data import wavio
+
+    rate = 8000.0
+    t = np.arange(int(12.0 * rate)) / rate
+    x = np.stack([0.3 * np.sin(2 * np.pi * (300 + 100 * c) * t)
+                  + 0.02 * rng.standard_normal(len(t))
+                  for c in range(8)], axis=1)
+    p = tmp_path / "mesh.wav"
+    wavio.write_audio(p, x, rate, encoding="PCM_16")
+    mesh = make_mesh(seq=1, ch=8)
+    bm = DataBrowser(str(p), mesh=mesh)
+    b1 = DataBrowser(str(p))
+    try:
+        bm.open()
+        b1.open()
+        for t0 in (2.0, 5.0):  # open view + a sliding scroll
+            bm.set_times(t0, 3.0)
+            b1.set_times(t0, 3.0)
+            buf = bm.data["filtered"].buffer
+            assert len(buf.sharding.device_set) == 8
+            i0, i1 = int((t0 + 0.5) * rate), int((t0 + 1.5) * rate)
+            for name in ("data", "filtered"):
+                np.testing.assert_allclose(
+                    np.asarray(bm.data[name][i0:i1]),
+                    np.asarray(b1.data[name][i0:i1]), atol=1e-5)
+            _ta, va = bm.trace_tile("filtered", 5)
+            _tb, vb = b1.trace_tile("filtered", 5)
+            np.testing.assert_allclose(va, vb, atol=1e-4)
+            ia, ra = bm.spec_tile(5, quantize=True)
+            ib, rb = b1.spec_tile(5, quantize=True)
+            assert ra == rb
+            assert np.abs(ia.astype(int) - ib.astype(int)).max() <= 1
+    finally:
+        bm.close()
+        b1.close()
+
+
+def test_mesh_odd_channels_fall_back_replicated(tmp_path, rng):
+    """Channel counts that do not divide the mesh axis stay replicated
+    (sessions must open, not raise)."""
+    from audian_tpu.app import DataBrowser
+    from audian_tpu.data import wavio
+
+    rate = 8000.0
+    x = 0.1 * rng.standard_normal((int(6.0 * rate), 3))  # 3 % 8 != 0
+    p = tmp_path / "odd.wav"
+    wavio.write_audio(p, x, rate, encoding="PCM_16")
+    b = DataBrowser(str(p), mesh=make_mesh(seq=1, ch=8))
+    try:
+        b.open()
+        b.set_times(1.0, 2.0)
+        assert len(np.asarray(b.data["filtered"][100:200])) == 100
+    finally:
+        b.close()
