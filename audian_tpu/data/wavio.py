@@ -65,11 +65,13 @@ _BEXT_FIELDS = [
 
 
 def available_formats():
+    # WAV and FLAC decode natively (data/flac.py); soundfile widens the
+    # set to everything libsndfile knows
     sf = _soundfile()
     if sf is not None:
-        return ["WAV"] + sorted(f for f in sf.available_formats()
-                                if f != "WAV")
-    return ["WAV"]
+        return ["WAV", "FLAC"] + sorted(
+            f for f in sf.available_formats() if f not in ("WAV", "FLAC"))
+    return ["WAV", "FLAC"]
 
 
 def available_encodings(format="WAV"):
@@ -110,8 +112,8 @@ def _soundfile():
 
 def _sf_unavailable(path):
     return WavError(
-        f"{path}: not a RIFF/WAVE file (install the 'soundfile' package "
-        "for other audio formats)")
+        f"{path}: not a RIFF/WAVE or FLAC file (WAV and FLAC decode "
+        "natively; install the 'soundfile' package for other formats)")
 
 
 def _iter_chunks(buf):
@@ -225,14 +227,23 @@ def load_wav(path, return_buffer=False):
     """
     buf = Path(path).read_bytes()
     if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        empty_locs = np.zeros((0, 2), dtype=np.int64)
+        empty_labels = np.zeros((0, 2), dtype=object)
+        if buf[:4] == b"fLaC":  # native FLAC path (data/flac.py)
+            if return_buffer:
+                raise WavError(
+                    f"{path}: in-place buffer access requires WAV")
+            from . import flac
+
+            data, rate = flac.read_flac(path)
+            return (data, rate, flac.flac_metadata(path),
+                    empty_locs, empty_labels)
         sf = _soundfile()
         if sf is None:
             raise _sf_unavailable(path)
         if return_buffer:
             raise WavError(f"{path}: in-place buffer access requires WAV")
         data, rate = sf.read(str(path), always_2d=True, dtype="float64")
-        empty_locs = np.zeros((0, 2), dtype=np.int64)
-        empty_labels = np.zeros((0, 2), dtype=object)
         return data, float(rate), {}, empty_locs, empty_labels
     fmt = None
     data = None
@@ -318,11 +329,16 @@ def scan_wav(path):
     with p.open("rb") as f:
         head = f.read(12)
         if head[:4] != b"RIFF" or head[8:12] != b"WAVE":
+            locs, labels = _marker_arrays({}, {}, {}, {})
+            if head[:4] == b"fLaC":
+                from . import flac
+
+                return (flac.flac_info(p)[0], flac.flac_metadata(p),
+                        locs, labels)
             sf = _soundfile()
             if sf is None:
                 raise _sf_unavailable(path)
             i = sf.info(str(p))
-            locs, labels = _marker_arrays({}, {}, {}, {})
             return float(i.samplerate), {}, locs, labels
         while True:
             hdr = f.read(8)
@@ -374,6 +390,10 @@ def wav_info(path):
     with p.open("rb") as f:
         head = f.read(12)
         if head[:4] != b"RIFF" or head[8:12] != b"WAVE":
+            if head[:4] == b"fLaC":
+                from . import flac
+
+                return flac.flac_info(p)
             sf = _soundfile()
             if sf is None:
                 raise _sf_unavailable(path)
@@ -413,6 +433,10 @@ def read_frames(path, start, nframes, info=None):
     if info is None:
         info = wav_info(path)
     rate, channels, frames, enc, data_off = info
+    if enc.startswith("FLAC"):  # native FLAC path (data/flac.py)
+        from . import flac
+
+        return flac.read_frames(path, start, nframes)
     if data_off is None:  # soundfile-backed (non-WAV container)
         sf = _soundfile()
         start = max(0, min(start, frames))
@@ -535,6 +559,17 @@ def write_audio(path, data, rate, metadata=None, locs=None, labels=None,
     API shape follows audioio's ``write_audio``; the reference's region
     export goes through this (`src/audian/databrowser.py:1913-1918`).
     """
+    if (format or "").upper() == "FLAC" or encoding.upper() == "FLAC" \
+            or (format.upper() == "WAV"
+                and str(path).lower().endswith(".flac")):
+        from . import flac
+
+        if locs is not None and len(locs):
+            raise ValueError(
+                "FLAC has no cue-marker chunk; export markers to "
+                "CSV/XLSX or write a WAV")
+        return flac.write_flac(path, np.asarray(data), rate,
+                               metadata=metadata)
     if format and format.upper() != "WAV":
         raise ValueError(f"unsupported format: {format}")
     data = np.asarray(data)

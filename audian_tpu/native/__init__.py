@@ -20,6 +20,7 @@ import numpy as np
 _HERE = Path(__file__).parent
 _LIB_PATH = _HERE / "libaudianative.so"
 _SRC = _HERE / "wavio.cc"
+_SRCS = [_HERE / "wavio.cc", _HERE / "flacdec.cc"]
 _lock = threading.Lock()
 _lib = None
 _tried = False
@@ -31,7 +32,8 @@ _TAGS = {"PCM_16": (1, 16), "PCM_24": (1, 24), "PCM_32": (1, 32),
 def _build():
     cmd = [
         os.environ.get("CXX", "g++"), "-O3", "-march=native", "-shared",
-        "-fPIC", "-pthread", str(_SRC), "-o", str(_LIB_PATH),
+        "-fPIC", "-pthread", *[str(s) for s in _SRCS],
+        "-o", str(_LIB_PATH),
     ]
     subprocess.run(cmd, check=True, capture_output=True)
 
@@ -45,8 +47,9 @@ def get_lib():
             return _lib
         _tried = True
         try:
-            if not _LIB_PATH.exists() or (
-                _SRC.stat().st_mtime > _LIB_PATH.stat().st_mtime
+            if not _LIB_PATH.exists() or any(
+                s.stat().st_mtime > _LIB_PATH.stat().st_mtime
+                for s in _SRCS
             ):
                 _build()
             lib = ctypes.CDLL(str(_LIB_PATH))
@@ -73,6 +76,13 @@ def get_lib():
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
             ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.an_flac_decode_frame.restype = ctypes.c_int64
+        lib.an_flac_decode_frame.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
         ]
         _lib = lib
         return _lib
@@ -110,6 +120,30 @@ def read_frames(path, data_off, encoding, channels, start, nframes,
     if got < 0:
         return None
     return out[:got]
+
+
+def flac_decode_frame(buf, offset, sinfo):
+    """Decode one FLAC frame at byte ``offset`` of ``buf`` (the whole
+    stream) — the hot loop of :mod:`audian_tpu.data.flac`.  Returns the
+    ``(blocksize, channels)`` int32 samples, or None when the native
+    library is unavailable or rejects the frame (the caller falls back
+    to the Python reference decoder)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    channels = int(sinfo["channels"])
+    maxbs = int(sinfo["max_blocksize"])
+    out = np.empty((maxbs, channels), np.int32)
+    work = np.empty(3 * maxbs, np.int64)
+    n = lib.an_flac_decode_frame(
+        buf, len(buf), int(offset), int(sinfo["rate"]), channels,
+        int(sinfo["bits"]), maxbs,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        work.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if n < 0:
+        return None
+    return out[:n]
 
 
 def minmax(x, step):

@@ -163,9 +163,10 @@ class _FakeSF:
 
 @pytest.fixture
 def fake_soundfile(tmp_path, signal, monkeypatch):
-    """A .flac path readable only through the (faked) soundfile module."""
-    path = tmp_path / "rec.flac"
-    path.write_bytes(b"fLaC not a riff file")
+    """A .ogg path readable only through the (faked) soundfile module
+    (FLAC no longer needs soundfile — it decodes natively)."""
+    path = tmp_path / "rec.ogg"
+    path.write_bytes(b"OggS not a riff file")
     _FakeSFFile.store = {str(path): (signal, 48000.0)}
     monkeypatch.setattr(wavio, "_SF", _FakeSF)
     yield path
@@ -174,13 +175,13 @@ def fake_soundfile(tmp_path, signal, monkeypatch):
 
 def test_non_wav_without_soundfile(tmp_path, monkeypatch):
     monkeypatch.setattr(wavio, "_SF", None)
-    p = tmp_path / "x.flac"
-    p.write_bytes(b"fLaC whatever")
+    p = tmp_path / "x.ogg"
+    p.write_bytes(b"OggS whatever")
     with pytest.raises(wavio.WavError, match="soundfile"):
         wavio.load_audio(p)
     with pytest.raises(wavio.WavError, match="soundfile"):
         wavio.wav_info(p)
-    assert wavio.available_formats() == ["WAV"]
+    assert wavio.available_formats() == ["WAV", "FLAC"]
 
 
 def test_soundfile_fallback_load(fake_soundfile, signal):
@@ -190,7 +191,7 @@ def test_soundfile_fallback_load(fake_soundfile, signal):
     assert wavio.metadata(fake_soundfile) == {}
     locs, labels = wavio.markers(fake_soundfile)
     assert len(locs) == 0
-    assert "FLAC" in wavio.available_formats()
+    assert "OGG" in wavio.available_formats()
 
 
 def test_soundfile_fallback_loader(fake_soundfile, signal):
@@ -199,7 +200,7 @@ def test_soundfile_fallback_loader(fake_soundfile, signal):
     ld = AudioLoader(fake_soundfile, buffer_time=0.01, back_time=0.0)
     assert ld.frames == len(signal)
     assert ld.encoding == "SF:FAKE"
-    assert ld.format_dict()["format"] == "FLAC"
+    assert ld.format_dict()["format"] == "OGG"
     got = ld[100:200]
     assert np.allclose(got, signal[100:200], atol=1e-7)
     # partial reads through wavio.read_frames agree with the array
