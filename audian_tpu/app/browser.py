@@ -1213,14 +1213,17 @@ class DataBrowser:
             epoch = trace.content_epoch
             cached = self._power_level_stats
             key = (id(trace), trace.nfft, epoch)
-            if cached is None or cached[0] != key or (
+            if cached is None or cached[0] != key \
+                    or cached[3]() is not trace or (
                     epoch is None and cached[1]() is not buf):
                 stats = np.asarray(noise_level_stats(buf, nf))
                 _trace.trace_event("render.pull", op="noise_levels",
                                    bytes=stats.nbytes)
-                # weak ref: a strong one would pin the superseded
-                # spectrogram window (~200 MB) on the device
-                cached = (key, weakref.ref(buf), stats)
+                # weak refs: a strong one would pin the superseded
+                # spectrogram window (~200 MB) on the device; the trace
+                # ref guards the recycled-id case (id(trace) in the key)
+                cached = (key, weakref.ref(buf), stats,
+                          weakref.ref(trace))
                 self._power_level_stats = cached
             db_tail, db_all = cached[2][channel]
         else:

@@ -238,6 +238,12 @@ def flac_info(path):
     FLAC frames are found through the frame index)."""
     with Path(path).open("rb") as f:
         info, _ = _read_streaminfo(f)
+    if info["total"] == 0:
+        # "unknown length" streams: the frame index knows the truth
+        try:
+            info = _open(path).sinfo
+        except FlacError:
+            pass  # no frames at all: report the declared zero
     return (float(info["rate"]), int(info["channels"]),
             int(info["total"]), f"FLAC_{info['bits']}", None)
 
@@ -308,9 +314,11 @@ def _parse_frame_header(buf, pos, sinfo):
         else:
             rate = _RATE_CODES[sr_code]
         bits = sinfo["bits"] if ss_code == 0 else _SIZE_CODES[ss_code]
-        crc = buf[br.pos] if br.bit == 0 else None
-        if crc is None:  # header always ends byte-aligned before CRC-8
+        if br.bit != 0 or br.pos >= len(buf):
+            # header always ends byte-aligned before CRC-8; a candidate
+            # ending exactly at EOF is not a frame
             return None
+        crc = buf[br.pos]
         if _crc8(buf[pos : br.pos]) != crc:
             return None
         br.pos += 1
@@ -366,6 +374,8 @@ def _decode_subframe(br, blocksize, bps):
     if br.read(1):
         wasted = br.read_unary() + 1
     bps = bps - wasted
+    if bps <= 0 or bps > 33:
+        raise FlacError("invalid wasted-bits count")
     if stype == 0:  # CONSTANT
         x = np.full(blocksize, br.read_signed(bps), np.int64)
     elif stype == 1:  # VERBATIM
@@ -373,6 +383,8 @@ def _decode_subframe(br, blocksize, bps):
                         np.int64, blocksize)
     elif 8 <= stype <= 12:  # FIXED, order = stype - 8
         order = stype - 8
+        if order > blocksize:
+            raise FlacError("predictor order exceeds block size")
         x = np.empty(blocksize, np.int64)
         for i in range(order):
             x[i] = br.read_signed(bps)
@@ -385,6 +397,8 @@ def _decode_subframe(br, blocksize, bps):
             x[i] = acc
     elif stype >= 32:  # LPC, order = (stype & 31) + 1
         order = (stype & 31) + 1
+        if order > blocksize:
+            raise FlacError("predictor order exceeds block size")
         x = np.empty(blocksize, np.int64)
         for i in range(order):
             x[i] = br.read_signed(bps)
@@ -440,6 +454,30 @@ def _decode_frame(buf, pos, sinfo):
 # -- frame index ------------------------------------------------------------------
 
 
+def _longest_increasing(values):
+    """Indices of the longest strictly-increasing subsequence."""
+    import bisect
+
+    tails = []      # smallest tail value per chain length
+    tail_idx = []   # index of that tail
+    prev = [-1] * len(values)
+    for i, v in enumerate(values):
+        j = bisect.bisect_left(tails, v)
+        if j == len(tails):
+            tails.append(v)
+            tail_idx.append(i)
+        else:
+            tails[j] = v
+            tail_idx[j] = i
+        prev[i] = tail_idx[j - 1] if j else -1
+    out = []
+    i = tail_idx[-1] if tail_idx else -1
+    while i >= 0:
+        out.append(i)
+        i = prev[i]
+    return out[::-1]
+
+
 class _FlacFile:
     """Parsed stream + CRC-validated frame index for random access."""
 
@@ -455,22 +493,37 @@ class _FlacFile:
         cand = np.nonzero(data[self.audio_start : -1] == 0xFF)[0]
         cand = cand[(data[self.audio_start + cand + 1] & 0xFC) == 0xF8]
         offsets, positions = [], []
-        last_pos = -1
         for rel in cand:
             off = self.audio_start + int(rel)
             parsed = _parse_frame_header(buf, off, self.sinfo)
             if parsed is None:
                 continue
-            position = parsed[4]
-            if position <= last_pos:
-                continue
             offsets.append(off)
-            positions.append(position)
-            last_pos = position
+            positions.append(parsed[4])
         if not offsets:
+            if self.sinfo["total"] == 0:  # valid zero-length stream
+                self.offsets = np.zeros(0, np.int64)
+                self.positions = np.zeros(0, np.int64)
+                self._cache = {}
+                return
             raise FlacError(f"{path}: no FLAC frames found")
-        self.offsets = np.asarray(offsets, np.int64)
-        self.positions = np.asarray(positions, np.int64)
+        # a sync-scan false positive (random payload bytes that parse as
+        # a header AND pass CRC-8 + streaminfo consistency) would poison
+        # a greedy monotonic filter: one impostor with a huge coded
+        # number makes every later REAL frame non-increasing.  Real
+        # frames form the longest strictly-increasing position chain;
+        # keep that chain (O(n log n) LIS) so isolated impostors drop
+        # out instead of the rest of the file.
+        keep = _longest_increasing(positions)
+        self.offsets = np.asarray([offsets[i] for i in keep], np.int64)
+        self.positions = np.asarray([positions[i] for i in keep],
+                                    np.int64)
+        if self.sinfo["total"] == 0 and len(self.offsets):
+            # legal "unknown length" streams (piped encoders): derive
+            # the total from the index + the last frame's header
+            parsed = _parse_frame_header(buf, int(self.offsets[-1]),
+                                         self.sinfo)
+            self.sinfo["total"] = int(self.positions[-1]) + parsed[1]
         self._cache = {}  # frame index -> decoded (blocksize, ch) int
 
     def decode_frame(self, k):
@@ -546,9 +599,7 @@ def read_flac(path):
 
 def flac_metadata(path):
     """VORBIS_COMMENT tags as a flat dict (empty when absent)."""
-    with Path(path).open("rb") as f:
-        info, _ = _read_streaminfo(f)
-    return dict(info["comments"])
+    return dict(_open(path).sinfo["comments"])
 
 
 # -- encoder (16-bit subset) ------------------------------------------------------
@@ -687,7 +738,7 @@ def write_flac(path, data, rate, blocksize=4096, metadata=None):
             entry = f"{key}={value}".encode("utf-8")
             vc += struct.pack("<I", len(entry)) + entry
         out += bytes([0x80 | 4]) + len(vc).to_bytes(3, "big") + vc
-    for fnum, pos in enumerate(range(0, max(n, 1), blocksize)):
+    for fnum, pos in enumerate(range(0, n, blocksize)):
         block = q[pos : pos + blocksize]
         bs = len(block)
         hdr = _BitWriter()

@@ -225,14 +225,17 @@ def load_wav(path, return_buffer=False):
     broadcast-wave fields under ``"BEXT"``), and markers as the audioio
     ``locs``/``labels`` arrays.
     """
-    buf = Path(path).read_bytes()
-    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+    # magic probe before slurping the payload: non-WAV branches read the
+    # file through their own machinery (a large FLAC would otherwise be
+    # read fully here just to be discarded and re-read)
+    with Path(path).open("rb") as f:
+        head = f.read(12)
+    if head[:4] != b"RIFF" or head[8:12] != b"WAVE":
         empty_locs = np.zeros((0, 2), dtype=np.int64)
         empty_labels = np.zeros((0, 2), dtype=object)
-        if buf[:4] == b"fLaC":  # native FLAC path (data/flac.py)
-            if return_buffer:
-                raise WavError(
-                    f"{path}: in-place buffer access requires WAV")
+        if return_buffer:
+            raise WavError(f"{path}: in-place buffer access requires WAV")
+        if head[:4] == b"fLaC":  # native FLAC path (data/flac.py)
             from . import flac
 
             data, rate = flac.read_flac(path)
@@ -241,10 +244,9 @@ def load_wav(path, return_buffer=False):
         sf = _soundfile()
         if sf is None:
             raise _sf_unavailable(path)
-        if return_buffer:
-            raise WavError(f"{path}: in-place buffer access requires WAV")
         data, rate = sf.read(str(path), always_2d=True, dtype="float64")
         return data, float(rate), {}, empty_locs, empty_labels
+    buf = Path(path).read_bytes()
     fmt = None
     data = None
     md = {}
@@ -560,7 +562,7 @@ def write_audio(path, data, rate, metadata=None, locs=None, labels=None,
     export goes through this (`src/audian/databrowser.py:1913-1918`).
     """
     if (format or "").upper() == "FLAC" or encoding.upper() == "FLAC" \
-            or (format.upper() == "WAV"
+            or ((format or "WAV").upper() == "WAV"
                 and str(path).lower().endswith(".flac")):
         from . import flac
 

@@ -122,6 +122,7 @@ bool decode_subframe(BitReader& br, int blocksize, int bps, int64_t* x,
         for (int i = 0; i < blocksize; i++) x[i] = br.read_signed(bps);
     } else if (stype >= 8 && stype <= 12) {  // FIXED
         int order = stype - 8;
+        if (order > blocksize) return false;  // before any warmup write
         for (int i = 0; i < order; i++) x[i] = br.read_signed(bps);
         if (!decode_residual(br, blocksize, order, scratch)) return false;
         const int* c = kFixedCoefs[order];
@@ -132,6 +133,7 @@ bool decode_subframe(BitReader& br, int blocksize, int bps, int64_t* x,
         }
     } else if (stype >= 32) {  // LPC
         int order = (stype & 31) + 1;
+        if (order > blocksize) return false;  // before any warmup write
         for (int i = 0; i < order; i++) x[i] = br.read_signed(bps);
         int precision = (int)br.read(4);
         if (precision == 15) return false;

@@ -94,7 +94,10 @@ def _delta_columns(cache, key, trace, buf, g0, w, unit, r, fetch, hi_g,
     epoch = getattr(trace, "content_epoch", None)
     g1 = g0 + w * unit
     hit = cache.get(key)
-    fresh = hit is not None and (
+    # hit["trace"]() is trace guards the id(trace) in the key: CPython
+    # recycles addresses, so a freed Trace's cache entry must never
+    # serve a new Trace that landed on the same id
+    fresh = hit is not None and hit["trace"]() is trace and (
         (epoch is not None and hit["epoch"] == epoch)
         or (epoch is None and hit["buf"]() is buf))
     if fresh and hit["g0"] <= g0 and g1 <= hit["g1"]:
@@ -121,6 +124,7 @@ def _delta_columns(cache, key, trace, buf, g0, w, unit, r, fetch, hi_g,
     if key not in cache and len(cache) >= max_entries:
         cache.clear()
     cache[key] = {"epoch": epoch, "buf": weakref.ref(buf),
+                  "trace": weakref.ref(trace),
                   "g0": g0, "g1": g1, "data": tile}
     return tile
 

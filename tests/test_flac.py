@@ -435,3 +435,113 @@ def test_bad_input_errors():
     with pytest.raises(FlacError, match="channel"):
         flac.write_flac("/nonexistent/x.flac",
                         np.zeros((10, 9), np.int16), 8000)
+
+
+# -- review-finding regressions ---------------------------------------------------
+
+
+def test_eof_header_candidate_is_rejected(rng, tmp_path):
+    """A valid-looking 5-byte header prefix at EOF must be rejected by
+    the index scan, not raise IndexError."""
+    p = tmp_path / "eof.flac"
+    flac.write_flac(p, (rng.integers(-100, 100, (3000, 1))
+                        ).astype(np.int16), 8000)
+    blob = p.read_bytes() + b"\xff\xf8\xc9\x08\x00"
+    p2 = tmp_path / "eof2.flac"
+    p2.write_bytes(blob)
+    got, _ = flac.read_flac(p2)
+    assert got.shape == (3000, 1)
+
+
+def test_false_positive_sync_does_not_poison_index(rng, tmp_path):
+    """An impostor frame header with a huge coded number embedded in the
+    payload must not make the index drop every later real frame."""
+    q = (rng.integers(-20000, 20000, (20000, 1))).astype(np.int16)
+    p = tmp_path / "base.flac"
+    flac.write_flac(p, q, 8000)
+    ff = flac._open(p)
+    assert len(ff.offsets) >= 4
+    # craft a CRC-valid header claiming an absurd frame number and
+    # insert it between two real frames
+    imp = _BitWriter()
+    imp.write(0x3FFE, 14)
+    imp.write(0, 2)
+    imp.write(12, 4)          # blocksize 4096 (matches streaminfo)
+    imp.write(0, 4)
+    imp.write(0, 4)           # 1 channel
+    imp.write(4, 3)           # 16 bits
+    imp.write(0, 1)
+    for b in _utf8_number(10_000_000):
+        imp.write(b, 8)
+    imp.align()
+    head = bytes(imp.out)
+    blob = bytearray(p.read_bytes())
+    cut = int(ff.offsets[2])
+    blob[cut:cut] = head + bytes([_crc8(head)])
+    p2 = tmp_path / "poisoned.flac"
+    p2.write_bytes(bytes(blob))
+    got, _ = flac.read_flac(p2)
+    want = q.astype(np.float64) / 32768.0
+    np.testing.assert_array_equal(got, want)
+
+
+def test_unknown_length_stream(rng, tmp_path):
+    """STREAMINFO total_samples = 0 is legal ('unknown'); the length
+    comes from the frame index."""
+    q = (rng.integers(-5000, 5000, (9000, 1))).astype(np.int16)
+    p = tmp_path / "u.flac"
+    flac.write_flac(p, q, 8000)
+    blob = bytearray(p.read_bytes())
+    # zero the 36-bit total_samples field (bytes 21..25 of STREAMINFO,
+    # low nibble of byte 21): STREAMINFO body starts at offset 8
+    blob[8 + 13] &= 0xF0
+    for k in range(14, 18):
+        blob[8 + k] = 0
+    p2 = tmp_path / "u0.flac"
+    p2.write_bytes(bytes(blob))
+    assert flac.flac_info(p2)[2] == 9000
+    got, _ = flac.read_flac(p2)
+    np.testing.assert_array_equal(got * 32768, q.astype(np.float64))
+
+
+def test_invalid_subframes_raise_flacerror(tmp_path):
+    """Predictor order > blocksize and wasted bits >= bps must raise
+    FlacError (a WavError), never IndexError/ValueError."""
+    rate, bits, bs = 8000, 16, 16
+
+    def lpc_order_too_big(bw):
+        bw.write(0, 1)
+        bw.write(32 + 31, 6)  # LPC order 32 > blocksize 16
+        bw.write(0, 1)
+        for _ in range(32):
+            bw.write(0, bits)
+
+    def too_many_wasted(bw):
+        bw.write(0, 1)
+        bw.write(1, 6)
+        bw.write(1, 1)
+        bw.write_unary(bits)  # wasted = bits+1 > bps
+
+    for name, sub in (("order.flac", lpc_order_too_big),
+                      ("wasted.flac", too_many_wasted)):
+        buf = stream_header(rate, 1, bits, bs, bs) + make_frame(
+            rate, 1, bits, bs, bs, 0, 0, sub)
+        p = tmp_path / name
+        p.write_bytes(buf)
+        flac._OPEN.clear()
+        with pytest.raises(wavio.WavError):
+            flac.read_flac(p)
+    assert issubclass(FlacError, wavio.WavError)
+
+
+def test_write_empty_and_format_none(tmp_path):
+    p = tmp_path / "empty.flac"
+    flac.write_flac(p, np.zeros((0, 2), np.int16), 8000)
+    got, rate = flac.read_flac(p)
+    assert got.shape == (0, 2) and rate == 8000.0
+    assert flac.flac_info(p)[2] == 0
+    # audioio convention: format=None means "infer" — WAV by default
+    pw = tmp_path / "fmt.wav"
+    wavio.write_audio(pw, np.zeros((10, 1), np.float32), 8000,
+                      format=None)
+    assert wavio.wav_info(pw)[3] == "PCM_16"
