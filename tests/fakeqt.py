@@ -63,6 +63,7 @@ class _Qt:
     RightButton = 2
     TextSelectableByMouse = 4
     WA_DeleteOnClose = 55  # real Qt attribute id
+    NoPen = 0              # Qt.PenStyle.NoPen
 
 
 class QTimer:
@@ -943,6 +944,7 @@ def install():
     qtcore.Qt = _Qt
     qtcore.QTimer = QTimer
     qtcore.QRectF = QRectF
+    qtcore.QPointF = FakePoint
 
     qtwidgets = types.ModuleType("PyQt5.QtWidgets")
     for cls in (QApplication, QMainWindow, QTabWidget, QWidget,
