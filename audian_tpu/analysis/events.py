@@ -77,18 +77,31 @@ _KERNEL_BUDGET = {"filt": 0, "env": 0}
 
 def _make_envdet(fdesign, edesign, step, halo):
     """Build the fused decimating envelope program for the chunk
-    geometry, or return ``None`` when it cannot cover the kernels (the
-    caller then stays on the unfused driver)."""
+    geometry: ``(program, chunk_frames)`` with ``chunk_frames`` snapped
+    to the decimation grid (interior chunk starts then sit ON the grid,
+    so the single-pass kernel's static-offset contract holds), or
+    ``None`` when the kernels cannot be covered (the caller stays on the
+    unfused driver).  Prefers the single-pass Pallas kernel
+    (:mod:`audian_tpu.ops.pallas.envdet` — one HBM round trip); the
+    traced-offset two-stage path is the fallback."""
     from ..ops.envdet import EnvDet
+    from ..ops.pallas.envdet import EnvDetKernel
 
-    nout = _CHUNK // step + 1
+    chunk = _CHUNK - (_CHUNK % step)
+    if chunk <= 0:
+        return None
+    nout = chunk // step
+    ed = None
     try:
-        ed = EnvDet(fdesign, edesign, step, nout, hb=halo)
+        ed = EnvDetKernel(fdesign, edesign, step, nout, hb=halo)
     except ValueError:
+        try:
+            ed = EnvDet(fdesign, edesign, step, nout, hb=halo)
+        except ValueError:
+            return None
+    if ed.window_need(halo) > _CHUNK + 2 * halo:
         return None
-    if ed.window_need(halo + step - 1) > _CHUNK + 2 * halo:
-        return None
-    return ed
+    return ed, chunk
 
 
 def _band_env_chunks(fdesign, edesign, x, step, return_filtered,
@@ -134,9 +147,16 @@ def _band_env_chunks(fdesign, edesign, x, step, return_filtered,
                 np.ascontiguousarray(env))
     envdet = (_make_envdet(fdesign, edesign, step, halo)
               if fused and not return_filtered else None)
+    Lc_eff = Lc
+    if envdet is not None:
+        # grid-aligned chunk stride: interior chunk starts sit ON the
+        # decimation grid, making the fused program's window offset a
+        # constant (the single-pass kernel requires it; the two-stage
+        # path simply stops tracing the offset)
+        envdet, Lc_eff = envdet
     outs_y, outs_e = [], []
-    for pos in range(0, n, Lc):
-        L = min(Lc, n - pos)
+    for pos in range(0, n, Lc_eff):
+        L = min(Lc_eff, n - pos)
         if envdet is not None and pos - halo >= 0 and pos - halo + W <= n:
             # interior chunk on the fused decimating path: only the
             # decimated envelope crosses HBM and the host link.  The

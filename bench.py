@@ -14,9 +14,10 @@ Three metrics, one JSON line each:
    host the number is dominated by the environment (slow disk, tunneled
    device link) — see docs/performance.md.
 2. ``batch song-detect envelope``: detect()'s front half (the
-   ``audian-songdetector`` hot loop) on the fused decimating path
-   (``ops/envdet.py``) over device-resident chunks; ``vs_baseline`` is
-   the speedup over the unfused chunk program it replaced.
+   ``audian-songdetector`` hot loop) on the single-pass fused decimating
+   kernel (``ops/pallas/envdet.py``) over device-resident chunks;
+   ``vs_baseline`` is the speedup over the unfused chunk program it
+   replaced.
 3. ``spectrogram+bandpass+envelope ... wall`` (the headline, printed
    LAST): the device compute path with on-device synthesized audio, so
    the tunnel doesn't pollute the kernel numbers.  This is the
@@ -123,10 +124,10 @@ def bench_kernel(fused):
 def bench_detect():
     """Batch song-detection envelope (detect()'s front half, the
     ``audian-songdetector`` hot loop) over 1 h x 16 ch x 96 kHz,
-    device-resident chunks: the fused decimating path
-    (``ops/envdet.py`` — band-pass, squaring, smoothing, and 1-in-19
-    decimation in two VMEM-resident window passes) vs the unfused chunk
-    program that materializes every full-rate intermediate in HBM.
+    device-resident chunks: the single-pass fused decimating kernel
+    (``ops/pallas/envdet.py`` — band-pass, squaring, smoothing, and
+    1-in-19 decimation with the full-rate stream VMEM-resident) vs the
+    unfused chunk program that materializes every intermediate in HBM.
     Returns (fused_s, unfused_s)."""
     import scipy.signal as sps
 
@@ -144,7 +145,7 @@ def bench_detect():
     halo = 1 << max(halo - 1, 2047).bit_length()
     Lc = events._CHUNK
     W = Lc + 2 * halo
-    nchunks = -(-int(HOURS * 3600 * RATE) // Lc)
+    nchunks = None  # set after _make_envdet picks the aligned chunk
 
     @jax.jit
     def make_chunk(seed):
@@ -159,7 +160,8 @@ def bench_detect():
     chunks = [make_chunk(i) for i in range(3)]
     _ = [np.asarray(c[0, 0]) for c in chunks]
 
-    envdet = events._make_envdet(fdesign, edesign, step, halo)
+    envdet, chunk_f = events._make_envdet(fdesign, edesign, step, halo)
+    nchunks = -(-int(HOURS * 3600 * RATE) // chunk_f)
 
     def fused_fn(xw):
         return jnp.sum(envdet(xw, halo))

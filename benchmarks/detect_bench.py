@@ -83,12 +83,12 @@ def main():
     Lc = events._CHUNK
     W = Lc + 2 * halo
     total = int(HOURS * 3600 * RATE)
-    nchunks = -(-total // Lc)
-    print(f"chunk W={W} step={step} halo={halo} nchunks={nchunks}")
     chunks = chunks_int16(W)
 
-    envdet = events._make_envdet(fdesign, edesign, step, halo)
-    assert envdet is not None
+    envdet, chunk_f = events._make_envdet(fdesign, edesign, step, halo)
+    nchunks = -(-total // chunk_f)
+    print(f"chunk W={W} step={step} halo={halo} nchunks={nchunks} "
+          f"kernel={type(envdet).__name__}")
 
     def fused(xw):
         return jnp.sum(envdet(xw, halo))
