@@ -455,7 +455,12 @@ def _decode_frame(buf, pos, sinfo):
 
 
 def _longest_increasing(values):
-    """Indices of the longest strictly-increasing subsequence."""
+    """Indices of the longest strictly-increasing subsequence.
+
+    Ties keep the FIRST occurrence: a later candidate with an equal
+    value cannot extend a strict chain any further, and replacing the
+    tail would let a sync-scan impostor that duplicates a real frame's
+    position displace the real frame from the index."""
     import bisect
 
     tails = []      # smallest tail value per chain length
@@ -463,6 +468,8 @@ def _longest_increasing(values):
     prev = [-1] * len(values)
     for i, v in enumerate(values):
         j = bisect.bisect_left(tails, v)
+        if j < len(tails) and tails[j] == v:
+            continue  # duplicate value: first occurrence stays
         if j == len(tails):
             tails.append(v)
             tail_idx.append(i)
@@ -598,8 +605,21 @@ def read_flac(path):
 
 
 def flac_metadata(path):
-    """VORBIS_COMMENT tags as a flat dict (empty when absent)."""
-    return dict(_open(path).sinfo["comments"])
+    """VORBIS_COMMENT tags as a flat dict (empty when absent).
+
+    Header-only (the scan_wav 'milliseconds' contract): the whole-file
+    frame index is reused when already cached but never built here."""
+    p = Path(path)
+    try:
+        st = p.stat()
+        ff = _OPEN.get((str(p), st.st_mtime_ns, st.st_size))
+    except OSError:
+        ff = None
+    if ff is not None:
+        return dict(ff.sinfo["comments"])
+    with p.open("rb") as f:
+        info, _ = _read_streaminfo(f)
+    return dict(info["comments"])
 
 
 # -- encoder (16-bit subset) ------------------------------------------------------

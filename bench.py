@@ -160,7 +160,9 @@ def bench_detect():
     chunks = [make_chunk(i) for i in range(3)]
     _ = [np.asarray(c[0, 0]) for c in chunks]
 
-    envdet, chunk_f = events._make_envdet(fdesign, edesign, step, halo)
+    made = events._make_envdet(fdesign, edesign, step, halo)
+    assert made is not None, "detect geometry not coverable by the fused path"
+    envdet, chunk_f = made
     nchunks = -(-int(HOURS * 3600 * RATE) // chunk_f)
 
     def fused_fn(xw):

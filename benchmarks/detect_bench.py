@@ -85,7 +85,9 @@ def main():
     total = int(HOURS * 3600 * RATE)
     chunks = chunks_int16(W)
 
-    envdet, chunk_f = events._make_envdet(fdesign, edesign, step, halo)
+    made = events._make_envdet(fdesign, edesign, step, halo)
+    assert made is not None, "detect geometry not coverable by the fused path"
+    envdet, chunk_f = made
     nchunks = -(-total // chunk_f)
     print(f"chunk W={W} step={step} halo={halo} nchunks={nchunks} "
           f"kernel={type(envdet).__name__}")

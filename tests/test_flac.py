@@ -545,3 +545,33 @@ def test_write_empty_and_format_none(tmp_path):
     wavio.write_audio(pw, np.zeros((10, 1), np.float32), 8000,
                       format=None)
     assert wavio.wav_info(pw)[3] == "PCM_16"
+
+
+def test_duplicate_position_impostor_keeps_real_frame(rng, tmp_path):
+    """A CRC-valid impostor header DUPLICATING a real frame's position
+    must not displace the real frame from the index (LIS tie rule:
+    first occurrence wins)."""
+    q = (rng.integers(-20000, 20000, (20000, 1))).astype(np.int16)
+    p = tmp_path / "dup.flac"
+    flac.write_flac(p, q, 8000)
+    ff = flac._open(p)
+    assert len(ff.offsets) >= 3
+    imp = _BitWriter()
+    imp.write(0x3FFE, 14)
+    imp.write(0, 2)
+    imp.write(12, 4)          # blocksize 4096
+    imp.write(0, 4)
+    imp.write(0, 4)           # 1 channel
+    imp.write(4, 3)           # 16 bits
+    imp.write(0, 1)
+    for b in _utf8_number(0):  # duplicates real frame 0's position
+        imp.write(b, 8)
+    imp.align()
+    head = bytes(imp.out)
+    blob = bytearray(p.read_bytes())
+    cut = int(ff.offsets[1])  # after the real frame 0
+    blob[cut:cut] = head + bytes([_crc8(head)])
+    p2 = tmp_path / "dup2.flac"
+    p2.write_bytes(bytes(blob))
+    got, _ = flac.read_flac(p2)
+    np.testing.assert_array_equal(got * 32768, q.astype(np.float64))
