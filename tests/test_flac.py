@@ -575,3 +575,42 @@ def test_duplicate_position_impostor_keeps_real_frame(rng, tmp_path):
     p2.write_bytes(bytes(blob))
     got, _ = flac.read_flac(p2)
     np.testing.assert_array_equal(got * 32768, q.astype(np.float64))
+
+
+def test_compress_cli_on_flac(rng, tmp_path):
+    """audian-compress writes the overview artifact for FLAC sources
+    (no data-chunk byte offset: the loader-decode fallback path)."""
+    from audian_tpu.cli import compress
+
+    rate = 8000.0
+    x = (0.3 * rng.standard_normal((int(30 * rate), 2))
+         ).astype(np.float32)
+    p = tmp_path / "rec.flac"
+    wavio.write_audio(p, x, rate)
+    assert compress.main([str(p)]) == 0
+    art = tmp_path / "rec-fulltrace.wav"
+    assert art.exists() and art.stat().st_size > 1000
+
+
+def test_multifile_recording_mixes_wav_and_flac(rng, tmp_path):
+    """A multi-file recording may mix containers: frames concatenate
+    and reads cross the file boundary exactly."""
+    from audian_tpu.data.loader import AudioLoader
+
+    rate = 8000.0
+    a = (0.2 * rng.standard_normal((4000, 2))).astype(np.float32)
+    b = (0.2 * rng.standard_normal((3000, 2))).astype(np.float32)
+    pa = tmp_path / "part1.wav"
+    pb = tmp_path / "part2.flac"
+    wavio.write_audio(pa, a, rate, encoding="PCM_16")
+    wavio.write_audio(pb, b, rate)
+    qa = np.clip(np.round(a.astype(np.float64) * 32768), -32768,
+                 32767) / 32768.0
+    qb = np.clip(np.round(b.astype(np.float64) * 32768), -32768,
+                 32767) / 32768.0
+    ld = AudioLoader([pa, pb])
+    assert ld.frames == 7000
+    got = np.asarray(ld[3900:4100])
+    np.testing.assert_allclose(got[:100], qa[3900:], atol=1e-7)
+    np.testing.assert_allclose(got[100:], qb[:100], atol=1e-7)
+    ld.close()
