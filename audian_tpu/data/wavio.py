@@ -75,6 +75,8 @@ def available_formats():
 
 
 def available_encodings(format="WAV"):
+    if (format or "").upper() == "FLAC":
+        return ["PCM_16"]  # the native encoder writes 16-bit FLAC
     return list(_ENCODINGS)
 
 

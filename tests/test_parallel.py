@@ -358,3 +358,39 @@ def test_mesh_odd_channels_fall_back_replicated(tmp_path, rng):
         assert len(np.asarray(b.data["filtered"][100:200])) == 100
     finally:
         b.close()
+
+
+def test_mesh_backed_session_scrubs_match(tmp_path, rng):
+    """Parameter scrubs (filter cutoffs, NFFT) on a mesh-backed session
+    recompute sharded and still match the single-device session."""
+    from audian_tpu.app import DataBrowser
+    from audian_tpu.data import wavio
+
+    rate = 8000.0
+    t = np.arange(int(10.0 * rate)) / rate
+    x = np.stack([0.3 * np.sin(2 * np.pi * (400 + 150 * c) * t)
+                  + 0.02 * rng.standard_normal(len(t))
+                  for c in range(4)], axis=1)
+    p = tmp_path / "scrub.wav"
+    wavio.write_audio(p, x, rate, encoding="PCM_16")
+    bm = DataBrowser(str(p), mesh=make_mesh(devices=jax.devices()[:4],
+                                            seq=1, ch=4))
+    b1 = DataBrowser(str(p))
+    try:
+        bm.open()
+        b1.open()
+        for b in (bm, b1):
+            b.set_times(2.0, 3.0)
+            b.update_filter(highpass_cutoff=300.0, lowpass_cutoff=2500.0)
+            b.set_resolution(nfft=512)
+        assert len(bm.data["filtered"].buffer.sharding.device_set) == 4
+        i0, i1 = int(3.0 * rate), int(4.0 * rate)
+        np.testing.assert_allclose(
+            np.asarray(bm.data["filtered"][i0:i1]),
+            np.asarray(b1.data["filtered"][i0:i1]), atol=1e-5)
+        sm = np.asarray(bm.data[bm.spectrogram][100:140])
+        s1 = np.asarray(b1.data[b1.spectrogram][100:140])
+        np.testing.assert_allclose(sm, s1, rtol=1e-5, atol=1e-12)
+    finally:
+        bm.close()
+        b1.close()
