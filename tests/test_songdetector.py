@@ -622,3 +622,26 @@ def test_envdet_precision_knob(rng, monkeypatch):
     b = np.asarray(lo(x, 4100))
     scale = np.abs(a).max()
     assert np.abs(a - b).max() < 0.01 * scale  # loose bf16 budget
+
+
+@pytest.mark.parametrize("step", [1, 3, 7])
+def test_envdet_kernel_edge_steps(rng, step):
+    """The single-pass kernel matches the two-stage path for degenerate
+    and non-dividing decimation steps (step=1 means no decimation)."""
+    import scipy.signal as sps
+    from audian_tpu.ops import FilterDesign
+    from audian_tpu.ops.envdet import EnvDet
+    from audian_tpu.ops.pallas.envdet import EnvDetKernel
+
+    rate = 8000.0
+    x = rng.standard_normal((40000, 2)).astype(np.float32)
+    fd = FilterDesign.from_sos(
+        sps.butter(1, (1500.0, 3000.0), "bandpass", fs=rate,
+                   output="sos"))
+    ed = FilterDesign.from_sos(
+        sps.butter(1, 900.0, "lowpass", fs=rate, output="sos"))
+    hb = 2048
+    nout = 2048 // step
+    a = np.asarray(EnvDet(fd, ed, step, nout, hb)(x, hb))
+    b = np.asarray(EnvDetKernel(fd, ed, step, nout, hb)(x, hb))
+    np.testing.assert_allclose(a, b, atol=1e-5)
