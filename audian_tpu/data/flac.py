@@ -576,10 +576,14 @@ class _FlacFile:
 _OPEN = {}  # (path, mtime, size) -> _FlacFile (tiny LRU)
 
 
+def _cache_key(p):
+    st = p.stat()
+    return (str(p), st.st_mtime_ns, st.st_size)
+
+
 def _open(path):
     p = Path(path)
-    st = p.stat()
-    key = (str(p), st.st_mtime_ns, st.st_size)
+    key = _cache_key(p)
     ff = _OPEN.get(key)
     if ff is None:
         if len(_OPEN) > 4:
@@ -611,8 +615,7 @@ def flac_metadata(path):
     frame index is reused when already cached but never built here."""
     p = Path(path)
     try:
-        st = p.stat()
-        ff = _OPEN.get((str(p), st.st_mtime_ns, st.st_size))
+        ff = _OPEN.get(_cache_key(p))
     except OSError:
         ff = None
     if ff is not None:

@@ -91,6 +91,25 @@ def rice_residual(bw, res, param, method=0, po=0, order=0,
         idx += n
 
 
+def impostor_header(num, blocksize_code=12, channels_code=0,
+                    bits_code=4):
+    """A CRC-8-valid frame-header byte string with coded number ``num``
+    — the sync-scan false positive the index filter must survive."""
+    imp = _BitWriter()
+    imp.write(0x3FFE, 14)
+    imp.write(0, 2)
+    imp.write(blocksize_code, 4)
+    imp.write(0, 4)
+    imp.write(channels_code, 4)
+    imp.write(bits_code, 3)
+    imp.write(0, 1)
+    for b in _utf8_number(num):
+        imp.write(b, 8)
+    imp.align()
+    head = bytes(imp.out)
+    return head + bytes([_crc8(head)])
+
+
 def decode_stream(buf, tmp_path, name="hand.flac"):
     """Decode via the public path (frame index + native when built) AND
     the pure-Python reference decoder; assert they agree."""
@@ -463,21 +482,9 @@ def test_false_positive_sync_does_not_poison_index(rng, tmp_path):
     assert len(ff.offsets) >= 4
     # craft a CRC-valid header claiming an absurd frame number and
     # insert it between two real frames
-    imp = _BitWriter()
-    imp.write(0x3FFE, 14)
-    imp.write(0, 2)
-    imp.write(12, 4)          # blocksize 4096 (matches streaminfo)
-    imp.write(0, 4)
-    imp.write(0, 4)           # 1 channel
-    imp.write(4, 3)           # 16 bits
-    imp.write(0, 1)
-    for b in _utf8_number(10_000_000):
-        imp.write(b, 8)
-    imp.align()
-    head = bytes(imp.out)
     blob = bytearray(p.read_bytes())
     cut = int(ff.offsets[2])
-    blob[cut:cut] = head + bytes([_crc8(head)])
+    blob[cut:cut] = impostor_header(10_000_000)
     p2 = tmp_path / "poisoned.flac"
     p2.write_bytes(bytes(blob))
     got, _ = flac.read_flac(p2)
@@ -556,21 +563,9 @@ def test_duplicate_position_impostor_keeps_real_frame(rng, tmp_path):
     flac.write_flac(p, q, 8000)
     ff = flac._open(p)
     assert len(ff.offsets) >= 3
-    imp = _BitWriter()
-    imp.write(0x3FFE, 14)
-    imp.write(0, 2)
-    imp.write(12, 4)          # blocksize 4096
-    imp.write(0, 4)
-    imp.write(0, 4)           # 1 channel
-    imp.write(4, 3)           # 16 bits
-    imp.write(0, 1)
-    for b in _utf8_number(0):  # duplicates real frame 0's position
-        imp.write(b, 8)
-    imp.align()
-    head = bytes(imp.out)
     blob = bytearray(p.read_bytes())
     cut = int(ff.offsets[1])  # after the real frame 0
-    blob[cut:cut] = head + bytes([_crc8(head)])
+    blob[cut:cut] = impostor_header(0)  # duplicates frame 0's position
     p2 = tmp_path / "dup2.flac"
     p2.write_bytes(bytes(blob))
     got, _ = flac.read_flac(p2)
