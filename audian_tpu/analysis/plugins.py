@@ -36,6 +36,24 @@ class Plugins:
     def add_plugin(self, name, module):
         self.plugins[name] = module
 
+    def snapshot(self):
+        """An independent Plugins with the same registered factories.
+
+        Background sessions (the NFFT warm clone,
+        `app/browser.py:warm_resolutions_async`) use this instead of
+        sharing the live instance: the factory lists are copied, so a
+        concurrent ``add_*_factory`` on the UI thread cannot mutate a
+        list the clone is iterating, and the clone never reruns plugin
+        module top-level code.  Factory *functions* are shared — they
+        construct fresh trace/analyzer objects per session, so they must
+        be re-entrant (they already are called once per open file)."""
+        snap = Plugins()
+        snap.plugins = dict(self.plugins)
+        snap.trace_factories = list(self.trace_factories)
+        snap.analyzer_factories = list(self.analyzer_factories)
+        snap._loaded_paths = set(self._loaded_paths)
+        return snap
+
     def add_trace_factory(self, factory_func):
         self.trace_factories.append(factory_func)
 

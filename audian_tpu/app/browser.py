@@ -139,6 +139,8 @@ class DataBrowser:
         self.spec_tiler = SpecTiler()
         self._resolutions_warmed = False
         self._warm_thread = None
+        self._warmed_nffts = set()   # buckets with compiled programs
+        self._pending_nfft = None    # requested-but-unwarmed bucket
         self._power_level_stats = None  # (window, per-channel levels)
         self.fulltrace = None
         # view model (Panels + PlotRanges over headless axes), built in open()
@@ -438,22 +440,40 @@ class DataBrowser:
         if dispatch:
             self.sigResolutionChanged.emit()
 
-    def warm_resolutions(self, nffts=None):
+    @staticmethod
+    def warm_ladder():
+        """The warm visiting order: the core interactive band first
+        (`ops/sweep.py:SWEEP_NFFTS`), then the rest of the reference's
+        full UI ladder 2^3..2^19 (`databrowser.py:516`) by distance from
+        the core — so the buckets a user is most likely to step into are
+        compile-free earliest, and eventually ALL of them are."""
+        from ..ops.sweep import FULL_NFFTS, SWEEP_NFFTS
+
+        below = sorted((n for n in FULL_NFFTS
+                        if n < min(SWEEP_NFFTS)), reverse=True)
+        above = sorted(n for n in FULL_NFFTS if n > max(SWEEP_NFFTS))
+        return tuple(SWEEP_NFFTS) + tuple(below) + tuple(above)
+
+    def warm_resolutions(self, nffts=None, on_warm=None):
         """Precompile the interactive NFFT sweep: visit every bucket once
         through the real ``set_resolution`` + tile + power path, so later
         resolution scrubbing is compile-free (the batched-sweep contract
         of BASELINE config 4; `ops/sweep.py` holds the single-launch
-        variant used by the batch tools).  Idempotent; returns the number
-        of buckets warmed (0 when already warm or no spectrogram)."""
+        variant used by the batch tools).  Default coverage is the FULL
+        reference UI ladder 2^3..2^19, core band first
+        (:meth:`warm_ladder`); buckets the recording length clamps away
+        are skipped.  ``on_warm(nfft)`` fires after each bucket's
+        programs land (the async warm uses it to publish progress to the
+        live session's ``_warmed_nffts``).  Idempotent; returns the
+        number of buckets warmed (0 when already warm or no
+        spectrogram)."""
         if self._resolutions_warmed or self.spectrogram not in self.data:
             return 0
-        from ..ops.sweep import SWEEP_NFFTS
-
         trace = self.data[self.spectrogram]
         saved_nfft, saved_overlap = trace.nfft, trace.overlap_frac
         probe = self.show_channels[0] if self.show_channels else 0
         count = 0
-        for nfft in tuple(nffts or SWEEP_NFFTS):
+        for nfft in tuple(nffts) if nffts else self.warm_ladder():
             self.set_resolution(nfft=nfft, dispatch=False)
             if trace.nfft != int(nfft):
                 continue  # clamped away (very short recordings)
@@ -464,6 +484,9 @@ class DataBrowser:
                 self.spec_tile(c, quantize=True)
             self.power_spectrum(probe)
             self.estimate_power_levels(probe)
+            self._warmed_nffts.add(int(nfft))
+            if on_warm is not None:
+                on_warm(int(nfft))
             count += 1
         self.set_resolution(nfft=saved_nfft, overlap_frac=saved_overlap,
                             dispatch=False)
@@ -499,7 +522,8 @@ class DataBrowser:
             try:
                 clone = DataBrowser(
                     self.file_path, channels=channels,
-                    plugins=self.plugins,
+                    plugins=(self.plugins.snapshot()
+                             if self.plugins is not None else None),
                     buffer_time=self.data.buffer_time,
                     back_time=self.data.back_time,
                     load_kwargs=self.load_kwargs, unwrap=self.unwrap,
@@ -1120,6 +1144,14 @@ class DataBrowser:
             locs[head, 0] = 0
             locs[:, 1] = np.clip(locs[:, 1], 0, (i1 - i0) - locs[:, 0])
         raw = np.asarray(self.data.data[i0:i1, self.selected_channels])
+        # preserve the source depth: a FLAC_24 recording saves as
+        # PCM_24, not a silent 16-bit quantization (reference: region
+        # export at source depth via libsndfile, databrowser.py:1860);
+        # depths without a WAV/FLAC integer encoding round up
+        if encoding.upper().startswith("FLAC_"):
+            depth = int(encoding.split("_", 1)[1])
+            encoding = ("PCM_16" if depth <= 16 else
+                        "PCM_24" if depth <= 24 else "PCM_32")
         wavio.write_audio(file_path, raw, rate, metadata=md, locs=locs,
                           labels=labels, encoding=encoding
                           if encoding in wavio.available_encodings()

@@ -16,9 +16,13 @@ a bare install:
 - **random access**: a per-file frame index built by a sync-code scan
   with CRC-8 validated headers, so the out-of-core loader decodes only
   the frames covering a requested window;
-- **encoder** (:func:`write_flac`): 16-bit, fixed 4096-sample blocks,
-  per-channel best-of CONSTANT / FIXED(0-2) / VERBATIM with Rice
-  residuals — a valid stream any FLAC decoder reads, used by
+- **encoder** (:func:`write_flac`): 8/12/16/20/24/32-bit, fixed
+  4096-sample blocks, per-subframe best-of CONSTANT / FIXED(0-4) /
+  LPC(Levinson-Durbin, 15-bit quantized coefficients) / VERBATIM with
+  partitioned Rice residuals and wasted-bits packing, per-frame stereo
+  decorrelation (left/right/mid-side), and a true STREAMINFO MD5 —
+  validated bit-exact against FFmpeg's libavcodec decoder
+  (``native/ffflac.cc``) and used by
   ``write_audio(..., encoding="FLAC")`` and the round-trip tests.
 
 The hot decode loop also exists in C++ (``audian_tpu.native``); this
@@ -28,6 +32,8 @@ when the native library cannot build.
 
 from __future__ import annotations
 
+import hashlib
+import os
 import struct
 from pathlib import Path
 
@@ -447,7 +453,15 @@ def _decode_frame(buf, pos, sinfo):
         m = (mid << 1) | (side & 1)
         chans = [(m + side) >> 1, (m - side) >> 1]
     br.align()
-    br.pos += 2  # CRC-16 (frame integrity; headers were CRC-8 checked)
+    # frame CRC-16 over header+payload: bit corruption inside a frame
+    # must fail loudly, not ship silently wrong samples (the reference's
+    # libsndfile path reports such frames as read errors)
+    if br.pos + 2 > len(buf):
+        raise FlacError("truncated FLAC frame (missing CRC-16)")
+    stored = (buf[br.pos] << 8) | buf[br.pos + 1]
+    if _crc16(buf[pos : br.pos]) != stored:
+        raise FlacError(f"FLAC frame CRC-16 mismatch at byte {pos}")
+    br.pos += 2
     return np.stack(chans, axis=1), position, br.pos
 
 
@@ -489,8 +503,18 @@ class _FlacFile:
     """Parsed stream + CRC-validated frame index for random access."""
 
     def __init__(self, path):
+        import mmap
+
         self.path = Path(path)
-        buf = self.path.read_bytes()
+        # mmap the stream so the sync scan and per-frame decodes page
+        # in lazily: a multi-GB archive costs address space, not RSS,
+        # and open() does no up-front full read on this slow disk
+        # (mmap slicing returns bytes and indexing returns ints, so the
+        # bit reader and CRC helpers are agnostic to bytes vs mmap)
+        with self.path.open("rb") as f:
+            size = os.fstat(f.fileno()).st_size
+            buf = (mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+                   if size else b"")
         self.buf = buf
         with self.path.open("rb") as f:
             self.sinfo, self.audio_start = _read_streaminfo(f)
@@ -625,7 +649,7 @@ def flac_metadata(path):
     return dict(info["comments"])
 
 
-# -- encoder (16-bit subset) ------------------------------------------------------
+# -- encoder ---------------------------------------------------------------------
 
 
 def _utf8_number(n):
@@ -646,69 +670,261 @@ def _utf8_number(n):
     return bytes(out)
 
 
-def _rice_cost(res, param):
-    u = (np.abs(res) << 1) - (res < 0)
-    return int(np.sum(u >> param)) + len(res) * (1 + param)
+def _zigzag(res):
+    """Rice's signed→unsigned mapping as uint64 (never negative)."""
+    r = np.asarray(res, np.int64)
+    return ((np.abs(r) << 1) - (r < 0)).astype(np.uint64)
 
 
-def _best_rice_param(res):
-    if len(res) == 0:
-        return 0
-    mean = float(np.mean(np.abs(res))) + 1e-9
-    guess = max(int(np.log2(mean + 1)), 0)
-    best, best_cost = 0, None
-    for p in range(max(guess - 2, 0), min(guess + 3, 14)):
-        cost = _rice_cost(res, p)
-        if best_cost is None or cost < best_cost:
-            best, best_cost = p, cost
+_MAX_PARTITION_ORDER = 6
+
+
+def _best_partitioned_rice(res, blocksize, order):
+    """Best (method, partition_order, params, cost_bits) for a residual.
+
+    Exhaustive over both coding methods (RICE, 4-bit params 0..14;
+    RICE2, 5-bit params 0..30 — needed for >16-bit depths where
+    residual magnitudes outgrow param 14), partition orders 0..6, and
+    every legal Rice parameter per partition: per-parameter partition
+    costs are built once at the finest legal order with
+    ``np.add.reduceat`` and folded pairwise upward, so the search is
+    O(31·nparts) numpy work — the search space libFLAC's default
+    presets use."""
+    u = _zigzag(res)
+    n = len(u)
+    max_po = 0
+    while (max_po < _MAX_PARTITION_ORDER
+           and blocksize % (1 << (max_po + 1)) == 0
+           and (blocksize >> (max_po + 1)) > order):
+        max_po += 1
+    # quotient sums per (param, finest partition)
+    nfine = 1 << max_po
+    edges = np.arange(nfine, dtype=np.int64) * (blocksize >> max_po)
+    edges[0] = 0
+    edges[1:] -= order  # residual index space starts after the warm-up
+    counts = np.diff(np.append(edges, n))
+    psums = np.empty((31, nfine), np.float64)
+    for p in range(31):
+        q = u >> p
+        psums[p] = np.add.reduceat(q, edges) if nfine > 1 else q.sum()
+    best = None
+    sums = psums
+    cnts = counts.astype(np.float64)
+    for po in range(max_po, -1, -1):
+        for method, pmax, pbits in ((0, 15, 4), (1, 31, 5)):
+            # per-partition best parameter at this order and width
+            costs = (sums[:pmax]
+                     + cnts[None, :] * (np.arange(pmax)[:, None] + 1.0))
+            pick = np.argmin(costs, axis=0)
+            total = float(costs[pick, np.arange(costs.shape[1])].sum())
+            total += 2 + 4 + pbits * (1 << po)  # method+order+params
+            if best is None or total < best[3]:
+                best = (method, po, pick.tolist(), total)
+        if po:
+            sums = sums[:, 0::2] + sums[:, 1::2]
+            cnts = cnts[0::2] + cnts[1::2]
     return best
 
 
-def _write_residual(bw, res):
-    param = _best_rice_param(res)
-    bw.write(0, 2)   # RICE (4-bit params)
-    bw.write(0, 4)   # partition order 0
-    bw.write(param, 4)
-    for v in res:
-        v = int(v)
-        u = (-v * 2 - 1) if v < 0 else (2 * v)
-        bw.write_unary(u >> param)
-        if param:
-            bw.write(u & ((1 << param) - 1), param)
+def _write_residual(bw, res, blocksize, order, plan=None):
+    if plan is None:
+        plan = _best_partitioned_rice(res, blocksize, order)
+    method, po, params, _cost = plan
+    pbits = 4 if method == 0 else 5
+    bw.write(method, 2)
+    bw.write(po, 4)
+    res = np.asarray(res, np.int64)
+    idx = 0
+    for p in range(1 << po):
+        nsamp = (blocksize >> po) - (order if p == 0 else 0)
+        param = int(params[p])
+        bw.write(param, pbits)
+        part = res[idx : idx + nsamp]
+        idx += nsamp
+        for v in part:
+            v = int(v)
+            u = (-v * 2 - 1) if v < 0 else (2 * v)
+            bw.write_unary(u >> param)
+            if param:
+                bw.write(u & ((1 << param) - 1), param)
 
 
-def _encode_subframe(bw, x, bps):
+def _wasted_bits(x):
+    """Common trailing-zero count over the block (0 when any sample is
+    odd or the block is all zeros — all-zero goes CONSTANT anyway)."""
+    nz = x[x != 0]
+    if len(nz) == 0:
+        return 0
+    orred = int(np.bitwise_or.reduce(nz))
+    return (orred & -orred).bit_length() - 1
+
+
+def _fixed_residual(x, order):
+    res = x[order:].copy()
+    for j, c in enumerate(_FIXED_COEFS[order]):
+        res -= c * x[order - 1 - j : len(x) - 1 - j]
+    return res
+
+
+_LPC_PRECISION = 15
+
+
+def _quantize_lpc(coefs):
+    """libFLAC-style coefficient quantization with error feedback.
+    Returns (qcoefs int list, shift) for 15-bit precision."""
+    cmax = float(np.max(np.abs(coefs)))
+    if cmax <= 0.0:
+        return None
+    headroom = _LPC_PRECISION - 1 - int(np.floor(np.log2(cmax))) - 1
+    shift = max(0, min(headroom, 15))
+    err = 0.0
+    q = []
+    qmax = (1 << (_LPC_PRECISION - 1)) - 1
+    qmin = -(1 << (_LPC_PRECISION - 1))
+    for c in coefs:
+        v = c * (1 << shift) + err
+        qi = int(np.clip(round(v), qmin, qmax))
+        err = v - qi
+        q.append(qi)
+    return q, shift
+
+
+def _lpc_candidates(x, max_order):
+    """Levinson-Durbin over a windowed autocorrelation; yields
+    (order, float_coefs, predicted_bits_per_sample) for orders
+    1..max_order.  The window only steers model selection — the encoded
+    residual below is exact integer arithmetic."""
+    n = len(x)
+    if n <= max_order + 1:
+        return []
+    w = np.hanning(n)
+    xf = x.astype(np.float64) * w
+    ac = np.correlate(xf, xf, "full")[n - 1 : n + max_order]
+    if ac[0] == 0.0:
+        return []
+    out = []
+    err = ac[0]
+    coefs = np.zeros(0)
+    for m in range(1, max_order + 1):
+        acc = ac[m] - (coefs @ ac[1:m][::-1] if m > 1 else 0.0)
+        k = acc / err
+        coefs = np.append(coefs - k * coefs[::-1], k) if m > 1 \
+            else np.array([k])
+        err *= 1.0 - k * k
+        if err <= 0.0:
+            break
+        # ~0.5*log2 of the prediction-error variance = expected rice bps
+        bps_est = max(0.5 * np.log2(err / n + 1e-30), 0.0)
+        out.append((m, coefs.copy(), bps_est))
+    return out
+
+
+def _lpc_residual(x, qcoefs, shift):
+    n = len(x)
+    order = len(qcoefs)
+    pred = np.zeros(n - order, np.int64)
+    for j, c in enumerate(qcoefs):
+        pred += c * x[order - 1 - j : n - 1 - j]
+    return x[order:] - (pred >> shift)
+
+
+class _SubframePlan:
+    """A fully-decided subframe encoding: type, predictor, residual and
+    its partition plan, wasted bits, and the exact bit cost (used for
+    the per-frame stereo-decorrelation decision)."""
+
+    __slots__ = ("kind", "x", "bps", "wasted", "order", "qcoefs",
+                 "shift", "res", "rice", "cost")
+
+    def __init__(self, kind, x, bps, wasted, cost, order=0, qcoefs=None,
+                 shift=0, res=None, rice=None):
+        self.kind = kind
+        self.x = x
+        self.bps = bps
+        self.wasted = wasted
+        self.cost = cost
+        self.order = order
+        self.qcoefs = qcoefs
+        self.shift = shift
+        self.res = res
+        self.rice = rice
+
+
+def _plan_subframe(x, bps, max_lpc_order):
+    """Choose the cheapest encoding for one subframe's samples."""
     x = np.asarray(x, np.int64)
     n = len(x)
+    head = 1 + 6 + 1  # padding + type + wasted flag
     if n and np.all(x == x[0]):
-        bw.write(0, 1)
-        bw.write(0, 6)   # CONSTANT
-        bw.write(0, 1)
-        bw.write(int(x[0]), bps)
-        return
-    best_order, best_res, best_cost = None, None, None
-    for order, coefs in ((0, []), (1, [1]), (2, [2, -1])):
-        if n <= order:
-            continue
-        res = x[order:].copy()
-        for j, c in enumerate(coefs):
-            res = res - c * x[order - 1 - j : n - 1 - j]
-        cost = order * bps + _rice_cost(res, _best_rice_param(res))
-        if best_cost is None or cost < best_cost:
-            best_order, best_res, best_cost = order, res, cost
-    if best_cost is None or best_cost >= n * bps:
-        bw.write(0, 1)
-        bw.write(1, 6)   # VERBATIM
-        bw.write(0, 1)
-        for v in x:
-            bw.write(int(v), bps)
-        return
+        return _SubframePlan("constant", x, bps, 0, head + bps)
+    wasted = _wasted_bits(x)
+    if wasted:
+        x = x >> wasted
+        bps -= wasted
+        head += wasted  # unary wasted-count costs `wasted` bits
+    best = _SubframePlan("verbatim", x, bps, wasted, head + n * bps)
+    for order in range(min(4, n - 1) + 1):
+        res = _fixed_residual(x, order)
+        rice = _best_partitioned_rice(res, n, order)
+        cost = head + order * bps + rice[3]
+        if cost < best.cost:
+            best = _SubframePlan("fixed", x, bps, wasted, cost,
+                                 order=order, res=res, rice=rice)
+    if max_lpc_order and n > max_lpc_order + 1:
+        cands = _lpc_candidates(x, max_lpc_order)
+        if cands:
+            # probe the analytically best order and the full order
+            est_best = min(cands, key=lambda c: c[2] * (n - c[0])
+                           + c[0] * bps)
+            probes = {est_best[0], cands[-1][0]}
+            for order, coefs, _bps_est in cands:
+                if order not in probes:
+                    continue
+                quant = _quantize_lpc(coefs)
+                if quant is None:
+                    continue
+                qcoefs, shift = quant
+                res = _lpc_residual(x, qcoefs, shift)
+                rice = _best_partitioned_rice(res, n, order)
+                cost = (head + order * bps + 4 + 5
+                        + order * _LPC_PRECISION + rice[3])
+                if cost < best.cost:
+                    best = _SubframePlan(
+                        "lpc", x, bps, wasted, cost, order=order,
+                        qcoefs=qcoefs, shift=shift, res=res, rice=rice)
+    return best
+
+
+def _write_subframe(bw, plan, blocksize):
     bw.write(0, 1)
-    bw.write(8 + best_order, 6)  # FIXED
-    bw.write(0, 1)
-    for v in x[:best_order]:
-        bw.write(int(v), bps)
-    _write_residual(bw, best_res)
+    if plan.kind == "constant":
+        bw.write(0, 6)
+    elif plan.kind == "verbatim":
+        bw.write(1, 6)
+    elif plan.kind == "fixed":
+        bw.write(8 + plan.order, 6)
+    else:
+        bw.write(32 + plan.order - 1, 6)
+    if plan.wasted:
+        bw.write(1, 1)
+        bw.write_unary(plan.wasted - 1)
+    else:
+        bw.write(0, 1)
+    if plan.kind == "constant":
+        bw.write(int(plan.x[0]), plan.bps)
+        return
+    if plan.kind == "verbatim":
+        for v in plan.x:
+            bw.write(int(v), plan.bps)
+        return
+    for v in plan.x[: plan.order]:
+        bw.write(int(v), plan.bps)
+    if plan.kind == "lpc":
+        bw.write(_LPC_PRECISION - 1, 4)
+        bw.write(plan.shift, 5)
+        for c in plan.qcoefs:
+            bw.write(c, _LPC_PRECISION)
+    _write_residual(bw, plan.res, blocksize, plan.order, plan.rice)
 
 
 def _flatten_md(md, prefix=""):
@@ -721,20 +937,59 @@ def _flatten_md(md, prefix=""):
     return out
 
 
-def write_flac(path, data, rate, blocksize=4096, metadata=None):
-    """Encode ``data`` (float in [-1, 1] or int16; shape (n,) or
-    (n, ch)) as a 16-bit FLAC file.  ``metadata`` (a possibly nested
-    dict) is stored as VORBIS_COMMENT tags (nested keys dotted)."""
+def _quantize(data, bits):
+    """Input samples → raw int64 at ``bits`` depth.
+
+    Integer input passes through unchanged (depth asserted); float is
+    scaled by 2**(bits-1) — the inverse of :func:`read_frames`."""
+    if np.issubdtype(data.dtype, np.integer):
+        q = data.astype(np.int64)
+        lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+        if len(q) and (q.min() < lo or q.max() > hi):
+            raise FlacError(f"integer samples exceed {bits}-bit range")
+        return q
+    scale = float(1 << (bits - 1))
+    return np.clip(np.round(np.asarray(data, np.float64) * scale),
+                   -scale, scale - 1).astype(np.int64)
+
+
+_SS_CODES = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}
+
+
+def write_flac(path, data, rate, blocksize=4096, metadata=None,
+               bits=None, max_lpc_order=8):
+    """Encode ``data`` (shape (n,) or (n, ch)) as a FLAC file.
+
+    ``bits`` selects the stored depth (8/12/16/20/24/32; default 16 for
+    float input, the dtype's width for int16/int32 input — int32 stores
+    24-bit unless ``bits`` says otherwise, matching the loaders' PCM_24
+    convention).  Float samples are quantized at ``2**(bits-1)`` (the
+    inverse of :func:`read_frames`).  Per subframe the encoder picks the
+    cheapest of CONSTANT / VERBATIM / FIXED(0-4) / LPC(≤``max_lpc_order``,
+    Levinson-Durbin, 15-bit quantized coefficients) with partitioned
+    Rice residuals and wasted-bits packing; stereo frames additionally
+    pick the best of independent / left-side / right-side / mid-side.
+    STREAMINFO carries the true MD5 of the unencoded samples, so
+    ``flac -t`` / ``ffmpeg`` integrity checks pass.  ``metadata`` (a
+    possibly nested dict) is stored as VORBIS_COMMENT tags (nested keys
+    dotted).  Reference parity: region export at source depth through
+    libsndfile, `/root/reference/src/audian/databrowser.py:1860-1921`."""
     data = np.asarray(data)
     if data.ndim == 1:
         data = data[:, None]
-    if data.dtype == np.int16:
-        q = data.astype(np.int64)
-    elif np.issubdtype(data.dtype, np.integer):
-        raise FlacError("integer FLAC input must be int16")
-    else:
-        q = np.clip(np.round(np.asarray(data, np.float64) * 32768.0),
-                    -32768, 32767).astype(np.int64)
+    if bits is None:
+        if data.dtype == np.int16:
+            bits = 16
+        elif data.dtype == np.int32:
+            bits = 24
+        elif np.issubdtype(data.dtype, np.integer):
+            bits = 16 if data.dtype.itemsize <= 2 else 24
+        else:
+            bits = 16
+    bits = int(bits)
+    if bits not in _SS_CODES:
+        raise FlacError(f"unsupported FLAC bit depth {bits}")
+    q = _quantize(data, bits)
     n, channels = q.shape
     if not 1 <= channels <= 8:
         raise FlacError(f"unsupported channel count {channels}")
@@ -747,9 +1002,15 @@ def write_flac(path, data, rate, blocksize=4096, metadata=None):
     si.write(0, 24)
     si.write(rate, 20)
     si.write(channels - 1, 3)
-    si.write(16 - 1, 5)
+    si.write(bits - 1, 5)
     si.write(n, 36)
-    body = si.out + bytes(16)  # md5 unknown (zeros) is allowed
+    width = (bits + 7) // 8
+    if width == 3:  # 24-bit: low 3 little-endian bytes of each sample
+        le = np.ascontiguousarray(q.astype("<i4"))
+        raw = le.view(np.uint8).reshape(-1, 4)[:, :3].tobytes()
+    else:
+        raw = q.astype(f"<i{width}").tobytes()
+    body = si.out + hashlib.md5(raw).digest()
     tags = _flatten_md(metadata)
     last_flag = 0x00 if tags else 0x80
     out += bytes([last_flag]) + len(body).to_bytes(3, "big") + bytes(body)
@@ -761,9 +1022,30 @@ def write_flac(path, data, rate, blocksize=4096, metadata=None):
             entry = f"{key}={value}".encode("utf-8")
             vc += struct.pack("<I", len(entry)) + entry
         out += bytes([0x80 | 4]) + len(vc).to_bytes(3, "big") + vc
+    ss_code = _SS_CODES[bits]
     for fnum, pos in enumerate(range(0, n, blocksize)):
         block = q[pos : pos + blocksize]
         bs = len(block)
+        # per-frame channel assignment: independent always; for stereo
+        # also left/side, right/side, mid/side (decoder inverse at
+        # _decode_frame; side carries one extra bit)
+        plans = [_plan_subframe(block[:, c], bits, max_lpc_order)
+                 for c in range(channels)]
+        ca = channels - 1
+        if channels == 2:
+            left = block[:, 0]
+            right = block[:, 1]
+            side = left - right
+            mid = (left + right) >> 1
+            p_side = _plan_subframe(side, bits + 1, max_lpc_order)
+            p_mid = _plan_subframe(mid, bits, max_lpc_order)
+            combos = [
+                (1, plans[0].cost + plans[1].cost, plans),
+                (8, plans[0].cost + p_side.cost, [plans[0], p_side]),
+                (9, p_side.cost + plans[1].cost, [p_side, plans[1]]),
+                (10, p_mid.cost + p_side.cost, [p_mid, p_side]),
+            ]
+            ca, _cost, plans = min(combos, key=lambda t: t[1])
         hdr = _BitWriter()
         hdr.write(0x3FFE, 14)
         hdr.write(0, 1)
@@ -776,8 +1058,8 @@ def write_flac(path, data, rate, blocksize=4096, metadata=None):
         else:
             hdr.write(7, 4)      # 16-bit blocksize-1 at header end
         hdr.write(0, 4)          # sample rate from STREAMINFO
-        hdr.write(channels - 1, 4)
-        hdr.write(4, 3)          # 16 bits per sample
+        hdr.write(ca, 4)
+        hdr.write(ss_code, 3)
         hdr.write(0, 1)
         for b in _utf8_number(fnum):
             hdr.write(b, 8)
@@ -788,8 +1070,8 @@ def write_flac(path, data, rate, blocksize=4096, metadata=None):
         frame = bytearray(head)
         frame.append(_crc8(head))
         bw = _BitWriter()
-        for c in range(channels):
-            _encode_subframe(bw, block[:, c], 16)
+        for plan in plans:
+            _write_subframe(bw, plan, bs)
         bw.align()
         frame += bw.bytes()
         frame += _crc16(frame).to_bytes(2, "big")

@@ -76,7 +76,7 @@ def available_formats():
 
 def available_encodings(format="WAV"):
     if (format or "").upper() == "FLAC":
-        return ["PCM_16"]  # the native encoder writes 16-bit FLAC
+        return ["PCM_16", "PCM_24", "PCM_32"]  # FLAC is integer-only
     return list(_ENCODINGS)
 
 
@@ -562,6 +562,14 @@ def write_audio(path, data, rate, metadata=None, locs=None, labels=None,
 
     API shape follows audioio's ``write_audio``; the reference's region
     export goes through this (`src/audian/databrowser.py:1913-1918`).
+
+    A ``.flac`` suffix routes to the FLAC encoder even under the
+    default ``format="WAV"`` (the suffix is the explicit user signal;
+    audioio resolves format from the suffix the same way) — pass
+    ``format="WAV"`` with a ``.wav`` path to force a WAV container.
+    In the FLAC branch ``encoding`` selects the stored bit depth
+    (``PCM_16``/``PCM_24``/``PCM_32``; ``FLAC`` = match the input
+    dtype); float encodings raise, FLAC is integer-only.
     """
     if (format or "").upper() == "FLAC" or encoding.upper() == "FLAC" \
             or ((format or "WAV").upper() == "WAV"
@@ -572,8 +580,15 @@ def write_audio(path, data, rate, metadata=None, locs=None, labels=None,
             raise ValueError(
                 "FLAC has no cue-marker chunk; export markers to "
                 "CSV/XLSX or write a WAV")
+        flac_bits = {"FLAC": None, "PCM_16": 16, "PCM_24": 24,
+                     "PCM_32": 32}
+        enc = (encoding or "FLAC").upper()
+        if enc not in flac_bits:
+            raise ValueError(
+                f"FLAC cannot store encoding {encoding}: FLAC is "
+                "integer-only (PCM_16/PCM_24/PCM_32)")
         return flac.write_flac(path, np.asarray(data), rate,
-                               metadata=metadata)
+                               metadata=metadata, bits=flac_bits[enc])
     if format and format.upper() != "WAV":
         raise ValueError(f"unsupported format: {format}")
     data = np.asarray(data)

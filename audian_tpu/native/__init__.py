@@ -21,9 +21,13 @@ _HERE = Path(__file__).parent
 _LIB_PATH = _HERE / "libaudianative.so"
 _SRC = _HERE / "wavio.cc"
 _SRCS = [_HERE / "wavio.cc", _HERE / "flacdec.cc"]
+_FFM_PATH = _HERE / "libaudianffm.so"
+_FFM_SRC = _HERE / "ffflac.cc"
 _lock = threading.Lock()
 _lib = None
 _tried = False
+_ffm = None
+_ffm_tried = False
 
 _TAGS = {"PCM_16": (1, 16), "PCM_24": (1, 24), "PCM_32": (1, 32),
          "FLOAT": (3, 32), "DOUBLE": (3, 64)}
@@ -79,7 +83,7 @@ def get_lib():
         ]
         lib.an_flac_decode_frame.restype = ctypes.c_int64
         lib.an_flac_decode_frame.argtypes = [
-            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int64),
@@ -90,6 +94,103 @@ def get_lib():
 
 def available():
     return get_lib() is not None
+
+
+def get_ffm():
+    """The FFmpeg-backed FLAC oracle library (``ffflac.cc``), built on
+    demand against the system libavcodec/libavformat; None when the
+    FFmpeg development files are absent.  Validation-only — the
+    production FLAC path never depends on it."""
+    global _ffm, _ffm_tried
+    with _lock:
+        if _ffm is not None or _ffm_tried:
+            return _ffm
+        _ffm_tried = True
+        try:
+            if not _FFM_PATH.exists() or (
+                _FFM_SRC.stat().st_mtime > _FFM_PATH.stat().st_mtime
+            ):
+                cmd = [
+                    os.environ.get("CXX", "g++"), "-O2", "-shared",
+                    "-fPIC", str(_FFM_SRC), "-o", str(_FFM_PATH),
+                    "-lavcodec", "-lavformat", "-lavutil",
+                ]
+                subprocess.run(cmd, check=True, capture_output=True)
+            lib = ctypes.CDLL(str(_FFM_PATH))
+        except Exception:
+            return None
+        lib.ffp_flac_info.restype = ctypes.c_int
+        lib.ffp_flac_info.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_longlong),
+        ]
+        lib.ffp_flac_decode.restype = ctypes.c_longlong
+        lib.ffp_flac_decode.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_longlong,
+        ]
+        lib.ffp_flac_encode.restype = ctypes.c_int
+        lib.ffp_flac_encode.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_longlong, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,
+        ]
+        _ffm = lib
+        return _ffm
+
+
+def ffm_available():
+    return get_ffm() is not None
+
+
+def ff_flac_decode(path):
+    """Decode a FLAC file through FFmpeg (independent oracle).  Returns
+    ``(samples, rate, bits)`` with interleaved (n, ch) int32 raw sample
+    values, or None when the oracle is unavailable.  Raises ValueError
+    on decode failure (corrupt stream / CRC mismatch — FFmpeg runs with
+    AV_EF_CRCCHECK|EXPLODE here)."""
+    lib = get_ffm()
+    if lib is None:
+        return None
+    rate = ctypes.c_int()
+    channels = ctypes.c_int()
+    bits = ctypes.c_int()
+    frames = ctypes.c_longlong()
+    rc = lib.ffp_flac_info(str(path).encode(), ctypes.byref(rate),
+                           ctypes.byref(channels), ctypes.byref(bits),
+                           ctypes.byref(frames))
+    if rc != 0:
+        raise ValueError(f"FFmpeg could not decode {path} (rc={rc})")
+    out = np.empty((frames.value, channels.value), np.int32)
+    got = lib.ffp_flac_decode(
+        str(path).encode(),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        int(frames.value))
+    if got < 0:
+        raise ValueError(f"FFmpeg could not decode {path} (rc={got})")
+    return out[: int(got)], rate.value, bits.value
+
+
+def ff_flac_encode(path, samples, rate, bits=16, level=5):
+    """Encode raw int samples (n, ch) at ``bits`` depth to ``path``
+    through FFmpeg's FLAC encoder at compression ``level`` (0..12).
+    Returns False when the oracle is unavailable; raises ValueError on
+    encode failure."""
+    lib = get_ffm()
+    if lib is None:
+        return False
+    samples = np.ascontiguousarray(samples, np.int32)
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    frames, channels = samples.shape
+    rc = lib.ffp_flac_encode(
+        str(path).encode(),
+        samples.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        int(frames), int(channels), int(rate), int(bits), int(level))
+    if rc != 0:
+        raise ValueError(f"FFmpeg could not encode {path} (rc={rc})")
+    return True
 
 
 def read_frames(path, data_off, encoding, channels, start, nframes,
@@ -135,8 +236,12 @@ def flac_decode_frame(buf, offset, sinfo):
     maxbs = int(sinfo["max_blocksize"])
     out = np.empty((maxbs, channels), np.int32)
     work = np.empty(3 * maxbs, np.int64)
+    # buf may be bytes or an mmap (the loader maps FLAC files so decode
+    # pages lazily); view it zero-copy and pass the raw pointer
+    view = np.frombuffer(buf, np.uint8)
     n = lib.an_flac_decode_frame(
-        buf, len(buf), int(offset), int(sinfo["rate"]), channels,
+        view.ctypes.data_as(ctypes.c_void_p), len(buf), int(offset),
+        int(sinfo["rate"]), channels,
         int(sinfo["bits"]), maxbs,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         work.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),

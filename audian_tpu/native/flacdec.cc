@@ -74,6 +74,29 @@ const int kBlocksizeCodes[16] = {0,    192,  576,   1152,  2304, 4608,
                                  4096, 8192, 16384, 32768};
 const int kSizeCodes[8] = {0, 8, 12, -1, 16, 20, 24, 32};
 
+// CRC-16 (poly 0x8005, init 0, MSB-first) over the whole frame: bit
+// corruption inside a payload must fail loudly (return -1 → the caller
+// surfaces a FlacError), matching the libsndfile error contract.
+struct Crc16Table {
+    uint16_t t[256];
+    Crc16Table() {
+        for (unsigned i = 0; i < 256; i++) {
+            unsigned c = i << 8;
+            for (int k = 0; k < 8; k++)
+                c = (c & 0x8000u) ? ((c << 1) ^ 0x8005u) : (c << 1);
+            t[i] = (uint16_t)c;
+        }
+    }
+};
+const Crc16Table kCrc16;
+
+uint16_t crc16(const uint8_t* p, int64_t n) {
+    uint16_t c = 0;
+    for (int64_t i = 0; i < n; i++)
+        c = (uint16_t)(kCrc16.t[((c >> 8) ^ p[i]) & 0xFF] ^ (c << 8));
+    return c;
+}
+
 bool decode_residual(BitReader& br, int blocksize, int order,
                      int64_t* res) {
     int method = (int)br.read(2);
@@ -216,6 +239,11 @@ int64_t an_flac_decode_frame(const uint8_t* buf, int64_t len, int64_t pos,
             for (int i = 0; i < blocksize; i++)
                 out[(int64_t)i * channels + c] = (int32_t)ch0[i];
         }
+        br.align();
+        if (br.pos + 2 > len ||
+            crc16(buf + pos, br.pos - pos) !=
+                (((uint16_t)buf[br.pos] << 8) | buf[br.pos + 1]))
+            return -1;
         return blocksize;
     }
     // stereo decorrelation: side channel carries one extra bit
@@ -223,6 +251,11 @@ int64_t an_flac_decode_frame(const uint8_t* buf, int64_t len, int64_t pos,
     int bps1 = fbits + (ca == 8 || ca == 10 ? 1 : 0);
     if (!decode_subframe(br, blocksize, bps0, ch0, scratch)) return -1;
     if (!decode_subframe(br, blocksize, bps1, ch1, scratch)) return -1;
+    br.align();
+    if (br.pos + 2 > len ||
+        crc16(buf + pos, br.pos - pos) !=
+            (((uint16_t)buf[br.pos] << 8) | buf[br.pos + 1]))
+        return -1;
     for (int i = 0; i < blocksize; i++) {
         int64_t l, r;
         if (ca == 8) {        // left/side

@@ -20,11 +20,17 @@ import jax.numpy as jnp
 
 from .stft import spectrogram
 
-__all__ = ["spectrogram_sweep", "db_quantize", "SWEEP_NFFTS"]
+__all__ = ["spectrogram_sweep", "db_quantize", "SWEEP_NFFTS",
+           "FULL_NFFTS"]
 
 #: the reference UI exposes NFFT 2^3..2^19 (`databrowser.py:516`); the
 #: interactive sweep covers the practically-used band
 SWEEP_NFFTS = (128, 256, 512, 1024, 2048, 4096)
+
+#: the reference's complete UI ladder (`databrowser.py:516`): the
+#: background warm visits all of it — core band first — so no
+#: resolution keypress anywhere in the UI range compiles inline
+FULL_NFFTS = tuple(2 ** k for k in range(3, 20))
 
 
 @functools.partial(jax.jit, static_argnames=("rate", "nffts", "overlap_frac"))

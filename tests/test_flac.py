@@ -447,12 +447,15 @@ def test_corrupt_flac_raises_not_crashes(rng, tmp_path):
             pass
 
 
-def test_bad_input_errors():
-    with pytest.raises(FlacError, match="int16"):
-        flac.write_flac("/nonexistent/x.flac",
-                        np.zeros(10, np.int32), 8000)
+def test_bad_input_errors(tmp_path):
+    with pytest.raises(FlacError, match="range"):
+        flac.write_flac(tmp_path / "x.flac",
+                        np.full(10, 70000, np.int32), 8000, bits=16)
+    with pytest.raises(FlacError, match="bit depth"):
+        flac.write_flac(tmp_path / "x.flac",
+                        np.zeros(10, np.int16), 8000, bits=17)
     with pytest.raises(FlacError, match="channel"):
-        flac.write_flac("/nonexistent/x.flac",
+        flac.write_flac(tmp_path / "x.flac",
                         np.zeros((10, 9), np.int16), 8000)
 
 
