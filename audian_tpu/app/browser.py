@@ -426,9 +426,31 @@ class DataBrowser:
 
     def set_resolution(self, nfft=None, overlap_frac=None, dispatch=True,
                        step_frac=None):
-        """NFFT / overlap changes (`databrowser.py:1188-1222`)."""
+        """NFFT / overlap changes (`databrowser.py:1188-1222`).
+
+        While the background warm (:meth:`warm_resolutions_async`) is
+        still filling the ladder, an interactive step
+        (``dispatch=True``) into a bucket whose programs have not
+        landed yet is served by the NEAREST warmed bucket immediately —
+        never a 10-60 s inline tunnel compile — and the requested
+        bucket is remembered; the GUI timers poll
+        :meth:`poll_pending_resolution` and swap the view to it the
+        moment its programs land."""
         if self.setting or self.spectrogram not in self.data:
             return
+        if nfft is not None and dispatch:
+            nfft = int(nfft)
+            warm = self._warm_thread
+            # snapshot: the warm thread adds to the set concurrently
+            warmed = tuple(self._warmed_nffts)
+            if (warm is not None and warm.is_alive() and warmed
+                    and nfft >= 8 and nfft not in warmed):
+                self._pending_nfft = nfft
+                target = nfft
+                nfft = min(warmed,
+                           key=lambda w: (abs(np.log2(w / target)), w))
+            else:
+                self._pending_nfft = None
         self.setting = True
         try:
             if overlap_frac is None and step_frac is not None:
@@ -439,6 +461,31 @@ class DataBrowser:
             self.setting = False
         if dispatch:
             self.sigResolutionChanged.emit()
+
+    @property
+    def has_pending_resolution(self):
+        return self._pending_nfft is not None
+
+    def poll_pending_resolution(self):
+        """Apply a remembered resolution once its programs are warm.
+
+        Called from the frontends' timer ticks (UI thread — the warm
+        thread only ever publishes into ``_warmed_nffts``, it never
+        touches browser state).  Returns True when the pending bucket
+        was just applied (callers replot), False otherwise."""
+        pending = self._pending_nfft
+        if pending is None:
+            return False
+        warm = self._warm_thread
+        warm_alive = warm is not None and warm.is_alive()
+        if pending in self._warmed_nffts or not warm_alive:
+            # warmed — or the warm thread is gone (done or failed), in
+            # which case serving the stale bucket forever is worse than
+            # one inline compile
+            self._pending_nfft = None
+            self.set_resolution(nfft=pending)
+            return True
+        return False
 
     @staticmethod
     def warm_ladder():
@@ -530,7 +577,11 @@ class DataBrowser:
                     unwrap_clip=self.unwrap_clip, mesh=self.data.mesh)
                 clone.open()
                 clone.set_times(t0, t1 - t0)
-                clone.warm_resolutions(nffts)
+                # publish per-bucket progress into the live session so
+                # interactive steps snap to warmed buckets mid-warm and
+                # poll_pending_resolution() can swap pending ones in
+                clone.warm_resolutions(nffts,
+                                       on_warm=self._warmed_nffts.add)
             except Exception:
                 pass  # best-effort prefetch; the UI path stays correct
             finally:
@@ -551,13 +602,40 @@ class DataBrowser:
     # (warm_resolutions_async) or on an explicit warm_resolutions() call,
     # never inline on the first keypress (a cold persistent cache would
     # stall it for minutes over the tunneled backend)
+    def _nfft_bucket_range(self):
+        """(lo, hi) of the steppable pow2 NFFT ladder: the reference UI
+        bounds 2^3..2^19 (`databrowser.py:516`), with hi further capped
+        to the largest pow2 the recording length admits — the node
+        would clamp an overshooting step to ``frames//2``, a non-pow2
+        bucket the background warm never visited, and that keypress
+        would compile inline."""
+        from ..ops.sweep import FULL_NFFTS
+
+        hi = FULL_NFFTS[-1]
+        frames = self.data[self.spectrogram].source_spec.frames
+        while hi > FULL_NFFTS[0] and hi > frames // 2:
+            hi //= 2
+        return FULL_NFFTS[0], hi
+
+    def _nfft_step_base(self):
+        # while a snapped step waits for the warm, further steps count
+        # from the REQUESTED bucket, not the displayed stand-in —
+        # pressing up 3x mid-warm must land 3 octaves up, not 1
+        return self._pending_nfft or self.data[self.spectrogram].nfft
+
     def freq_resolution_down(self):
         if self.spectrogram in self.data:
-            self.set_resolution(nfft=self.data[self.spectrogram].nfft // 2)
+            lo, _hi = self._nfft_bucket_range()
+            nfft = self._nfft_step_base() // 2
+            if nfft >= lo:
+                self.set_resolution(nfft=nfft)
 
     def freq_resolution_up(self):
         if self.spectrogram in self.data:
-            self.set_resolution(nfft=2 * self.data[self.spectrogram].nfft)
+            _lo, hi = self._nfft_bucket_range()
+            nfft = 2 * self._nfft_step_base()
+            if nfft <= hi:
+                self.set_resolution(nfft=nfft)
 
     def overlap_frac_up(self):
         if self.spectrogram in self.data:

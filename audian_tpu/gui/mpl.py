@@ -735,6 +735,8 @@ class MplBrowserWindow:
                 b.freq_resolution_up()
             else:
                 b.freq_resolution_down()
+            # snapped to a warmed bucket mid-warm: poll for the swap
+            self._update_timer()
         elif key == "p":
             play, rate = b.play_visible()
             self._play(play, rate)
@@ -806,10 +808,13 @@ class MplBrowserWindow:
             self.redraw()
 
     def _tick(self):
-        """50 ms timer: advance auto-scroll and the playback marker."""
+        """50 ms timer: advance auto-scroll and the playback marker,
+        and swap in a pending NFFT bucket once its programs are warm."""
         b = self.browser
         if self._closed:
             return
+        # set_resolution redraws through sigResolutionChanged
+        b.poll_pending_resolution()
         if b.scroll_active:
             b.scroll_further()  # set_times redraws through the signal
         self._audio_t = b.mark_audio()
@@ -825,11 +830,14 @@ class MplBrowserWindow:
                 if isinstance(key, tuple) and "audio" in art:
                     art["audio"].set_visible(False)
             self.fig.canvas.draw_idle()
-            self.timer.stop()
+            if not b.has_pending_resolution:
+                self.timer.stop()
 
     def _update_timer(self):
-        """Run the 50 ms tick while auto-scroll or playback is active."""
-        if self.browser.scroll_active or self.browser.audio_time >= 0:
+        """Run the 50 ms tick while auto-scroll or playback is active,
+        or a snapped resolution step waits for its warmed bucket."""
+        if (self.browser.scroll_active or self.browser.audio_time >= 0
+                or self.browser.has_pending_resolution):
             self.timer.start()
         else:
             self.timer.stop()

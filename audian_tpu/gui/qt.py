@@ -612,6 +612,10 @@ if HAVE_QT:
 
         def _poll_fulltrace(self):
             b = self.browser
+            # a resolution step that snapped to a warmed bucket swaps to
+            # its real bucket here once the background warm lands it
+            # (set_resolution emits sigResolutionChanged -> refresh)
+            b.poll_pending_resolution()
             ft = b.fulltrace
             if ft is None or ft.datas is None:
                 return
@@ -621,7 +625,8 @@ if HAVE_QT:
                 # decimation finished: one final redraw, then stop the
                 # 500 ms poll — otherwise every tab recomputes the peak
                 # and repaints its overview curves forever
-                self.poll.stop()
+                if not b.has_pending_resolution:
+                    self.poll.stop()
                 if n == getattr(self, "_ov_drawn", -1):
                     return
             self._ov_drawn = n if not busy else -1
@@ -1100,9 +1105,9 @@ if HAVE_QT:
 
             specm = mb.addMenu("&Spectrogram")
             self._act(specm, "Increase &resolution", "Shift+R",
-                      lambda: B().freq_resolution_up())
+                      lambda: self._step_resolution(+1))
             self._act(specm, "Decrease r&esolution", "R",
-                      lambda: B().freq_resolution_down())
+                      lambda: self._step_resolution(-1))
             self._act(specm, "More &overlap", "Shift+O",
                       lambda: B().overlap_frac_up())
             self._act(specm, "Less o&verlap", "O",
@@ -1464,6 +1469,18 @@ if HAVE_QT:
             b = self.browser()
             if "envelope" in b.data:
                 b.update_envelope(b.data["envelope"].envelope_cutoff * fac)
+
+        def _step_resolution(self, direction):
+            b = self.browser()
+            if direction > 0:
+                b.freq_resolution_up()
+            else:
+                b.freq_resolution_down()
+            if b.has_pending_resolution:
+                # mid-warm step served by the nearest warmed bucket:
+                # restart the tab's 500 ms poll so the real bucket swaps
+                # in as soon as the background warm lands it
+                self.tab().poll.start(500)
 
         def play_scroll(self):
             verb, result = self.browser().play_scroll()

@@ -396,11 +396,12 @@ def test_browser_without_spectrogram(tmp_path, rng):
 
 
 def test_nfft_scrub_zero_compiles_after_warmup(tmp_path, rng):
-    """Stepping NFFT through the warmed bucket set compiles nothing:
-    `warm_resolutions` visits every bucket through the real
-    set_resolution + tile + power path once, then resolution scrubbing is
-    pure cache hits (`databrowser.py:1188-1222` recomputes per tick in
-    the reference)."""
+    """No resolution keypress ANYWHERE in the UI ladder compiles after
+    the warm: `warm_resolutions` now defaults to the reference's full
+    2^3..2^19 range (clamped by recording length, core band first —
+    `DataBrowser.warm_ladder`), the step verbs stay on that pow2 ladder,
+    and scrubbing end-to-end is pure cache hits (`databrowser.py:516,
+    1188-1222` recomputes per tick in the reference)."""
     import logging
     import jax
 
@@ -415,23 +416,37 @@ def test_nfft_scrub_zero_compiles_after_warmup(tmp_path, rng):
     b.open()
     b.set_times(0.0, 2.0)
     warmed = b.warm_resolutions()
-    assert warmed >= 5  # 128..4096 buckets all fit a 30 s recording
+    # 30 s x 8 kHz admits buckets 8..65536: the FULL clamped ladder
+    assert warmed == 14
+    assert b._warmed_nffts == {2 ** k for k in range(3, 17)}
     assert b.warm_resolutions() == 0  # idempotent
 
+    trace = b.data[b.spectrogram]
+
+    def pull():
+        b.spec_tile(0)
+        b.spec_tile(0, quantize=True)  # what the GUIs pull
+        b.power_spectrum(0)
+
     def scrub():
-        # 256 -> 512 -> ... -> 4096 -> ... -> 128 -> back: all buckets
-        for _ in range(4):
+        # climb to the clamped top of the ladder, then walk down to the
+        # reference UI floor (2^3), pulling at every bucket
+        visited = {trace.nfft}
+        while True:
+            before = trace.nfft
             b.freq_resolution_up()
-            b.spec_tile(0)
-            b.spec_tile(0, quantize=True)  # what the GUIs pull
-            b.power_spectrum(0)
-        for _ in range(5):
+            if trace.nfft == before:
+                break  # verb refuses to leave the warmed pow2 ladder
+            visited.add(trace.nfft)
+            pull()
+        assert trace.nfft == 65536  # largest pow2 <= frames // 2
+        while trace.nfft > 8:
             b.freq_resolution_down()
-            b.spec_tile(0)
-            b.spec_tile(0, quantize=True)
-            b.power_spectrum(0)
-        b.freq_resolution_up()
-        assert b.data[b.spectrogram].nfft == 256
+            visited.add(trace.nfft)
+            pull()
+        b.freq_resolution_down()
+        assert trace.nfft == 8  # verb refuses to go below the UI floor
+        assert visited == b._warmed_nffts
 
     records = []
 
@@ -453,6 +468,56 @@ def test_nfft_scrub_zero_compiles_after_warmup(tmp_path, rng):
             lg.removeHandler(handler)
     compiles = [r for r in records if "Compiling" in r or "compilation" in r]
     assert not compiles, f"NFFT scrub recompiled: {compiles[:4]}"
+    b.close()
+
+
+def test_step_mid_warm_snaps_to_nearest_warmed(tmp_path, rng):
+    """While the background warm is still filling the ladder, a step
+    into an unwarmed bucket is served by the nearest warmed bucket
+    immediately and swaps to the requested one via
+    poll_pending_resolution once its programs land (VERDICT r3 #4)."""
+    rate = 8000.0
+    x = 0.2 * rng.standard_normal(int(10.0 * rate))
+    p = tmp_path / "snap.wav"
+    wavio.write_audio(p, x[:, None], rate, encoding="PCM_16")
+    b = DataBrowser(str(p))
+    b.open()
+    b.set_times(0.0, 2.0)
+
+    class AliveThread:
+        def is_alive(self):
+            return True
+
+    b._warm_thread = AliveThread()
+    b._warmed_nffts = {256, 512}
+    b.set_resolution(nfft=2048)
+    # nearest warmed by log distance: 512 (2 octaves) beats 256 (3)
+    assert b.data[b.spectrogram].nfft == 512
+    assert b.has_pending_resolution and b._pending_nfft == 2048
+    assert not b.poll_pending_resolution()  # still unwarmed: keep 512
+    assert b.data[b.spectrogram].nfft == 512
+    b._warmed_nffts.add(2048)  # the warm thread lands the bucket
+    assert b.poll_pending_resolution()
+    assert b.data[b.spectrogram].nfft == 2048
+    assert not b.has_pending_resolution
+    # the step verbs route through the same snap, and repeated steps
+    # accumulate on the REQUESTED bucket, not the displayed stand-in
+    b._warmed_nffts = {2048}
+    b.freq_resolution_up()
+    assert b.data[b.spectrogram].nfft == 2048  # snapped back
+    assert b._pending_nfft == 4096
+    b.freq_resolution_up()
+    assert b._pending_nfft == 8192
+    b.freq_resolution_down()
+    assert b._pending_nfft == 4096
+    # a dead warm thread must not pin the view to the stale bucket
+    b._warm_thread = None
+    assert b.poll_pending_resolution()
+    assert b.data[b.spectrogram].nfft == 4096
+    # steps with no warm in flight apply directly, no pending
+    b.freq_resolution_down()
+    assert b.data[b.spectrogram].nfft == 2048
+    assert not b.has_pending_resolution
     b.close()
 
 

@@ -314,6 +314,35 @@ def test_release_outside_axes_clamps(win, browser):
     assert browser.toffset + browser.twindow <= 1.0 + 1e-6
 
 
+def test_resolution_step_mid_warm_snaps_then_swaps(win, browser):
+    """R/Shift+R during the background warm: show the nearest warmed
+    bucket now, swap to the requested one on a later 50 ms tick once
+    the warm thread lands it (VERDICT r3 #4)."""
+    b = browser
+    nfft0 = b.data[b.spectrogram].nfft
+
+    class AliveThread:
+        def is_alive(self):
+            return True
+
+    b._warm_thread = AliveThread()
+    b._warmed_nffts = {nfft0}
+    try:
+        win.on_key(K("R"))
+        assert b.data[b.spectrogram].nfft == nfft0  # snapped
+        assert b._pending_nfft == 2 * nfft0
+        win._tick()
+        assert b.data[b.spectrogram].nfft == nfft0  # still warming
+        b._warmed_nffts.add(2 * nfft0)
+        win._tick()
+        assert b.data[b.spectrogram].nfft == 2 * nfft0
+        assert not b.has_pending_resolution
+    finally:
+        b._warm_thread = None
+        b._warmed_nffts = set()
+        b.set_resolution(nfft=nfft0, dispatch=False)
+
+
 def test_auto_scroll_and_audio_ticks(win, browser):
     browser.set_times(0.0, 0.5)
     win.on_key(K("!"))

@@ -176,6 +176,34 @@ def test_resolution_scrub(qt, win):
     assert b.data[b.spectrogram].nfft == nfft0
 
 
+def test_resolution_step_mid_warm_snaps_then_swaps(qt, win):
+    """A resolution keypress while the background NFFT warm is running
+    shows the nearest warmed bucket at once; the tab's 500 ms poll swaps
+    in the requested bucket when its programs land (VERDICT r3 #4)."""
+    b = win.browser()
+    tab = win.tab()
+    nfft0 = b.data[b.spectrogram].nfft
+
+    class AliveThread:
+        def is_alive(self):
+            return True
+
+    b._warm_thread = AliveThread()
+    b._warmed_nffts = {nfft0}
+    trigger(win, "Shift+R")
+    assert b.data[b.spectrogram].nfft == nfft0  # snapped, no compile
+    assert b._pending_nfft == 2 * nfft0
+    tab._poll_fulltrace()
+    assert b.data[b.spectrogram].nfft == nfft0  # still warming
+    b._warmed_nffts.add(2 * nfft0)  # warm thread lands the bucket
+    tab._poll_fulltrace()
+    assert b.data[b.spectrogram].nfft == 2 * nfft0
+    assert not b.has_pending_resolution
+    b._warm_thread = None
+    trigger(win, "R")
+    assert b.data[b.spectrogram].nfft == nfft0
+
+
 # -- power side panel + color bars ---------------------------------------------------
 
 
