@@ -25,9 +25,14 @@ a bare install:
   (``native/ffflac.cc``) and used by
   ``write_audio(..., encoding="FLAC")`` and the round-trip tests.
 
-The hot decode loop also exists in C++ (``audian_tpu.native``); this
-Python implementation is the correctness reference and the fallback
-when the native library cannot build.
+The hot decode loop and the whole encoder also exist in C++
+(``audian_tpu.native``: ``flacdec.cc``, ``flacenc.cc`` — the
+production paths, ~2 orders of magnitude faster); this Python
+implementation is the correctness reference and the fallback when the
+native library cannot build.  Both directions are validated bit-exact
+against external codecs (FFmpeg's libavcodec via ``native/ffflac.cc``,
+libFLAC's ``flac`` binary in CI — `tests/test_flac_interop.py`,
+`tests/test_libflac_cli.py`, golden assets in `tests/data/golden`).
 """
 
 from __future__ import annotations
@@ -574,14 +579,16 @@ class _FlacFile:
             self._cache[k] = hit
         return hit
 
-    def read(self, start, nframes):
-        """Decoded samples [start, start+nframes) as (n, ch) int64."""
+    def read_into(self, start, nframes, out):
+        """Fill ``out[:nframes]`` with decoded samples of
+        [start, start+nframes) (any integer dtype; one cast copy per
+        frame, no intermediate allocation)."""
         total = self.sinfo["total"]
         start = max(0, min(int(start), total))
         nframes = max(0, min(int(nframes), total - start))
-        out = np.zeros((nframes, self.sinfo["channels"]), np.int64)
         if nframes == 0:
-            return out
+            return out[:0]
+        out[:nframes] = 0
         k = int(np.searchsorted(self.positions, start, side="right")) - 1
         k = max(k, 0)
         filled = 0
@@ -594,7 +601,15 @@ class _FlacFile:
                 out[fpos + lo - start : fpos + hi - start] = frame[lo:hi]
             filled = fpos + max(hi, 0) - start
             k += 1
-        return out
+        return out[:nframes]
+
+    def read(self, start, nframes):
+        """Decoded samples [start, start+nframes) as (n, ch) int64."""
+        nframes = max(0, min(int(nframes),
+                             self.sinfo["total"] - max(0, int(start))))
+        return self.read_into(
+            start, nframes,
+            np.zeros((nframes, self.sinfo["channels"]), np.int64))
 
 
 _OPEN = {}  # (path, mtime, size) -> _FlacFile (tiny LRU)
@@ -623,6 +638,21 @@ def read_frames(path, start, nframes, info=None):
     ff = _open(path)
     bits = ff.sinfo["bits"]
     return ff.read(start, nframes).astype(np.float64) / (1 << (bits - 1))
+
+
+def read_frames_raw16(path, start, nframes, out):
+    """Decode frames [start, start+nframes) of a 16-bit FLAC straight
+    into ``out`` (C-contiguous int16 ``(>=nframes, channels)``) — the
+    int16 device-upload fast path (`loader.read_raw16_into`): the
+    decoded codes ARE the quantized values the device dequantizes as
+    ``k / 2**15``, so the float64 decode + re-quantize round trip is
+    skipped (several full host passes on this 1-vCPU host).  Returns
+    the number of frames read."""
+    ff = _open(path)
+    if ff.sinfo["bits"] != 16:
+        raise FlacError(f"{path}: raw16 read needs a 16-bit FLAC, got "
+                        f"{ff.sinfo['bits']}")
+    return len(ff.read_into(start, nframes, out))
 
 
 def read_flac(path):
@@ -927,6 +957,17 @@ def _write_subframe(bw, plan, blocksize):
     _write_residual(bw, plan.res, blocksize, plan.order, plan.rice)
 
 
+def _vorbis_comment(tags):
+    """A VORBIS_COMMENT block body from flattened (key, value) tags."""
+    vendor = b"audian-tpu"
+    vc = struct.pack("<I", len(vendor)) + vendor
+    vc += struct.pack("<I", len(tags))
+    for key, value in tags:
+        entry = f"{key}={value}".encode("utf-8")
+        vc += struct.pack("<I", len(entry)) + entry
+    return vc
+
+
 def _flatten_md(md, prefix=""):
     out = []
     for key, value in (md or {}).items():
@@ -994,6 +1035,23 @@ def write_flac(path, data, rate, blocksize=4096, metadata=None,
     if not 1 <= channels <= 8:
         raise FlacError(f"unsupported channel count {channels}")
     rate = int(round(float(rate)))
+    tags = _flatten_md(metadata)
+    # production path: the C++ encoder (flacenc.cc — identical design,
+    # ~2 orders of magnitude faster); this Python encoder below is the
+    # readable reference and the no-compiler fallback.  Tags are
+    # spliced in after STREAMINFO (bytes 4..41) host-side.
+    from .. import native
+
+    blob = (native.flac_encode(q, rate, bits, blocksize, max_lpc_order)
+            if 16 <= blocksize <= 32768 else None)
+    if blob is not None:
+        if tags:
+            vc = _vorbis_comment(tags)
+            blob = (blob[:4] + bytes([blob[4] & 0x7F]) + blob[5:42]
+                    + bytes([0x80 | 4]) + len(vc).to_bytes(3, "big")
+                    + vc + blob[42:])
+        Path(path).write_bytes(blob)
+        return Path(path)
     out = bytearray(b"fLaC")
     si = _BitWriter()
     si.write(blocksize, 16)
@@ -1011,16 +1069,10 @@ def write_flac(path, data, rate, blocksize=4096, metadata=None,
     else:
         raw = q.astype(f"<i{width}").tobytes()
     body = si.out + hashlib.md5(raw).digest()
-    tags = _flatten_md(metadata)
     last_flag = 0x00 if tags else 0x80
     out += bytes([last_flag]) + len(body).to_bytes(3, "big") + bytes(body)
     if tags:
-        vendor = b"audian-tpu"
-        vc = struct.pack("<I", len(vendor)) + vendor
-        vc += struct.pack("<I", len(tags))
-        for key, value in tags:
-            entry = f"{key}={value}".encode("utf-8")
-            vc += struct.pack("<I", len(entry)) + entry
+        vc = _vorbis_comment(tags)
         out += bytes([0x80 | 4]) + len(vc).to_bytes(3, "big") + vc
     ss_code = _SS_CODES[bits]
     for fnum, pos in enumerate(range(0, n, blocksize)):

@@ -277,11 +277,14 @@ class AudioLoader:
     @property
     def raw16_capable(self):
         """True when :meth:`read_raw16_into` can serve reads: every file
-        is a PCM-16 WAV with a seekable data chunk and unwrapping is off
+        stores 16-bit codes readable without a float pass — a PCM-16 WAV
+        with a seekable data chunk, or a 16-bit FLAC (the native decoder
+        emits the quantized codes directly) — and unwrapping is off
         (unwrap rescales samples, so raw quantized values would be
         wrong)."""
         return (self.unwrap_thresh <= 1e-3
-                and all(i[3] == "PCM_16" and i[4] is not None
+                and all((i[3] == "PCM_16" and i[4] is not None)
+                        or i[3] == "FLAC_16"
                         for i in self._infos))
 
     def read_raw16_into(self, start, nframes, out):
@@ -297,8 +300,8 @@ class AudioLoader:
         Check :attr:`raw16_capable` first.
         """
         if not self.raw16_capable:
-            raise wavio.WavError(
-                "raw16 reads need all-PCM-16 WAV sources without unwrap")
+            raise wavio.WavError("raw16 reads need all-PCM-16-WAV or "
+                                 "16-bit-FLAC sources without unwrap")
         _trace.trace_event("loader.read_raw16", start=start,
                            frames=nframes)
         start = max(0, min(int(start), self.frames))

@@ -115,7 +115,39 @@ def _soundfile():
 def _sf_unavailable(path):
     return WavError(
         f"{path}: not a RIFF/WAVE or FLAC file (WAV and FLAC decode "
-        "natively; install the 'soundfile' package for other formats)")
+        "natively; other containers need the 'soundfile' package or "
+        "the system FFmpeg libraries)")
+
+
+_FF_CACHE = {}  # (path, mtime, size) -> (float32 samples, rate)
+
+
+def _ff_decode_cached(p):
+    """Whole-file decode of a non-WAV/FLAC container through the system
+    FFmpeg libraries (``native.ff_audio_decode``), LRU-cached so the
+    loader's windowed reads do not re-decode — the fallback matching
+    the reference's always-present libsndfile when ``soundfile`` is not
+    installed.  Returns None when FFmpeg is unavailable or cannot read
+    the file (callers fall through to their own error)."""
+    try:
+        st = p.stat()
+    except OSError:
+        return None
+    key = (str(p), st.st_mtime_ns, st.st_size)
+    hit = _FF_CACHE.get(key)
+    if hit is None:
+        from .. import native
+
+        try:
+            hit = native.ff_audio_decode(p)
+        except (ValueError, OSError):
+            return None
+        if hit is None:
+            return None
+        if len(_FF_CACHE) > 4:
+            _FF_CACHE.clear()
+        _FF_CACHE[key] = hit
+    return hit
 
 
 def _iter_chunks(buf):
@@ -245,7 +277,12 @@ def load_wav(path, return_buffer=False):
                     empty_locs, empty_labels)
         sf = _soundfile()
         if sf is None:
-            raise _sf_unavailable(path)
+            got = _ff_decode_cached(Path(path))
+            if got is None:
+                raise _sf_unavailable(path)
+            samples, rate = got
+            return (samples.astype(np.float64), float(rate), {},
+                    empty_locs, empty_labels)
         data, rate = sf.read(str(path), always_2d=True, dtype="float64")
         return data, float(rate), {}, empty_locs, empty_labels
     buf = Path(path).read_bytes()
@@ -341,7 +378,10 @@ def scan_wav(path):
                         locs, labels)
             sf = _soundfile()
             if sf is None:
-                raise _sf_unavailable(path)
+                got = _ff_decode_cached(p)
+                if got is None:
+                    raise _sf_unavailable(path)
+                return float(got[1]), {}, locs, labels
             i = sf.info(str(p))
             return float(i.samplerate), {}, locs, labels
         while True:
@@ -400,6 +440,11 @@ def wav_info(path):
                 return flac.flac_info(p)
             sf = _soundfile()
             if sf is None:
+                got = _ff_decode_cached(p)
+                if got is not None:
+                    samples, rate = got
+                    return (float(rate), int(samples.shape[1]),
+                            int(samples.shape[0]), "FFMPEG", None)
                 raise _sf_unavailable(path)
             i = sf.info(str(p))
             return (float(i.samplerate), int(i.channels), int(i.frames),
@@ -441,6 +486,14 @@ def read_frames(path, start, nframes, info=None):
         from . import flac
 
         return flac.read_frames(path, start, nframes)
+    if enc == "FFMPEG":  # system-FFmpeg fallback (non-WAV container)
+        got = _ff_decode_cached(Path(path))
+        if got is None:
+            raise _sf_unavailable(path)
+        samples, _rate = got
+        start = max(0, min(start, frames))
+        nframes = max(0, min(nframes, frames - start))
+        return samples[start : start + nframes].astype(np.float64)
     if data_off is None:  # soundfile-backed (non-WAV container)
         sf = _soundfile()
         start = max(0, min(start, frames))
@@ -476,6 +529,15 @@ def read_frames_raw16(path, start, nframes, info, out):
     ``info[3] == "PCM_16" and info[4] is not None``.
     """
     rate, channels, frames, enc, data_off = info
+    if enc == "FLAC_16":  # 16-bit FLAC: decode codes straight to int16
+        from . import flac
+
+        if (out.dtype != np.int16 or out.ndim != 2
+                or out.shape[1] != channels or out.shape[0] < nframes
+                or not out.flags.c_contiguous):
+            raise ValueError("out must be C-contiguous int16 "
+                             f"(>= {nframes}, {channels})")
+        return flac.read_frames_raw16(path, start, nframes, out)
     if enc != "PCM_16" or data_off is None:
         raise WavError(f"{path}: raw16 read needs PCM_16 WAV, got {enc}")
     if (out.dtype != np.int16 or out.ndim != 2

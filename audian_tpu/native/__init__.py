@@ -20,7 +20,8 @@ import numpy as np
 _HERE = Path(__file__).parent
 _LIB_PATH = _HERE / "libaudianative.so"
 _SRC = _HERE / "wavio.cc"
-_SRCS = [_HERE / "wavio.cc", _HERE / "flacdec.cc"]
+_SRCS = [_HERE / "wavio.cc", _HERE / "flacdec.cc",
+         _HERE / "flacenc.cc"]
 _FFM_PATH = _HERE / "libaudianffm.so"
 _FFM_SRC = _HERE / "ffflac.cc"
 _lock = threading.Lock()
@@ -81,6 +82,13 @@ def get_lib():
             ctypes.c_int, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
             ctypes.POINTER(ctypes.c_double),
         ]
+        lib.an_flac_encode.restype = ctypes.c_int64
+        lib.an_flac_encode.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+        ]
         lib.an_flac_decode_frame.restype = ctypes.c_int64
         lib.an_flac_decode_frame.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
@@ -119,6 +127,17 @@ def get_ffm():
             lib = ctypes.CDLL(str(_FFM_PATH))
         except Exception:
             return None
+        lib.ffp_audio_info.restype = ctypes.c_int
+        lib.ffp_audio_info.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_longlong),
+        ]
+        lib.ffp_audio_decode.restype = ctypes.c_longlong
+        lib.ffp_audio_decode.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+            ctypes.c_longlong,
+        ]
         lib.ffp_flac_info.restype = ctypes.c_int
         lib.ffp_flac_info.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
@@ -142,6 +161,35 @@ def get_ffm():
 
 def ffm_available():
     return get_ffm() is not None
+
+
+def ff_audio_decode(path):
+    """Decode ANY container/codec the system FFmpeg libraries know
+    (OGG/Vorbis, AIFF, MP3, ...) to ``(float32 (n, ch) in [-1, 1],
+    rate)`` — the fallback reader for containers outside the in-repo
+    WAV/FLAC decoders when ``soundfile`` is absent (the reference
+    always has libsndfile, `/root/reference/pyproject.toml:17`).
+    Returns None when the FFmpeg libraries are unavailable; raises
+    ValueError when FFmpeg cannot decode the file."""
+    lib = get_ffm()
+    if lib is None:
+        return None
+    rate = ctypes.c_int()
+    channels = ctypes.c_int()
+    frames = ctypes.c_longlong()
+    rc = lib.ffp_audio_info(str(path).encode(), ctypes.byref(rate),
+                            ctypes.byref(channels),
+                            ctypes.byref(frames))
+    if rc != 0:
+        raise ValueError(f"FFmpeg could not decode {path} (rc={rc})")
+    out = np.empty((frames.value, channels.value), np.float32)
+    got = lib.ffp_audio_decode(
+        str(path).encode(),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        int(frames.value))
+    if got < 0:
+        raise ValueError(f"FFmpeg could not decode {path} (rc={got})")
+    return out[: int(got)], rate.value
 
 
 def ff_flac_decode(path):
@@ -221,6 +269,29 @@ def read_frames(path, data_off, encoding, channels, start, nframes,
     if got < 0:
         return None
     return out[:got]
+
+
+def flac_encode(samples, rate, bits, blocksize=4096, max_lpc_order=8):
+    """Encode raw int codes (n, ch) to a complete FLAC stream (bytes)
+    through the C++ encoder (``flacenc.cc`` — the production write
+    path; the Python encoder in ``data/flac.py`` is the readable
+    reference and fallback).  Returns None when the native library is
+    unavailable or rejects the geometry."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    q = np.ascontiguousarray(samples, np.int32)
+    frames, channels = q.shape
+    cap = frames * channels * (bits // 8 + 2) + (1 << 16)
+    out = np.empty(cap, np.uint8)
+    got = lib.an_flac_encode(
+        q.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        int(frames), int(channels), int(round(float(rate))), int(bits),
+        int(blocksize), int(max_lpc_order),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), int(cap))
+    if got < 0:
+        return None
+    return out[:got].tobytes()
 
 
 def flac_decode_frame(buf, offset, sinfo):

@@ -163,7 +163,154 @@ int decode_file(const char* path, Decoded* out) {
 
 }  // namespace
 
+namespace {
+
+// Generic any-container/any-codec decode to interleaved float32 — the
+// fallback reader behind `data/wavio.py` for containers outside the
+// in-repo WAV/FLAC decoders (OGG/Vorbis, AIFF, MP3, ...), standing in
+// for the reference's always-present libsndfile
+// (/root/reference/pyproject.toml:17) when `soundfile` is not
+// installed but the FFmpeg system libraries exist.
+struct DecodedF32 {
+  std::vector<float> samples;  // interleaved
+  int rate = 0;
+  int channels = 0;
+};
+
+bool append_frame_f32(const AVFrame* fr, DecodedF32* out) {
+  const int ch = fr->ch_layout.nb_channels;
+  const int n = fr->nb_samples;
+  const AVSampleFormat fmt = static_cast<AVSampleFormat>(fr->format);
+  const bool planar = av_sample_fmt_is_planar(fmt) != 0;
+  const AVSampleFormat base = av_get_packed_sample_fmt(fmt);
+  size_t at = out->samples.size();
+  out->samples.resize(at + static_cast<size_t>(n) * ch);
+  for (int i = 0; i < n; ++i)
+    for (int c = 0; c < ch; ++c) {
+      const uint8_t* plane =
+          planar ? fr->extended_data[c] : fr->extended_data[0];
+      const int64_t k = planar ? i : (int64_t)i * ch + c;
+      double v;
+      switch (base) {
+        case AV_SAMPLE_FMT_U8:
+          v = (reinterpret_cast<const uint8_t*>(plane)[k] - 128) /
+              128.0;
+          break;
+        case AV_SAMPLE_FMT_S16:
+          v = reinterpret_cast<const int16_t*>(plane)[k] / 32768.0;
+          break;
+        case AV_SAMPLE_FMT_S32:
+          v = reinterpret_cast<const int32_t*>(plane)[k] / 2147483648.0;
+          break;
+        case AV_SAMPLE_FMT_FLT:
+          v = reinterpret_cast<const float*>(plane)[k];
+          break;
+        case AV_SAMPLE_FMT_DBL:
+          v = reinterpret_cast<const double*>(plane)[k];
+          break;
+        default:
+          return false;
+      }
+      out->samples[at++] = (float)v;
+    }
+  return true;
+}
+
+int decode_file_f32(const char* path, DecodedF32* out) {
+  AVFormatContext* ic = nullptr;
+  if (avformat_open_input(&ic, path, nullptr, nullptr) < 0) return -1;
+  int rc = -2;
+  AVCodecContext* cc = nullptr;
+  AVPacket* pkt = nullptr;
+  AVFrame* fr = nullptr;
+  do {
+    if (avformat_find_stream_info(ic, nullptr) < 0) break;
+    int si = av_find_best_stream(ic, AVMEDIA_TYPE_AUDIO, -1, -1,
+                                 nullptr, 0);
+    if (si < 0) break;
+    AVStream* st = ic->streams[si];
+    const AVCodec* dec = avcodec_find_decoder(st->codecpar->codec_id);
+    if (!dec) {
+      rc = -3;
+      break;
+    }
+    cc = avcodec_alloc_context3(dec);
+    if (!cc || avcodec_parameters_to_context(cc, st->codecpar) < 0)
+      break;
+    if (avcodec_open2(cc, dec, nullptr) < 0) break;
+    out->rate = cc->sample_rate;
+    out->channels = cc->ch_layout.nb_channels;
+    pkt = av_packet_alloc();
+    fr = av_frame_alloc();
+    if (!pkt || !fr) break;
+    rc = 0;
+    bool drained = false;
+    while (!drained && rc == 0) {
+      int r = av_read_frame(ic, pkt);
+      if (r < 0) {
+        avcodec_send_packet(cc, nullptr);
+        drained = true;
+      } else if (pkt->stream_index != si) {
+        av_packet_unref(pkt);
+        continue;
+      } else {
+        r = avcodec_send_packet(cc, pkt);
+        av_packet_unref(pkt);
+        if (r < 0) {
+          rc = -4;
+          break;
+        }
+      }
+      while (true) {
+        int r2 = avcodec_receive_frame(cc, fr);
+        if (r2 == AVERROR(EAGAIN) || r2 == AVERROR_EOF) break;
+        if (r2 < 0 || !append_frame_f32(fr, out)) {
+          rc = -5;
+          drained = true;
+          break;
+        }
+      }
+    }
+    if (rc == 0 && out->channels > 0 && out->samples.empty())
+      rc = -6;  // container recognized but nothing decoded
+  } while (false);
+  if (fr) av_frame_free(&fr);
+  if (pkt) av_packet_free(&pkt);
+  if (cc) avcodec_free_context(&cc);
+  avformat_close_input(&ic);
+  return rc;
+}
+
+}  // namespace
+
 extern "C" {
+
+// Generic probe: decodes the whole file once (trustworthy lengths for
+// VBR streams); rate/channels/frames of the FIRST audio stream.
+int ffp_audio_info(const char* path, int* rate, int* channels,
+                   long long* frames) {
+  DecodedF32 d;
+  int rc = decode_file_f32(path, &d);
+  if (rc != 0) return rc;
+  *rate = d.rate;
+  *channels = d.channels;
+  *frames = d.channels ? (long long)(d.samples.size() / d.channels) : 0;
+  return 0;
+}
+
+// Generic decode into caller storage (interleaved float32 in [-1, 1]).
+// Returns frames written, <0 on error (-7: capacity too small).
+long long ffp_audio_decode(const char* path, float* out,
+                           long long max_frames) {
+  DecodedF32 d;
+  int rc = decode_file_f32(path, &d);
+  if (rc != 0) return rc;
+  long long frames =
+      d.channels ? (long long)(d.samples.size() / d.channels) : 0;
+  if (frames > max_frames) return -7;
+  std::memcpy(out, d.samples.data(), d.samples.size() * sizeof(float));
+  return frames;
+}
 
 // Probe: rate/channels/bits/frames of a FLAC file via FFmpeg.
 // Returns 0 on success.  frames is the DECODED length (the whole file

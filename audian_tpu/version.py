@@ -6,7 +6,7 @@ TPU-native re-implementation counterpart of the reference's
 
 import platformdirs
 
-__version__ = "0.1.0"
+__version__ = "0.5.0"
 __year__ = "2026"
 
 #: Platform-specific directories (user cache holds the fulltrace pyramid

@@ -4,15 +4,24 @@ BASELINE.md target: full NFFT-256/50% spectrogram + 2-40 kHz bandpass +
 envelope over a 1 hour x 16 channel x 96 kHz recording in under 2 s on one
 TPU v5e chip.
 
-Three metrics, one JSON line each:
+Four metrics, one JSON line each:
 
 1. ``io+compute``: the honest end-to-end path — a real two-file PCM-16
    recording on disk read through :class:`audian_tpu.data.AudioLoader`
    (background block prefetch on), int16 host->device upload, the fused
    chain, fenced stats.  ``vs_baseline`` is the real-time factor
    (recording seconds processed per wall second; target 1x).  On this dev
-   host the number is dominated by the environment (slow disk, tunneled
-   device link) — see docs/performance.md.
+   host the number is dominated by the environment (tunneled device
+   link) — the ``components`` field breaks the wall into read / upload /
+   dispatch / fence so a regression in the overlap machinery is
+   distinguishable from disk or tunnel weather (the page cache is
+   dropped first when permitted; this host's virtio disk still serves
+   guest-cold reads from the hypervisor cache).  See docs/performance.md.
+1b. ``io+compute FLAC``: the same pipeline decoding a FLAC container of
+   identical PCM at 8 channels (the FLAC spec ceiling) against a
+   same-shape WAV baseline: the compressed path wins only where storage
+   bandwidth is below the native decoder's ~140 MB/s; the components
+   show which regime the host is in.
 2. ``batch song-detect envelope``: detect()'s front half (the
    ``audian-songdetector`` hot loop) on the single-pass fused decimating
    kernel (``ops/pallas/envdet.py``) over device-resident chunks;
@@ -192,8 +201,15 @@ def bench_detect():
     return fused_s, unfused_s
 
 
-def _bench_recording():
-    """Two cached PCM-16 WAV files (written once, reused across runs)."""
+def _bench_recording(container="wav", channels=CHANNELS):
+    """Two cached recording files (written once, reused across runs).
+
+    ``container="flac"`` holds the SAME int16 samples FLAC-compressed
+    (encoded once by the FFmpeg oracle when available — fast C encode of
+    the bench input; the measured path is the repo's own decoder — else
+    by the repo encoder).  The FLAC legs run at ``channels<=8`` (the
+    FLAC spec's channel ceiling).  Returns None when the FLAC variant
+    cannot be produced."""
     from audian_tpu.data import wavio
 
     cache = Path(os.environ.get("XDG_CACHE_HOME",
@@ -203,28 +219,70 @@ def _bench_recording():
     frames = int(IO_FILE_SECONDS * RATE)
     files = []
     for i in range(2):
-        f = cache / f"io_{CHANNELS}ch_{frames}f_{i}.wav"
+        f = cache / f"io_{channels}ch_{frames}f_{i}.wav"
         files.append(f)
-        if f.exists() and f.stat().st_size > frames * CHANNELS * 2:
+        if f.exists() and f.stat().st_size > frames * channels * 2:
             continue
         t = (np.arange(frames, dtype=np.float64) + i * frames) / RATE
         tone = np.sin(2 * np.pi * 30000.0 * t) * (
             np.sin(2 * np.pi * 5.0 * t) > 0)
         rng = np.random.default_rng(i)
         x = (0.5 * tone[:, None]
-             + 0.05 * rng.standard_normal((frames, CHANNELS))
+             + 0.05 * rng.standard_normal((frames, channels))
              ).astype(np.float32)
         wavio.write_audio(f, x, RATE, encoding="PCM_16")
-    return files
+    if container == "wav":
+        return files
+    if channels > 8:
+        return None  # FLAC stores at most 8 channels
+    from audian_tpu import native
+    from audian_tpu.data import flac
+
+    flacs = []
+    for f in files:
+        g = f.with_suffix(".flac")
+        flacs.append(g)
+        if g.exists() and g.stat().st_size > 0:
+            continue
+        info = wavio.wav_info(f)
+        q16 = np.empty((info[2], info[1]), np.int16)
+        wavio.read_frames_raw16(f, 0, info[2], info, q16)
+        try:
+            if not native.ff_flac_encode(g, q16.astype(np.int32),
+                                         int(info[0]), bits=16, level=5):
+                flac.write_flac(g, q16, info[0])
+        except Exception:
+            return None
+    return flacs
 
 
-def bench_io(fused):
+def _drop_page_cache():
+    """Drop the OS page cache (root-only) so the io legs measure COLD
+    reads — otherwise the recording written moments ago is served from
+    RAM and the disk never shows up.  Returns False (and the metric
+    notes warm cache) when not permitted."""
+    try:
+        os.sync()
+        with open("/proc/sys/vm/drop_caches", "w") as f:
+            f.write("3")
+        return True
+    except OSError:
+        return False
+
+
+def bench_io(fused, files):
     """Disk -> AudioLoader -> int16 upload -> fused chain -> fenced stats
-    over a real multi-file PCM-16 recording (the BASELINE "end-to-end"
-    framing; compile excluded via one warm-up chunk)."""
+    over a real multi-file recording (the BASELINE "end-to-end" framing;
+    compile excluded via one warm-up chunk).
+
+    Returns ``(wall_s, audio_seconds, components)`` where components
+    break the wall down: ``read_s`` (disk + decode on the reader
+    thread, which OVERLAPS the device work — components exceed the
+    wall when the overlap is healthy), ``upload_s`` (host-side
+    device_put time), ``bytes_read`` (container bytes), and
+    ``open_s`` (loader open incl. the FLAC frame-index scan)."""
     from audian_tpu.data.loader import AudioLoader
 
-    files = _bench_recording()
     ck = fused.chain_kernel
     hb, ha = ck.hb, ck.ha
     ext_frames = hb + IO_CHUNK + ha
@@ -241,9 +299,21 @@ def bench_io(fused):
         _y, _e, _s, st = fused.chain_cf(ext, IO_CHUNK, stats=True)
         return st["power"], st["env_sum"], st["psd_sum"]
 
+    t_open = time.perf_counter()
     loader = AudioLoader(files)
-    assert loader.channels == CHANNELS
+    if loader.raw16_capable:
+        # charge per-file open work (the FLAC frame-index sync scan) to
+        # open_s: touch the first and last frame
+        probe = np.empty((1, loader.channels), np.int16)
+        loader.read_raw16_into(0, 1, probe)
+        loader.read_raw16_into(loader.frames - 1, 1, probe)
+    open_s = time.perf_counter() - t_open
+    channels = loader.channels
     nchunks = loader.frames // IO_CHUNK
+    comps = {"read_s": 0.0, "upload_s": 0.0, "dispatch_s": 0.0,
+             "open_s": round(open_s, 4),
+             "bytes_read": int(sum(Path(f).stat().st_size
+                                   for f in files))}
 
     # persistent host staging: first touch of fresh pages is ~100x slower
     # than warm memory on this host, so the read path reuses two
@@ -259,6 +329,13 @@ def bench_io(fused):
            else np.zeros((ext_frames, loader.channels), np.float32))
 
     def read_ext(k):
+        t_read = time.perf_counter()
+        try:
+            return _read_ext(k)
+        finally:
+            comps["read_s"] += time.perf_counter() - t_read
+
+    def _read_ext(k):
         start = k * IO_CHUNK - hb
         lo = max(start, 0)
         hi = min(start + ext_frames, loader.frames)
@@ -290,6 +367,7 @@ def bench_io(fused):
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=1) as pool:
+        comps["read_s"] = 0.0  # discount the warm-up chunk's read
         t0 = time.perf_counter()
         out = None
         fut = pool.submit(read_ext, 0)
@@ -297,28 +375,203 @@ def bench_io(fused):
             q = fut.result()
             if k + 1 < nchunks:
                 fut = pool.submit(read_ext, k + 1)
-            out = chain(prep(jax.device_put(q)))
+            t_put = time.perf_counter()
+            dq = jax.device_put(q)
+            t_disp = time.perf_counter()
+            comps["upload_s"] += t_disp - t_put
+            out = chain(prep(dq))
+            comps["dispatch_s"] += time.perf_counter() - t_disp
+        t_fence = time.perf_counter()
         _ = np.asarray(out[0])  # fences the in-order queue
         elapsed = time.perf_counter() - t0
+        comps["fence_s"] = round(time.perf_counter() - t_fence, 4)
     loader.close()
+    comps["read_s"] = round(comps["read_s"], 4)
+    comps["upload_s"] = round(comps["upload_s"], 4)
+    comps["dispatch_s"] = round(comps["dispatch_s"], 4)
     audio_seconds = nchunks * IO_CHUNK / RATE
-    return elapsed, audio_seconds
+    return elapsed, audio_seconds, comps
+
+
+#: stress leg: int16 bytes synthesized = this fraction of HBM (v5e has
+#: 16 GB; >1 proves the chunked drivers stream with a bounded device
+#: working set — an accumulating buffer would OOM the chip)
+STRESS_HBM_FRACTION = 1.05
+STRESS_HBM_BYTES = 16 << 30
+
+
+def bench_stress():
+    """Opt-in (``--stress`` / ``AUDIAN_TPU_STRESS=1``): the batch
+    drivers over a synthetic recording LARGER than device HBM at int16.
+
+    - ``detect`` (the ``audian-songdetector`` pipeline) streams the
+      whole recording through the chunked fused device path; completing
+      at all is the bounded-device-memory assertion (the input alone
+      exceeds HBM), and three interior windows are re-computed through
+      the exact host scipy float64 path and compared (the chunked ==
+      whole contract, `tests/test_chunk_equivalence.py`, at stress
+      scale).  Reference analog: whole-file batch detection,
+      `/root/reference/songdetector.py:745-767`.
+    - ``audian-compress`` builds the min/max overview artifact over the
+      same recording written as a multi-file WAV set (RIFF caps one
+      file at 4 GB), through the real CLI.
+
+    Prints one JSON line: sustained samples/s over the detect leg,
+    ``vs_baseline`` = real-time factor, components carrying the compress
+    leg and the oracle-check count."""
+    import shutil
+    import tempfile
+
+    from audian_tpu.analysis import events
+
+    frames = int(STRESS_HBM_FRACTION * STRESS_HBM_BYTES
+                 / (CHANNELS * 2))
+    frames -= frames % (1 << 21)
+    rec_seconds = frames / RATE
+    # blockwise int16 synthesis (tone bursts + noise), ~17.6 GB in RAM
+    x = np.empty((frames, CHANNELS), np.int16)
+    blk = 1 << 22
+    rng = np.random.default_rng(0)
+    for a in range(0, frames, blk):
+        b = min(a + blk, frames)
+        t = np.arange(a, b, dtype=np.float64) / RATE
+        tone = 0.4 * np.sin(2 * np.pi * 6500.0 * t) * (
+            np.sin(2 * np.pi * 1.0 * t) > 0)
+        seg = (tone[:, None]
+               + 0.05 * rng.standard_normal((b - a, CHANNELS)))
+        np.clip(np.round(seg * 32768.0), -32768, 32767, out=seg)
+        x[a:b] = seg
+    del seg
+
+    t0 = time.perf_counter()
+    # envelopefilter="none" keeps res["envelope"] pristine so the
+    # oracle windows below compare the actual chunked-path output (the
+    # default "apply" rewrites the envelope inside detected songs)
+    res = events.detect(x, RATE, verbose=0, return_filtered=False,
+                        envelopefilter="none")
+    detect_s = time.perf_counter() - t0
+
+    # slice-equality vs the exact host float64 scipy path (small inputs
+    # route there automatically): three interior windows, grids aligned
+    env = res["envelope"]
+    step = int(round(RATE / res["envrate"]))
+    # grid-aligned window geometry: the slice's decimation grid must
+    # coincide with the whole-recording grid
+    ctx = ((1 << 17) // step) * step   # >> the bucketed filter halo
+    wlen = ((1 << 19) // step) * step
+    checks = 0
+    for wstart in (frames // 7, frames // 2, frames - 2 * wlen):
+        a = (wstart // step) * step
+        lo = a - ctx
+        assert lo % step == 0 and lo > 0
+        _f, env_ref, er = events.band_env(
+            x[lo : a + wlen + ctx], RATE, 1000.0, 10000.0, 500.0,
+            return_filtered=False)
+        assert er == res["envrate"]
+        j0 = ctx // step
+        npts = wlen // step
+        got = np.asarray(env[a // step : a // step + npts])
+        ref = np.asarray(env_ref[j0 : j0 + npts])
+        scale = max(float(np.max(np.abs(ref))), 1e-9)
+        err = float(np.max(np.abs(got - ref))) / scale
+        assert err < 2e-5, (wstart, err)
+        checks += 1
+
+    # compress leg: the real CLI over the recording as 4 GB-capped WAVs
+    from audian_tpu.cli import compress
+    from audian_tpu.data import wavio
+
+    tmp = Path(tempfile.mkdtemp(prefix="audian_stress_"))
+    try:
+        per_file = 1 << 26  # 67M frames ~ 2.1 GB < the 4 GiB RIFF cap
+        files = []
+        for k, a in enumerate(range(0, frames, per_file)):
+            f = tmp / f"stress_{k}.wav"
+            # f32 k/2^15 is exact, so the PCM-16 write is bit-identical
+            # to the in-RAM int16 recording
+            wavio.write_audio(
+                f, x[a : a + per_file].astype(np.float32) / 32768.0,
+                RATE, encoding="PCM_16")
+            files.append(str(f))
+        t0 = time.perf_counter()
+        rc = compress.main(files)
+        compress_s = time.perf_counter() - t0
+        assert rc == 0
+        assert (tmp / "stress_0-fulltrace.wav").exists()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    print(json.dumps({
+        "metric": (f"STRESS detect over {rec_seconds / 3600:.2f}h x "
+                   f"{CHANNELS}ch x 96kHz int16 "
+                   f"({frames * CHANNELS * 2 / 2**30:.1f} GiB > HBM; "
+                   "completion = bounded device memory; sustained "
+                   "samples/s; vs_baseline = real-time factor)"),
+        "value": round(frames * CHANNELS / detect_s / 1e6, 1),
+        "unit": "Msamples/s",
+        "vs_baseline": round(rec_seconds / detect_s, 2),
+        "components": {
+            "detect_wall_s": round(detect_s, 2),
+            "compress_wall_s": round(compress_s, 2),
+            "oracle_windows_checked": checks,
+            "songs_found_ch0": len(res["onsets"][0]),
+        },
+    }))
 
 
 def main():
+    import sys
+
     import audian_tpu
     audian_tpu.enable_compilation_cache()
 
+    if "--stress" in sys.argv[1:] or os.environ.get("AUDIAN_TPU_STRESS"):
+        bench_stress()
+        return
+
     fused = build_chain()
 
-    io_elapsed, audio_seconds = bench_io(fused)
+    wav_files = _bench_recording("wav")
+    cold = _drop_page_cache()
+    io_elapsed, audio_seconds, comps = bench_io(fused, wav_files)
+    comps["cold_cache"] = cold
     print(json.dumps({
         "metric": (f"io+compute disk->chain "
                    f"{audio_seconds:.0f}s x {CHANNELS}ch x 96kHz wall"),
         "value": round(io_elapsed, 4),
         "unit": "s",
         "vs_baseline": round(audio_seconds / io_elapsed / 1.0, 3),
+        "components": comps,
     }))
+
+    # the FLAC leg runs at 8 channels (the FLAC spec's ceiling) with a
+    # matching 8-channel WAV run as its private baseline, so the ratio
+    # isolates the container (bytes + decode), not a channel-count change
+    flac_files = _bench_recording("flac", channels=8)
+    if flac_files is not None:
+        cold = _drop_page_cache()
+        w8_elapsed, _s8, w8_comps = bench_io(
+            fused, _bench_recording("wav", channels=8))
+        cold = _drop_page_cache() and cold
+        fl_elapsed, fl_seconds, fl_comps = bench_io(fused, flac_files)
+        fl_comps["cold_cache"] = cold
+        fl_comps["wav_wall_s"] = round(w8_elapsed, 4)
+        fl_comps["wav_read_s"] = w8_comps["read_s"]
+        print(json.dumps({
+            "metric": (f"io+compute FLAC->chain "
+                       f"{fl_seconds:.0f}s x 8ch x 96kHz wall "
+                       "(same PCM, ~2.5x fewer container bytes through "
+                       "the native decoder; vs_baseline = same-shape "
+                       "WAV wall / FLAC wall — >1 only when storage "
+                       "bandwidth is below the ~140 MB/s decode rate; "
+                       "this host's virtio disk serves guest-cold reads "
+                       "from the hypervisor cache at ~GB/s, so WAV wins "
+                       "here: see components.read_s vs wav_read_s)"),
+            "value": round(fl_elapsed, 4),
+            "unit": "s",
+            "vs_baseline": round(w8_elapsed / fl_elapsed, 3),
+            "components": fl_comps,
+        }))
 
     detect_s, detect_unfused_s = bench_detect()
     print(json.dumps({

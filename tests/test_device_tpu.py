@@ -254,6 +254,77 @@ def test_light_blocks_within_budget_on_device(fused, signal):
     assert ddb < 0.05, ddb
 
 
+def test_light_block_boundary_mass_on_device(fused):
+    """Adversarial classifier-boundary case (VERDICT r3 #7): a design
+    whose light-block aggregate L1 mass sits just UNDER the
+    LIGHT_MASS_FRAC demotion budget (the greedy takes every tail
+    block), driven by a full-scale signal sign-matched to the demoted
+    taps so their bf16 rounding error adds coherently — the worst case
+    the aggregate-cap argument (`ops/pallas/chain.py:LIGHT_MASS_FRAC`)
+    must bound.  Budgets must hold with NO slack assumptions about
+    benign signals."""
+    from audian_tpu.ops.pallas.chain import FusedChainKernel, _chain_call
+
+    frac = FusedChainKernel.LIGHT_MASS_FRAC
+
+    def spread(k, nblocks=3):
+        # append a flat alternating-sign tail over `nblocks` extra
+        # 128-blocks with aggregate mass 0.98x the demotion budget
+        mass = float(np.abs(k).sum())
+        tail_total = 0.98 * frac * mass / (1.0 - 0.98 * frac)
+        tail = np.full(nblocks * 128, tail_total / (nblocks * 128))
+        tail[1::2] *= -1.0
+        return np.concatenate([np.asarray(k, np.float64), tail])
+
+    h_adv = spread(fused._h_filt)
+    g_adv = spread(fused._g_env)
+    ck = FusedChainKernel(RATE, h_adv, g_adv, fused.env_delay,
+                          np.asarray(fused.spec_w), fused.nbins,
+                          env_clamp=fused.env_clamp, nfft=fused.nfft)
+    # the greedy demoted the whole tail: light mass sits at the
+    # boundary (measured in BANK space, the classifier's own units)
+    for bank, act in ((np.asarray(ck.wf), ck.act_f),
+                      (np.asarray(ck.we), ck.act_e)):
+        mass = {kb: float(np.abs(bank[kb * 128 : (kb + 1) * 128]).sum())
+                for kb in range(bank.shape[0] // 128)}
+        light = sum(mass[kb] for kb, full in act if not full)
+        total = sum(mass.values())
+        assert 0.5 * frac < light / total <= frac, (light / total, frac)
+
+    # full-scale Nyquist alternation matches the tail's sign pattern
+    # (coherent worst case); the other channels probe DC and noise
+    rng = np.random.default_rng(7)
+    alt = np.tile([1.0, -1.0], N // 2)
+    x = np.stack([
+        alt,
+        np.ones(N),
+        np.clip(rng.standard_normal(N) / 3.0, -1.0, 1.0),
+        np.sign(np.sin(2 * np.pi * 30000.0 * np.arange(N) / RATE)),
+    ]).astype(np.float32)
+    x_ext = jnp.asarray(np.pad(x, [(0, 0), (ck.hb, ck.ha)]))
+
+    def run(precision, act_f, act_e):
+        return _chain_call(
+            x_ext, ck.wf, ck.we, ck.ws, N, ck.N, ck.hb, ck.Hx, ck.gy,
+            ck.lead, ck.offe, ck.nbins, ck.env_clamp, precision,
+            act_f, act_e, False)
+
+    H = lax.Precision.HIGHEST
+    yo, eo, so = run((H, H, H),
+                     tuple((kb, True) for kb, _ in ck.act_f),
+                     tuple((kb, True) for kb, _ in ck.act_e))
+    yn, en, sn = run(ck.precision, ck.act_f, ck.act_e)
+    dy = float(jnp.max(jnp.abs(yn - yo)))
+    de = float(jnp.max(jnp.abs(en - eo)))
+    assert dy < 1e-5, dy   # the architecture budget, no benign-signal slack
+    assert de < 1e-5, de
+    so, sn = np.asarray(so), np.asarray(sn)
+    mask = so > so.max() * 1e-6
+    ddb = np.abs(10 * np.log10(np.maximum(sn, 1e-30))
+                 - 10 * np.log10(np.maximum(so, 1e-30)))[mask].max()
+    assert ddb < 0.05, ddb
+
+
 def test_interactive_browser_on_device(_cache, tmp_path):
     """Product-level interactive session on the real chip: open a PCM-16
     recording through the public :class:`DataBrowser`, scroll, scrub the

@@ -1,0 +1,110 @@
+"""System-FFmpeg fallback for non-WAV/FLAC containers.
+
+The reference reads every libsndfile container because SoundFile is a
+hard dependency (`/root/reference/pyproject.toml:17`).  Here WAV and
+FLAC decode natively; other containers used to require the optional
+``soundfile`` extra.  `data/wavio.py` now falls back to the system
+FFmpeg libraries (``native/ffflac.cc:ffp_audio_decode``) when
+soundfile is absent, so e.g. an AIFF or OGG recording opens on a bare
+install of any host with libavcodec/libavformat present.
+
+The AIFF asset is hand-written here (big-endian PCM-16, 80-bit
+extended rate) so the test needs no external encoder.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from audian_tpu import native
+from audian_tpu.data import wavio
+
+needs_ffm = pytest.mark.skipif(not native.ffm_available(),
+                               reason="FFmpeg dev files unavailable")
+
+
+def _f80(x):
+    """IEEE 754 80-bit extended float (AIFF's sample-rate encoding)."""
+    x = int(x)
+    e = x.bit_length() - 1
+    return struct.pack(">HQ", 16383 + e, x << (63 - e))
+
+
+def write_aiff(path, q16, rate):
+    n, ch = q16.shape
+    comm = struct.pack(">hLh", ch, n, 16) + _f80(rate)
+    ssnd = struct.pack(">LL", 0, 0) + q16.astype(">i2").tobytes()
+    chunks = b"COMM" + struct.pack(">L", len(comm)) + comm
+    chunks += b"SSND" + struct.pack(">L", len(ssnd)) + ssnd
+    form = b"AIFF" + chunks
+    with open(path, "wb") as f:
+        f.write(b"FORM" + struct.pack(">L", len(form)) + form)
+
+
+@pytest.fixture()
+def aiff(rng, tmp_path):
+    q = np.clip(np.round(3000 * rng.normal(size=(5000, 2))),
+                -32768, 32767).astype(np.int16)
+    p = tmp_path / "t.aiff"
+    write_aiff(p, q, 44100)
+    return p, q
+
+
+@needs_ffm
+def test_direct_decode(aiff):
+    p, q = aiff
+    samples, rate = native.ff_audio_decode(p)
+    assert rate == 44100
+    np.testing.assert_array_equal(
+        np.round(samples * 32768.0).astype(np.int16), q)
+
+
+@needs_ffm
+def test_wavio_routes_aiff(aiff, monkeypatch):
+    # force the no-soundfile branch even where soundfile is installed
+    monkeypatch.setattr(wavio, "_SF", None)
+    p, q = aiff
+    rate, channels, frames, enc, off = wavio.wav_info(p)
+    assert (rate, channels, frames, enc, off) == (
+        44100.0, 2, 5000, "FFMPEG", None)
+    got = wavio.read_frames(p, 100, 200)
+    np.testing.assert_allclose(got, q[100:300] / 32768.0, atol=1e-7)
+
+
+@needs_ffm
+def test_loader_and_browser_on_aiff(aiff, monkeypatch):
+    monkeypatch.setattr(wavio, "_SF", None)
+    from audian_tpu.app import DataBrowser
+    from audian_tpu.data.loader import AudioLoader
+
+    p, q = aiff
+    al = AudioLoader(str(p))
+    assert (al.rate, al.frames, al.channels) == (44100.0, 5000, 2)
+    assert not al.raw16_capable  # whole-decode fallback, no raw16
+    b = DataBrowser(str(p)).open()
+    try:
+        b.set_times(0.0, 0.1)
+        raw = np.asarray(b.data.data[0:300, :])
+        np.testing.assert_allclose(raw, q[:300] / 32768.0, atol=1e-6)
+    finally:
+        b.close()
+
+
+@needs_ffm
+def test_full_read_path(aiff, monkeypatch):
+    monkeypatch.setattr(wavio, "_SF", None)
+    p, q = aiff
+    data, rate, md, locs, labels = wavio.load_wav(p)
+    assert rate == 44100.0
+    assert md == {} and len(locs) == 0
+    np.testing.assert_allclose(data, q / 32768.0, atol=1e-7)
+
+
+@needs_ffm
+def test_unreadable_still_raises(tmp_path, monkeypatch):
+    monkeypatch.setattr(wavio, "_SF", None)
+    p = tmp_path / "junk.xyz"
+    p.write_bytes(b"\x01\x02\x03" * 100)
+    with pytest.raises(wavio.WavError):
+        wavio.wav_info(p)

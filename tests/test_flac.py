@@ -392,7 +392,7 @@ def test_loader_and_browser_on_flac(rng, tmp_path):
     wavio.write_audio(p, x, rate)
     ld = AudioLoader([p])
     assert (ld.frames, ld.channels, ld.encoding) == (len(t), 2, "FLAC_16")
-    assert not ld.raw16_capable
+    assert ld.raw16_capable  # 16-bit FLAC serves the int16 fast path
     np.testing.assert_allclose(np.asarray(ld[30000:31000]),
                                q[30000:31000], atol=1e-7)
     ld.close()
@@ -573,6 +573,56 @@ def test_duplicate_position_impostor_keeps_real_frame(rng, tmp_path):
     p2.write_bytes(bytes(blob))
     got, _ = flac.read_flac(p2)
     np.testing.assert_array_equal(got * 32768, q.astype(np.float64))
+
+
+def test_python_encoder_fallback_matches_native(rng, tmp_path,
+                                                monkeypatch):
+    """write_flac routes through the C++ encoder when built; the pure
+    Python encoder is the reference/fallback and must stay live: force
+    the fallback and require identical decoded PCM (and that BOTH
+    streams carry tags + a true MD5)."""
+    q = np.clip(np.round(3000 * rng.normal(size=(9000, 2))),
+                -(1 << 23), (1 << 23) - 1).astype(np.int32)
+    pn = tmp_path / "native.flac"
+    flac.write_flac(pn, q, 48000, bits=24, metadata={"K": "v"})
+    monkeypatch.setattr(native, "flac_encode", lambda *a, **k: None)
+    pp = tmp_path / "python.flac"
+    flac.write_flac(pp, q, 48000, bits=24, metadata={"K": "v"})
+    for p in (pn, pp):
+        flac._OPEN.clear()
+        np.testing.assert_array_equal(flac._open(p).read(0, len(q)), q)
+        assert flac.flac_metadata(p) == {"K": "v"}
+        raw = p.read_bytes()
+        import hashlib
+
+        le = np.ascontiguousarray(q.astype("<i4"))
+        pcm = le.view(np.uint8).reshape(-1, 4)[:, :3].tobytes()
+        assert raw[8 + 18 : 8 + 34] == hashlib.md5(pcm).digest()
+
+
+def test_flac_raw16_loader_path(rng, tmp_path):
+    """16-bit FLAC serves the loader's int16-upload fast path
+    (`loader.read_raw16_into`) bit-exact — no float round trip — also
+    across a mixed WAV+FLAC multi-file recording."""
+    from audian_tpu.data.loader import AudioLoader
+
+    q = np.clip(np.round(3000 * rng.normal(size=(5000, 3))),
+                -32768, 32767).astype(np.int16)
+    fp = tmp_path / "r16.flac"
+    flac.write_flac(fp, q, 48000)
+    wp = tmp_path / "r16.wav"
+    wavio.write_audio(wp, q.astype(np.float64) / 32768.0, 48000,
+                      encoding="PCM_16")
+    al = AudioLoader([str(wp), str(fp)])
+    assert al.raw16_capable
+    out = np.empty((2000, 3), np.int16)
+    al.read_raw16_into(4000, 2000, out)
+    np.testing.assert_array_equal(
+        out, np.concatenate([q[4000:], q[:1000]]))
+    # 24-bit FLAC is not raw16-servable
+    fp24 = tmp_path / "r24.flac"
+    flac.write_flac(fp24, q.astype(np.int32) << 8, 48000, bits=24)
+    assert not AudioLoader(str(fp24)).raw16_capable
 
 
 def test_compress_cli_on_flac(rng, tmp_path):
