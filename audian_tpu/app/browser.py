@@ -441,9 +441,14 @@ class DataBrowser:
         if nfft is not None and dispatch:
             nfft = int(nfft)
             warm = self._warm_thread
-            # snapshot: the warm thread adds to the set concurrently
-            warmed = tuple(self._warmed_nffts)
-            if (warm is not None and warm.is_alive() and warmed
+            # snapshot: the warm thread adds to the set concurrently.
+            # The session's CURRENT bucket counts as warmed — its
+            # programs compiled when it was first rendered — so a
+            # keypress BEFORE the warm lands its first bucket still
+            # snaps (to "stay put") instead of compiling inline
+            warmed = set(self._warmed_nffts)
+            warmed.add(int(self.data[self.spectrogram].nfft))
+            if (warm is not None and warm.is_alive()
                     and nfft >= 8 and nfft not in warmed):
                 self._pending_nfft = nfft
                 target = nfft
@@ -1230,6 +1235,13 @@ class DataBrowser:
             depth = int(encoding.split("_", 1)[1])
             encoding = ("PCM_16" if depth <= 16 else
                         "PCM_24" if depth <= 24 else "PCM_32")
+        if (str(file_path).lower().endswith(".flac")
+                and encoding.upper() in ("FLOAT", "DOUBLE")):
+            # FLAC is integer-only: a float recording exported to a
+            # .flac target quantizes at 24 bits (the full f32 mantissa;
+            # write_audio itself refuses float encodings loudly so the
+            # depth choice stays an explicit caller decision)
+            encoding = "PCM_24"
         wavio.write_audio(file_path, raw, rate, metadata=md, locs=locs,
                           labels=labels, encoding=encoding
                           if encoding in wavio.available_encodings()

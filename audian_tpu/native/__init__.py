@@ -127,17 +127,16 @@ def get_ffm():
             lib = ctypes.CDLL(str(_FFM_PATH))
         except Exception:
             return None
-        lib.ffp_audio_info.restype = ctypes.c_int
-        lib.ffp_audio_info.argtypes = [
-            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
-            ctypes.POINTER(ctypes.c_int),
+        lib.ffp_audio_read.restype = ctypes.c_int
+        lib.ffp_audio_read.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
             ctypes.POINTER(ctypes.c_longlong),
         ]
-        lib.ffp_audio_decode.restype = ctypes.c_longlong
-        lib.ffp_audio_decode.argtypes = [
-            ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
-            ctypes.c_longlong,
-        ]
+        lib.ffp_audio_release.restype = None
+        lib.ffp_audio_release.argtypes = [
+            ctypes.POINTER(ctypes.c_float)]
         lib.ffp_flac_info.restype = ctypes.c_int
         lib.ffp_flac_info.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
@@ -177,19 +176,22 @@ def ff_audio_decode(path):
     rate = ctypes.c_int()
     channels = ctypes.c_int()
     frames = ctypes.c_longlong()
-    rc = lib.ffp_audio_info(str(path).encode(), ctypes.byref(rate),
-                            ctypes.byref(channels),
+    data = ctypes.POINTER(ctypes.c_float)()
+    rc = lib.ffp_audio_read(str(path).encode(), ctypes.byref(data),
+                            ctypes.byref(rate), ctypes.byref(channels),
                             ctypes.byref(frames))
     if rc != 0:
         raise ValueError(f"FFmpeg could not decode {path} (rc={rc})")
-    out = np.empty((frames.value, channels.value), np.float32)
-    got = lib.ffp_audio_decode(
-        str(path).encode(),
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        int(frames.value))
-    if got < 0:
-        raise ValueError(f"FFmpeg could not decode {path} (rc={got})")
-    return out[: int(got)], rate.value
+    try:
+        n = int(frames.value) * int(channels.value)
+        if n == 0:
+            out = np.zeros((0, max(int(channels.value), 1)), np.float32)
+        else:
+            out = np.ctypeslib.as_array(data, shape=(n,)).reshape(
+                int(frames.value), int(channels.value)).copy()
+    finally:
+        lib.ffp_audio_release(data)
+    return out, rate.value
 
 
 def ff_flac_decode(path):

@@ -29,6 +29,7 @@ extern "C" {
 }
 
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <vector>
 
@@ -285,32 +286,27 @@ int decode_file_f32(const char* path, DecodedF32* out) {
 
 extern "C" {
 
-// Generic probe: decodes the whole file once (trustworthy lengths for
-// VBR streams); rate/channels/frames of the FIRST audio stream.
-int ffp_audio_info(const char* path, int* rate, int* channels,
-                   long long* frames) {
+// Generic single-pass read: decodes the whole file ONCE (trustworthy
+// lengths for VBR streams) and returns a malloc'd interleaved float32
+// buffer in *data — release it with ffp_audio_release.  Returns 0 on
+// success (-8: allocation failure).
+int ffp_audio_read(const char* path, float** data, int* rate,
+                   int* channels, long long* frames) {
   DecodedF32 d;
   int rc = decode_file_f32(path, &d);
   if (rc != 0) return rc;
   *rate = d.rate;
   *channels = d.channels;
   *frames = d.channels ? (long long)(d.samples.size() / d.channels) : 0;
+  *data = static_cast<float*>(
+      std::malloc(d.samples.size() * sizeof(float)));
+  if (!*data && !d.samples.empty()) return -8;
+  std::memcpy(*data, d.samples.data(),
+              d.samples.size() * sizeof(float));
   return 0;
 }
 
-// Generic decode into caller storage (interleaved float32 in [-1, 1]).
-// Returns frames written, <0 on error (-7: capacity too small).
-long long ffp_audio_decode(const char* path, float* out,
-                           long long max_frames) {
-  DecodedF32 d;
-  int rc = decode_file_f32(path, &d);
-  if (rc != 0) return rc;
-  long long frames =
-      d.channels ? (long long)(d.samples.size() / d.channels) : 0;
-  if (frames > max_frames) return -7;
-  std::memcpy(out, d.samples.data(), d.samples.size() * sizeof(float));
-  return frames;
-}
+void ffp_audio_release(float* data) { std::free(data); }
 
 // Probe: rate/channels/bits/frames of a FLAC file via FFmpeg.
 // Returns 0 on success.  frames is the DECODED length (the whole file

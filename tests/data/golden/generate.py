@@ -20,27 +20,21 @@ the reference reads any libsndfile-supported FLAC
 (/root/reference/pyproject.toml:17).
 """
 
+import sys
 from pathlib import Path
 
 import numpy as np
 
 HERE = Path(__file__).parent
+sys.path.insert(0, str(HERE.parents[1]))  # tests/: the shared corpus
+from signals import correlated_signal  # noqa: E402
 
 
 def signal(rng, n, rate, channels, scale):
-    """Correlated tonal + noise multichannel test signal (LPC-friendly
-    with a noisy floor so every subframe type gets exercised)."""
-    t = np.arange(n) / rate
-    base = (0.45 * np.sin(2 * np.pi * 440.0 * t)
-            + 0.12 * np.sin(2 * np.pi * 1873.0 * t)
-            + 0.02 * rng.normal(size=n))
-    chans = []
-    for c in range(channels):
-        g = 1.0 - 0.35 * c / max(channels - 1, 1)
-        chans.append(g * base + 0.01 * rng.normal(size=n))
-    x = np.stack(chans, axis=1)
-    q = np.clip(np.round(x * scale), -scale, scale - 1)
-    return q.astype(np.int32)
+    """The shared codec corpus (`tests/signals.py`) at this scale."""
+    bits = int(scale).bit_length()  # scale = 2**(bits-1)
+    return correlated_signal(rng, n, rate, channels, bits
+                             ).astype(np.int32)
 
 
 def main():

@@ -518,6 +518,15 @@ def test_step_mid_warm_snaps_to_nearest_warmed(tmp_path, rng):
     b.freq_resolution_down()
     assert b.data[b.spectrogram].nfft == 2048
     assert not b.has_pending_resolution
+    # a keypress BEFORE the warm lands its FIRST bucket must not
+    # compile inline either: the current bucket counts as warmed, the
+    # view stays put, the request pends (review finding)
+    b._warmed_nffts = set()
+    b._warm_thread = AliveThread()
+    b.freq_resolution_up()
+    assert b.data[b.spectrogram].nfft == 2048
+    assert b._pending_nfft == 4096
+    b._warm_thread = None
     b.close()
 
 

@@ -575,6 +575,34 @@ def test_duplicate_position_impostor_keeps_real_frame(rng, tmp_path):
     np.testing.assert_array_equal(got * 32768, q.astype(np.float64))
 
 
+def test_float_recording_region_saves_to_flac(rng, tmp_path):
+    """Region export of a FLOAT-encoded recording to a .flac target
+    quantizes at 24 bits instead of raising (review regression: the
+    FLAC branch's float-encoding rejection must not break the GUI save
+    path; write_audio itself stays strict)."""
+    from audian_tpu.app import DataBrowser
+
+    rate = 8000.0
+    x = (0.1 * rng.standard_normal((int(4 * rate), 2))
+         ).astype(np.float32)
+    p = tmp_path / "src.wav"
+    wavio.write_audio(p, x, rate, encoding="FLOAT")
+    b = DataBrowser(str(p)).open()
+    try:
+        out = b.save_region(1.0, 2.0, tmp_path / "sel.flac")
+        info = wavio.wav_info(out)
+        assert info[3] == "FLAC_24"
+        got = wavio.read_frames(out, 0, info[2])
+        np.testing.assert_allclose(
+            got, x[int(rate) : 2 * int(rate)], atol=1.0 / (1 << 23))
+    finally:
+        b.close()
+    # the API itself still refuses float encodings loudly
+    with pytest.raises(ValueError, match="integer-only"):
+        wavio.write_audio(tmp_path / "x.flac", x, rate,
+                          encoding="FLOAT")
+
+
 def test_python_encoder_fallback_matches_native(rng, tmp_path,
                                                 monkeypatch):
     """write_flac routes through the C++ encoder when built; the pure

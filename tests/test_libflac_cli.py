@@ -17,23 +17,11 @@ import subprocess
 import numpy as np
 import pytest
 
+from signals import correlated_signal
 from audian_tpu.data import flac, wavio
 
 needs_flac = pytest.mark.skipif(shutil.which("flac") is None,
                                 reason="flac binary not installed")
-
-
-def correlated_signal(rng, n, rate, channels, bits):
-    t = np.arange(n) / rate
-    base = (0.45 * np.sin(2 * np.pi * 440.0 * t)
-            + 0.12 * np.sin(2 * np.pi * 1873.0 * t)
-            + 0.02 * rng.normal(size=n))
-    chans = [(1.0 - 0.35 * c / max(channels - 1, 1)) * base
-             + 0.01 * rng.normal(size=n) for c in range(channels)]
-    scale = 1 << (bits - 1)
-    q = np.clip(np.round(np.stack(chans, axis=1) * scale),
-                -scale, scale - 1)
-    return q.astype(np.int64)
 
 
 def run_flac(*args):
