@@ -1,0 +1,90 @@
+"""bench.py machinery smoke tests (tiny shapes, CPU mesh).
+
+The driver runs `python bench.py` on the real chip at the end of every
+round; until then the script itself had no test, so bitrot (an API
+drift in the io loop, a broken component field, a stress-leg assert)
+would only surface in the recorded benchmark run.  These tests execute
+the io pipeline and the stress leg's oracle machinery at toy sizes.
+"""
+
+import importlib
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def bench():
+    sys.path.insert(0, str(Path(__file__).parents[1]))
+    mod = importlib.import_module("bench")
+    return mod
+
+
+def test_bench_io_components(bench, tmp_path, rng, monkeypatch):
+    """bench_io runs end-to-end on tiny files and reports a complete,
+    consistent component breakdown."""
+    monkeypatch.setattr(bench, "IO_CHUNK", 1 << 14)
+    rate = bench.RATE
+    files = []
+    from audian_tpu.data import wavio
+
+    frames = (1 << 15) + 4096
+    for i in range(2):
+        x = (0.1 * rng.standard_normal((frames, 4))).astype(np.float32)
+        f = tmp_path / f"io{i}.wav"
+        wavio.write_audio(f, x, rate, encoding="PCM_16")
+        files.append(f)
+    fused = bench.build_chain()
+    wall, audio_seconds, comps = bench.bench_io(fused, files)
+    assert wall > 0
+    nchunks = (2 * frames) // (1 << 14)
+    assert audio_seconds == pytest.approx(nchunks * (1 << 14) / rate)
+    for key in ("read_s", "upload_s", "dispatch_s", "open_s",
+                "fence_s", "bytes_read"):
+        assert key in comps, key
+    assert comps["bytes_read"] == sum(f.stat().st_size for f in files)
+    assert comps["read_s"] >= 0 and comps["fence_s"] >= 0
+    # the components are JSON-serializable as emitted
+    json.dumps(comps)
+
+
+def test_bench_io_flac_recording(bench, tmp_path, monkeypatch):
+    """_bench_recording('flac') produces decodable FLAC twins of the
+    WAV corpus (8-channel ceiling enforced)."""
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path))
+    monkeypatch.setattr(bench, "IO_FILE_SECONDS", 0.25)
+    assert bench._bench_recording("flac", channels=16) is None
+    flacs = bench._bench_recording("flac", channels=2)
+    if flacs is None:
+        pytest.skip("no FLAC encoder available")
+    wavs = bench._bench_recording("wav", channels=2)
+    from audian_tpu.data import wavio
+
+    for f, w in zip(flacs, wavs):
+        fi = wavio.wav_info(f)
+        wi = wavio.wav_info(w)
+        assert fi[:3] == wi[:3]  # same rate/channels/frames
+        a = wavio.read_frames(f, 100, 500)
+        b = wavio.read_frames(w, 100, 500)
+        np.testing.assert_allclose(a, b, atol=1e-12)
+
+
+def test_bench_stress_small(bench, monkeypatch):
+    """The stress leg (detect over >\"HBM\", oracle windows, compress
+    artifact) runs at a toy HBM size and prints a valid JSON line."""
+    monkeypatch.setattr(bench, "STRESS_HBM_BYTES", 1 << 26)
+    import io
+    from contextlib import redirect_stdout
+
+    out = io.StringIO()
+    with redirect_stdout(out):
+        bench.bench_stress()
+    lines = [ln for ln in out.getvalue().splitlines()
+             if ln.startswith("{")]
+    assert len(lines) == 1
+    rec = json.loads(lines[0])
+    assert rec["unit"] == "Msamples/s" and rec["value"] > 0
+    assert rec["components"]["oracle_windows_checked"] == 3
