@@ -101,6 +101,59 @@ def test_full_read_path(aiff, monkeypatch):
     np.testing.assert_allclose(data, q / 32768.0, atol=1e-7)
 
 
+needs_ffmpeg_cli = pytest.mark.skipif(
+    __import__("shutil").which("ffmpeg") is None,
+    reason="ffmpeg CLI not installed")
+
+
+@needs_ffm
+@needs_ffmpeg_cli
+@pytest.mark.parametrize("fmt,codec,lossy", [
+    ("ogg", "libvorbis", True),
+    ("mp3", "libmp3lame", True),
+    ("caf", "pcm_s16le", False),
+])
+def test_real_world_containers(rng, tmp_path, monkeypatch, fmt, codec,
+                               lossy):
+    """Real encoder output (CI installs the ffmpeg CLI): OGG/Vorbis and
+    MP3 decode through the fallback with plausible audio; lossless CAF
+    round-trips bit-exact."""
+    import subprocess
+
+    monkeypatch.setattr(wavio, "_SF", None)
+    n = 32000
+    t = np.arange(n) / 16000.0
+    x = 0.5 * np.sin(2 * np.pi * 440.0 * t)
+    q = np.round(x * 32767).astype(np.int16)[:, None]
+    src = tmp_path / "src.wav"
+    wavio.write_audio(src, x[:, None], 16000, encoding="PCM_16")
+    out = tmp_path / f"enc.{fmt}"
+    r = subprocess.run(
+        ["ffmpeg", "-y", "-v", "error", "-i", str(src), "-c:a", codec,
+         str(out)], capture_output=True)
+    if r.returncode != 0:
+        pytest.skip(f"ffmpeg cannot encode {codec}: "
+                    f"{r.stderr.decode()[:120]}")
+    wavio._FF_CACHE.clear()
+    rate, channels, frames, enc, _ = wavio.wav_info(out)
+    assert enc == "FFMPEG" and channels == 1 and rate == 16000.0
+    data = wavio.read_frames(out, 0, frames)
+    if lossy:
+        # codec delay shifts lossy streams: correlate to align, then
+        # require a strong match on the tone
+        assert frames > 0.9 * n
+        mid = data[len(data) // 4 : len(data) // 2, 0]
+        ref = x[: len(mid) + 2000]
+        lags = np.correlate(ref, mid, "valid")
+        k = int(np.argmax(lags))
+        r = np.corrcoef(mid, ref[k : k + len(mid)])[0, 1]
+        assert r > 0.95, r
+    else:
+        assert frames == n
+        np.testing.assert_allclose(
+            data[:, 0], q[:, 0] / 32768.0, atol=1e-7)
+
+
 @needs_ffm
 def test_unreadable_still_raises(tmp_path, monkeypatch):
     monkeypatch.setattr(wavio, "_SF", None)
