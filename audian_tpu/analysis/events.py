@@ -527,7 +527,7 @@ def analyse_songs(onsets, offsets, envelopes, rate, envfreqs, thresholds,
 
 
 def band_env(data, rate, highpassfreq, lowpassfreq, envelopecutofffreq,
-             return_filtered=True, fused=False):
+             return_filtered=True, fused=False, mesh=None):
     """Zero-phase band-pass + decimated squared-RMS envelope on the
     chunked fused device path — the front half of :func:`detect`, also
     used by the interactive viewer's filter/envelope redesign (one
@@ -544,6 +544,12 @@ def band_env(data, rate, highpassfreq, lowpassfreq, envelopecutofffreq,
     (:mod:`audian_tpu.ops.envdet`): only the decimated envelope crosses
     HBM and the host link, but the decimation step is baked into the
     compiled program — leave it off for interactive cutoff scrubbing.
+
+    ``mesh`` (with ``return_filtered=False``) shards the time axis over
+    the mesh's ``"seq"`` devices with ICI halo exchange and
+    exact-patched recording edges (:mod:`audian_tpu.parallel.detect` —
+    the ``audian-songdetector --mesh`` pod path); recordings too short
+    to shard usefully fall through to the chunked driver.
     """
     data = np.atleast_2d(np.asarray(data))
     if data.dtype != np.int16 and not np.issubdtype(data.dtype,
@@ -569,6 +575,16 @@ def band_env(data, rate, highpassfreq, lowpassfreq, envelopecutofffreq,
     _KERNEL_BUDGET["env"] = max(_KERNEL_BUDGET["env"], edesign.fir.length)
     envrate_t = min(envelopecutofffreq * 10, rate)
     step = int(np.round(rate / envrate_t))
+    if mesh is not None and not return_filtered:
+        # data-parallel pod path: time axis sharded over the mesh's
+        # "seq" axis, halos over ICI, exact-patched edges
+        # (parallel/detect.py); falls through when the recording is too
+        # short to shard usefully
+        from ..parallel.detect import sharded_band_env
+
+        env = sharded_band_env(mesh, fdesign, edesign, data, step)
+        if env is not None:
+            return None, env, rate / step
     fdata, env = _band_env_chunks(fdesign, edesign, data, step,
                                   return_filtered, fused=fused)
     return fdata, env, rate / step
@@ -577,7 +593,7 @@ def band_env(data, rate, highpassfreq, lowpassfreq, envelopecutofffreq,
 def detect(data, rate, highpassfreq=1000.0, lowpassfreq=10000.0,
            envelopecutofffreq=500.0, envelopepeakthresh=10.0,
            envelopefilter="apply", thresholdfactor=8.0, minthreshfac=1.0,
-           minduration=0.5, verbose=0, return_filtered=True):
+           minduration=0.5, verbose=0, return_filtered=True, mesh=None):
     """The full songdetector pipeline (`songdetector.py:745-767`).
 
     Returns a dict with the filtered data, fast and slow envelopes,
@@ -595,7 +611,7 @@ def detect(data, rate, highpassfreq=1000.0, lowpassfreq=10000.0,
     fdata, env, envrate = band_env(data, rate, highpassfreq, lowpassfreq,
                                    envelopecutofffreq,
                                    return_filtered=return_filtered,
-                                   fused=not return_filtered)
+                                   fused=not return_filtered, mesh=mesh)
     log("low-pass filter envelope ...")
     slowenv = lowpass_filter(env, envrate, 1.0 / minduration)
     log("estimate thresholds ...")

@@ -85,6 +85,13 @@ def main(cargs=None):
                         metavar="N",
                         help="process files data-parallel across devices "
                         "(N workers; 0 means one per device)")
+    parser.add_argument("--mesh", dest="mesh", default=1, type=int,
+                        metavar="N",
+                        help="shard each recording's time axis over N "
+                        "devices (0 means all; halo exchange over ICI) "
+                        "— for recordings much longer than one device's "
+                        "memory; combines with -j only trivially (use "
+                        "one or the other)")
     parser.add_argument("files", nargs="*", default=[], type=str,
                         help="files with the time series data")
     args = parser.parse_args(cargs)
@@ -101,6 +108,18 @@ def main(cargs=None):
         return 0
     if not args.files:
         parser.error("no input files")
+
+    mesh = None
+    if args.mesh != 1 and not (args.plot or args.plot_png):
+        import jax
+        from jax.sharding import Mesh
+
+        devs = jax.devices()
+        ndev = len(devs) if args.mesh == 0 else min(args.mesh, len(devs))
+        if ndev > 1:
+            mesh = Mesh(np.array(devs[:ndev]).reshape(ndev), ("seq",))
+            if args.verbose:
+                print(f"sequence-sharding over {ndev} devices")
 
     def process(path):
         """Detect songs in one file; returns (path, nsongs, out) or the
@@ -142,6 +161,7 @@ def main(cargs=None):
             # only the viewer plots the full-rate filtered stream; batch
             # runs skip pulling it from the device
             return_filtered=bool(args.plot or args.plot_png),
+            mesh=mesh,
         )
         table = ResultTable()
         table.append("channel", "", "%.0f")

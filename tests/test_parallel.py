@@ -167,6 +167,102 @@ def test_songdetector_cli_parallel(tmp_path, rng):
     assert len(texts[0].strip().splitlines()) == 3  # header + 2 songs
 
 
+def _detect_signal(rng, n, rate, channels):
+    t = np.arange(n) / rate
+    tone = 0.4 * np.sin(2 * np.pi * 6500.0 * t) * (
+        np.sin(2 * np.pi * 2.0 * t) > 0)
+    x = tone[:, None] + 0.05 * rng.standard_normal((n, channels))
+    return np.clip(np.round(x * 32768), -32768, 32767)
+
+
+@pytest.mark.parametrize("dtype,channels", [(np.int16, 3),
+                                            (np.float32, 1)])
+def test_sharded_band_env_matches_chunked(rng, dtype, channels):
+    """The mesh path of the batch detect envelope == the single-device
+    chunked path EVERYWHERE, including the exact-patched recording
+    edges (parallel/detect.py)."""
+    from audian_tpu.analysis import events
+
+    rate = 96000.0
+    n = (1 << 19) + 4321  # non-aligned length exercises the padding
+    q = _detect_signal(rng, n, rate, channels)
+    x = q.astype(dtype) if dtype == np.int16 else \
+        (q / 32768.0).astype(np.float32)
+    mesh = make_mesh(seq=8, ch=1)
+    _f, ref, er = events.band_env(x, rate, 1000.0, 10000.0, 500.0,
+                                  return_filtered=False)
+    _f2, got, er2 = events.band_env(x, rate, 1000.0, 10000.0, 500.0,
+                                    return_filtered=False, mesh=mesh)
+    assert er == er2
+    ref, got = np.asarray(ref), np.asarray(got)
+    assert ref.shape == got.shape
+    scale = float(np.max(np.abs(ref)))
+    assert np.max(np.abs(ref - got)) / scale < 1e-5
+
+
+def test_sharded_band_env_short_recording_falls_back(rng):
+    """Below the shardable size the mesh path declines and the chunked
+    driver serves the call — identical output either way."""
+    from audian_tpu.analysis import events
+
+    rate = 48000.0
+    x = (0.1 * rng.standard_normal((20000, 2))).astype(np.float32)
+    mesh = make_mesh(seq=8, ch=1)
+    _f, ref, _er = events.band_env(x, rate, 1000.0, 10000.0, 500.0,
+                                   return_filtered=False)
+    _f2, got, _er2 = events.band_env(x, rate, 1000.0, 10000.0, 500.0,
+                                     return_filtered=False, mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_detect_on_mesh_equals_single_device(rng):
+    """detect(mesh=...) returns the same events as the single-device
+    run (the decimated envelopes agree to f32, so the host
+    postprocessing sees identical inputs)."""
+    from audian_tpu.analysis import events
+
+    rate = 96000.0
+    n = 1 << 19
+    x = _detect_signal(rng, n, rate, 2).astype(np.int16)
+    mesh = make_mesh(seq=8, ch=1)
+    ref = events.detect(x, rate, verbose=0, return_filtered=False)
+    got = events.detect(x, rate, verbose=0, return_filtered=False,
+                        mesh=mesh)
+    assert got["filtered"] is None
+    for c in range(2):
+        np.testing.assert_allclose(got["onsets"][c], ref["onsets"][c],
+                                   atol=1.0 / got["envrate"])
+        np.testing.assert_allclose(got["offsets"][c], ref["offsets"][c],
+                                   atol=1.0 / got["envrate"])
+    np.testing.assert_allclose(got["thresholds"], ref["thresholds"],
+                               rtol=1e-4)
+
+
+def test_songdetector_cli_mesh(tmp_path, rng):
+    """--mesh 0 shards each recording over the whole virtual mesh and
+    produces the same event table as the single-device run."""
+    from audian_tpu.cli import songdetector
+    from audian_tpu.data import wavio
+
+    rate = 48000.0
+    n = 1 << 19
+    t = np.arange(n) / rate
+    x = 0.02 * rng.standard_normal(n)
+    for s in (2.0, 6.0):
+        m = (t >= s) & (t < s + 1.5)
+        am = 0.5 * (1 + np.sin(2 * np.pi * 30.0 * t[m]))
+        x[m] += 0.6 * am * np.sin(2 * np.pi * 6500.0 * t[m])
+    p = tmp_path / "mesh.wav"
+    wavio.write_audio(p, x[:, None], rate, encoding="PCM_16")
+    assert songdetector.main([str(p)]) == 0
+    single = (tmp_path / "mesh-songs.csv").read_text()
+    (tmp_path / "mesh-songs.csv").unlink()
+    assert songdetector.main(["--mesh", "0", str(p)]) == 0
+    sharded = (tmp_path / "mesh-songs.csv").read_text()
+    assert sharded == single
+    assert len(single.strip().splitlines()) == 3  # header + 2 songs
+
+
 def test_sharded_halo_exceeds_shard_raises():
     """A halo longer than the per-shard length cannot come from one
     neighbor exchange; must fail loudly instead of corrupting output."""
