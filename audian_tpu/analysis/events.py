@@ -104,6 +104,27 @@ def _make_envdet(fdesign, edesign, step, halo):
     return ed, chunk
 
 
+def detect_halo(fdesign, edesign):
+    """Pow2-bucketed influence halo of the detect chain (forward +
+    backward FIR lengths + scipy pad of both stages) — ONE definition
+    shared by the chunked driver and the mesh-sharded path
+    (`parallel/detect.py`), because chunk/shard equivalence depends on
+    both using the same halo."""
+    halo = int(fdesign.fir.length + edesign.fir.length
+               + fdesign.padlen + edesign.padlen)
+    return 1 << max(halo - 1, 2047).bit_length()
+
+
+def detect_env_oracle(x64, step, fdesign, edesign):
+    """The float64 scipy oracle of the detect envelope on a
+    grid-aligned slice — the exact semantics the chunked driver's
+    edge chunks and the sharded path's edge patches both reproduce."""
+    y = sps.sosfiltfilt(fdesign.sos, x64, axis=0)
+    e = 2.0 * sps.sosfiltfilt(edesign.sos, y * y, axis=0)
+    env = np.sqrt(np.maximum(e, 0.0)[::step]) * np.sqrt(2.0)
+    return y, env
+
+
 def _band_env_chunks(fdesign, edesign, x, step, return_filtered,
                      fused=False):
     """Chunked driver around :func:`_band_env_device`.
@@ -122,13 +143,12 @@ def _band_env_chunks(fdesign, edesign, x, step, return_filtered,
     interactive scrubs keep the default step-free program).
     """
     n = x.shape[0]
-    halo = int(fdesign.fir.length + edesign.fir.length
-               + fdesign.padlen + edesign.padlen)
     # the window geometry must NOT depend on the decimation step or the
     # exact kernel lengths: interactive cutoff scrubs change both, and a
     # fresh W is a fresh (minutes-long) remote compile.  Kernel lengths
-    # are pow2-bucketed already; bucket the halo likewise.
-    halo = 1 << max(halo - 1, 2047).bit_length()
+    # are pow2-bucketed already; the halo is bucketed likewise (shared
+    # definition with the sharded path).
+    halo = detect_halo(fdesign, edesign)
     Lc = _CHUNK
     W = Lc + 2 * halo
     if n <= W:
@@ -140,9 +160,7 @@ def _band_env_chunks(fdesign, edesign, x, step, return_filtered,
             x = x.astype(np.float64) / 32768.0
         elif x.dtype != np.float64:
             x = x.astype(np.float64)  # small block: run at oracle f64
-        y = sps.sosfiltfilt(fdesign.sos, x, axis=0)
-        e = 2.0 * sps.sosfiltfilt(edesign.sos, y * y, axis=0)
-        env = np.sqrt(np.maximum(e, 0.0)[::step]) * np.sqrt(2.0)
+        y, env = detect_env_oracle(x, step, fdesign, edesign)
         return (np.asarray(y) if return_filtered else None,
                 np.ascontiguousarray(env))
     envdet = (_make_envdet(fdesign, edesign, step, halo)

@@ -110,16 +110,29 @@ def main(cargs=None):
         parser.error("no input files")
 
     mesh = None
-    if args.mesh != 1 and not (args.plot or args.plot_png):
-        import jax
-        from jax.sharding import Mesh
+    if args.mesh != 1:
+        if args.plot or args.plot_png:
+            # the viewer needs the full-rate filtered stream, which the
+            # sharded path never materializes — say so, like -j does
+            print("--mesh is ignored with --plot/--plot-png "
+                  "(the viewer needs the unsharded filtered stream)",
+                  file=sys.stderr)
+        else:
+            import jax
+            from jax.sharding import Mesh
 
-        devs = jax.devices()
-        ndev = len(devs) if args.mesh == 0 else min(args.mesh, len(devs))
-        if ndev > 1:
-            mesh = Mesh(np.array(devs[:ndev]).reshape(ndev), ("seq",))
-            if args.verbose:
-                print(f"sequence-sharding over {ndev} devices")
+            devs = jax.devices()
+            ndev = (len(devs) if args.mesh == 0
+                    else min(args.mesh, len(devs)))
+            if ndev > 1:
+                mesh = Mesh(np.array(devs[:ndev]).reshape(ndev),
+                            ("seq",))
+                if args.verbose:
+                    print(f"sequence-sharding over {ndev} devices")
+            else:
+                print(f"--mesh {args.mesh}: only {len(devs)} device(s) "
+                      "available, running single-device",
+                      file=sys.stderr)
 
     def process(path):
         """Detect songs in one file; returns (path, nsongs, out) or the

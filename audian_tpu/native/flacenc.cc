@@ -367,6 +367,7 @@ void plan_subframe(const int64_t* x_in, int n, int bps_in,
   // ~2x the encode time)
   {
     static thread_local std::vector<int64_t> diff;
+    static thread_local std::vector<int64_t> fres;
     diff.assign(x, x + n);
     int best_order = 0;
     unsigned long long best_sum = ~0ull;
@@ -377,19 +378,22 @@ void plan_subframe(const int64_t* x_in, int n, int bps_in,
       if (s < best_sum) {
         best_sum = s;
         best_order = order;
-        res.assign(diff.begin() + order, diff.end());
+        // snapshot into fres, NOT the shared `res` scratch: the LPC
+        // section below still writes res[0 .. n-order) and a shrunken
+        // vector there would be indexed past size() (UB)
+        fres.assign(diff.begin() + order, diff.end());
       }
       if (order < 4)  // next order's residual = first difference
         for (int i = n - 1; i > order; i--)
           diff[i] -= diff[i - 1];
     }
     RicePlan rp;
-    best_rice(res.data(), n - best_order, n, best_order, &rp);
+    best_rice(fres.data(), n - best_order, n, best_order, &rp);
     double cost = head + (double)best_order * bps + rp.cost;
     if (cost < plan->cost) {
       plan->kind = SubframePlan::FIXED;
       plan->order = best_order;
-      plan->res.assign(res.begin(), res.begin() + (n - best_order));
+      plan->res = fres;
       plan->rice = rp;
       plan->cost = cost;
     }

@@ -200,6 +200,28 @@ def test_sharded_band_env_matches_chunked(rng, dtype, channels):
     assert np.max(np.abs(ref - got)) / scale < 1e-5
 
 
+def test_sharded_band_env_shape_bucketing(rng, monkeypatch):
+    """Different recording lengths in the same quarter-pow2 bucket
+    reuse ONE compiled program (the no-unbounded-chunk-shapes rule)."""
+    from audian_tpu.analysis import events
+    from audian_tpu.parallel import detect as pdetect
+
+    pdetect._PROGRAMS.clear()
+    # neutralize the process-sticky kernel budgets other tests pumped —
+    # an inflated halo would make these lengths decline to shard at all
+    monkeypatch.setattr(events, "_KERNEL_BUDGET",
+                        {"filt": 0, "env": 0})
+    mesh = make_mesh(seq=8, ch=1)
+    rate = 96000.0
+    for extra in (0, 7777, 15000):
+        n = (1 << 19) + extra
+        x = (0.1 * rng.standard_normal((n, 1))).astype(np.float32)
+        _f, env, _er = events.band_env(x, rate, 1000.0, 10000.0, 500.0,
+                                       return_filtered=False, mesh=mesh)
+        assert len(env) == -(-n // 19)
+    assert len(pdetect._PROGRAMS) == 1
+
+
 def test_sharded_band_env_short_recording_falls_back(rng):
     """Below the shardable size the mesh path declines and the chunked
     driver serves the call — identical output either way."""
