@@ -175,12 +175,14 @@ def _detect_signal(rng, n, rate, channels):
     return np.clip(np.round(x * 32768), -32768, 32767)
 
 
-@pytest.mark.parametrize("dtype,channels", [(np.int16, 3),
-                                            (np.float32, 1)])
-def test_sharded_band_env_matches_chunked(rng, dtype, channels):
+@pytest.mark.parametrize("dtype,channels,seq", [(np.int16, 3, 8),
+                                                (np.float32, 1, 8),
+                                                (np.int16, 2, 4),
+                                                (np.float32, 2, 2)])
+def test_sharded_band_env_matches_chunked(rng, dtype, channels, seq):
     """The mesh path of the batch detect envelope == the single-device
     chunked path EVERYWHERE, including the exact-patched recording
-    edges (parallel/detect.py)."""
+    edges (parallel/detect.py) — across mesh widths."""
     from audian_tpu.analysis import events
 
     rate = 96000.0
@@ -188,7 +190,13 @@ def test_sharded_band_env_matches_chunked(rng, dtype, channels):
     q = _detect_signal(rng, n, rate, channels)
     x = q.astype(dtype) if dtype == np.int16 else \
         (q / 32768.0).astype(np.float32)
-    mesh = make_mesh(seq=8, ch=1)
+    if seq == 8:
+        mesh = make_mesh(seq=8, ch=1)
+    else:  # seq-only submesh, the CLI's own construction
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.array(jax.devices()[:seq]).reshape(seq),
+                    ("seq",))
     _f, ref, er = events.band_env(x, rate, 1000.0, 10000.0, 500.0,
                                   return_filtered=False)
     _f2, got, er2 = events.band_env(x, rate, 1000.0, 10000.0, 500.0,
