@@ -629,7 +629,7 @@ long long an_flac_encode(const int32_t* samples, long long frames,
     case 32768: bs_code = 15; break;
     default: bs_code = 7; break;  // 16-bit blocksize-1 at header end
   }
-  std::vector<int64_t> ch0, ch1, side, mid, xbuf0, xbuf1, xbuf2, xbuf3;
+  std::vector<int64_t> ch0, ch1, side, mid, xbuf0, xbuf1;
   uint64_t fnum = 0;
   for (long long pos = 0; pos < frames; pos += blocksize, fnum++) {
     int bs = (int)(frames - pos < blocksize ? frames - pos : blocksize);
@@ -665,6 +665,8 @@ long long an_flac_encode(const int32_t* samples, long long frames,
           int64_t r = v[i] - 2 * v[i - 1] + v[i - 2];
           s += (unsigned long long)(r < 0 ? -r : r);
         }
+        if (s == 0)  // constant channel: a CONSTANT subframe, ~free
+          return 64.0;
         double mean = bs > 2 ? (double)s / (bs - 2) : 0.0;
         return (double)bs * (mean > 0.1 ? std::log2(mean) + 1.6 : 1.0);
       };

@@ -97,6 +97,30 @@ def test_blocksizes(rng, tmp_path, blocksize, use_native):
     roundtrip(tmp_path, q, 16, blocksize, use_native)
 
 
+def test_quiet_correlated_stereo_stays_decorrelated(rng, tmp_path):
+    """Identical quiet channels must encode near the mono size: the
+    stereo-mode ESTIMATOR special-cases a constant (zero) side channel
+    (review regression — a flat 1-bit/sample floor made independent
+    mode win and doubled the size on quiet correlated content)."""
+    n = 48000
+    s = np.round(80 * np.sin(2 * np.pi * 440 * np.arange(n) / 48000.0)
+                 ).astype(np.int64)
+    stereo = np.stack([s, s], axis=1)
+    blob2 = native.flac_encode(stereo.astype(np.int32), 48000, 16)
+    blob1 = native.flac_encode(s[:, None].astype(np.int32), 48000, 16)
+    if blob2 is None:
+        pytest.skip("no native encoder")
+    assert len(blob2) < 1.15 * len(blob1), (len(blob2), len(blob1))
+    # and the stream still decodes bit-exact everywhere
+    p = tmp_path / "quiet.flac"
+    p.write_bytes(blob2)
+    flac._OPEN.clear()
+    np.testing.assert_array_equal(flac._FlacFile(p).read(0, n), stereo)
+    if native.ffm_available():
+        dec, _r, _b = native.ff_flac_decode(p)
+        np.testing.assert_array_equal(dec.astype(np.int64), stereo)
+
+
 def test_random_geometry_sweep(rng, tmp_path):
     """Randomized (depth, channels, length, blocksize) sweep through
     the native encoder."""
