@@ -293,8 +293,17 @@ void write_residual(BitWriter& bw, const int64_t* res, int blocksize,
     for (int i = 0; i < cnt; i++) {
       int64_t v = res[idx + i];
       uint64_t u = v < 0 ? (uint64_t)(-v) * 2 - 1 : (uint64_t)v * 2;
-      bw.unary(u >> param);
-      if (param) bw.write(u, param);
+      uint64_t q = u >> param;
+      int total = (int)q + 1 + param;
+      if (total <= 57) {
+        // whole rice code (q zeros, a 1, param low bits) in ONE write
+        bw.write((1ull << param) |
+                     (param ? (u & ((1ull << param) - 1)) : 0ull),
+                 total);
+      } else {
+        bw.unary(q);
+        if (param) bw.write(u, param);
+      }
     }
     idx += cnt;
   }
