@@ -230,6 +230,36 @@ def test_sharded_band_env_shape_bucketing(rng, monkeypatch):
     assert len(pdetect._PROGRAMS) == 1
 
 
+def test_sharded_band_env_geometry_fuzz(rng, monkeypatch):
+    """Randomized lengths/channels/cutoffs through the sharded path
+    vs the chunked oracle — the chunked == sharded contract is
+    load-bearing (CLAUDE.md architecture invariants), so it gets the
+    same fuzz treatment as the chunk-equivalence suite."""
+    from audian_tpu.analysis import events
+
+    monkeypatch.setattr(events, "_KERNEL_BUDGET",
+                        {"filt": 0, "env": 0})
+    mesh = make_mesh(seq=8, ch=1)
+    for trial in range(4):
+        rate = float(rng.choice([44100.0, 96000.0]))
+        n = int(rng.integers(1 << 19, (1 << 19) + 120000))
+        ch = int(rng.integers(1, 4))
+        hp = float(rng.uniform(500, 2000))
+        lp = float(rng.uniform(6000, 12000))
+        x = (0.1 * rng.standard_normal((n, ch))).astype(np.float32)
+        _f, ref, er = events.band_env(x, rate, hp, lp, 500.0,
+                                      return_filtered=False)
+        _f2, got, er2 = events.band_env(x, rate, hp, lp, 500.0,
+                                        return_filtered=False,
+                                        mesh=mesh)
+        assert er == er2
+        ref, got = np.asarray(ref), np.asarray(got)
+        assert ref.shape == got.shape, (trial, ref.shape, got.shape)
+        scale = max(float(np.max(np.abs(ref))), 1e-9)
+        err = float(np.max(np.abs(ref - got))) / scale
+        assert err < 1e-5, (trial, rate, n, ch, hp, lp, err)
+
+
 def test_sharded_band_env_short_recording_falls_back(rng):
     """Below the shardable size the mesh path declines and the chunked
     driver serves the call — identical output either way."""
