@@ -144,7 +144,11 @@ def _ff_decode_cached(p):
             return None
         if hit is None:
             return None
-        if len(_FF_CACHE) > 4:
+        # bound entries AND bytes: a few multi-GB decodes must not pin
+        # host RAM (libsndfile seek-reads have no such cost; this
+        # fallback trades memory for dependency-freedom)
+        total = sum(v[0].nbytes for v in _FF_CACHE.values())
+        if len(_FF_CACHE) > 4 or total + hit[0].nbytes > (1 << 30):
             _FF_CACHE.clear()
         _FF_CACHE[key] = hit
     return hit
