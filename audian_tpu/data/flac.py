@@ -13,16 +13,20 @@ a bare install:
   independent + left/side + right/side + mid/side channel assignments,
   CONSTANT / VERBATIM / FIXED(0-4) / LPC(1-32) subframes, wasted bits,
   RICE and RICE2 residuals with partitions and escape codes;
-- **random access**: a per-file frame index built by a sync-code scan
-  with CRC-8 validated headers, so the out-of-core loader decodes only
-  the frames covering a requested window;
+- **random access**: a per-file frame index — an exhaustive CRC-8
+  validated sync-code scan for small files, and for large files a
+  *lazy* index (libFLAC's open behavior): open() reads metadata only,
+  seeks bisect the byte range with decode-verified probes seeded by
+  SEEKTABLE points, and sequential reads chain frame-to-frame — so a
+  multi-GB archive opens in milliseconds and the out-of-core loader
+  decodes only the frames covering a requested window;
 - **encoder** (:func:`write_flac`): 8/12/16/20/24/32-bit, fixed
   4096-sample blocks, per-subframe best-of CONSTANT / FIXED(0-4) /
   LPC(Levinson-Durbin, 15-bit quantized coefficients) / VERBATIM with
   partitioned Rice residuals and wasted-bits packing, per-frame stereo
-  decorrelation (left/right/mid-side), and a true STREAMINFO MD5 —
-  validated bit-exact against FFmpeg's libavcodec decoder
-  (``native/ffflac.cc``) and used by
+  decorrelation (left/right/mid-side), a SEEKTABLE (a point every
+  ~10 s), and a true STREAMINFO MD5 — validated bit-exact against
+  FFmpeg's libavcodec decoder (``native/ffflac.cc``) and used by
   ``write_audio(..., encoding="FLAC")`` and the round-trip tests.
 
 The hot decode loop and the whole encoder also exist in C++
@@ -195,6 +199,7 @@ def _read_streaminfo(f):
         raise FlacError("not a FLAC stream")
     info = None
     comments = {}
+    seekpoints = []
     while True:
         hdr = f.read(4)
         if len(hdr) < 4:
@@ -222,6 +227,12 @@ def _read_streaminfo(f):
                         comments[key] = value
             except (struct.error, IndexError):
                 pass  # malformed comment block: audio still decodes
+        if btype == 3:  # SEEKTABLE: (sample, byte offset, span) records
+            for rec in range(size // 18):
+                sample, off, _span = struct.unpack_from(
+                    ">QQH", body, rec * 18)
+                if sample != 0xFFFFFFFFFFFFFFFF:  # placeholder point
+                    seekpoints.append((sample, off))
         if btype == 0:
             br = _BitReader(body)
             min_bs = br.read(16)
@@ -240,6 +251,7 @@ def _read_streaminfo(f):
     if info is None:
         raise FlacError("FLAC stream without STREAMINFO")
     info["comments"] = comments
+    info["seekpoints"] = seekpoints
     return info, f.tell()
 
 
@@ -504,16 +516,45 @@ def _longest_increasing(values):
     return out[::-1]
 
 
-class _FlacFile:
-    """Parsed stream + CRC-validated frame index for random access."""
+# Files at or below this size get the exhaustive sync-scan index (one
+# numpy pass; also the oracle the lazy index is tested against); larger
+# files use the lazy bisection index so open() touches only metadata.
+_EAGER_INDEX_MAX = 4 << 20
+# Stop bisecting once the target is within this many blocks of the best
+# anchor (decoding a few frames beats more probe scans) ...
+_SEEK_SLACK_BLOCKS = 3
+# ... or once the candidate byte range is this small (a linear decode
+# through it is at most a handful of frames).
+_SEEK_MIN_BYTES = 1 << 16
+# Probe scans and resyncs examine the stream in windows of this size.
+_SCAN_CHUNK = 1 << 18
 
-    def __init__(self, path):
+
+class _FlacFile:
+    """Parsed stream + CRC-validated frame index for random access.
+
+    Two index modes (``index=None`` picks by file size):
+
+    - **eager**: one vectorized sync-code scan over the whole stream;
+      every candidate 0xFF F8-FB byte pair is validated by full header
+      parse + CRC-8 + streaminfo consistency, and impostors are dropped
+      by a longest-increasing-positions filter.  Exhaustive, O(file) —
+      right for small files and the oracle for the lazy mode.
+    - **lazy**: open() reads metadata only (libFLAC's behavior — the
+      reference gets this via libsndfile).  Random access bisects the
+      byte range, validating each probe by decoding a whole frame
+      (header CRC-8 + frame CRC-16), seeded by any SEEKTABLE points;
+      sequential reads chain frame-to-frame through each frame's end
+      offset.  A multi-GB archive on this ~6 MB/s disk opens in
+      milliseconds instead of a full-file read.
+    """
+
+    def __init__(self, path, index=None):
         import mmap
 
         self.path = Path(path)
-        # mmap the stream so the sync scan and per-frame decodes page
-        # in lazily: a multi-GB archive costs address space, not RSS,
-        # and open() does no up-front full read on this slow disk
+        # mmap the stream so the index and per-frame decodes page in
+        # lazily: a multi-GB archive costs address space, not RSS
         # (mmap slicing returns bytes and indexing returns ints, so the
         # bit reader and CRC helpers are agnostic to bytes vs mmap)
         with self.path.open("rb") as f:
@@ -523,8 +564,31 @@ class _FlacFile:
         self.buf = buf
         with self.path.open("rb") as f:
             self.sinfo, self.audio_start = _read_streaminfo(f)
-        # sync-code scan: candidate 0xFF bytes, validated by full header
-        # parse + CRC-8 + streaminfo consistency + monotonic positions
+        if index is None:
+            # "unknown length" streams need the full scan to learn the
+            # total; everything else picks by size
+            index = ("eager" if len(buf) <= _EAGER_INDEX_MAX
+                     or self.sinfo["total"] == 0 else "lazy")
+        self.index_mode = index
+        self._cache = {}  # byte offset -> (samples, position, end)
+        self.n_probe_scans = 0  # instrumentation: lazy-index probes
+        if index == "lazy":
+            self.offsets = None     # eager-only (full frame table)
+            self.positions = None
+            self._apos = []         # verified anchors: sorted positions
+            self._aoff = []         # parallel byte offsets
+            # anchor spacing: dense enough that a re-seek near a past
+            # read is one chain hop, sparse enough to stay tiny
+            self._stride = max(self.sinfo["max_blocksize"],
+                               self.sinfo["total"] >> 12)
+            # SEEKTABLE points seed the bisection (validated by decode
+            # on first use; a corrupt table degrades to plain bisection)
+            self._seeds = sorted(
+                (int(s), self.audio_start + int(o))
+                for s, o in self.sinfo.get("seekpoints", ())
+                if 0 <= s < max(self.sinfo["total"], 1))
+            return
+        # eager: sync-code scan over the whole stream
         data = np.frombuffer(buf, np.uint8)
         cand = np.nonzero(data[self.audio_start : -1] == 0xFF)[0]
         cand = cand[(data[self.audio_start + cand + 1] & 0xFC) == 0xF8]
@@ -540,7 +604,6 @@ class _FlacFile:
             if self.sinfo["total"] == 0:  # valid zero-length stream
                 self.offsets = np.zeros(0, np.int64)
                 self.positions = np.zeros(0, np.int64)
-                self._cache = {}
                 return
             raise FlacError(f"{path}: no FLAC frames found")
         # a sync-scan false positive (random payload bytes that parse as
@@ -560,24 +623,169 @@ class _FlacFile:
             parsed = _parse_frame_header(buf, int(self.offsets[-1]),
                                          self.sinfo)
             self.sinfo["total"] = int(self.positions[-1]) + parsed[1]
-        self._cache = {}  # frame index -> decoded (blocksize, ch) int
 
-    def decode_frame(self, k):
-        hit = self._cache.get(k)
+    # -- shared frame decode (offset-keyed cache) --
+
+    def _decode_at(self, off):
+        """Decode the frame at byte ``off`` -> (samples, position, end).
+        Raises FlacError on any parse/CRC failure."""
+        hit = self._cache.get(off)
         if hit is None:
             from .. import native
 
-            decode = getattr(native, "flac_decode_frame", None)
-            hit = decode(self.buf, int(self.offsets[k]),
-                         self.sinfo) if decode else None
+            decode = getattr(native, "flac_decode_frame_meta", None)
+            hit = decode(self.buf, off, self.sinfo) if decode else None
             if hit is None:  # no native library: Python reference path
-                hit, _pos, _end = _decode_frame(self.buf,
-                                                int(self.offsets[k]),
-                                                self.sinfo)
+                hit = _decode_frame(self.buf, off, self.sinfo)
             if len(self._cache) > 8:
                 self._cache.clear()
-            self._cache[k] = hit
+            self._cache[off] = hit
         return hit
+
+    def decode_frame(self, k):
+        """Samples of the k-th indexed frame (eager index only)."""
+        return self._decode_at(int(self.offsets[k]))[0]
+
+    # -- lazy index machinery --
+
+    def _maybe_anchor(self, pos, off):
+        import bisect
+
+        i = bisect.bisect_left(self._apos, pos)
+        if i < len(self._apos) and self._apos[i] == pos:
+            return
+        near = ((i < len(self._apos)
+                 and self._apos[i] - pos < self._stride)
+                or (i > 0 and pos - self._apos[i - 1] < self._stride))
+        if not near or not self._apos:
+            self._apos.insert(i, pos)
+            self._aoff.insert(i, off)
+
+    def _scan_valid_frame(self, start_byte, limit_byte):
+        """First decode-verified frame at byte >= ``start_byte``:
+        ``(off, pos, end)`` or None.  Sync-scan false positives are
+        rejected by the full-frame decode (header CRC-8 + streaminfo
+        consistency + frame CRC-16), so an impostor header embedded in
+        payload bytes cannot enter the index."""
+        self.n_probe_scans += 1
+        data = np.frombuffer(self.buf, np.uint8)
+        b = max(int(start_byte), self.audio_start)
+        limit_byte = min(int(limit_byte), len(data))
+        while b < limit_byte:
+            e = min(b + _SCAN_CHUNK, limit_byte)
+            window = data[b : min(e + 1, len(data))]
+            if len(window) < 2:
+                break
+            cand = np.nonzero(window[:-1] == 0xFF)[0]
+            cand = cand[(window[cand + 1] & 0xFC) == 0xF8]
+            for rel in cand:
+                off = b + int(rel)
+                if off >= limit_byte:
+                    return None
+                if _parse_frame_header(self.buf, off, self.sinfo) \
+                        is None:
+                    continue
+                try:
+                    _samples, pos, end = self._decode_at(off)
+                except FlacError:
+                    continue
+                return off, pos, end
+            b = e
+        return None
+
+    def _verify_seed(self, sample, off):
+        """Promote one SEEKTABLE point to a verified anchor; returns
+        the decoded (pos, off) or None (corrupt point: dropped)."""
+        if _parse_frame_header(self.buf, off, self.sinfo) is None:
+            return None
+        try:
+            _samples, pos, _end = self._decode_at(off)
+        except FlacError:
+            return None
+        self._maybe_anchor(pos, off)
+        return pos, off
+
+    def _locate(self, start):
+        """A decode-verified frame (off, pos) with pos <= ``start``
+        (or the stream's first frame), found by byte bisection."""
+        import bisect
+
+        i = bisect.bisect_right(self._apos, start) - 1
+        if i >= 0:
+            lo_pos, lo_off = self._apos[i], self._aoff[i]
+        else:
+            got = self._scan_valid_frame(self.audio_start,
+                                         len(self.buf))
+            if got is None:
+                raise FlacError(f"{self.path}: no FLAC frames found")
+            lo_off, lo_pos, _end = got
+            self._maybe_anchor(lo_pos, lo_off)
+            if lo_pos >= start:
+                return lo_off, lo_pos
+        hi_b = len(self.buf)
+        j = bisect.bisect_right(self._apos, start)
+        if j < len(self._apos):
+            hi_b = self._aoff[j]
+        # consume the SEEKTABLE points bracketing the target (each is
+        # decode-verified once, then lives on as a plain anchor)
+        while self._seeds:
+            k = bisect.bisect_right(self._seeds, (start, hi_b)) - 1
+            took = False
+            if k >= 0 and lo_pos < self._seeds[k][0] <= start:
+                sample, off = self._seeds.pop(k)
+                got = self._verify_seed(sample, off)
+                took = True
+                if got is not None and lo_pos < got[0] <= start:
+                    lo_pos, lo_off = got
+            elif k + 1 < len(self._seeds) \
+                    and self._seeds[k + 1][1] < hi_b:
+                sample, off = self._seeds.pop(k + 1)
+                got = self._verify_seed(sample, off)
+                took = True
+                if got is not None and got[0] > start \
+                        and off < hi_b:
+                    hi_b = off
+            if not took:
+                break
+        slack = _SEEK_SLACK_BLOCKS * self.sinfo["max_blocksize"]
+        while (start - lo_pos > slack
+               and hi_b - lo_off > _SEEK_MIN_BYTES):
+            mid = (lo_off + hi_b) // 2
+            got = self._scan_valid_frame(mid, hi_b)
+            if got is None or got[1] > start:
+                if got is not None:
+                    self._maybe_anchor(got[1], got[0])
+                hi_b = mid
+            else:
+                lo_off, lo_pos = got[0], got[1]
+                self._maybe_anchor(lo_pos, lo_off)
+        return lo_off, lo_pos
+
+    # -- reads --
+
+    def _read_into_lazy(self, start, nframes, out):
+        end_target = start + nframes
+        off, _pos = self._locate(start)
+        last_pos = None
+        while off is not None and off < len(self.buf):
+            # decode failures on the verified chain are real corruption
+            # and raise (same loudness as the eager path)
+            frame, fpos, fend = self._decode_at(off)
+            if last_pos is not None and fpos <= last_pos:
+                raise FlacError(
+                    f"{self.path}: non-monotonic frame chain at byte "
+                    f"{off}")
+            last_pos = fpos
+            n = len(frame)
+            a = max(fpos, start)
+            b = min(fpos + n, end_target)
+            if b > a:
+                out[a - start : b - start] = frame[a - fpos : b - fpos]
+            self._maybe_anchor(fpos, off)
+            if fpos + n >= end_target or fend >= len(self.buf):
+                break
+            off = fend
+        return out[:nframes]
 
     def read_into(self, start, nframes, out):
         """Fill ``out[:nframes]`` with decoded samples of
@@ -589,6 +797,8 @@ class _FlacFile:
         if nframes == 0:
             return out[:0]
         out[:nframes] = 0
+        if self.offsets is None:
+            return self._read_into_lazy(start, nframes, out)
         k = int(np.searchsorted(self.positions, start, side="right")) - 1
         k = max(k, 0)
         filled = 0
@@ -957,6 +1167,43 @@ def _write_subframe(bw, plan, blocksize):
     _write_residual(bw, plan.res, blocksize, plan.order, plan.rice)
 
 
+def _seektable_layout(n, rate, blocksize):
+    """``(span, npoints)`` for a SEEKTABLE over ``n`` samples: one point
+    every ~10 s (the ``flac`` CLI's default template) snapped to the
+    fixed frame grid, capped at 4096 points for very long recordings."""
+    if n <= 0:
+        return 0, 0
+    span = max(blocksize, int(round(10.0 * float(rate))))
+    span = -(-span // blocksize) * blocksize
+    npts = -(-n // span)
+    if npts > 4096:
+        span = -(-(-(-n // 4096)) // blocksize) * blocksize
+        npts = -(-n // span)
+    return span, npts
+
+
+def _insert_metadata_block(blob, btype, body):
+    """Insert a metadata block after the existing blocks of a complete
+    FLAC stream; the new block becomes the last one.  Used to splice
+    host-side blocks (VORBIS_COMMENT tags) into the native encoder's
+    output without assuming which blocks it emitted."""
+    if blob[:4] != b"fLaC":
+        raise FlacError("not a FLAC stream")
+    pos = 4
+    while True:
+        hdr = blob[pos]
+        size = int.from_bytes(blob[pos + 1 : pos + 4], "big")
+        end = pos + 4 + size
+        if hdr & 0x80:
+            break
+        pos = end
+    out = bytearray(blob)
+    out[pos] = hdr & 0x7F  # the old last block no longer is
+    out[end:end] = (bytes([0x80 | btype])
+                    + len(body).to_bytes(3, "big") + bytes(body))
+    return bytes(out)
+
+
 def _vorbis_comment(tags):
     """A VORBIS_COMMENT block body from flattened (key, value) tags."""
     vendor = b"audian-tpu"
@@ -1010,6 +1257,9 @@ def write_flac(path, data, rate, blocksize=4096, metadata=None,
     Levinson-Durbin, 15-bit quantized coefficients) with partitioned
     Rice residuals and wasted-bits packing; stereo frames additionally
     pick the best of independent / left-side / right-side / mid-side.
+    A SEEKTABLE (one point every ~10 s on the frame grid, the ``flac``
+    CLI's default template) makes random access on the decode side
+    O(log n) without a sync scan.
     STREAMINFO carries the true MD5 of the unencoded samples, so
     ``flac -t`` / ``ffmpeg`` integrity checks pass.  ``metadata`` (a
     possibly nested dict) is stored as VORBIS_COMMENT tags (nested keys
@@ -1046,10 +1296,7 @@ def write_flac(path, data, rate, blocksize=4096, metadata=None,
             if 16 <= blocksize <= 32768 else None)
     if blob is not None:
         if tags:
-            vc = _vorbis_comment(tags)
-            blob = (blob[:4] + bytes([blob[4] & 0x7F]) + blob[5:42]
-                    + bytes([0x80 | 4]) + len(vc).to_bytes(3, "big")
-                    + vc + blob[42:])
+            blob = _insert_metadata_block(blob, 4, _vorbis_comment(tags))
         Path(path).write_bytes(blob)
         return Path(path)
     out = bytearray(b"fLaC")
@@ -1069,15 +1316,28 @@ def write_flac(path, data, rate, blocksize=4096, metadata=None,
     else:
         raw = q.astype(f"<i{width}").tobytes()
     body = si.out + hashlib.md5(raw).digest()
-    last_flag = 0x00 if tags else 0x80
+    span, npts = _seektable_layout(n, rate, blocksize)
+    last_flag = 0x80 if not tags and not npts else 0x00
     out += bytes([last_flag]) + len(body).to_bytes(3, "big") + bytes(body)
+    st_base = None
+    if npts:
+        # placeholder points (sample = all-ones), patched per frame
+        out += (bytes([(0x00 if tags else 0x80) | 3])
+                + (18 * npts).to_bytes(3, "big"))
+        st_base = len(out)
+        out += (b"\xFF" * 8 + b"\x00" * 10) * npts
     if tags:
         vc = _vorbis_comment(tags)
         out += bytes([0x80 | 4]) + len(vc).to_bytes(3, "big") + vc
+    audio_start = len(out)
     ss_code = _SS_CODES[bits]
     for fnum, pos in enumerate(range(0, n, blocksize)):
         block = q[pos : pos + blocksize]
         bs = len(block)
+        if st_base is not None and pos % span == 0 and pos // span < npts:
+            rec = struct.pack(">QQH", pos, len(out) - audio_start, bs)
+            k = st_base + 18 * (pos // span)
+            out[k : k + 18] = rec
         # per-frame channel assignment: independent always; for stereo
         # also left/side, right/side, mid/side (decoder inverse at
         # _decode_frame; side carries one extra bit)

@@ -95,6 +95,7 @@ def get_lib():
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
         ]
         _lib = lib
         return _lib
@@ -284,7 +285,7 @@ def flac_encode(samples, rate, bits, blocksize=4096, max_lpc_order=8):
         return None
     q = np.ascontiguousarray(samples, np.int32)
     frames, channels = q.shape
-    cap = frames * channels * (bits // 8 + 2) + (1 << 16)
+    cap = frames * channels * (bits // 8 + 2) + (1 << 17)
     out = np.empty(cap, np.uint8)
     got = lib.an_flac_encode(
         q.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
@@ -302,6 +303,16 @@ def flac_decode_frame(buf, offset, sinfo):
     ``(blocksize, channels)`` int32 samples, or None when the native
     library is unavailable or rejects the frame (the caller falls back
     to the Python reference decoder)."""
+    got = flac_decode_frame_meta(buf, offset, sinfo)
+    return None if got is None else got[0]
+
+
+def flac_decode_frame_meta(buf, offset, sinfo):
+    """Like :func:`flac_decode_frame` but returns
+    ``(samples, position, end)`` — the frame's first-sample index from
+    its coded number and the byte offset just past its CRC-16.  The
+    lazy frame index (`data/flac.py:_FlacFile`) chains frames through
+    ``end`` instead of sync-scanning the whole file."""
     lib = get_lib()
     if lib is None:
         return None
@@ -309,6 +320,7 @@ def flac_decode_frame(buf, offset, sinfo):
     maxbs = int(sinfo["max_blocksize"])
     out = np.empty((maxbs, channels), np.int32)
     work = np.empty(3 * maxbs, np.int64)
+    meta = np.empty(2, np.int64)
     # buf may be bytes or an mmap (the loader maps FLAC files so decode
     # pages lazily); view it zero-copy and pass the raw pointer
     view = np.frombuffer(buf, np.uint8)
@@ -318,10 +330,11 @@ def flac_decode_frame(buf, offset, sinfo):
         int(sinfo["bits"]), maxbs,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         work.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
     if n < 0:
         return None
-    return out[:n]
+    return out[:n], int(meta[0]), int(meta[1])
 
 
 def minmax(x, step):

@@ -188,31 +188,40 @@ extern "C" {
 
 // Decode one frame whose (already CRC-validated) header starts at byte
 // `pos`.  `out` receives interleaved int32 samples (blocksize*channels);
-// `work` is caller-provided scratch of 3*max_blocksize int64.  Returns
-// the blocksize, or -1 on any parse error (caller falls back to the
-// Python reference decoder).
+// `work` is caller-provided scratch of 3*max_blocksize int64.  When
+// `meta` is non-null it receives {first-sample position, end byte
+// offset past the frame CRC-16} — the lazy bisection index follows
+// frame chains through these.  Returns the blocksize, or -1 on any
+// parse error (caller falls back to the Python reference decoder).
 int64_t an_flac_decode_frame(const uint8_t* buf, int64_t len, int64_t pos,
                              int rate, int channels, int bits,
                              int max_blocksize, int32_t* out,
-                             int64_t* work) {
+                             int64_t* work, int64_t* meta) {
     BitReader br(buf, len, pos);
     if (br.read(14) != 0x3FFE || br.read(1) != 0) return -1;
-    br.read(1);  // blocking strategy (position handled by the index)
+    int variable = (int)br.read(1);  // blocking strategy
     int bs_code = (int)br.read(4);
     int sr_code = (int)br.read(4);
     int ca = (int)br.read(4);
     int ss_code = (int)br.read(3);
     if (br.read(1) != 0 || bs_code == 0 || ca > 10 || ss_code == 3)
         return -1;
-    // UTF-8-style coded number (value unused here)
+    // UTF-8-style coded frame/sample number
+    uint64_t num;
     unsigned first = (unsigned)br.read(8);
-    if (first >= 0x80u) {
+    if (first < 0x80u) {
+        num = first;
+    } else {
         int nbytes = 0;
         unsigned probe = first;
         while (probe & 0x40u) { nbytes++; probe <<= 1; }
         if (!(probe & 0x80u) || nbytes < 1 || nbytes > 6) return -1;
-        for (int i = 0; i < nbytes; i++)
-            if (((unsigned)br.read(8) & 0xC0u) != 0x80u) return -1;
+        num = first & (0x3Fu >> nbytes);
+        for (int i = 0; i < nbytes; i++) {
+            unsigned cont = (unsigned)br.read(8);
+            if ((cont & 0xC0u) != 0x80u) return -1;
+            num = (num << 6) | (cont & 0x3Fu);
+        }
     }
     int blocksize;
     if (bs_code == 6) blocksize = (int)br.read(8) + 1;
@@ -244,6 +253,11 @@ int64_t an_flac_decode_frame(const uint8_t* buf, int64_t len, int64_t pos,
             crc16(buf + pos, br.pos - pos) !=
                 (((uint16_t)buf[br.pos] << 8) | buf[br.pos + 1]))
             return -1;
+        if (meta) {
+            meta[0] = variable ? (int64_t)num
+                               : (int64_t)num * max_blocksize;
+            meta[1] = br.pos + 2;
+        }
         return blocksize;
     }
     // stereo decorrelation: side channel carries one extra bit
@@ -271,6 +285,10 @@ int64_t an_flac_decode_frame(const uint8_t* buf, int64_t len, int64_t pos,
         }
         out[(int64_t)i * 2] = (int32_t)l;
         out[(int64_t)i * 2 + 1] = (int32_t)r;
+    }
+    if (meta) {
+        meta[0] = variable ? (int64_t)num : (int64_t)num * max_blocksize;
+        meta[1] = br.pos + 2;
     }
     return blocksize;
 }

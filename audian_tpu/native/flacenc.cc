@@ -590,7 +590,8 @@ long long an_flac_encode(const int32_t* samples, long long frames,
   buf.insert(buf.end(), magic, magic + 4);
   {
     BitWriter si(buf);
-    si.write(0x80, 8);  // last block, STREAMINFO
+    // STREAMINFO; a SEEKTABLE follows whenever there are frames
+    si.write(frames > 0 ? 0x00 : 0x80, 8);
     si.write(34, 24);
     si.write(blocksize, 16);
     si.write(blocksize, 16);
@@ -624,6 +625,33 @@ long long an_flac_encode(const int32_t* samples, long long frames,
     md5.final(digest);
     buf.insert(buf.end(), digest, digest + 16);
   }
+  // --- SEEKTABLE: one point every ~10 s snapped to the frame grid,
+  // capped at 4096 points; placeholder records (sample = all-ones)
+  // patched in place as frames are written
+  long long span = 0, npts = 0;
+  size_t st_base = 0;
+  if (frames > 0) {
+    span = (long long)(10.0 * rate + 0.5);
+    if (span < blocksize) span = blocksize;
+    span = (span + blocksize - 1) / blocksize * blocksize;
+    npts = (frames + span - 1) / span;
+    if (npts > 4096) {
+      span = ((frames + 4095) / 4096 + blocksize - 1) / blocksize *
+             (long long)blocksize;
+      npts = (frames + span - 1) / span;
+    }
+    uint32_t stsz = (uint32_t)(18 * npts);
+    buf.push_back(0x80 | 3);  // last metadata block, SEEKTABLE
+    buf.push_back((uint8_t)(stsz >> 16));
+    buf.push_back((uint8_t)(stsz >> 8));
+    buf.push_back((uint8_t)stsz);
+    st_base = buf.size();
+    for (long long i = 0; i < npts; i++) {
+      for (int b = 0; b < 8; b++) buf.push_back(0xFF);
+      for (int b = 0; b < 10; b++) buf.push_back(0x00);
+    }
+  }
+  const size_t audio_start = buf.size();
   // --- frames
   int ss_code = kSsCodes[bits];
   int bs_code;
@@ -731,6 +759,17 @@ long long an_flac_encode(const int32_t* samples, long long frames,
       // re-point each plan at its materialized samples
       for (int c = 0; c < channels; c++)
         plans[c].x = xbuf1.data() + (size_t)c * bs;
+    }
+    if (npts && pos % span == 0 && pos / span < npts) {
+      size_t k = st_base + 18 * (size_t)(pos / span);
+      uint64_t sample = (uint64_t)pos;
+      uint64_t off = (uint64_t)(buf.size() - audio_start);
+      for (int b = 0; b < 8; b++)
+        buf[k + b] = (uint8_t)(sample >> (8 * (7 - b)));
+      for (int b = 0; b < 8; b++)
+        buf[k + 8 + b] = (uint8_t)(off >> (8 * (7 - b)));
+      buf[k + 16] = (uint8_t)(bs >> 8);
+      buf[k + 17] = (uint8_t)bs;
     }
     // frame header
     size_t frame_start = buf.size();
