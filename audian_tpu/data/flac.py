@@ -573,6 +573,14 @@ class _FlacFile:
         self._cache = {}  # byte offset -> (samples, position, end)
         self.n_probe_scans = 0  # instrumentation: lazy-index probes
         if index == "lazy":
+            import threading
+
+            # instances are shared across threads through the _OPEN
+            # cache (fulltrace overview thread + UI loader); the lazy
+            # index mutates paired anchor lists, so reads serialize.
+            # The eager index is immutable after __init__ and needs no
+            # lock.
+            self._lock = threading.Lock()
             self.offsets = None     # eager-only (full frame table)
             self.positions = None
             self._apos = []         # verified anchors: sorted positions
@@ -693,9 +701,11 @@ class _FlacFile:
             b = e
         return None
 
-    def _verify_seed(self, sample, off):
+    def _verify_seed(self, off):
         """Promote one SEEKTABLE point to a verified anchor; returns
-        the decoded (pos, off) or None (corrupt point: dropped)."""
+        the decoded (pos, off) or None (corrupt point: dropped).  Only
+        the DECODED position is trusted — a lying-but-decodable point
+        still yields a correct anchor."""
         if _parse_frame_header(self.buf, off, self.sinfo) is None:
             return None
         try:
@@ -732,15 +742,15 @@ class _FlacFile:
             k = bisect.bisect_right(self._seeds, (start, hi_b)) - 1
             took = False
             if k >= 0 and lo_pos < self._seeds[k][0] <= start:
-                sample, off = self._seeds.pop(k)
-                got = self._verify_seed(sample, off)
+                _sample, off = self._seeds.pop(k)
+                got = self._verify_seed(off)
                 took = True
                 if got is not None and lo_pos < got[0] <= start:
                     lo_pos, lo_off = got
             elif k + 1 < len(self._seeds) \
                     and self._seeds[k + 1][1] < hi_b:
-                sample, off = self._seeds.pop(k + 1)
-                got = self._verify_seed(sample, off)
+                _sample, off = self._seeds.pop(k + 1)
+                got = self._verify_seed(off)
                 took = True
                 if got is not None and got[0] > start \
                         and off < hi_b:
@@ -768,9 +778,18 @@ class _FlacFile:
         off, _pos = self._locate(start)
         last_pos = None
         while off is not None and off < len(self.buf):
-            # decode failures on the verified chain are real corruption
-            # and raise (same loudness as the eager path)
-            frame, fpos, fend = self._decode_at(off)
+            try:
+                frame, fpos, fend = self._decode_at(off)
+            except FlacError:
+                # a corrupt frame wholly BEFORE the requested window is
+                # not this read's problem (the eager path never decodes
+                # it either): resync forward; only raise when the bad
+                # frame overlaps [start, end_target)
+                got = self._scan_valid_frame(off + 1, len(self.buf))
+                if got is None or got[1] > start:
+                    raise
+                off = got[0]
+                continue
             if last_pos is not None and fpos <= last_pos:
                 raise FlacError(
                     f"{self.path}: non-monotonic frame chain at byte "
@@ -798,7 +817,8 @@ class _FlacFile:
             return out[:0]
         out[:nframes] = 0
         if self.offsets is None:
-            return self._read_into_lazy(start, nframes, out)
+            with self._lock:
+                return self._read_into_lazy(start, nframes, out)
         k = int(np.searchsorted(self.positions, start, side="right")) - 1
         k = max(k, 0)
         filled = 0

@@ -203,6 +203,68 @@ def test_seed_tuple_bisect_edge(rng, tmp_path):
     assert lazy.n_probe_scans <= 2
 
 
+def test_concurrent_lazy_reads_are_consistent(rng, tmp_path):
+    """_FlacFile instances are shared across threads through the _OPEN
+    cache (fulltrace overview thread + UI loader); concurrent lazy
+    reads must return exactly what serial reads return and leave the
+    anchor table sorted (review finding: unlocked paired-list mutation
+    returned silently wrong samples)."""
+    import threading
+
+    p = tmp_path / "t.flac"
+    n = 300_000
+    q = _noise_flac(rng, p, n, blocksize=1024)
+    lazy = flac._FlacFile(p, index="lazy")
+    want = q.astype(np.int64)
+    errors = []
+
+    def worker(seed):
+        r = np.random.default_rng(seed)
+        try:
+            for _ in range(30):
+                s = int(r.integers(0, n - 200))
+                m = int(r.integers(1, 5000))
+                m = min(m, n - s)
+                got = lazy.read(s, m)
+                if not np.array_equal(got, want[s : s + m]):
+                    errors.append((s, m))
+        except Exception as e:  # noqa: BLE001 - collect, assert below
+            errors.append(repr(e))
+
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors[:5]
+    assert lazy._apos == sorted(lazy._apos)
+
+
+def test_corruption_before_window_does_not_raise(rng, tmp_path):
+    """A corrupt frame wholly BEFORE the requested window must not
+    fail the read (the eager path never decodes it); the chain resyncs
+    past it.  Corruption OVERLAPPING the window still raises."""
+    p = tmp_path / "a.flac"
+    n = 120_000
+    _noise_flac(rng, p, n, blocksize=1024)
+    eager = flac._FlacFile(p, index="eager")
+    k = 40
+    blob = bytearray(p.read_bytes())
+    blob[int(eager.offsets[k]) + 30] ^= 0x55
+    p2 = tmp_path / "a2.flac"
+    p2.write_bytes(bytes(blob))
+    lazy = flac._FlacFile(p2, index="lazy")
+    mpos = int(eager.positions[k])
+    # anchor just before the corrupt frame, then read clean samples
+    # a couple frames past it: approach path crosses the corruption
+    lazy.read(max(mpos - 3000, 0), 2000)
+    s = mpos + 3 * 1024
+    np.testing.assert_array_equal(lazy.read(s, 1500), eager.read(s, 1500))
+    with pytest.raises(flac.FlacError):
+        lazy.read(mpos, 100)  # overlapping read stays loud
+
+
 def test_unknown_length_stream_forces_eager(rng, tmp_path):
     """STREAMINFO total=0 needs the full scan to learn the length."""
     p = tmp_path / "u.flac"
