@@ -13,60 +13,101 @@
 
 namespace {
 
+// 64-bit cached MSB-first bit reader: bits are staged left-aligned in
+// `cache` (bit 63 = next bit), refilled a byte at a time up to 57+
+// valid bits, so read() is two shifts and read_unary() is one CLZ in
+// the common case — the decoder's whole hot path goes through these.
 struct BitReader {
     const uint8_t* buf;
     int64_t len;
-    int64_t pos;   // byte position
-    int bit;       // bits consumed of buf[pos]
+    int64_t next;    // next byte to stage into the cache
+    uint64_t cache;  // left-aligned pending bits (invalid bits are 0)
+    int ncache;      // valid bit count (from the top)
     bool bad;
 
     BitReader(const uint8_t* b, int64_t l, int64_t p)
-        : buf(b), len(l), pos(p), bit(0), bad(false) {}
+        : buf(b), len(l), next(p), cache(0), ncache(0), bad(false) {}
 
-    uint64_t read(int nbits) {
-        uint64_t v = 0;
-        while (nbits > 0) {
-            if (pos >= len) { bad = true; return 0; }
-            int avail = 8 - bit;
-            int take = nbits < avail ? nbits : avail;
-            uint8_t byte = buf[pos];
-            v = (v << take) |
-                ((byte >> (avail - take)) & ((1u << take) - 1u));
-            bit += take;
-            if (bit == 8) { bit = 0; pos++; }
-            nbits -= take;
+    inline void refill() {
+        while (ncache <= 56 && next < len) {
+            cache |= (uint64_t)buf[next++] << (56 - ncache);
+            ncache += 8;
         }
+    }
+
+    // nbits in [0, 57]
+    inline uint64_t read(int nbits) {
+        if (nbits == 0) return 0;
+        if (ncache < nbits) {
+            refill();
+            if (ncache < nbits) { bad = true; return 0; }
+        }
+        uint64_t v = cache >> (64 - nbits);
+        cache <<= nbits;
+        ncache -= nbits;
         return v;
     }
 
-    int64_t read_signed(int nbits) {
+    inline int64_t read_signed(int nbits) {
         uint64_t v = read(nbits);
         if (nbits > 0 && (v >> (nbits - 1)))
             return (int64_t)v - ((int64_t)1 << nbits);
         return (int64_t)v;
     }
 
-    int64_t read_unary() {
+    inline int64_t read_unary() {
         int64_t n = 0;
         for (;;) {
-            if (pos >= len) { bad = true; return 0; }
-            uint8_t chunk = buf[pos] & ((1u << (8 - bit)) - 1u);
-            if (chunk == 0) {
-                n += 8 - bit;
-                bit = 0;
-                pos++;
+            refill();
+            if (ncache == 0) { bad = true; return 0; }
+            if (cache == 0) {  // every valid bit is zero: keep going
+                n += ncache;
+                ncache = 0;
                 continue;
             }
-            int hi = 31 - __builtin_clz((unsigned)chunk);  // top set bit
-            int lead = (8 - bit) - 1 - hi;
+            int lead = __builtin_clzll(cache);
             n += lead;
-            bit += lead + 1;
-            if (bit >= 8) { bit -= 8; pos++; }
+            int take = lead + 1;  // take == 64 (lone lowest bit set)
+            cache = take >= 64 ? 0 : cache << take;  // would be UB
+            ncache -= take;
             return n;
         }
     }
 
-    void align() { if (bit) { bit = 0; pos++; } }
+    // one Rice code (unary quotient + `param` remainder bits), zigzag
+    // de-mapped.  Fast path: the whole code sits in the refilled cache
+    // (unary runs longer than ~50 bits are vanishingly rare and take
+    // the generic path).
+    inline int64_t read_rice(int param) {
+        refill();
+        if (cache != 0) {
+            int q = __builtin_clzll(cache);
+            int need = q + 1 + param;
+            // need < 64 keeps every shift below well-defined
+            if (need <= ncache && need < 64) {
+                uint64_t rem =
+                    param ? (cache << (q + 1)) >> (64 - param) : 0;
+                uint64_t u = ((uint64_t)q << param) | rem;
+                cache <<= need;
+                ncache -= need;
+                return (int64_t)(u >> 1) ^ -(int64_t)(u & 1);
+            }
+        }
+        uint64_t q = (uint64_t)read_unary();
+        uint64_t u = (q << param) | read(param);
+        return (int64_t)(u >> 1) ^ -(int64_t)(u & 1);
+    }
+
+    inline void align() {
+        int d = ncache & 7;
+        cache <<= d;
+        ncache -= d;
+    }
+
+    inline bool aligned() const { return (ncache & 7) == 0; }
+
+    // byte position of the read cursor; only meaningful when aligned()
+    inline int64_t bytepos() const { return next - (ncache >> 3); }
 };
 
 const int kBlocksizeCodes[16] = {0,    192,  576,   1152,  2304, 4608,
@@ -77,23 +118,37 @@ const int kSizeCodes[8] = {0, 8, 12, -1, 16, 20, 24, 32};
 // CRC-16 (poly 0x8005, init 0, MSB-first) over the whole frame: bit
 // corruption inside a payload must fail loudly (return -1 → the caller
 // surfaces a FlacError), matching the libsndfile error contract.
+// Slicing-by-8: t[k][b] is the CRC of byte b followed by k zero bytes,
+// so eight bytes fold in one step with a two-byte state injection.
 struct Crc16Table {
-    uint16_t t[256];
+    uint16_t t[8][256];
     Crc16Table() {
         for (unsigned i = 0; i < 256; i++) {
             unsigned c = i << 8;
             for (int k = 0; k < 8; k++)
                 c = (c & 0x8000u) ? ((c << 1) ^ 0x8005u) : (c << 1);
-            t[i] = (uint16_t)c;
+            t[0][i] = (uint16_t)c;
         }
+        for (int k = 1; k < 8; k++)
+            for (unsigned i = 0; i < 256; i++)
+                t[k][i] = (uint16_t)((t[k - 1][i] << 8) ^
+                                     t[0][t[k - 1][i] >> 8]);
     }
 };
 const Crc16Table kCrc16;
 
 uint16_t crc16(const uint8_t* p, int64_t n) {
+    const auto& t = kCrc16.t;
     uint16_t c = 0;
-    for (int64_t i = 0; i < n; i++)
-        c = (uint16_t)(kCrc16.t[((c >> 8) ^ p[i]) & 0xFF] ^ (c << 8));
+    while (n >= 8) {
+        c = (uint16_t)(t[7][p[0] ^ (c >> 8)] ^ t[6][p[1] ^ (c & 0xFF)] ^
+                       t[5][p[2]] ^ t[4][p[3]] ^ t[3][p[4]] ^
+                       t[2][p[5]] ^ t[1][p[6]] ^ t[0][p[7]]);
+        p += 8;
+        n -= 8;
+    }
+    for (; n; n--, p++)
+        c = (uint16_t)(t[0][((c >> 8) ^ *p) & 0xFF] ^ (c << 8));
     return c;
 }
 
@@ -115,11 +170,8 @@ bool decode_residual(BitReader& br, int blocksize, int order,
             for (int i = 0; i < n; i++)
                 res[idx + i] = raw ? br.read_signed(raw) : 0;
         } else {
-            for (int i = 0; i < n; i++) {
-                uint64_t q = (uint64_t)br.read_unary();
-                uint64_t u = (q << param) | br.read(param);
-                res[idx + i] = (int64_t)(u >> 1) ^ -(int64_t)(u & 1);
-            }
+            for (int i = 0; i < n; i++)
+                res[idx + i] = br.read_rice((int)param);
         }
         idx += n;
         if (br.bad) return false;
@@ -129,6 +181,37 @@ bool decode_residual(BitReader& br, int blocksize, int order,
 
 const int kFixedCoefs[5][4] = {
     {}, {1}, {2, -1}, {3, -3, 1}, {4, -6, 4, -1}};
+
+// LPC restore with a compile-time order: the fully unrolled inner loop
+// is the decoder's hottest spot (gprof: ~60% of decode in the generic
+// runtime-order loop this replaces).
+template <int ORDER>
+void lpc_restore(const int64_t* coefs, int shift, const int64_t* res,
+                 int64_t* x, int blocksize) {
+    for (int i = ORDER; i < blocksize; i++) {
+        int64_t acc = 0;
+        for (int j = 0; j < ORDER; j++) acc += coefs[j] * x[i - 1 - j];
+        x[i] = (acc >> shift) + res[i - ORDER];
+    }
+}
+
+void lpc_restore_generic(const int64_t* coefs, int shift, int order,
+                         const int64_t* res, int64_t* x, int blocksize) {
+    for (int i = order; i < blocksize; i++) {
+        int64_t acc = 0;
+        for (int j = 0; j < order; j++) acc += coefs[j] * x[i - 1 - j];
+        x[i] = (acc >> shift) + res[i - order];
+    }
+}
+
+using LpcFn = void (*)(const int64_t*, int, const int64_t*, int64_t*,
+                       int);
+const LpcFn kLpcFns[17] = {
+    nullptr,          lpc_restore<1>,  lpc_restore<2>,  lpc_restore<3>,
+    lpc_restore<4>,   lpc_restore<5>,  lpc_restore<6>,  lpc_restore<7>,
+    lpc_restore<8>,   lpc_restore<9>,  lpc_restore<10>, lpc_restore<11>,
+    lpc_restore<12>,  lpc_restore<13>, lpc_restore<14>, lpc_restore<15>,
+    lpc_restore<16>};
 
 bool decode_subframe(BitReader& br, int blocksize, int bps, int64_t* x,
                      int64_t* scratch) {
@@ -148,11 +231,28 @@ bool decode_subframe(BitReader& br, int blocksize, int bps, int64_t* x,
         if (order > blocksize) return false;  // before any warmup write
         for (int i = 0; i < order; i++) x[i] = br.read_signed(bps);
         if (!decode_residual(br, blocksize, order, scratch)) return false;
-        const int* c = kFixedCoefs[order];
-        for (int i = order; i < blocksize; i++) {
-            int64_t acc = scratch[i - order];
-            for (int j = 0; j < order; j++) acc += c[j] * x[i - 1 - j];
-            x[i] = acc;
+        const int64_t* r = scratch;
+        switch (order) {  // constant-coefficient recurrences, unrolled
+        case 0:
+            for (int i = 0; i < blocksize; i++) x[i] = r[i];
+            break;
+        case 1:
+            for (int i = 1; i < blocksize; i++)
+                x[i] = r[i - 1] + x[i - 1];
+            break;
+        case 2:
+            for (int i = 2; i < blocksize; i++)
+                x[i] = r[i - 2] + 2 * x[i - 1] - x[i - 2];
+            break;
+        case 3:
+            for (int i = 3; i < blocksize; i++)
+                x[i] = r[i - 3] + 3 * x[i - 1] - 3 * x[i - 2] + x[i - 3];
+            break;
+        default:
+            for (int i = 4; i < blocksize; i++)
+                x[i] = r[i - 4] + 4 * x[i - 1] - 6 * x[i - 2] +
+                       4 * x[i - 3] - x[i - 4];
+            break;
         }
     } else if (stype >= 32) {  // LPC
         int order = (stype & 31) + 1;
@@ -167,12 +267,11 @@ bool decode_subframe(BitReader& br, int blocksize, int bps, int64_t* x,
         for (int j = 0; j < order; j++)
             coefs[j] = br.read_signed(precision);
         if (!decode_residual(br, blocksize, order, scratch)) return false;
-        for (int i = order; i < blocksize; i++) {
-            int64_t acc = 0;
-            for (int j = 0; j < order; j++)
-                acc += coefs[j] * x[i - 1 - j];
-            x[i] = (acc >> shift) + scratch[i - order];
-        }
+        if (order <= 16)
+            kLpcFns[order](coefs, shift, scratch, x, blocksize);
+        else
+            lpc_restore_generic(coefs, shift, order, scratch, x,
+                                blocksize);
     } else {
         return false;
     }
@@ -232,8 +331,8 @@ int64_t an_flac_decode_frame(const uint8_t* buf, int64_t len, int64_t pos,
     else if (sr_code == 15) return -1;
     int fbits = ss_code == 0 ? bits : kSizeCodes[ss_code];
     if (fbits <= 0) return -1;
-    if (br.bit != 0) return -1;  // header must end byte-aligned
-    br.pos += 1;                 // CRC-8 (validated by the indexer)
+    if (!br.aligned()) return -1;  // header must end byte-aligned
+    br.read(8);                    // CRC-8 (validated by the indexer)
     if (blocksize <= 0 || blocksize > max_blocksize) return -1;
     int nch = ca < 8 ? ca + 1 : 2;
     if (nch != channels) return -1;
@@ -249,14 +348,15 @@ int64_t an_flac_decode_frame(const uint8_t* buf, int64_t len, int64_t pos,
                 out[(int64_t)i * channels + c] = (int32_t)ch0[i];
         }
         br.align();
-        if (br.pos + 2 > len ||
-            crc16(buf + pos, br.pos - pos) !=
-                (((uint16_t)buf[br.pos] << 8) | buf[br.pos + 1]))
+        int64_t endp = br.bytepos();
+        if (endp + 2 > len ||
+            crc16(buf + pos, endp - pos) !=
+                (((uint16_t)buf[endp] << 8) | buf[endp + 1]))
             return -1;
         if (meta) {
             meta[0] = variable ? (int64_t)num
                                : (int64_t)num * max_blocksize;
-            meta[1] = br.pos + 2;
+            meta[1] = endp + 2;
         }
         return blocksize;
     }
@@ -266,9 +366,10 @@ int64_t an_flac_decode_frame(const uint8_t* buf, int64_t len, int64_t pos,
     if (!decode_subframe(br, blocksize, bps0, ch0, scratch)) return -1;
     if (!decode_subframe(br, blocksize, bps1, ch1, scratch)) return -1;
     br.align();
-    if (br.pos + 2 > len ||
-        crc16(buf + pos, br.pos - pos) !=
-            (((uint16_t)buf[br.pos] << 8) | buf[br.pos + 1]))
+    int64_t endp = br.bytepos();
+    if (endp + 2 > len ||
+        crc16(buf + pos, endp - pos) !=
+            (((uint16_t)buf[endp] << 8) | buf[endp + 1]))
         return -1;
     for (int i = 0; i < blocksize; i++) {
         int64_t l, r;
@@ -288,7 +389,7 @@ int64_t an_flac_decode_frame(const uint8_t* buf, int64_t len, int64_t pos,
     }
     if (meta) {
         meta[0] = variable ? (int64_t)num : (int64_t)num * max_blocksize;
-        meta[1] = br.pos + 2;
+        meta[1] = endp + 2;
     }
     return blocksize;
 }

@@ -20,8 +20,10 @@ Four metrics, one JSON line each:
 1b. ``io+compute FLAC``: the same pipeline decoding a FLAC container of
    identical PCM at 8 channels (the FLAC spec ceiling) against a
    same-shape WAV baseline: the compressed path wins only where storage
-   bandwidth is below the native decoder's ~140 MB/s; the components
-   show which regime the host is in.
+   bandwidth is below ``decode_rate x (1 - flac/wav bytes)`` (~27 MB/s
+   for this corpus's 0.81x compression at the native decoder's
+   ~150 MB/s PCM; archival recordings compressing 2x+ break even near
+   100 MB/s); the components show which regime the host is in.
 2. ``batch song-detect envelope``: detect()'s front half (the
    ``audian-songdetector`` hot loop) on the single-pass fused decimating
    kernel (``ops/pallas/envdet.py``) over device-resident chunks;
@@ -560,13 +562,15 @@ def main():
         print(json.dumps({
             "metric": (f"io+compute FLAC->chain "
                        f"{fl_seconds:.0f}s x 8ch x 96kHz wall "
-                       "(same PCM, ~2.5x fewer container bytes through "
-                       "the native decoder; vs_baseline = same-shape "
-                       "WAV wall / FLAC wall — >1 only when storage "
-                       "bandwidth is below the ~140 MB/s decode rate; "
-                       "this host's virtio disk serves guest-cold reads "
-                       "from the hypervisor cache at ~GB/s, so WAV wins "
-                       "here: see components.read_s vs wav_read_s)"),
+                       "(same PCM from a FLAC container; vs_baseline = "
+                       "same-shape WAV wall / FLAC wall — FLAC wins "
+                       "when storage bandwidth is below decode_rate x "
+                       "(1 - flac/wav bytes): ~27 MB/s for this "
+                       "corpus's 0.81x ratio at the decoder's "
+                       "~150 MB/s PCM; this host's virtio disk serves "
+                       "guest-cold reads from the hypervisor cache at "
+                       "~GB/s, so WAV wins here: see components.read_s "
+                       "vs wav_read_s)"),
             "value": round(fl_elapsed, 4),
             "unit": "s",
             "vs_baseline": round(w8_elapsed / fl_elapsed, 3),
