@@ -184,23 +184,30 @@ const int kFixedCoefs[5][4] = {
 
 // LPC restore with a compile-time order: the fully unrolled inner loop
 // is the decoder's hottest spot (gprof: ~60% of decode in the generic
-// runtime-order loop this replaces).
+// runtime-order loop this replaces).  Accumulation is uint64 so a
+// corrupt adversarial stream that overflows before the CRC-16 gate
+// rejects the frame wraps (defined) instead of signed-overflowing (UB);
+// two's-complement wrap preserves the in-range results bit-for-bit.
 template <int ORDER>
 void lpc_restore(const int64_t* coefs, int shift, const int64_t* res,
                  int64_t* x, int blocksize) {
     for (int i = ORDER; i < blocksize; i++) {
-        int64_t acc = 0;
-        for (int j = 0; j < ORDER; j++) acc += coefs[j] * x[i - 1 - j];
-        x[i] = (acc >> shift) + res[i - ORDER];
+        uint64_t acc = 0;
+        for (int j = 0; j < ORDER; j++)
+            acc += (uint64_t)coefs[j] * (uint64_t)x[i - 1 - j];
+        x[i] = (int64_t)(((uint64_t)((int64_t)acc >> shift)) +
+                         (uint64_t)res[i - ORDER]);
     }
 }
 
 void lpc_restore_generic(const int64_t* coefs, int shift, int order,
                          const int64_t* res, int64_t* x, int blocksize) {
     for (int i = order; i < blocksize; i++) {
-        int64_t acc = 0;
-        for (int j = 0; j < order; j++) acc += coefs[j] * x[i - 1 - j];
-        x[i] = (acc >> shift) + res[i - order];
+        uint64_t acc = 0;
+        for (int j = 0; j < order; j++)
+            acc += (uint64_t)coefs[j] * (uint64_t)x[i - 1 - j];
+        x[i] = (int64_t)(((uint64_t)((int64_t)acc >> shift)) +
+                         (uint64_t)res[i - order]);
     }
 }
 
@@ -232,26 +239,32 @@ bool decode_subframe(BitReader& br, int blocksize, int bps, int64_t* x,
         for (int i = 0; i < order; i++) x[i] = br.read_signed(bps);
         if (!decode_residual(br, blocksize, order, scratch)) return false;
         const int64_t* r = scratch;
+        // uint64 arithmetic: corrupt pre-CRC streams wrap instead of
+        // signed-overflowing (UB); wrap matches in-range results
+        auto u = [](int64_t v) { return (uint64_t)v; };
         switch (order) {  // constant-coefficient recurrences, unrolled
         case 0:
             for (int i = 0; i < blocksize; i++) x[i] = r[i];
             break;
         case 1:
             for (int i = 1; i < blocksize; i++)
-                x[i] = r[i - 1] + x[i - 1];
+                x[i] = (int64_t)(u(r[i - 1]) + u(x[i - 1]));
             break;
         case 2:
             for (int i = 2; i < blocksize; i++)
-                x[i] = r[i - 2] + 2 * x[i - 1] - x[i - 2];
+                x[i] = (int64_t)(u(r[i - 2]) + 2 * u(x[i - 1]) -
+                                 u(x[i - 2]));
             break;
         case 3:
             for (int i = 3; i < blocksize; i++)
-                x[i] = r[i - 3] + 3 * x[i - 1] - 3 * x[i - 2] + x[i - 3];
+                x[i] = (int64_t)(u(r[i - 3]) + 3 * u(x[i - 1]) -
+                                 3 * u(x[i - 2]) + u(x[i - 3]));
             break;
         default:
             for (int i = 4; i < blocksize; i++)
-                x[i] = r[i - 4] + 4 * x[i - 1] - 6 * x[i - 2] +
-                       4 * x[i - 3] - x[i - 4];
+                x[i] = (int64_t)(u(r[i - 4]) + 4 * u(x[i - 1]) -
+                                 6 * u(x[i - 2]) + 4 * u(x[i - 3]) -
+                                 u(x[i - 4]));
             break;
         }
     } else if (stype >= 32) {  // LPC
@@ -276,8 +289,9 @@ bool decode_subframe(BitReader& br, int blocksize, int bps, int64_t* x,
         return false;
     }
     if (br.bad) return false;
-    if (wasted)
-        for (int i = 0; i < blocksize; i++) x[i] <<= wasted;
+    if (wasted)  // unsigned shift: negative-value << is UB pre-C++20
+        for (int i = 0; i < blocksize; i++)
+            x[i] = (int64_t)((uint64_t)x[i] << wasted);
     return true;
 }
 
@@ -380,7 +394,8 @@ int64_t an_flac_decode_frame(const uint8_t* buf, int64_t len, int64_t pos,
             r = ch1[i];
             l = ch0[i] + ch1[i];
         } else {              // mid/side
-            int64_t m = (ch0[i] << 1) | (ch1[i] & 1);
+            int64_t m = (int64_t)(((uint64_t)ch0[i] << 1) |
+                                  ((uint64_t)ch1[i] & 1));
             l = (m + ch1[i]) >> 1;
             r = (m - ch1[i]) >> 1;
         }

@@ -23,7 +23,7 @@ Four metrics, one JSON line each:
    bandwidth is below ``decode_rate x (1 - flac/wav bytes)`` (~27 MB/s
    for this corpus's 0.81x compression at the native decoder's
    ~150 MB/s PCM; archival recordings compressing 2x+ break even near
-   100 MB/s); the components show which regime the host is in.
+   75 MB/s); the components show which regime the host is in.
 2. ``batch song-detect envelope``: detect()'s front half (the
    ``audian-songdetector`` hot loop) on the single-pass fused decimating
    kernel (``ops/pallas/envdet.py``) over device-resident chunks;
