@@ -265,6 +265,93 @@ def test_corruption_before_window_does_not_raise(rng, tmp_path):
         lazy.read(mpos, 100)  # overlapping read stays loud
 
 
+def _write_variable_flac(path, q, rate, sizes, bits=16):
+    """A VARIABLE-blocksize stream (blocking-strategy bit set, coded
+    number = first-sample index) — spec-legal, emitted by some
+    encoders, never produced by the repo's fixed-block encoders, so the
+    decoders' variable-position path gets explicit coverage here."""
+    from audian_tpu.data.flac import (_BitWriter, _crc8, _crc16,
+                                      _utf8_number, _plan_subframe,
+                                      _write_subframe, _SS_CODES)
+    import hashlib
+
+    n, channels = q.shape
+    assert sum(sizes) == n
+    out = bytearray(b"fLaC")
+    si = _BitWriter()
+    si.write(min(sizes), 16)
+    si.write(max(sizes), 16)
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(int(rate), 20)
+    si.write(channels - 1, 3)
+    si.write(bits - 1, 5)
+    si.write(n, 36)
+    raw = q.astype("<i2").tobytes()
+    body = si.out + hashlib.md5(raw).digest()
+    out += b"\x80" + len(body).to_bytes(3, "big") + bytes(body)
+    pos = 0
+    for bs in sizes:
+        block = q[pos : pos + bs]
+        hdr = _BitWriter()
+        hdr.write(0x3FFE, 14)
+        hdr.write(0, 1)
+        hdr.write(1, 1)  # VARIABLE blocking strategy
+        hdr.write(7, 4)  # 16-bit blocksize-1 at header end
+        hdr.write(0, 4)
+        hdr.write(channels - 1, 4)
+        hdr.write(_SS_CODES[bits], 3)
+        hdr.write(0, 1)
+        for b in _utf8_number(pos):  # sample number, not frame number
+            hdr.write(b, 8)
+        hdr.write(bs - 1, 16)
+        hdr.align()
+        head = bytes(hdr.out)
+        frame = bytearray(head)
+        frame.append(_crc8(head))
+        bw = _BitWriter()
+        for c in range(channels):
+            _write_subframe(bw, _plan_subframe(block[:, c], bits, 8), bs)
+        bw.align()
+        frame += bw.bytes()
+        frame += _crc16(frame).to_bytes(2, "big")
+        out += frame
+        pos += bs
+    path.write_bytes(bytes(out))
+
+
+def test_variable_blocksize_stream_lazy_and_eager(rng, tmp_path):
+    """Variable-blocking streams decode identically through both index
+    modes, frame positions come from the coded SAMPLE numbers, and the
+    external FFmpeg oracle bit-matches."""
+    n = 60_000
+    q = rng.integers(-12000, 12000, (n, 2)).astype(np.int64)
+    sizes = []
+    left = n
+    r = np.random.default_rng(5)
+    while left > 8192:
+        bs = int(r.choice([4096, 576, 2048, 1024, 192]))
+        sizes.append(bs)
+        left -= bs
+    sizes.append(left)
+    p = tmp_path / "var.flac"
+    _write_variable_flac(p, q, 8000, sizes)
+    lazy, eager = _both(p)
+    assert len(eager.offsets) == len(sizes)
+    np.testing.assert_array_equal(eager.positions,
+                                  np.cumsum([0] + sizes[:-1]))
+    np.testing.assert_array_equal(lazy.read(0, n), q)
+    np.testing.assert_array_equal(eager.read(0, n), q)
+    for _ in range(10):
+        s = int(rng.integers(0, n - 100))
+        m = int(rng.integers(1, 9000))
+        np.testing.assert_array_equal(lazy.read(s, m), eager.read(s, m))
+    if native.ffm_available():
+        dec, rate, bits = native.ff_flac_decode(p)
+        assert rate == 8000 and bits == 16
+        np.testing.assert_array_equal(dec.astype(np.int64), q)
+
+
 def test_unknown_length_stream_forces_eager(rng, tmp_path):
     """STREAMINFO total=0 needs the full scan to learn the length."""
     p = tmp_path / "u.flac"
