@@ -401,7 +401,13 @@ def sosfilt_fir(kernels, x, zi=None, axis=0, return_zf=None,
         zi_t = jnp.moveaxis(jnp.asarray(zi, dtype=dtype), 1 + axis, 1)
         s0 = zi_t.reshape(nstate, -1)                      # (2*nsec, C)
         G = jnp.asarray(kernels.state_out[: min(n, kernels.length)], dtype=dtype)
-        y = y.at[: G.shape[0]].add(G @ s0)
+        # precision matters on every MXU matmul: the default bf16 pass
+        # put ~3e-3 relative error into the zi transient — i.e. into the
+        # first kernels.length samples of each filtfilt pass, which are
+        # exactly the scipy-exact edge samples (caught on-chip by
+        # tests/test_device_tpu.py::test_batch_detect_envelope_on_device;
+        # the CPU mesh cannot see it)
+        y = y.at[: G.shape[0]].add(jnp.matmul(G, s0, precision=precision))
     out = y.reshape(xt.shape)
     if squeeze:
         out = out[:, 0]
@@ -412,7 +418,8 @@ def sosfilt_fir(kernels, x, zi=None, axis=0, return_zf=None,
     # initial state have decayed below eps by construction).
     T = min(kernels.length, n)
     Phi = jnp.asarray(kernels.input_state[:T][::-1], dtype=dtype)  # (T, 2nsec)
-    zf_flat = Phi.T @ flat[n - T :]                                 # (2nsec, C)
+    zf_flat = jnp.matmul(Phi.T, flat[n - T :],
+                         precision=precision)                       # (2nsec, C)
     if zi is not None and n < kernels.length and kernels.A is not None:
         # the initial state has NOT decayed within this short block:
         # carry A**n @ s0 (binary exponentiation at trace time; n static)
@@ -421,10 +428,10 @@ def sosfilt_fir(kernels, x, zi=None, axis=0, return_zf=None,
         k = n
         while k:
             if k & 1:
-                An = An @ P
-            P = P @ P
+                An = jnp.matmul(An, P, precision=precision)
+            P = jnp.matmul(P, P, precision=precision)
             k >>= 1
-        zf_flat = zf_flat + An @ s0
+        zf_flat = zf_flat + jnp.matmul(An, s0, precision=precision)
     zf = zf_flat.reshape((nstate // 2, 2) + xt.shape[1:])
     if squeeze:
         zf = zf[..., 0]

@@ -412,3 +412,42 @@ def test_fir_filter_matches_scipy_on_device(_cache, signal):
                       signal.astype(np.float64), axis=1)
     # truncated-FIR design tolerance + device f32: the 1e-5 contract
     assert np.max(np.abs(y - y64)) < 1e-5
+
+
+def test_batch_detect_envelope_on_device(_cache):
+    """The single-pass decimating envelope kernel (ops/pallas/envdet.py
+    — the ``audian-songdetector`` hot path, otherwise exercised on-chip
+    only by the bench) vs the scipy float64 oracle over a just-over-one
+    -chunk recording, int16 raw input: pins the 1e-5 contract where the
+    Mosaic block shapes and the chunk-edge exact patches are real."""
+    import scipy.signal as sps
+
+    from audian_tpu.analysis import events
+
+    rng = np.random.default_rng(7)
+    n = (1 << 21) + (1 << 16)  # > one chunk window: device fused path
+    t = np.arange(n) / RATE
+    tone = 0.4 * np.sin(2 * np.pi * 5000.0 * t) * (
+        np.sin(2 * np.pi * 3.0 * t) > 0)
+    x = tone[:, None] + 0.03 * rng.standard_normal((n, 2))
+    q = np.clip(np.round(x * 32768.0), -32768, 32767).astype(np.int16)
+
+    hp, lp, envcut = 1000.0, 10000.0, 500.0
+    _f, env, envrate = events.band_env(q, RATE, hp, lp, envcut,
+                                       return_filtered=False, fused=True)
+    # the same designs band_env builds (sticky pow2 budgets start fresh
+    # per process; constructing after the call yields identical lengths)
+    fdesign = events.FilterDesign.from_sos(
+        sps.butter(1, events._clamp_band(hp, lp, RATE), "bandpass",
+                   fs=RATE, output="sos"),
+        pad_to=events._KERNEL_BUDGET["filt"] or None)
+    edesign = events.FilterDesign.from_sos(
+        sps.butter(1, events._clamp_cutoff(envcut, RATE), "lowpass",
+                   fs=RATE, output="sos"),
+        pad_to=events._KERNEL_BUDGET["env"] or None)
+    step = int(np.round(RATE / min(envcut * 10, RATE)))
+    assert envrate == RATE / step
+    x64 = q.astype(np.float64) / 32768.0
+    _y, env64 = events.detect_env_oracle(x64, step, fdesign, edesign)
+    assert env.shape == env64.shape
+    assert np.max(np.abs(env - env64)) < 1e-5
