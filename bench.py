@@ -304,8 +304,9 @@ def bench_io(fused, files):
     t_open = time.perf_counter()
     loader = AudioLoader(files)
     if loader.raw16_capable:
-        # charge per-file open work (the FLAC frame-index sync scan) to
-        # open_s: touch the first and last frame
+        # charge per-file open work to open_s by touching the first and
+        # last frame (for FLAC that is now the lazy index's bounded
+        # bisection, not a whole-file sync scan)
         probe = np.empty((1, loader.channels), np.int16)
         loader.read_raw16_into(0, 1, probe)
         loader.read_raw16_into(loader.frames - 1, 1, probe)

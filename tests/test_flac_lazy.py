@@ -352,6 +352,22 @@ def test_variable_blocksize_stream_lazy_and_eager(rng, tmp_path):
         np.testing.assert_array_equal(dec.astype(np.int64), q)
 
 
+def test_truncated_file_raises_through_lazy_chain(rng, tmp_path):
+    """A file cut mid-frame: reads that need the cut region fail
+    loudly; earlier regions still read."""
+    p = tmp_path / "t.flac"
+    n = 100_000
+    _noise_flac(rng, p, n, blocksize=1024)
+    blob = p.read_bytes()
+    p2 = tmp_path / "t2.flac"
+    p2.write_bytes(blob[: int(len(blob) * 0.6)])
+    lazy = flac._FlacFile(p2, index="lazy")
+    eager = flac._FlacFile(p, index="eager")
+    np.testing.assert_array_equal(lazy.read(0, 2000), eager.read(0, 2000))
+    with pytest.raises(flac.FlacError):
+        lazy.read(n - 4000, 4000)
+
+
 def test_unknown_length_stream_forces_eager(rng, tmp_path):
     """STREAMINFO total=0 needs the full scan to learn the length."""
     p = tmp_path / "u.flac"
