@@ -349,6 +349,15 @@ def _parse_frame_header(buf, pos, sinfo):
         if nch != sinfo["channels"] or rate != sinfo["rate"] \
                 or bits != sinfo["bits"]:
             return None
+        if not variable and \
+                sinfo["min_blocksize"] != sinfo["max_blocksize"]:
+            # a fixed-strategy frame positions itself as
+            # num * max_blocksize, which is only meaningful when
+            # STREAMINFO says the stream IS fixed-blocksize
+            # (min == max); in a nonconforming stream the lazy index
+            # would silently mis-seek — fail loudly instead (the native
+            # decoder applies the same rejection)
+            return None
         position = num if variable else num * sinfo["max_blocksize"]
         return br, blocksize, ca, bits, position
     except FlacError:
@@ -1300,6 +1309,14 @@ def write_flac(path, data, rate, blocksize=4096, metadata=None,
     bits = int(bits)
     if bits not in _SS_CODES:
         raise FlacError(f"unsupported FLAC bit depth {bits}")
+    blocksize = int(blocksize)
+    if not 16 <= blocksize <= 65535:
+        # the frame header's 8/16-bit blocksize fields and STREAMINFO's
+        # 16-bit min/max cap legal blocksizes at 16..65535; _BitWriter
+        # masks silently, so an out-of-range value would emit a corrupt
+        # stream instead of an error (the native encoder rejects too)
+        raise FlacError(
+            f"blocksize {blocksize} outside the FLAC-legal 16..65535")
     q = _quantize(data, bits)
     n, channels = q.shape
     if not 1 <= channels <= 8:

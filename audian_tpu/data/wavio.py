@@ -120,6 +120,7 @@ def _sf_unavailable(path):
 
 
 _FF_CACHE = {}  # (path, mtime, size) -> (float32 samples, rate)
+_FF_CACHE_BYTES = 1 << 30
 
 
 def _ff_decode_cached(p):
@@ -140,15 +141,24 @@ def _ff_decode_cached(p):
 
         try:
             hit = native.ff_audio_decode(p)
-        except (ValueError, OSError):
+        except OSError:
             return None
+        except ValueError as e:
+            # FFmpeg was present and TRIED: surface the real decode
+            # failure instead of the misleading "install soundfile" hint
+            # callers emit for a None return
+            raise WavError(f"{p}: FFmpeg failed to decode: {e}") from e
         if hit is None:
             return None
         # bound entries AND bytes: a few multi-GB decodes must not pin
         # host RAM (libsndfile seek-reads have no such cost; this
-        # fallback trades memory for dependency-freedom)
+        # fallback trades memory for dependency-freedom).  A single
+        # over-cap decode is served uncached — inserting it would pin it
+        # until the next miss on this low-RAM host.
+        if hit[0].nbytes > _FF_CACHE_BYTES:
+            return hit
         total = sum(v[0].nbytes for v in _FF_CACHE.values())
-        if len(_FF_CACHE) > 4 or total + hit[0].nbytes > (1 << 30):
+        if len(_FF_CACHE) > 4 or total + hit[0].nbytes > _FF_CACHE_BYTES:
             _FF_CACHE.clear()
         _FF_CACHE[key] = hit
     return hit
@@ -163,6 +173,105 @@ def _iter_chunks(buf):
         (size,) = struct.unpack_from("<I", buf, pos + 4)
         yield cid, pos + 8, size
         pos += 8 + size + (size & 1)
+
+
+# -- large-file WAVE containers (RF64 / BW64 / W64) --------------------------
+#
+# Standard RIFF caps every chunk size at 32 bits, so a recording dies at
+# 4 GiB — the repo's own headline workload (1 h x 16 ch x 96 kHz int16)
+# is 11 GB.  Field recorders switch to RF64 (EBU tech 3306: a ``ds64``
+# chunk carries 64-bit riff/data sizes; BW64 is its EBU successor with
+# the same layout) or Sony Wave64 (16-byte GUID chunk ids + 64-bit
+# header-inclusive sizes, 8-byte alignment).  The reference reads all of
+# them for free through libsndfile (`/root/reference/pyproject.toml:17`);
+# here one chunk walker feeds the same windowed loader, so a >4 GB file
+# opens in O(header) without ever materializing the payload.
+
+_W64_SUFFIX = bytes.fromhex("f3acd3118cd100c04f8edb8a")
+_W64_RIFF_GUID = b"riff" + bytes.fromhex("2e91cf11a5d628db04c10000")
+_W64_WAVE_GUID = b"wave" + _W64_SUFFIX
+# metadata bodies are read whole; cap them so a corrupt 64-bit size
+# cannot ask for a multi-GB allocation (real fmt/LIST/bext are tiny)
+_META_CHUNK_CAP = 1 << 26
+
+
+def _wave_container(head):
+    """Container kind from the first 16 file bytes: ``"riff"`` (RIFF /
+    RF64 / BW64 little-endian WAVE family) or ``"w64"``, else None."""
+    if head[:4] in (b"RIFF", b"RF64", b"BW64") and head[8:12] == b"WAVE":
+        return "riff"
+    if head[:16] == _W64_RIFF_GUID:
+        return "w64"
+    return None
+
+
+def _parse_ds64(body, path):
+    """Chunk-id -> 64-bit size overrides from an RF64 ``ds64`` body."""
+    if len(body) < 28:
+        raise WavError(f"{path}: ds64 chunk truncated")
+    _riff_sz, data_sz, _samples = struct.unpack_from("<QQQ", body, 0)
+    sizes = {b"data": data_sz}
+    (tn,) = struct.unpack_from("<I", body, 24)
+    for k in range(tn):
+        base = 28 + 12 * k
+        if base + 12 > len(body):
+            break  # truncated table: keep what parsed
+        (tsz,) = struct.unpack_from("<Q", body, base + 4)
+        sizes[bytes(body[base : base + 4])] = tsz
+    return sizes
+
+
+def _walk_wave_chunks(f, path):
+    """Yield ``(cid, size, body_offset)`` for each chunk of an open
+    RIFF / RF64 / BW64 / W64 WAVE file.
+
+    Sizes are true 64-bit byte counts: RF64's ``ds64`` overrides are
+    applied to the ``0xFFFFFFFF`` placeholders, and W64's
+    header-inclusive GUID-chunk sizes are normalized to body bytes.  The
+    file is positioned at ``body_offset`` when a chunk is yielded (so
+    callers may read the body); the walker reseeks from the recorded
+    offset afterwards.  A plain-RIFF ``data`` size of ``0xFFFFFFFF``
+    (a streamed write that never got patched) is passed through for the
+    callers' clamp-by-file-size handling.
+    """
+    f.seek(0)
+    head = f.read(16)
+    kind = _wave_container(head)
+    if kind == "w64":
+        rest = f.read(24)  # 64-bit riff size + the wave GUID
+        if len(rest) < 24 or rest[8:24] != _W64_WAVE_GUID:
+            raise WavError(f"{path}: not a W64 WAVE file")
+        while True:
+            hdr = f.read(24)
+            if len(hdr) < 24:
+                break
+            (size,) = struct.unpack("<Q", hdr[16:24])
+            if size < 24:
+                raise WavError(f"{path}: invalid W64 chunk size {size}")
+            body = size - 24
+            off = f.tell()
+            yield bytes(hdr[:4]), body, off
+            f.seek(off + ((body + 7) & ~7))  # 8-byte alignment
+        return
+    if kind is None:
+        raise WavError(f"{path}: not a RIFF/WAVE file")
+    f.seek(12)
+    ds64 = None
+    while True:
+        hdr = f.read(8)
+        if len(hdr) < 8:
+            break
+        cid = bytes(hdr[:4])
+        (size,) = struct.unpack("<I", hdr[4:])
+        if cid == b"ds64":
+            body = f.read(size + (size & 1))
+            ds64 = _parse_ds64(body, path)
+            continue
+        if size == 0xFFFFFFFF and ds64 is not None and cid in ds64:
+            size = ds64[cid]
+        off = f.tell()
+        yield cid, size, off
+        f.seek(off + size + (size & 1))
 
 
 def _parse_fmt(buf, off, size):

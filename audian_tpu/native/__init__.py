@@ -93,6 +93,7 @@ def get_lib():
         lib.an_flac_decode_frame.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64),
@@ -327,7 +328,7 @@ def flac_decode_frame_meta(buf, offset, sinfo):
     n = lib.an_flac_decode_frame(
         view.ctypes.data_as(ctypes.c_void_p), len(buf), int(offset),
         int(sinfo["rate"]), channels,
-        int(sinfo["bits"]), maxbs,
+        int(sinfo["bits"]), int(sinfo["min_blocksize"]), maxbs,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         work.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),

@@ -308,8 +308,8 @@ extern "C" {
 // parse error (caller falls back to the Python reference decoder).
 int64_t an_flac_decode_frame(const uint8_t* buf, int64_t len, int64_t pos,
                              int rate, int channels, int bits,
-                             int max_blocksize, int32_t* out,
-                             int64_t* work, int64_t* meta) {
+                             int min_blocksize, int max_blocksize,
+                             int32_t* out, int64_t* work, int64_t* meta) {
     BitReader br(buf, len, pos);
     if (br.read(14) != 0x3FFE || br.read(1) != 0) return -1;
     int variable = (int)br.read(1);  // blocking strategy
@@ -348,6 +348,12 @@ int64_t an_flac_decode_frame(const uint8_t* buf, int64_t len, int64_t pos,
     if (!br.aligned()) return -1;  // header must end byte-aligned
     br.read(8);                    // CRC-8 (validated by the indexer)
     if (blocksize <= 0 || blocksize > max_blocksize) return -1;
+    // a fixed-strategy frame positions itself as num * max_blocksize,
+    // which only holds when STREAMINFO says the stream IS fixed
+    // blocksize (min == max); reject nonconforming streams loudly
+    // instead of letting the lazy index silently mis-seek (the Python
+    // _parse_frame_header applies the same rejection)
+    if (!variable && min_blocksize != max_blocksize) return -1;
     int nch = ca < 8 ? ca + 1 : 2;
     if (nch != channels) return -1;
 

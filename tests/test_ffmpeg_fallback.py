@@ -161,3 +161,32 @@ def test_unreadable_still_raises(tmp_path, monkeypatch):
     p.write_bytes(b"\x01\x02\x03" * 100)
     with pytest.raises(wavio.WavError):
         wavio.wav_info(p)
+
+
+@needs_ffm
+def test_decode_failure_surfaces_real_cause(tmp_path, monkeypatch):
+    """A corrupt-but-recognized container must report the FFmpeg decode
+    failure, not the misleading 'install soundfile' hint (advisor r4)."""
+    monkeypatch.setattr(wavio, "_SF", None)
+    p = tmp_path / "bad.ogg"
+    p.write_bytes(b"OggS" + b"\x00" * 400)
+    wavio._FF_CACHE.clear()
+    with pytest.raises(wavio.WavError, match="FFmpeg failed to decode"):
+        wavio.wav_info(p)
+
+
+@needs_ffm
+def test_oversized_decode_not_pinned_in_cache(aiff, monkeypatch):
+    """A single decode larger than the byte cap is served uncached so it
+    cannot pin host RAM until the next miss (advisor r4)."""
+    p, q = aiff
+    monkeypatch.setattr(wavio, "_SF", None)
+    monkeypatch.setattr(wavio, "_FF_CACHE_BYTES", 1024)
+    wavio._FF_CACHE.clear()
+    samples, rate = wavio._ff_decode_cached(p)
+    assert samples.nbytes > 1024 and rate == 44100
+    assert not wavio._FF_CACHE  # not inserted
+    # under-cap decodes still cache
+    monkeypatch.setattr(wavio, "_FF_CACHE_BYTES", 1 << 30)
+    wavio._ff_decode_cached(p)
+    assert len(wavio._FF_CACHE) == 1

@@ -690,3 +690,32 @@ def test_multifile_recording_mixes_wav_and_flac(rng, tmp_path):
     np.testing.assert_allclose(got[:100], qa[3900:], atol=1e-7)
     np.testing.assert_allclose(got[100:], qb[:100], atol=1e-7)
     ld.close()
+
+
+def test_write_flac_rejects_illegal_blocksize(rng, tmp_path):
+    """Blocksize outside the FLAC-legal 16..65535 must raise instead of
+    silently writing masked (corrupt) STREAMINFO/frame headers through
+    the pure-Python fallback encoder (advisor r4)."""
+    x = (0.1 * rng.standard_normal((256, 1))).astype(np.float32)
+    for bs in (0, 8, 15, 65536, 1 << 20):
+        with pytest.raises(flac.FlacError, match="blocksize"):
+            flac.write_flac(tmp_path / "bad.flac", x, 8000.0,
+                            blocksize=bs)
+    flac.write_flac(tmp_path / "ok.flac", x, 8000.0, blocksize=16)
+
+
+def test_fixed_strategy_rejected_when_streaminfo_variable(rng, tmp_path):
+    """A fixed-blocking frame inside a stream whose STREAMINFO says
+    min != max blocksize positions itself meaninglessly; both decoders
+    must reject the frame loudly instead of mis-seeking (advisor r4)."""
+    x = (0.1 * rng.standard_normal((3000, 1))).astype(np.float32)
+    p = tmp_path / "t.flac"
+    flac.write_flac(p, x, 8000.0, blocksize=256)
+    raw = bytearray(p.read_bytes())
+    # STREAMINFO: min_blocksize is bytes 8..10, max at 10..12
+    assert raw[8:10] == raw[10:12] == (256).to_bytes(2, "big")
+    raw[8:10] = (64).to_bytes(2, "big")  # now min != max, frames fixed
+    bad = tmp_path / "bad.flac"
+    bad.write_bytes(bytes(raw))
+    with pytest.raises(flac.FlacError):
+        flac.read_flac(bad)
