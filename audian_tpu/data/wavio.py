@@ -29,6 +29,7 @@ import numpy as np
 __all__ = [
     "load_audio",
     "write_audio",
+    "WavWriter",
     "metadata",
     "markers",
     "load_wav",
@@ -69,9 +70,10 @@ def available_formats():
     # set to everything libsndfile knows
     sf = _soundfile()
     if sf is not None:
-        return ["WAV", "FLAC"] + sorted(
-            f for f in sf.available_formats() if f not in ("WAV", "FLAC"))
-    return ["WAV", "FLAC"]
+        return ["WAV", "FLAC", "RF64"] + sorted(
+            f for f in sf.available_formats()
+            if f not in ("WAV", "FLAC", "RF64"))
+    return ["WAV", "FLAC", "RF64"]
 
 
 def available_encodings(format="WAV"):
@@ -164,17 +166,6 @@ def _ff_decode_cached(p):
     return hit
 
 
-def _iter_chunks(buf):
-    """Yield (chunk_id, offset, size) over a RIFF payload."""
-    pos = 12  # past 'RIFF' size 'WAVE'
-    n = len(buf)
-    while pos + 8 <= n:
-        cid = buf[pos : pos + 4]
-        (size,) = struct.unpack_from("<I", buf, pos + 4)
-        yield cid, pos + 8, size
-        pos += 8 + size + (size & 1)
-
-
 # -- large-file WAVE containers (RF64 / BW64 / W64) --------------------------
 #
 # Standard RIFF caps every chunk size at 32 bits, so a recording dies at
@@ -193,6 +184,10 @@ _W64_WAVE_GUID = b"wave" + _W64_SUFFIX
 # metadata bodies are read whole; cap them so a corrupt 64-bit size
 # cannot ask for a multi-GB allocation (real fmt/LIST/bext are tiny)
 _META_CHUNK_CAP = 1 << 26
+# largest RIFF form size a 32-bit header can express; past this the
+# writers promote to RF64 (module-level so tests can exercise the
+# promotion on small files)
+_RIFF_MAX = 0xFFFFFFFE
 
 
 def _wave_container(head):
@@ -375,9 +370,10 @@ def load_wav(path, return_buffer=False):
     # magic probe before slurping the payload: non-WAV branches read the
     # file through their own machinery (a large FLAC would otherwise be
     # read fully here just to be discarded and re-read)
-    with Path(path).open("rb") as f:
-        head = f.read(12)
-    if head[:4] != b"RIFF" or head[8:12] != b"WAVE":
+    p = Path(path)
+    with p.open("rb") as f:
+        head = f.read(16)
+    if _wave_container(head) is None:
         empty_locs = np.zeros((0, 2), dtype=np.int64)
         empty_labels = np.zeros((0, 2), dtype=object)
         if return_buffer:
@@ -390,7 +386,7 @@ def load_wav(path, return_buffer=False):
                     empty_locs, empty_labels)
         sf = _soundfile()
         if sf is None:
-            got = _ff_decode_cached(Path(path))
+            got = _ff_decode_cached(p)
             if got is None:
                 raise _sf_unavailable(path)
             samples, rate = got
@@ -398,7 +394,6 @@ def load_wav(path, return_buffer=False):
                     empty_locs, empty_labels)
         data, rate = sf.read(str(path), always_2d=True, dtype="float64")
         return data, float(rate), {}, empty_locs, empty_labels
-    buf = Path(path).read_bytes()
     fmt = None
     data = None
     md = {}
@@ -406,25 +401,29 @@ def load_wav(path, return_buffer=False):
     lengths = {}   # id -> span (from ltxt)
     names = {}     # id -> label (labl)
     notes = {}     # id -> text (note)
-    for cid, off, size in _iter_chunks(buf):
-        if cid == b"fmt ":
-            fmt = _parse_fmt(buf, off, size)
-        elif cid == b"data":
-            if fmt is None:
-                # same guard as wav_info: a reordered RIFF must raise
-                # WavError, not leak a TypeError from unpacking None
-                raise WavError(f"{path}: data chunk before fmt")
-            tag, channels, rate, bits = fmt
-            data = _decode(buf[off : off + size], tag, bits, channels)
-        else:
-            _collect_meta(cid, buf, off, size, md, cues, lengths, names,
-                          notes)
+    with p.open("rb") as f:
+        for cid, size, off in _walk_wave_chunks(f, path):
+            if cid == b"fmt ":
+                body = f.read(min(size, _META_CHUNK_CAP))
+                fmt = _parse_fmt(body, 0, len(body))
+            elif cid == b"data":
+                if fmt is None:
+                    # same guard as wav_info: a reordered RIFF must
+                    # raise WavError, not leak a TypeError from
+                    # unpacking None
+                    raise WavError(f"{path}: data chunk before fmt")
+                tag, channels, rate, bits = fmt
+                data = _decode(f.read(size), tag, bits, channels)
+            else:
+                body = f.read(min(size, _META_CHUNK_CAP))
+                _collect_meta(cid, body, 0, len(body), md, cues,
+                              lengths, names, notes)
     if fmt is None or data is None:
         raise WavError(f"{path}: missing fmt/data chunk")
     locs, labels = _marker_arrays(cues, lengths, names, notes)
     rate = float(fmt[2])
     if return_buffer:
-        return data, rate, md, locs, labels, buf
+        return data, rate, md, locs, labels, p.read_bytes()
     return data, rate, md, locs, labels
 
 
@@ -481,8 +480,8 @@ def scan_wav(path):
     cues, lengths, names, notes = {}, {}, {}, {}
     fmt = None
     with p.open("rb") as f:
-        head = f.read(12)
-        if head[:4] != b"RIFF" or head[8:12] != b"WAVE":
+        head = f.read(16)
+        if _wave_container(head) is None:
             locs, labels = _marker_arrays({}, {}, {}, {})
             if head[:4] == b"fLaC":
                 from . import flac
@@ -497,23 +496,17 @@ def scan_wav(path):
                 return float(got[1]), {}, locs, labels
             i = sf.info(str(p))
             return float(i.samplerate), {}, locs, labels
-        while True:
-            hdr = f.read(8)
-            if len(hdr) < 8:
-                break
-            cid = hdr[:4]
-            (size,) = struct.unpack("<I", hdr[4:])
-            padded = size + (size & 1)
+        for cid, size, off in _walk_wave_chunks(f, path):
             if cid == b"data":
-                f.seek(padded, 1)
-                continue
-            body = f.read(padded)
-            if len(body) < padded:
+                continue  # the walker seeks past the payload
+            take = min(size, _META_CHUNK_CAP)
+            body = f.read(take)
+            if len(body) < take:
                 break
             if cid == b"fmt ":
-                fmt = _parse_fmt(body, 0, size)
+                fmt = _parse_fmt(body, 0, take)
             else:
-                _collect_meta(cid, body, 0, size, md, cues, lengths,
+                _collect_meta(cid, body, 0, take, md, cues, lengths,
                               names, notes)
     if fmt is None:
         raise WavError(f"{path}: missing fmt chunk")
@@ -545,8 +538,8 @@ def wav_info(path):
     """
     p = Path(path)
     with p.open("rb") as f:
-        head = f.read(12)
-        if head[:4] != b"RIFF" or head[8:12] != b"WAVE":
+        head = f.read(16)
+        if _wave_container(head) is None:
             if head[:4] == b"fLaC":
                 from . import flac
 
@@ -563,30 +556,24 @@ def wav_info(path):
             return (float(i.samplerate), int(i.channels), int(i.frames),
                     f"SF:{i.subtype}", None)
         fmt = None
-        while True:
-            hdr = f.read(8)
-            if len(hdr) < 8:
-                break
-            cid = hdr[:4]
-            (size,) = struct.unpack("<I", hdr[4:])
+        for cid, size, off in _walk_wave_chunks(f, path):
             if cid == b"fmt ":
-                body = f.read(size + (size & 1))
-                fmt = _parse_fmt(body, 0, size)
+                body = f.read(min(size, _META_CHUNK_CAP))
+                fmt = _parse_fmt(body, 0, len(body))
             elif cid == b"data":
                 if fmt is None:
                     raise WavError(f"{path}: data before fmt")
                 tag, channels, rate, bits = fmt
                 # clamp by the real file size: a truncated (or
                 # size-corrupted) file must not report frames the read
-                # paths can never deliver
-                avail = max(p.stat().st_size - f.tell(), 0)
+                # paths can never deliver — this also resolves the
+                # streamed-RIFF 0xFFFFFFFF placeholder size
+                avail = max(p.stat().st_size - off, 0)
                 frames = min(size, avail) // (channels * (bits // 8))
                 enc = {(1, 16): "PCM_16", (1, 24): "PCM_24",
                        (1, 32): "PCM_32", (3, 32): "FLOAT",
                        (3, 64): "DOUBLE"}.get((tag, bits), f"tag{tag}/{bits}")
-                return float(rate), channels, frames, enc, f.tell()
-            else:
-                f.seek(size + (size & 1), 1)
+                return float(rate), channels, frames, enc, off
     raise WavError(f"{path}: missing fmt/data chunk")
 
 
@@ -745,6 +732,12 @@ def write_audio(path, data, rate, metadata=None, locs=None, labels=None,
     In the FLAC branch ``encoding`` selects the stored bit depth
     (``PCM_16``/``PCM_24``/``PCM_32``; ``FLAC`` = match the input
     dtype); float encodings raise, FLAC is integer-only.
+
+    Payloads whose RIFF form would exceed the 32-bit chunk-size cap are
+    written as RF64 (EBU tech 3306: ``RF64`` magic + a ``ds64`` chunk
+    carrying the 64-bit sizes) automatically instead of dying on the
+    ``<I`` pack; ``format="RF64"`` forces the RF64 container for any
+    size.  For incremental multi-GB writes use :class:`WavWriter`.
     """
     if (format or "").upper() == "FLAC" or encoding.upper() == "FLAC" \
             or ((format or "WAV").upper() == "WAV"
@@ -764,7 +757,8 @@ def write_audio(path, data, rate, metadata=None, locs=None, labels=None,
                 "integer-only (PCM_16/PCM_24/PCM_32)")
         return flac.write_flac(path, np.asarray(data), rate,
                                metadata=metadata, bits=flac_bits[enc])
-    if format and format.upper() != "WAV":
+    force_rf64 = bool(format) and format.upper() == "RF64"
+    if format and format.upper() not in ("WAV", "RF64"):
         raise ValueError(f"unsupported format: {format}")
     data = np.asarray(data)
     if data.ndim == 1:
@@ -826,10 +820,152 @@ def write_audio(path, data, rate, metadata=None, locs=None, labels=None,
         chunks.append(_chunk_exact(b"cue ", cue))
         if adtl:
             chunks.append(_chunk_exact(b"LIST", b"adtl" + adtl))
-    chunks.append(_chunk_exact(b"data", raw))
-    payload = b"WAVE" + b"".join(chunks)
+    meta = b"".join(chunks)
+    data_size = len(raw)
+    pad = b"\x00" if data_size & 1 else b""
+    riff_size = 4 + len(meta) + 8 + data_size + len(pad)
     with Path(path).open("wb") as f:
-        f.write(b"RIFF" + struct.pack("<I", len(payload)) + payload)
+        if riff_size <= _RIFF_MAX and not force_rf64:
+            f.write(b"RIFF" + struct.pack("<I", riff_size) + b"WAVE")
+            f.write(meta)
+            f.write(b"data" + struct.pack("<I", data_size))
+        else:
+            # RF64: 32-bit size fields hold the 0xFFFFFFFF placeholder,
+            # the true 64-bit riff/data sizes live in the leading ds64
+            ds64 = struct.pack("<QQQI", riff_size + 36, data_size,
+                               data_size // max(bpf, 1), 0)
+            f.write(b"RF64" + struct.pack("<I", 0xFFFFFFFF) + b"WAVE")
+            f.write(b"ds64" + struct.pack("<I", len(ds64)) + ds64)
+            f.write(meta)
+            f.write(b"data" + struct.pack("<I", 0xFFFFFFFF))
+        f.write(raw)
+        f.write(pad)
+
+
+class WavWriter:
+    """Incremental WAV writer with automatic RF64 promotion past 4 GiB.
+
+    Appends frames as they arrive (a field recorder's write path — the
+    reference gets this from libsndfile) without holding the recording
+    in memory.  The header reserves a 28-byte ``JUNK`` chunk after the
+    RIFF id; :meth:`close` patches the true sizes in place, and when the
+    file outgrew the 32-bit RIFF caps it rewrites the magic to ``RF64``
+    and the ``JUNK`` into the ``ds64`` chunk carrying the 64-bit sizes
+    (EBU tech 3306's recommended promotion scheme, so the bytes before
+    the payload never move).  Use as a context manager::
+
+        with WavWriter(path, rate, channels) as w:
+            for block in blocks:
+                w.write(block)
+
+    ``write`` accepts float frames in [-1, 1] or integer PCM codes (the
+    :func:`write_audio` convention); int16 input under ``PCM_16`` is
+    appended without a float round trip.  :meth:`skip_frames` extends
+    the file with silence sparsely (zero PCM codes without writing the
+    bytes) — multi-GB synthetic corpora cost only their header plus the
+    probed regions on disk.
+    """
+
+    def __init__(self, path, rate, channels, encoding="PCM_16"):
+        if encoding not in _ENCODINGS:
+            raise WavError(f"unsupported encoding {encoding}")
+        self.path = Path(path)
+        self.rate = float(rate)
+        self.channels = int(channels)
+        self.encoding = encoding
+        tag, bits = _ENCODINGS[encoding]
+        self._tag, self._bits = tag, bits
+        self._bpf = self.channels * (bits // 8)
+        self._frames = 0
+        byte_rate = min(int(round(self.rate)) * self._bpf, 0xFFFFFFFF)
+        f = self.path.open("wb")
+        try:
+            f.write(b"RIFF" + struct.pack("<I", 0) + b"WAVE")
+            f.write(b"JUNK" + struct.pack("<I", 28) + b"\x00" * 28)
+            f.write(_chunk_exact(
+                b"fmt ",
+                struct.pack("<HHIIHH", tag, self.channels,
+                            int(round(self.rate)), byte_rate,
+                            self._bpf, bits)))
+            self._data_hdr = f.tell()
+            f.write(b"data" + struct.pack("<I", 0))
+            self._data_off = f.tell()
+        except BaseException:
+            f.close()
+            raise
+        self._f = f
+
+    @property
+    def frames(self):
+        return self._frames
+
+    def write(self, data):
+        """Append frames (shape ``(n,)`` or ``(n, channels)``)."""
+        if self._f is None:
+            raise WavError(f"{self.path}: writer is closed")
+        data = np.asarray(data)
+        if data.ndim == 1:
+            data = data[:, None]
+        if data.shape[1] != self.channels:
+            raise WavError(
+                f"expected {self.channels} channels, got {data.shape[1]}")
+        if data.dtype == np.int16 and self.encoding == "PCM_16":
+            raw = np.ascontiguousarray(data, "<i2").tobytes()
+        else:
+            raw, _tag, _bits = _encode(data, self.encoding)
+        self._f.write(raw)
+        self._frames += len(data)
+        return self
+
+    def skip_frames(self, n):
+        """Extend with ``n`` silent frames without writing their bytes
+        (a sparse hole on the filesystem; zero PCM codes decode as
+        silence in every supported encoding)."""
+        if self._f is None:
+            raise WavError(f"{self.path}: writer is closed")
+        n = int(n)
+        if n < 0:
+            raise ValueError(f"cannot skip {n} frames")
+        if n:
+            self._f.seek(n * self._bpf - 1, 1)
+            self._f.write(b"\x00")
+        self._frames += n
+        return self
+
+    def close(self):
+        """Patch the deferred sizes (promoting to RF64 if needed)."""
+        f, self._f = self._f, None
+        if f is None:
+            return
+        try:
+            true_size = self._frames * self._bpf
+            padded = true_size + (true_size & 1)
+            if true_size & 1:  # odd bpf (e.g. PCM_24 mono): pad byte
+                f.seek(self._data_off + true_size)
+                f.write(b"\x00")
+            riff_size = self._data_off + padded - 8
+            if riff_size <= _RIFF_MAX:
+                f.seek(4)
+                f.write(struct.pack("<I", riff_size))
+                f.seek(self._data_hdr + 4)
+                f.write(struct.pack("<I", true_size))
+            else:
+                f.seek(0)
+                f.write(b"RF64" + struct.pack("<I", 0xFFFFFFFF))
+                f.seek(12)
+                f.write(b"ds64" + struct.pack("<I", 28))
+                f.write(struct.pack("<QQQI", riff_size, true_size,
+                                    self._frames, 0))
+                f.seek(self._data_hdr + 4)
+                f.write(struct.pack("<I", 0xFFFFFFFF))
+        finally:
+            f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
 
 # ---------------------------------------------------------------------------

@@ -181,7 +181,7 @@ def test_non_wav_without_soundfile(tmp_path, monkeypatch):
         wavio.load_audio(p)
     with pytest.raises(wavio.WavError, match="soundfile"):
         wavio.wav_info(p)
-    assert wavio.available_formats() == ["WAV", "FLAC"]
+    assert wavio.available_formats() == ["WAV", "FLAC", "RF64"]
 
 
 def test_soundfile_fallback_load(fake_soundfile, signal):
