@@ -29,6 +29,7 @@ from ..analysis import (Plugins, PlainAnalyzer, StatisticsAnalyzer,
 from ..cache import FullTraceData
 from ..view.render import (TraceTiler, SpecTiler, noise_level_stats,
                            mean_power_db_slice)
+from ..utils.devicewatch import DeviceLost, watch as _devwatch
 from ..utils import trace as _trace
 from .markers import MarkerData, MarkerLabel
 
@@ -142,6 +143,9 @@ class DataBrowser:
         self._warmed_nffts = set()   # buckets with compiled programs
         self._pending_nfft = None    # requested-but-unwarmed bucket
         self._power_level_stats = None  # (window, per-channel levels)
+        # device-loss state seen by the last poll (both frontends show
+        # "device lost — host mode" and refresh when this flips)
+        self._device_state_seen = _devwatch.lost
         self.fulltrace = None
         # view model (Panels + PlotRanges over headless axes), built in open()
         self.panels = None
@@ -197,6 +201,11 @@ class DataBrowser:
     # -- lifecycle ----------------------------------------------------------------
 
     def open(self):
+        # compile the device-loss heartbeat FIRST: its tiny compile must
+        # win the compile lock before the chain compiles queue up, so
+        # watchdog pulses run warm from the first scroll
+        # (`utils/devicewatch.py:_default_probe` for the measurements)
+        _devwatch.warm_async()
         self.data.open(self.unwrap, self.unwrap_clip)
         channels = self._requested_channels
         if channels:
@@ -1251,6 +1260,34 @@ class DataBrowser:
 
     # -- render tiles (GUI pull interface) --------------------------------------------
 
+    @property
+    def device_state(self):
+        """``"ok"`` or ``"lost"`` — the device watchdog's view of the
+        TPU tunnel.  While lost, windows come from the host scipy path
+        (`Data._host_windows`); both frontends render a
+        "device lost — host mode" notice from this."""
+        return "lost" if _devwatch.lost else "ok"
+
+    def device_status_text(self):
+        """Status-line text for the frontends; empty when healthy."""
+        return "device lost — host mode" if _devwatch.lost else ""
+
+    def poll_device_state(self):
+        """Fold watchdog state flips into the session (frontends call
+        this on their redraw path — watchdog threads only flip flags,
+        they never touch GUI objects).  On recovery, recomputes the
+        visible windows on the device so the next render leaves host
+        mode automatically.  Returns the current state string."""
+        lost = _devwatch.lost
+        self._device_state_seen = lost
+        if not lost and self.data is not None and self.data._host_mode:
+            # device is back but the windows still hold host-mode
+            # content: re-run the window update — numpy windows reject
+            # the delta path, so this re-uploads and recomputes on
+            # device, restoring full speed without user action
+            self.set_times()
+        return "lost" if lost else "ok"
+
     def trace_tile(self, name, channel, t0=None, t1=None):
         if t0 is None:
             t0, t1 = self.toffset, self.toffset + self.twindow
@@ -1302,8 +1339,16 @@ class DataBrowser:
             width = i1 - i0
             wb = min(1 << max(width - 1, 0).bit_length(), len(buf))
             start = max(min(i0, len(buf) - wb), 0)
-            db = np.asarray(mean_power_db_slice(buf, start, channel,
-                                                i0 - start, width, wb))
+            try:
+                db = _devwatch.pull(
+                    lambda: np.asarray(mean_power_db_slice(
+                        buf, start, channel, i0 - start, width, wb)),
+                    what="power spectrum")
+            except DeviceLost:
+                self.data._host_windows(targets=[trace._node.name])
+                buf = trace.buffer
+                mean = np.asarray(buf[i0:i1, channel, :]).mean(axis=0)
+                db = 10 * np.log10(np.maximum(mean, 1e-20))
         else:
             mean = np.asarray(buf[i0:i1, channel, :]).mean(axis=0)
             db = 10 * np.log10(np.maximum(mean, 1e-20))
@@ -1338,7 +1383,15 @@ class DataBrowser:
             if cached is None or cached[0] != key \
                     or cached[3]() is not trace or (
                     epoch is None and cached[1]() is not buf):
-                stats = np.asarray(noise_level_stats(buf, nf))
+                try:
+                    stats = _devwatch.pull(
+                        lambda: np.asarray(noise_level_stats(buf, nf)),
+                        what="noise levels")
+                except DeviceLost:
+                    self.data._host_windows(targets=[trace._node.name])
+                    if isinstance(trace.buffer, jax.Array):
+                        raise  # pragma: no cover - host recompute failed
+                    return self.estimate_power_levels(channel)
                 _trace.trace_event("render.pull", op="noise_levels",
                                    bytes=stats.nbytes)
                 # weak refs: a strong one would pin the superseded

@@ -30,6 +30,7 @@ from . import wavio
 from .loader import AudioLoader
 from ..ops import raw16
 from ..utils import pow2_at_least as _pow2ceil
+from ..utils.devicewatch import DeviceLost, watch as _devwatch
 
 
 #: PCM-16 -> f32 on device (shared raw16 convention, `ops/raw16.py`)
@@ -244,7 +245,21 @@ class Trace:
                 cap = len(self.buffer)
                 wb = min(_pow2ceil(w), cap)
                 a2 = max(min(a, cap - wb), 0)
-                part = np.asarray(_dev_slice(self.buffer, a2, wb))
+                try:
+                    part = _devwatch.pull(
+                        lambda: np.asarray(_dev_slice(self.buffer, a2,
+                                                      wb)),
+                        what=f"{self.name} slice")
+                except DeviceLost:
+                    # recompute this window host-side and serve from it
+                    self._data._host_windows(targets=[self._node.name])
+                    if isinstance(self.buffer, jax.Array):  # pragma: no cover
+                        raise
+                    a = start - self.offset  # window may have re-folded
+                    if 0 <= a and a + w <= len(self.buffer):
+                        return np.asarray(self.buffer[a : a + w])
+                    return self._data._compute_range(self.name, start,
+                                                     stop)
                 return part[a - a2 : a - a2 + w]
             # transfer only the requested slice
             return np.asarray(self.buffer[a : a + w])
@@ -350,6 +365,9 @@ class Data:
         self._last_raw_shift = None
         # recycled int16 upload-staging buffers by shape (see _put_raw)
         self._q_staging = {}
+        #: True while trace windows hold HOST-computed content (device
+        #: lost); flips back on the first successful device recompute
+        self._host_mode = False
 
     # -- trace registry ----------------------------------------------------------
 
@@ -710,9 +728,16 @@ class Data:
         False when there is no raw window to compute from."""
         if self.data is None or len(self.data.buffer) == 0:
             return False
-        dev = self._device_raw()
-        out = self.executor.run(dev, self.data.offset,
-                                targets=[name], device=True)
+        try:
+            def work():
+                dev = self._device_raw()
+                return self.executor.run(dev, self.data.offset,
+                                         targets=[name], device=True)
+
+            out = _devwatch.pull(work, what=f"refresh {name}")
+        except DeviceLost:
+            self._host_windows(targets=[name])
+            return name.lower() not in self._dirty
         for n, (off, arr) in out.items():
             if n != RAW and n in self._traces:
                 self._traces[n]._set_window(off, arr)
@@ -730,13 +755,10 @@ class Data:
         targets = [n for n in visible if n != RAW] or None
         if not targets:
             return
-        dev = self._device_raw()
-        out = self.executor.run(dev, self.data.offset,
-                                targets=targets, device=True)
-        for name, (off, arr) in out.items():
-            if name != RAW:
-                self._traces[name]._set_window(off, arr)
-        self._dirty.difference_update(out)
+        try:
+            self._device_windows(targets)
+        except DeviceLost:
+            self._host_windows(targets)
 
     def buffered_region(self):
         """Interior (halo-excluded) window currently buffered, in seconds —
@@ -760,21 +782,75 @@ class Data:
         self.data.update_time(max(t0 - self.tbefore, 0.0),
                               min(t1 + self.tafter, self.frames / self.rate))
         if targets:
-            # outputs stay on the device; host code pulls only the slices
-            # it renders (min/max tiles, dB tiles), not whole traces
-            dev = self._device_raw()
-            if not self._try_delta_update(dev, targets):
-                out = self.executor.run(dev, self.data.offset,
-                                        targets=targets, device=True)
-                for name, (off, arr) in out.items():
-                    if name == RAW:
-                        continue
-                    self._traces[name]._set_window(off, arr)
-                self._dirty.difference_update(out)
+            try:
+                self._device_windows(targets)
+            except DeviceLost:
+                # dead device/tunnel: serve this window from the host
+                # scipy path — the session degrades, it never hangs
+                self._host_windows(targets)
         self._raw.buffer_changed[:] = True
         i0 = min(int(t0 * self.data.rate), self.data.frames - 1)
         fp, _ = self.data.get_file_index(i0)
         return self.data.basename(fp)
+
+    def _device_windows(self, targets):
+        """The guarded device section of :meth:`update_times`: upload /
+        slide the raw mirror, then recompute (or delta-stitch) the
+        visible windows in one device launch.  Runs under the
+        device-loss watchdog — raises :class:`DeviceLost` instead of
+        hanging when the tunnel dies (`utils/devicewatch.py`)."""
+
+        def work():
+            dev = self._device_raw()
+            if self._try_delta_update(dev, targets):
+                return None
+            return self.executor.run(dev, self.data.offset,
+                                     targets=targets, device=True)
+
+        # outputs stay on the device; host code pulls only the slices
+        # it renders (min/max tiles, dB tiles), not whole traces
+        out = _devwatch.pull(work, what="window update")
+        if out is not None:
+            for name, (off, arr) in out.items():
+                if name == RAW:
+                    continue
+                self._traces[name]._set_window(off, arr)
+            self._dirty.difference_update(out)
+        if self._host_mode:
+            # back on device after a host-mode stretch: bump the value
+            # generations so render caches never mix host (f64 scipy)
+            # and device (f32) tiles of the same frames
+            self._host_mode = False
+            for n in list(self._content_epoch):
+                self._content_epoch[n] += 1
+
+    def _host_windows(self, targets=None):
+        """Device-loss fallback: recompute the visible trace windows
+        from the loader's HOST buffer through the nodes' scipy twins
+        (`GraphExecutor.run_host`) — numpy windows the render layer's
+        host branches consume without touching the device.  Bumps the
+        content epochs on the mode transition (host f64 values differ
+        from device f32 at ~1e-5; caches must not mix them)."""
+        if self.data is None or len(self.data.buffer) == 0:
+            return
+        if targets is None:
+            targets = [n for n in self.visible_traces() if n != RAW]
+            if not targets:
+                return
+        out = self.executor.run_host(self.data.buffer, self.data.offset,
+                                     targets=targets)
+        for name, (off, arr) in out.items():
+            if name != RAW and name in self._traces:
+                self._traces[name]._set_window(off, arr)
+        self._dirty.difference_update(out)
+        if not self._host_mode:
+            self._host_mode = True
+            for n in self._descendants(RAW) | set(out):
+                self._content_epoch[n] = self._content_epoch.get(n, 0) + 1
+        # a later device recompute must re-upload the full window: the
+        # device mirror went stale while the session scrolled host-side
+        self._dev_raw = None
+        self._dev_raw_off = None
 
     #: on-demand ranges are quantized (aligned start, power-of-two length)
     #: so repeated region queries reuse a handful of compiled programs
@@ -812,8 +888,15 @@ class Data:
         q0, n = self._quantized_raw_window(start * step_total,
                                            stop * step_total)
         raw = self.data._read(q0, n)
-        out = self.executor.run(raw, q0, targets=targets or [name],
-                                device=False)
+        try:
+            out = _devwatch.pull(
+                lambda: self.executor.run(raw, q0,
+                                          targets=targets or [name],
+                                          device=False),
+                what=f"compute {name}")
+        except DeviceLost:
+            out = self.executor.run_host(raw, q0,
+                                         targets=targets or [name])
         off, arr = out[name.lower()]
         lo = start - off
         if lo < 0 or lo + (stop - start) > len(arr):
@@ -868,7 +951,13 @@ class Data:
             int(i0 * self.rate / rate),
             int(math.ceil(i1 * self.rate / rate)))
         raw = self.data._read(q0, n)
-        out = self.executor.run(raw, q0, targets=names, device=False)
+        try:
+            out = _devwatch.pull(
+                lambda: self.executor.run(raw, q0, targets=names,
+                                          device=False),
+                what="compute region")
+        except DeviceLost:
+            out = self.executor.run_host(raw, q0, targets=names)
         return {self._traces[k]._node.name if k in self._traces else k: v
                 for k, v in out.items() if k != RAW}
 

@@ -179,3 +179,34 @@ class GraphExecutor:
                     plan[name].o0, buf if device else np.asarray(buf)
                 )
         return out
+
+    def run_host(self, raw_chunk, raw_offset=0, targets=None):
+        """Numpy/scipy mirror of :meth:`run` — the device-loss fallback.
+
+        Same geometry pass (so halo folding and the chunked==whole
+        invariant hold identically), but each node computes through its
+        ``compute_host`` scipy path and every output is a host numpy
+        array.  Never touches jax, so it cannot hang on a dead device
+        tunnel (the reference's always-host hot loop,
+        `src/audian/buffereddata.py:91-109`, is the robustness bar).
+        """
+        if targets is None:
+            targets = [n.name for n in self.graph.order]
+        active = self.graph.active_set(targets)
+        raw = np.asarray(raw_chunk)
+        if raw.dtype == np.int16:
+            raw = raw.astype(np.float32) / 32768.0  # dequant16 host twin
+        plan, _ = self._plan(int(raw_offset), len(raw), active)
+        bufs = {RAW: raw}
+        for node in self.graph.order:
+            name = node.name.lower()
+            if name not in plan:
+                continue
+            g = plan[name]
+            src = bufs[node.source_name.lower()][g.rel_s0 : g.rel_s1]
+            bufs[name] = node.compute_host(src, g.lead, g.n_out)
+        out = {}
+        for name, buf in bufs.items():
+            off = int(raw_offset) if name == RAW else plan[name].o0
+            out[name] = (off, buf)
+        return out

@@ -160,6 +160,15 @@ class Node:
         including ``lead`` warm-up frames) to ``n_out`` output frames."""
         raise NotImplementedError
 
+    def compute_host(self, source, lead, n_out):
+        """Host (numpy/scipy) twin of :meth:`compute` for device-loss
+        mode (`GraphExecutor.run_host`).  Must never touch jax.  The
+        built-in nodes override with their scipy oracles; unknown node
+        types degrade to zeros so a lost device still cannot hang the
+        session."""
+        source = np.asarray(source)
+        return np.zeros((n_out,) + source.shape[1:], np.float32)
+
     def update(self, **kwargs):
         """Host-side parameter update (filter redesign etc.).  Returns True
         when downstream recomputation is needed."""
@@ -183,6 +192,7 @@ class FilterNode(Node):
         self.lowpass_cutoff = None
         self.filter_order = 2
         self.design = None
+        self._sos = None
         self._kernel_len = 0  # sticky FIR length budget (see _redesign)
 
     @property
@@ -214,6 +224,7 @@ class FilterNode(Node):
     def _redesign(self):
         sos = design_filter(self.source_spec.rate, self.highpass_cutoff,
                             self.lowpass_cutoff, self.filter_order)
+        self._sos = sos  # host scipy twin for device-loss mode
         old = self.design
         if sos is None:
             self.design = None
@@ -250,6 +261,17 @@ class FilterNode(Node):
         y = sosfilt_fir(params.fir, source, axis=0, return_zf=False)
         return y[lead : lead + n_out]
 
+    def compute_host(self, source, lead, n_out):
+        """scipy ``sosfilt`` twin of :meth:`compute` (device-loss mode);
+        the IIR cascade the FIR fast path approximates at <=1e-5."""
+        source = np.asarray(source)
+        if self.design is None:
+            return np.asarray(source[lead : lead + n_out], np.float32)
+        from scipy.signal import sosfilt
+
+        y = sosfilt(self._sos, source.astype(np.float64), axis=0)
+        return y[lead : lead + n_out].astype(np.float32)
+
 
 class EnvelopeNode(Node):
     """Rectified zero-phase envelope.
@@ -285,6 +307,7 @@ class EnvelopeNode(Node):
         self.highpass_cutoff = highpass_cutoff
         self.filter_order = filter_order
         self.design = None
+        self._sos = None
         self._kernel_len = 0
 
     def open(self, source_spec):
@@ -298,6 +321,7 @@ class EnvelopeNode(Node):
                                      self.envelope_cutoff,
                                      self.highpass_cutoff,
                                      self.filter_order)
+        self._sos = sos  # host scipy twin for device-loss mode
         if sos is None:
             self.design = None
             return
@@ -334,6 +358,23 @@ class EnvelopeNode(Node):
         if self.highpass_cutoff == 0:
             env = jnp.maximum(env, 0.0)
         return env[lead : lead + n_out]
+
+    def compute_host(self, source, lead, n_out):
+        """scipy ``sosfiltfilt`` twin of :meth:`compute` (device-loss
+        mode), same rectification / padlen / clamp rules."""
+        source = np.asarray(source)
+        if self.design is None:
+            return np.zeros((n_out,) + source.shape[1:], np.float32)
+        from scipy.signal import sosfiltfilt
+
+        rect = (np.pi / 2) * np.abs(source.astype(np.float64))
+        if rect.shape[0] <= self.design.padlen:
+            return np.zeros((n_out,) + source.shape[1:], np.float32)
+        env = sosfiltfilt(self._sos, rect, axis=0,
+                          padlen=self.design.padlen)
+        if self.highpass_cutoff == 0:
+            env = np.maximum(env, 0.0)
+        return env[lead : lead + n_out].astype(np.float32)
 
 
 class SpectrogramNode(Node):
@@ -446,6 +487,30 @@ class SpectrogramNode(Node):
             pad = [(0, n_out - nf)] + [(0, 0)] * (sxx.ndim - 1)
             sxx = jnp.pad(sxx, pad)
         return sxx
+
+    def compute_host(self, source, lead, n_out):
+        """scipy ``spectrogram`` twin of :meth:`compute` (device-loss
+        mode) — the documented oracle of :func:`audian_tpu.ops.stft.
+        spectrogram` (density-scaled PSD, periodic Hann, no detrend)."""
+        from scipy.signal import spectrogram as sp_spectrogram
+
+        source = np.asarray(source)
+        usable = source[lead:]
+        nf = max((usable.shape[0] - self.nfft) // self.hop + 1, 0)
+        nf = min(nf, n_out)
+        nbins = self.nfft // 2 + 1
+        out = np.zeros((n_out,) + source.shape[1:] + (nbins,), np.float32)
+        if nf > 0:
+            _f, _t, sxx = sp_spectrogram(
+                usable.astype(np.float64), fs=self.source_spec.rate,
+                window="hann", nperseg=self.nfft,
+                noverlap=self.nfft - self.hop, detrend=False,
+                scaling="density", mode="psd", axis=0)
+            # scipy puts frequency on the input's time axis and time
+            # last: (nbins, ..., nf) -> (nf, ..., nbins)
+            sxx = np.moveaxis(np.moveaxis(sxx, 0, -1), -2, 0)
+            out[:nf] = sxx[:nf].astype(np.float32)
+        return out
 
     def estimate_noiselevels(self, power_db_tail, power_db_all):
         """Auto color levels from the noise floor, reference rules

@@ -425,6 +425,13 @@ class MplBrowserWindow:
     def _redraw(self):
         b = self.browser
         self._redraw_serial += 1
+        # fold device-loss flips in on the draw path (watchdog threads
+        # only set flags) and surface "device lost — host mode"
+        b.poll_device_state()
+        dev_note = b.device_status_text()
+        self.fig.suptitle(dev_note, color="#cc2200", fontsize=9,
+                          ha="right", x=0.99) if dev_note else \
+            self.fig.suptitle("")
         # channel verbs can grow/scroll the shown set beyond the built
         # axes — rebuild the grid when it changes, or when the
         # show_specs level moved the trace/spec height split (level 0

@@ -382,6 +382,15 @@ if HAVE_QT:
 
         def refresh(self):
             b = self.browser
+            # fold device-loss state flips in (watchdog threads only set
+            # flags; GUI work happens here on the event thread) and
+            # surface "device lost — host mode" in the status bar —
+            # only on flips, so other status messages are not clobbered
+            b.poll_device_state()
+            note = b.device_status_text()
+            if note != getattr(self, "_device_note", ""):
+                self._device_note = note
+                self.on_status(note)
             name = "filtered" if "filtered" in b.data else "data"
             t0, t1 = b.toffset, b.toffset + b.twindow
             # showGrid invalidates the axis picture even when unchanged,
