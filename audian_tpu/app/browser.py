@@ -28,7 +28,7 @@ from ..analysis import (Plugins, PlainAnalyzer, StatisticsAnalyzer,
                         EventRecorder)
 from ..cache import FullTraceData
 from ..view.render import (TraceTiler, SpecTiler, noise_level_stats,
-                           mean_power_db_slice)
+                           host_noise_level_stats, mean_power_db_slice)
 from ..utils.devicewatch import DeviceLost, watch as _devwatch
 from ..utils import trace as _trace
 from .markers import MarkerData, MarkerLabel
@@ -143,9 +143,6 @@ class DataBrowser:
         self._warmed_nffts = set()   # buckets with compiled programs
         self._pending_nfft = None    # requested-but-unwarmed bucket
         self._power_level_stats = None  # (window, per-channel levels)
-        # device-loss state seen by the last poll (both frontends show
-        # "device lost — host mode" and refresh when this flips)
-        self._device_state_seen = _devwatch.lost
         self.fulltrace = None
         # view model (Panels + PlotRanges over headless axes), built in open()
         self.panels = None
@@ -1279,7 +1276,6 @@ class DataBrowser:
         visible windows on the device so the next render leaves host
         mode automatically.  Returns the current state string."""
         lost = _devwatch.lost
-        self._device_state_seen = lost
         if not lost and self.data is not None and self.data._host_mode:
             # device is back but the windows still hold host-mode
             # content: re-run the window update — numpy windows reject
@@ -1347,6 +1343,8 @@ class DataBrowser:
             except DeviceLost:
                 self.data._host_windows(targets=[trace._node.name])
                 buf = trace.buffer
+                if isinstance(buf, jax.Array):
+                    raise  # host recompute could not produce the window
                 mean = np.asarray(buf[i0:i1, channel, :]).mean(axis=0)
                 db = 10 * np.log10(np.maximum(mean, 1e-20))
         else:
@@ -1364,25 +1362,24 @@ class DataBrowser:
             return (-100.0, 0.0)
         node = trace._node
         nf = max(buf.shape[2] // 16, 1)
-        if isinstance(buf, jax.Array):
-            # all-channel device reduction, cached STICKY per content
-            # epoch (the naive route pulls the whole ~200 MB spectrogram
-            # window to the host per channel — seconds over the tunneled
-            # link).  Sticky = the reference's "first-time auto color
-            # levels" semantics (`plotranges.py:461-478`): scrolling
-            # keeps the levels, a parameter change (epoch bump)
-            # re-estimates from the new window.  Per-window re-leveling
-            # would also shift zmin/zmax a little every slide and force
-            # a full image re-pull where the scroll-delta tile path
-            # reuses all overlapping columns.
-            import weakref
+        # all-channel reduction, cached STICKY per content epoch — on
+        # device because the naive route pulls the whole ~200 MB
+        # spectrogram window to the host per channel (seconds over the
+        # tunneled link), and in host mode because per-call re-leveling
+        # is O(window) log passes per redraw AND shifting zmin/zmax per
+        # window would invalidate the spec tile delta cache every slide.
+        # Sticky = the reference's "first-time auto color levels"
+        # semantics (`plotranges.py:461-478`): scrolling keeps the
+        # levels, a parameter change (epoch bump) re-estimates.
+        import weakref
 
-            epoch = trace.content_epoch
-            cached = self._power_level_stats
-            key = (id(trace), trace.nfft, epoch)
-            if cached is None or cached[0] != key \
-                    or cached[3]() is not trace or (
-                    epoch is None and cached[1]() is not buf):
+        epoch = trace.content_epoch
+        cached = self._power_level_stats
+        key = (id(trace), trace.nfft, epoch)
+        if cached is None or cached[0] != key \
+                or cached[3]() is not trace or (
+                epoch is None and cached[1]() is not buf):
+            if isinstance(buf, jax.Array):
                 try:
                     stats = _devwatch.pull(
                         lambda: np.asarray(noise_level_stats(buf, nf)),
@@ -1394,18 +1391,15 @@ class DataBrowser:
                     return self.estimate_power_levels(channel)
                 _trace.trace_event("render.pull", op="noise_levels",
                                    bytes=stats.nbytes)
-                # weak refs: a strong one would pin the superseded
-                # spectrogram window (~200 MB) on the device; the trace
-                # ref guards the recycled-id case (id(trace) in the key)
-                cached = (key, weakref.ref(buf), stats,
-                          weakref.ref(trace))
-                self._power_level_stats = cached
-            db_tail, db_all = cached[2][channel]
-        else:
-            with np.errstate(all="ignore"):
-                db_tail = 10 * np.log10(
-                    np.maximum(buf[:, channel, -nf:], 1e-20))
-                db_all = 10 * np.log10(np.maximum(buf[:, channel, :], 1e-20))
+            else:
+                stats = host_noise_level_stats(np.asarray(buf), nf)
+            # weak refs: a strong one would pin the superseded
+            # spectrogram window (~200 MB) on the device; the trace
+            # ref guards the recycled-id case (id(trace) in the key)
+            cached = (key, weakref.ref(buf), stats,
+                      weakref.ref(trace))
+            self._power_level_stats = cached
+        db_tail, db_all = cached[2][channel]
         zmin, zmax = node.estimate_noiselevels(db_tail, db_all)
         if zmin is None:
             return (-100.0, 0.0)

@@ -363,6 +363,11 @@ class Data:
         self._dev_raw = None
         self._dev_raw_off = None
         self._last_raw_shift = None
+        # bumped whenever the mirror must be discarded (host-mode flip):
+        # an ABANDONED watchdog thunk that unblocks when the tunnel
+        # revives checks this before committing, so it cannot resurrect
+        # a stale mirror or overwrite host-mode windows
+        self._dev_gen = 0
         # recycled int16 upload-staging buffers by shape (see _put_raw)
         self._q_staging = {}
         #: True while trace windows hold HOST-computed content (device
@@ -621,21 +626,22 @@ class Data:
         to a power of two, a few MB) cross the link — the device-side
         twin of the reference's ``move_buffer`` retention
         (`src/audian/buffereddata.py:75-109`, SURVEY.md section 5.7)."""
+        gen = self._dev_gen
         buf = self.data.buffer
         off = int(self.data.offset)
         cap = len(buf)
         old = self._dev_raw
         self._last_raw_shift = None
+        shift_note = None
         if old is None or old.shape[0] != cap or self._dev_raw_off is None:
-            self._dev_raw = self._put_raw(buf, off)
+            new_dev = self._put_raw(buf, off)
         else:
             shift = off - self._dev_raw_off
             if shift == 0:
-                self._last_raw_shift = 0
+                new_dev = old
+                shift_note = 0
             elif abs(shift) >= cap:
-                self._dev_raw = self._put_raw(buf, off)
-                self._dev_raw_off = off
-                return self._dev_raw
+                new_dev = self._put_raw(buf, off)
             else:
                 nb = min(_pow2ceil(abs(shift)), cap)
                 if shift > 0:
@@ -644,12 +650,18 @@ class Data:
                 else:
                     new = buf[:nb]
                     g0 = off
-                self._dev_raw = _slide_window(self._dev_raw,
-                                              self._put_raw(new, g0),
-                                              shift, tail=shift > 0)
-                self._last_raw_shift = shift
+                new_dev = _slide_window(old, self._put_raw(new, g0),
+                                        shift, tail=shift > 0)
+                shift_note = shift
+        if gen != self._dev_gen:
+            # a host-mode flip happened while this (abandoned watchdog)
+            # thread was blocked in an upload: the loader buffer slid
+            # on without us — committing would mislabel the mirror
+            raise DeviceLost("device mirror invalidated during upload")
+        self._dev_raw = new_dev
         self._dev_raw_off = off
-        return self._dev_raw
+        self._last_raw_shift = shift_note
+        return new_dev
 
     def _try_delta_update(self, dev, targets):
         """Scroll fast path: recompute only a halo-extended sub-window
@@ -660,6 +672,7 @@ class Data:
 
         Returns True when the stitch was applied; False falls back to the
         full-window recompute (startup, geometry changes, big jumps)."""
+        gen = self._dev_gen
         rs = self._last_raw_shift
         if rs is None:
             return False
@@ -716,6 +729,10 @@ class Data:
             if abs(shift) > len(arr):
                 return False
             patches.append((tr, g, arr, shift, pos))
+        if gen != self._dev_gen:
+            # abandoned watchdog thunk unblocked after a host-mode flip:
+            # committing would overwrite host windows with stale patches
+            raise DeviceLost("trace windows invalidated during update")
         for tr, g, arr, shift, pos in patches:
             tr._set_window(g.o0, _slide_patch(tr.buffer, arr, shift, pos))
         return True
@@ -786,8 +803,11 @@ class Data:
                 self._device_windows(targets)
             except DeviceLost:
                 # dead device/tunnel: serve this window from the host
-                # scipy path — the session degrades, it never hangs
-                self._host_windows(targets)
+                # scipy path — the session degrades, it never hangs.
+                # Only the visible span (+ graph halos) is recomputed.
+                g0 = int(max(t0 - self.tbefore, 0.0) * self.rate)
+                g1 = int(math.ceil((t1 + self.tafter) * self.rate))
+                self._host_windows(targets, span=(g0, g1))
         self._raw.buffer_changed[:] = True
         i0 = min(int(t0 * self.data.rate), self.data.frames - 1)
         fp, _ = self.data.get_file_index(i0)
@@ -824,24 +844,37 @@ class Data:
             for n in list(self._content_epoch):
                 self._content_epoch[n] += 1
 
-    def _host_windows(self, targets=None):
+    def _host_windows(self, targets=None, span=None):
         """Device-loss fallback: recompute the visible trace windows
         from the loader's HOST buffer through the nodes' scipy twins
         (`GraphExecutor.run_host`) — numpy windows the render layer's
         host branches consume without touching the device.  Bumps the
         content epochs on the mode transition (host f64 values differ
-        from device f32 at ~1e-5; caches must not mix them)."""
+        from device f32 at ~1e-5; caches must not mix them).
+
+        ``span`` (absolute raw frames ``(g0, g1)``, already
+        halo-widened) restricts the recompute to a sub-window — the
+        scroll path passes the visible span so a host-mode scroll costs
+        the view width, not the whole 60 s buffer, on this 1-vCPU host
+        (the full window is the default for untargeted refreshes)."""
         if self.data is None or len(self.data.buffer) == 0:
             return
         if targets is None:
             targets = [n for n in self.visible_traces() if n != RAW]
             if not targets:
                 return
-        out = self.executor.run_host(self.data.buffer, self.data.offset,
-                                     targets=targets)
-        for name, (off, arr) in out.items():
+        off = int(self.data.offset)
+        buf = self.data.buffer
+        if span is not None:
+            g0 = max(int(span[0]), off)
+            g1 = min(int(span[1]), off + len(buf))
+            if g1 > g0:
+                buf = buf[g0 - off : g1 - off]
+                off = g0
+        out = self.executor.run_host(buf, off, targets=targets)
+        for name, (o, arr) in out.items():
             if name != RAW and name in self._traces:
-                self._traces[name]._set_window(off, arr)
+                self._traces[name]._set_window(o, arr)
         self._dirty.difference_update(out)
         if not self._host_mode:
             self._host_mode = True
@@ -849,8 +882,11 @@ class Data:
                 self._content_epoch[n] = self._content_epoch.get(n, 0) + 1
         # a later device recompute must re-upload the full window: the
         # device mirror went stale while the session scrolled host-side
+        # (the gen bump also stops abandoned watchdog thunks from
+        # resurrecting it when the tunnel revives)
         self._dev_raw = None
         self._dev_raw_off = None
+        self._dev_gen += 1
 
     #: on-demand ranges are quantized (aligned start, power-of-two length)
     #: so repeated region queries reuse a handful of compiled programs

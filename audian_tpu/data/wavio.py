@@ -880,7 +880,12 @@ class WavWriter:
         byte_rate = min(int(round(self.rate)) * self._bpf, 0xFFFFFFFF)
         f = self.path.open("wb")
         try:
-            f.write(b"RIFF" + struct.pack("<I", 0) + b"WAVE")
+            # 0xFFFFFFFF placeholders (the streaming-writer convention),
+            # NOT zeros: if the process dies before close() patches the
+            # real sizes, readers clamp the data span by the file size
+            # (wav_info's `avail` clamp) and every written frame is
+            # still recoverable instead of reading back as 0 frames
+            f.write(b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVE")
             f.write(b"JUNK" + struct.pack("<I", 28) + b"\x00" * 28)
             f.write(_chunk_exact(
                 b"fmt ",
@@ -888,7 +893,7 @@ class WavWriter:
                             int(round(self.rate)), byte_rate,
                             self._bpf, bits)))
             self._data_hdr = f.tell()
-            f.write(b"data" + struct.pack("<I", 0))
+            f.write(b"data" + struct.pack("<I", 0xFFFFFFFF))
             self._data_off = f.tell()
         except BaseException:
             f.close()

@@ -447,6 +447,21 @@ def noise_level_stats(buf, nf):
     return jnp.stack([q95, mx], axis=1)
 
 
+def host_noise_level_stats(buf, nf):
+    """Numpy twin of :func:`noise_level_stats` for host-mode windows:
+    same per-channel ``(q95 of top-frequency-sixteenth dB, max dB)``
+    formula, computed once and cached sticky by the caller exactly like
+    the device path (per-call host re-leveling would cost O(window) log
+    passes per redraw and shift the color levels every slide)."""
+    with np.errstate(all="ignore"):
+        db = 10.0 * np.log10(np.maximum(buf, 1e-20))
+    nchan = buf.shape[1]
+    tail = db[:, :, -nf:].transpose(1, 0, 2).reshape(nchan, -1)
+    q95 = np.percentile(tail, 95.0, axis=1)
+    mx = db.max(axis=(0, 2))
+    return np.stack([q95, mx], axis=1)
+
+
 @functools.partial(jax.jit, static_argnames=("wb",))
 def mean_power_db_slice(buf, start, channel, offset, width, wb):
     """Mean dB spectrum of the ``width`` frames at ``start + offset`` of

@@ -332,3 +332,24 @@ def test_streamed_riff_placeholder_size_clamps(rng, tmp_path):
     assert info[2] == 2000
     d = wavio.read_frames(p, 0, 2000, info)
     assert len(d) == 2000
+
+
+def test_wavwriter_crash_recovery_placeholder(rng, tmp_path):
+    """A writer that never reaches close() (process died) must leave a
+    readable file: the 0xFFFFFFFF placeholder sizes make readers clamp
+    the data span by the file size instead of reporting 0 frames."""
+    rate = 8000.0
+    x = _tone(rng, 5000, 2, rate)
+    q = np.clip(np.round(x.astype(np.float64) * 32768), -32768,
+                32767).astype(np.int16)
+    p = tmp_path / "crashed.wav"
+    w = wavio.WavWriter(p, rate, 2)
+    w.write(q)
+    w._f.flush()
+    w._f = None  # simulate the process dying before close()
+    info = wavio.wav_info(p)
+    assert info[2] == 5000, "crashed writer output must stay readable"
+    d, r = wavio.load_audio(p)
+    assert r == rate
+    np.testing.assert_array_equal(
+        np.round(d * 32768).astype(np.int16), q)
