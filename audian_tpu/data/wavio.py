@@ -66,14 +66,21 @@ _BEXT_FIELDS = [
 
 
 def available_formats():
-    # WAV and FLAC decode natively (data/flac.py); soundfile widens the
-    # set to everything libsndfile knows
+    # WAV, RF64 and FLAC write natively (this module + data/flac.py);
+    # the system FFmpeg libraries add OGG/AIFF/MP3/... export (the
+    # reference's save dialog breadth comes from libsndfile the same
+    # way, `src/audian/databrowser.py:1875-1880`), and soundfile widens
+    # the set to everything libsndfile knows
+    base = ["WAV", "FLAC", "RF64"]
+    from .. import native
+
+    if native.ffm_available():
+        base += sorted(native.FF_EXPORT_FORMATS)
     sf = _soundfile()
     if sf is not None:
-        return ["WAV", "FLAC", "RF64"] + sorted(
-            f for f in sf.available_formats()
-            if f not in ("WAV", "FLAC", "RF64"))
-    return ["WAV", "FLAC", "RF64"]
+        base += sorted(f for f in sf.available_formats()
+                       if f not in base)
+    return base
 
 
 def available_encodings(format="WAV"):
@@ -758,7 +765,37 @@ def write_audio(path, data, rate, metadata=None, locs=None, labels=None,
         return flac.write_flac(path, np.asarray(data), rate,
                                metadata=metadata, bits=flac_bits[enc])
     force_rf64 = bool(format) and format.upper() == "RF64"
-    if format and format.upper() not in ("WAV", "RF64"):
+    suffix_fmt = None
+    if (format or "WAV").upper() == "WAV":
+        # like the .flac rule above, a target suffix is the explicit
+        # user signal (the save dialog passes only a path)
+        sfx = str(path).lower().rsplit(".", 1)
+        suffix_fmt = {"ogg": "OGG", "oga": "OGG", "aiff": "AIFF",
+                      "aif": "AIFF", "mp3": "MP3", "opus": "OPUS"}.get(
+                          sfx[-1] if len(sfx) > 1 else "")
+    if (format and format.upper() not in ("WAV", "RF64")) or suffix_fmt:
+        # FFmpeg-backed export (OGG/AIFF/MP3/...) when the system
+        # libraries are present — the same breadth the reference gets
+        # from libsndfile's datawriter formats
+        from .. import native
+
+        fmt = suffix_fmt or format.upper()
+        if fmt in native.FF_EXPORT_FORMATS:
+            if locs is not None and len(locs):
+                raise ValueError(
+                    f"{fmt} has no cue-marker chunk; export markers to "
+                    "CSV/XLSX or write a WAV")
+            arr = np.asarray(data)
+            if np.issubdtype(arr.dtype, np.unsignedinteger):
+                raise WavError("unsigned integer samples are ambiguous;"
+                               " pass signed PCM codes or float")
+            if np.issubdtype(arr.dtype, np.integer):
+                # integer input is PCM codes (the _encode convention)
+                width = arr.dtype.itemsize * 8
+                arr = arr.astype(np.float64) / float(2 ** (width - 1))
+            if native.ff_audio_encode(path, arr.astype(np.float32),
+                                      rate, format=fmt):
+                return Path(path)
         raise ValueError(f"unsupported format: {format}")
     data = np.asarray(data)
     if data.ndim == 1:

@@ -156,6 +156,12 @@ def get_ffm():
             ctypes.c_longlong, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int,
         ]
+        lib.ffp_audio_encode.restype = ctypes.c_int
+        lib.ffp_audio_encode.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+            ctypes.c_longlong, ctypes.c_int, ctypes.c_int,
+            ctypes.c_char_p,
+        ]
         _ffm = lib
         return _ffm
 
@@ -242,6 +248,43 @@ def ff_flac_encode(path, samples, rate, bits=16, level=5):
         int(frames), int(channels), int(rate), int(bits), int(level))
     if rc != 0:
         raise ValueError(f"FFmpeg could not encode {path} (rc={rc})")
+    return True
+
+
+#: format name -> FFmpeg muxer name for :func:`ff_audio_encode` (the
+#: formats the save dialogs list when the FFmpeg libraries are present)
+FF_EXPORT_FORMATS = {"OGG": "ogg", "AIFF": "aiff", "MP3": "mp3",
+                     "OPUS": "opus"}
+
+
+def ff_audio_encode(path, samples, rate, format=None):
+    """Encode float samples (``(n, ch)`` in [-1, 1]) into any container
+    the system FFmpeg can mux — the write-side twin of
+    :func:`ff_audio_decode` (OGG/Vorbis, AIFF, MP3, Opus...).  The
+    reference's save dialog offers every ``datawriter`` format
+    (`/root/reference/src/audian/databrowser.py:1875-1880`); this is how
+    audian-tpu reaches the same breadth beyond its native WAV/RF64/FLAC
+    writers.  ``format`` is a :data:`FF_EXPORT_FORMATS` key or an
+    FFmpeg muxer name; None guesses from the file suffix.  Returns
+    False when the FFmpeg libraries are unavailable; raises ValueError
+    on encode failure (unsupported rate/codec, unwritable path)."""
+    lib = get_ffm()
+    if lib is None:
+        return False
+    samples = np.ascontiguousarray(samples, np.float32)
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    frames, channels = samples.shape
+    fmt = FF_EXPORT_FORMATS.get((format or "").upper(), format or "")
+    rc = lib.ffp_audio_encode(
+        str(path).encode(),
+        samples.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        int(frames), int(channels), int(round(float(rate))),
+        fmt.encode())
+    if rc != 0:
+        raise ValueError(
+            f"FFmpeg could not encode {path} as {fmt or 'auto'} "
+            f"(rc={rc}; lossy codecs constrain rates/channels)")
     return True
 
 

@@ -28,6 +28,8 @@ extern "C" {
 #include <libavutil/opt.h>
 }
 
+#include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
@@ -421,6 +423,160 @@ int ffp_flac_encode(const char* path, const int32_t* samples,
           break;
         }
         pkt->stream_index = 0;
+        if (av_interleaved_write_frame(oc, pkt) < 0) {
+          rc = -5;
+          break;
+        }
+      }
+      if (flush) break;
+      pos += n;
+    }
+    if (rc == 0 && av_write_trailer(oc) < 0) rc = -7;
+  } while (false);
+  if (fr) av_frame_free(&fr);
+  if (pkt) av_packet_free(&pkt);
+  if (cc) avcodec_free_context(&cc);
+  if (io_open) avio_closep(&oc->pb);
+  avformat_free_context(oc);
+  return rc;
+}
+
+// Generic audio EXPORT through libavformat/libavcodec: encode float
+// samples into any container/codec the system FFmpeg can mux (OGG/
+// Vorbis, AIFF, MP3, ...).  This is the write-side twin of
+// ffp_audio_read — the reference's save dialog offers every format
+// libsndfile can write (/root/reference/src/audian/databrowser.py:
+// 1875-1880); audian-tpu reaches the same breadth through the system
+// FFmpeg libraries when present (`data/wavio.py:write_audio` routes
+// non-WAV/FLAC formats here).  Sample-format conversion (interleaved
+// float -> FLT/FLTP/S16/S16P) is done inline so no libswresample
+// dependency is added.
+int ffp_audio_encode(const char* path, const float* samples,
+                     long long frames, int channels, int rate,
+                     const char* format_name) {
+  AVFormatContext* oc = nullptr;
+  if (avformat_alloc_output_context2(
+          &oc, nullptr,
+          (format_name && format_name[0]) ? format_name : nullptr,
+          path) < 0 ||
+      !oc)
+    return -2;
+  enum AVCodecID cid = av_guess_codec(oc->oformat, nullptr, path,
+                                      nullptr, AVMEDIA_TYPE_AUDIO);
+  const AVCodec* enc = avcodec_find_encoder(cid);
+  if (!enc) {
+    avformat_free_context(oc);
+    return -1;
+  }
+  // pick a sample format this encoder accepts that we can fill inline
+  enum AVSampleFormat want = AV_SAMPLE_FMT_NONE;
+  if (enc->sample_fmts) {
+    const enum AVSampleFormat prefs[] = {
+        AV_SAMPLE_FMT_FLT, AV_SAMPLE_FMT_FLTP, AV_SAMPLE_FMT_S16,
+        AV_SAMPLE_FMT_S16P};
+    for (int p = 0; p < 4 && want == AV_SAMPLE_FMT_NONE; ++p)
+      for (const enum AVSampleFormat* f = enc->sample_fmts;
+           *f != AV_SAMPLE_FMT_NONE; ++f)
+        if (*f == prefs[p]) {
+          want = prefs[p];
+          break;
+        }
+  } else {
+    want = AV_SAMPLE_FMT_FLT;
+  }
+  if (want == AV_SAMPLE_FMT_NONE) {
+    avformat_free_context(oc);
+    return -8;
+  }
+  int rc = -3;
+  AVCodecContext* cc = nullptr;
+  AVPacket* pkt = nullptr;
+  AVFrame* fr = nullptr;
+  bool io_open = false;
+  do {
+    cc = avcodec_alloc_context3(enc);
+    if (!cc) break;
+    cc->sample_rate = rate;
+    av_channel_layout_default(&cc->ch_layout, channels);
+    cc->sample_fmt = want;
+    if (!(enc->capabilities & AV_CODEC_CAP_VARIABLE_FRAME_SIZE) &&
+        cid != AV_CODEC_ID_PCM_S16LE && cid != AV_CODEC_ID_PCM_S16BE)
+      cc->bit_rate = 64000LL * channels;  // lossy codecs need a target
+    if (oc->oformat->flags & AVFMT_GLOBALHEADER)
+      cc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+    if (avcodec_open2(cc, enc, nullptr) < 0) break;
+    AVStream* st = avformat_new_stream(oc, nullptr);
+    if (!st || avcodec_parameters_from_context(st->codecpar, cc) < 0)
+      break;
+    st->time_base = AVRational{1, rate};
+    if (!(oc->oformat->flags & AVFMT_NOFILE)) {
+      if (avio_open(&oc->pb, path, AVIO_FLAG_WRITE) < 0) break;
+      io_open = true;
+    }
+    if (avformat_write_header(oc, nullptr) < 0) break;
+    pkt = av_packet_alloc();
+    fr = av_frame_alloc();
+    if (!pkt || !fr) break;
+    const int block = cc->frame_size > 0 ? cc->frame_size : 4096;
+    long long pos = 0;
+    rc = 0;
+    while (rc == 0 && pos <= frames) {
+      int n = 0;
+      bool flush = pos >= frames;
+      if (!flush) {
+        n = (int)std::min<long long>(block, frames - pos);
+        fr->nb_samples = n;
+        fr->format = cc->sample_fmt;
+        av_channel_layout_copy(&fr->ch_layout, &cc->ch_layout);
+        if (av_frame_get_buffer(fr, 0) < 0) {
+          rc = -4;
+          break;
+        }
+        const float* src = samples + pos * channels;
+        if (want == AV_SAMPLE_FMT_FLT) {
+          std::memcpy(fr->data[0], src,
+                      sizeof(float) * (size_t)n * channels);
+        } else if (want == AV_SAMPLE_FMT_FLTP) {
+          for (int c = 0; c < channels; ++c) {
+            float* dst = reinterpret_cast<float*>(fr->data[c]);
+            for (int k = 0; k < n; ++k)
+              dst[k] = src[(long long)k * channels + c];
+          }
+        } else if (want == AV_SAMPLE_FMT_S16) {
+          int16_t* dst = reinterpret_cast<int16_t*>(fr->data[0]);
+          for (long long k = 0; k < (long long)n * channels; ++k) {
+            float v = src[k] * 32768.0f;
+            v = v < -32768.0f ? -32768.0f : (v > 32767.0f ? 32767.0f : v);
+            dst[k] = (int16_t)lrintf(v);
+          }
+        } else {  // S16P
+          for (int c = 0; c < channels; ++c) {
+            int16_t* dst = reinterpret_cast<int16_t*>(fr->data[c]);
+            for (int k = 0; k < n; ++k) {
+              float v = src[(long long)k * channels + c] * 32768.0f;
+              v = v < -32768.0f ? -32768.0f
+                                : (v > 32767.0f ? 32767.0f : v);
+              dst[k] = (int16_t)lrintf(v);
+            }
+          }
+        }
+        fr->pts = pos;
+      }
+      int r = avcodec_send_frame(cc, flush ? nullptr : fr);
+      if (!flush) av_frame_unref(fr);
+      if (r < 0) {
+        rc = -5;
+        break;
+      }
+      while (true) {
+        int r2 = avcodec_receive_packet(cc, pkt);
+        if (r2 == AVERROR(EAGAIN) || r2 == AVERROR_EOF) break;
+        if (r2 < 0) {
+          rc = -5;
+          break;
+        }
+        pkt->stream_index = 0;
+        av_packet_rescale_ts(pkt, cc->time_base, st->time_base);
         if (av_interleaved_write_frame(oc, pkt) < 0) {
           rc = -5;
           break;

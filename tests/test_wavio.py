@@ -181,7 +181,14 @@ def test_non_wav_without_soundfile(tmp_path, monkeypatch):
         wavio.load_audio(p)
     with pytest.raises(wavio.WavError, match="soundfile"):
         wavio.wav_info(p)
-    assert wavio.available_formats() == ["WAV", "FLAC", "RF64"]
+    fmts = wavio.available_formats()
+    assert fmts[:3] == ["WAV", "FLAC", "RF64"]
+    # without soundfile the rest (if any) comes from the FFmpeg export
+    # set, not libsndfile
+    from audian_tpu import native
+
+    extra = set(fmts[3:])
+    assert extra <= set(native.FF_EXPORT_FORMATS)
 
 
 def test_soundfile_fallback_load(fake_soundfile, signal):
