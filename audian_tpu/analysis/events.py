@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import FilterDesign, sosfiltfilt_fir
+from ..utils import trace as _trace
 
 
 @jax.jit
@@ -188,12 +189,17 @@ def _band_env_chunks(fdesign, edesign, x, step, return_filtered,
             g0 = -(-pos // step) * step
             if g0 < pos + L:
                 cnt = (pos + L - 1 - g0) // step + 1
-                env = np.asarray(envdet(jnp.asarray(x[a : a + W]),
-                                        g0 - a))
+                with _trace.timed("detect.upload", frames=W):
+                    xw = jnp.asarray(x[a : a + W])
+                with _trace.timed("detect.chunk", frames=L):
+                    env = np.asarray(envdet(xw, g0 - a))
                 outs_e.append(env[:cnt])
             continue
         a = min(max(pos - halo, 0), n - W)
-        y, env = _band_env_device(fdesign, edesign, jnp.asarray(x[a : a + W]))
+        with _trace.timed("detect.upload", frames=W):
+            xw = jnp.asarray(x[a : a + W])
+        with _trace.timed("detect.chunk", frames=L):
+            y, env = _band_env_device(fdesign, edesign, xw)
         hb = pos - a
         # fixed-shape device programs + host-side crops: per-chunk
         # slice lengths/offsets vary with the recording length, and

@@ -4,7 +4,9 @@ BASELINE.md target: full NFFT-256/50% spectrogram + 2-40 kHz bandpass +
 envelope over a 1 hour x 16 channel x 96 kHz recording in under 2 s on one
 TPU v5e chip.
 
-Four metrics, one JSON line each:
+Five metrics, one JSON line each (plus two opt-in modes: ``--stress``
+for the >HBM single-RF64-file batch leg and ``--slow-io`` for the
+FLAC-vs-WAV demonstration under emulated slow storage):
 
 1. ``io+compute``: the honest end-to-end path — a real two-file PCM-16
    recording on disk read through :class:`audian_tpu.data.AudioLoader`
@@ -29,6 +31,10 @@ Four metrics, one JSON line each:
    kernel (``ops/pallas/envdet.py``) over device-resident chunks;
    ``vs_baseline`` is the speedup over the unfused chunk program it
    replaced.
+2b. ``interactive session latencies``: a real headless DataBrowser
+   session on-chip — open+first render, scroll p50/p95 (page step +
+   all trace/spectrogram tiles), cutoff scrub, NFFT step, auto-scale —
+   so an interactivity regression is driver-visible (VERDICT r4 #3).
 3. ``spectrogram+bandpass+envelope ... wall`` (the headline, printed
    LAST): the device compute path with on-device synthesized audio, so
    the tunnel doesn't pollute the kernel numbers.  This is the
@@ -272,7 +278,7 @@ def _drop_page_cache():
         return False
 
 
-def bench_io(fused, files):
+def bench_io(fused, files, throttle_mbps=None):
     """Disk -> AudioLoader -> int16 upload -> fused chain -> fenced stats
     over a real multi-file recording (the BASELINE "end-to-end" framing;
     compile excluded via one warm-up chunk).
@@ -282,7 +288,16 @@ def bench_io(fused, files):
     thread, which OVERLAPS the device work — components exceed the
     wall when the overlap is healthy), ``upload_s`` (host-side
     device_put time), ``bytes_read`` (container bytes), and
-    ``open_s`` (loader open incl. the FLAC frame-index scan)."""
+    ``open_s`` (loader open incl. the FLAC frame-index scan).
+
+    ``throttle_mbps`` emulates slow storage (the ``--slow-io`` mode):
+    the reader thread is paced so CONTAINER bytes flow at the given
+    rate — this host's virtio disk serves guest-cold reads from the
+    hypervisor cache at ~GB/s, so the FLAC-vs-WAV break-even regime
+    (field storage: SD cards, USB drives, NFS) never occurs naturally
+    here.  Pacing by container bytes charges each format its own size,
+    which is exactly the property that makes compressed containers win
+    on slow storage."""
     from audian_tpu.data.loader import AudioLoader
 
     ck = fused.chain_kernel
@@ -331,11 +346,27 @@ def bench_io(fused, files):
     ext = (None if loader.raw16_capable
            else np.zeros((ext_frames, loader.channels), np.float32))
 
+    total_bytes = comps["bytes_read"]
+    bytes_per_chunk = total_bytes * IO_CHUNK / max(loader.frames, 1)
+    throttle_state = {"t0": None, "bytes": 0.0}
+
     def read_ext(k):
         t_read = time.perf_counter()
         try:
             return _read_ext(k)
         finally:
+            if throttle_mbps:
+                # pace the reader to the emulated storage rate: this
+                # chunk's share of the CONTAINER bytes may not arrive
+                # faster than the (virtual) medium delivers them
+                st = throttle_state
+                if st["t0"] is None:
+                    st["t0"] = t_read
+                st["bytes"] += bytes_per_chunk
+                ready = st["t0"] + st["bytes"] / (throttle_mbps * 2**20)
+                now = time.perf_counter()
+                if ready > now:
+                    time.sleep(ready - now)
             comps["read_s"] += time.perf_counter() - t_read
 
     def _read_ext(k):
@@ -371,6 +402,8 @@ def bench_io(fused, files):
 
     with ThreadPoolExecutor(max_workers=1) as pool:
         comps["read_s"] = 0.0  # discount the warm-up chunk's read
+        throttle_state["t0"] = None  # restart the pacing clock too
+        throttle_state["bytes"] = 0.0
         t0 = time.perf_counter()
         out = None
         fut = pool.submit(read_ext, 0)
@@ -405,120 +438,291 @@ STRESS_HBM_BYTES = 16 << 30
 
 def bench_stress():
     """Opt-in (``--stress`` / ``AUDIAN_TPU_STRESS=1``): the batch
-    drivers over a synthetic recording LARGER than device HBM at int16.
+    drivers over a recording LARGER than device HBM at int16, stored as
+    ONE RF64 file (>4 GiB single-file WAV — `data/wavio.py:WavWriter`).
 
-    - ``detect`` (the ``audian-songdetector`` pipeline) streams the
-      whole recording through the chunked fused device path; completing
-      at all is the bounded-device-memory assertion (the input alone
-      exceeds HBM), and three interior windows are re-computed through
-      the exact host scipy float64 path and compared (the chunked ==
-      whole contract, `tests/test_chunk_equivalence.py`, at stress
-      scale).  Reference analog: whole-file batch detection,
-      `/root/reference/songdetector.py:745-767`.
+    - the corpus is written once as a single RF64 recording and read
+      back through the real loader path (``AudioLoader.read_raw16_into``
+      — the ``audian-songdetector`` CLI's exact load), timing the disk
+      leg separately;
+    - ``detect`` (the songdetector pipeline) streams the recording
+      through the chunked fused device path; completing at all is the
+      bounded-device-memory assertion (the input alone exceeds HBM),
+      and three interior windows are re-computed through the exact host
+      scipy float64 path and compared (the chunked == whole contract at
+      stress scale).  Reference analog: whole-file batch detection,
+      `/root/reference/songdetector.py:745-767`;
     - ``audian-compress`` builds the min/max overview artifact over the
-      same recording written as a multi-file WAV set (RIFF caps one
-      file at 4 GB), through the real CLI.
+      SAME single RF64 file through the real CLI.
 
     Prints one JSON line: sustained samples/s over the detect leg,
-    ``vs_baseline`` = real-time factor, components carrying the compress
-    leg and the oracle-check count."""
+    ``vs_baseline`` = real-time factor, and a components breakdown —
+    ``read_s`` (single-file disk read + its MB/s), ``upload_s`` (host->
+    device transfers inside the chunk driver), ``compute_s``
+    (device dispatch + decimated-envelope pulls, which fence each
+    chunk), so an overlap/driver regression is distinguishable from
+    disk or tunnel weather (VERDICT r4 weak #3: the wall is now
+    attributed, not inferred)."""
     import shutil
     import tempfile
 
     from audian_tpu.analysis import events
+    from audian_tpu.data.loader import AudioLoader
+    from audian_tpu.data.wavio import WavWriter
+    from audian_tpu.utils import trace as _trace
 
     frames = int(STRESS_HBM_FRACTION * STRESS_HBM_BYTES
                  / (CHANNELS * 2))
     frames -= frames % (1 << 21)
     rec_seconds = frames / RATE
-    # blockwise int16 synthesis (tone bursts + noise), ~17.6 GB in RAM
-    x = np.empty((frames, CHANNELS), np.int16)
-    blk = 1 << 22
-    rng = np.random.default_rng(0)
-    for a in range(0, frames, blk):
-        b = min(a + blk, frames)
-        t = np.arange(a, b, dtype=np.float64) / RATE
-        tone = 0.4 * np.sin(2 * np.pi * 6500.0 * t) * (
-            np.sin(2 * np.pi * 1.0 * t) > 0)
-        seg = (tone[:, None]
-               + 0.05 * rng.standard_normal((b - a, CHANNELS)))
-        np.clip(np.round(seg * 32768.0), -32768, 32767, out=seg)
-        x[a:b] = seg
-    del seg
-
-    t0 = time.perf_counter()
-    # envelopefilter="none" keeps res["envelope"] pristine so the
-    # oracle windows below compare the actual chunked-path output (the
-    # default "apply" rewrites the envelope inside detected songs)
-    res = events.detect(x, RATE, verbose=0, return_filtered=False,
-                        envelopefilter="none")
-    detect_s = time.perf_counter() - t0
-
-    # slice-equality vs the exact host float64 scipy path (small inputs
-    # route there automatically): three interior windows, grids aligned
-    env = res["envelope"]
-    step = int(round(RATE / res["envrate"]))
-    # grid-aligned window geometry: the slice's decimation grid must
-    # coincide with the whole-recording grid
-    ctx = ((1 << 17) // step) * step   # >> the bucketed filter halo
-    wlen = ((1 << 19) // step) * step
-    checks = 0
-    for wstart in (frames // 7, frames // 2, frames - 2 * wlen):
-        a = (wstart // step) * step
-        lo = a - ctx
-        assert lo % step == 0 and lo > 0
-        _f, env_ref, er = events.band_env(
-            x[lo : a + wlen + ctx], RATE, 1000.0, 10000.0, 500.0,
-            return_filtered=False)
-        assert er == res["envrate"]
-        j0 = ctx // step
-        npts = wlen // step
-        got = np.asarray(env[a // step : a // step + npts])
-        ref = np.asarray(env_ref[j0 : j0 + npts])
-        scale = max(float(np.max(np.abs(ref))), 1e-9)
-        err = float(np.max(np.abs(got - ref))) / scale
-        assert err < 2e-5, (wstart, err)
-        checks += 1
-
-    # compress leg: the real CLI over the recording as 4 GB-capped WAVs
-    from audian_tpu.cli import compress
-    from audian_tpu.data import wavio
-
     tmp = Path(tempfile.mkdtemp(prefix="audian_stress_"))
     try:
-        per_file = 1 << 26  # 67M frames ~ 2.1 GB < the 4 GiB RIFF cap
-        files = []
-        for k, a in enumerate(range(0, frames, per_file)):
-            f = tmp / f"stress_{k}.wav"
-            # f32 k/2^15 is exact, so the PCM-16 write is bit-identical
-            # to the in-RAM int16 recording
-            wavio.write_audio(
-                f, x[a : a + per_file].astype(np.float32) / 32768.0,
-                RATE, encoding="PCM_16")
-            files.append(str(f))
+        # ONE RF64 file: blockwise int16 synthesis streamed to disk
+        # (bounded host RAM; WavWriter promotes past the 4 GiB cap)
+        rec = tmp / "stress.wav"
+        rng = np.random.default_rng(0)
+        blk = 1 << 22
+        t_write = time.perf_counter()
+        with WavWriter(rec, RATE, CHANNELS) as w:
+            for a in range(0, frames, blk):
+                b = min(a + blk, frames)
+                t = np.arange(a, b, dtype=np.float64) / RATE
+                tone = 0.4 * np.sin(2 * np.pi * 6500.0 * t) * (
+                    np.sin(2 * np.pi * 1.0 * t) > 0)
+                seg = (tone[:, None]
+                       + 0.05 * rng.standard_normal((b - a, CHANNELS)))
+                np.clip(np.round(seg * 32768.0), -32768, 32767, out=seg)
+                w.write(seg.astype(np.int16))
+        write_s = time.perf_counter() - t_write
+        if frames * CHANNELS * 2 > (1 << 32):  # full-size runs only
+            assert rec.stat().st_size > (1 << 32), "corpus must be >4 GiB"
+            with rec.open("rb") as f:
+                assert f.read(4) == b"RF64", "corpus must be ONE RF64"
+
+        # the CLI's load path: one out-of-core open + a raw16 bulk read
+        cold = _drop_page_cache()
+        t_read = time.perf_counter()
+        ld = AudioLoader(rec, prefetch=False)
+        assert ld.frames == frames and ld.raw16_capable
+        x = np.empty((frames, CHANNELS), np.int16)
+        ld.read_raw16_into(0, frames, x)
+        ld.close()
+        read_s = time.perf_counter() - t_read
+        nbytes = rec.stat().st_size
+
+        _trace.clear()
+        _trace.enable(log=False)
         t0 = time.perf_counter()
-        rc = compress.main(files)
+        # envelopefilter="none" keeps res["envelope"] pristine so the
+        # oracle windows below compare the actual chunked-path output
+        # (the default "apply" rewrites the envelope inside songs)
+        res = events.detect(x, RATE, verbose=0, return_filtered=False,
+                            envelopefilter="none")
+        detect_s = time.perf_counter() - t0
+        upload_ms = sum(e.get("ms", 0.0)
+                        for e in _trace.events("detect.upload"))
+        compute_ms = sum(e.get("ms", 0.0)
+                         for e in _trace.events("detect.chunk"))
+        _trace.disable()
+
+        # slice-equality vs the exact host float64 scipy path (small
+        # inputs route there automatically): three interior windows
+        env = res["envelope"]
+        step = int(round(RATE / res["envrate"]))
+        ctx = ((1 << 17) // step) * step   # >> the bucketed filter halo
+        wlen = ((1 << 19) // step) * step
+        checks = 0
+        for wstart in (frames // 7, frames // 2, frames - 2 * wlen):
+            a = (wstart // step) * step
+            lo = a - ctx
+            assert lo % step == 0 and lo > 0
+            _f, env_ref, er = events.band_env(
+                x[lo : a + wlen + ctx], RATE, 1000.0, 10000.0, 500.0,
+                return_filtered=False)
+            assert er == res["envrate"]
+            j0 = ctx // step
+            npts = wlen // step
+            got = np.asarray(env[a // step : a // step + npts])
+            ref = np.asarray(env_ref[j0 : j0 + npts])
+            scale = max(float(np.max(np.abs(ref))), 1e-9)
+            err = float(np.max(np.abs(got - ref))) / scale
+            assert err < 2e-5, (wstart, err)
+            checks += 1
+        del x
+
+        # compress leg: the real CLI over the SAME single RF64 file
+        from audian_tpu.cli import compress
+
+        t0 = time.perf_counter()
+        rc = compress.main([str(rec)])
         compress_s = time.perf_counter() - t0
         assert rc == 0
-        assert (tmp / "stress_0-fulltrace.wav").exists()
+        assert (tmp / "stress-fulltrace.wav").exists()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
     print(json.dumps({
         "metric": (f"STRESS detect over {rec_seconds / 3600:.2f}h x "
-                   f"{CHANNELS}ch x 96kHz int16 "
+                   f"{CHANNELS}ch x 96kHz int16, ONE RF64 file "
                    f"({frames * CHANNELS * 2 / 2**30:.1f} GiB > HBM; "
                    "completion = bounded device memory; sustained "
-                   "samples/s; vs_baseline = real-time factor)"),
+                   "samples/s over the detect leg; vs_baseline = "
+                   "real-time factor)"),
         "value": round(frames * CHANNELS / detect_s / 1e6, 1),
         "unit": "Msamples/s",
         "vs_baseline": round(rec_seconds / detect_s, 2),
         "components": {
             "detect_wall_s": round(detect_s, 2),
+            "upload_s": round(upload_ms / 1000.0, 2),
+            "compute_s": round(compute_ms / 1000.0, 2),
+            "read_s": round(read_s, 2),
+            "read_MBps": round(nbytes / read_s / 2**20, 1),
+            "write_s": round(write_s, 2),
+            "cold_cache": cold,
             "compress_wall_s": round(compress_s, 2),
             "oracle_windows_checked": checks,
             "songs_found_ch0": len(res["onsets"][0]),
         },
+    }))
+
+
+def bench_interactive(files):
+    """Interactive session latencies, driver-visible (VERDICT r4 #3).
+
+    Drives a real headless :class:`DataBrowser` session over the cached
+    8-channel io recording on the actual device and measures the verbs
+    the README quotes: open + first full render, scroll (page step +
+    every channel's trace tile + the all-channel spectrogram tile +
+    sticky levels — the Qt ``refresh`` loop's work), cutoff scrub (full
+    recompute + re-render, zero recompiles), NFFT resolution step after
+    the targeted warm, and amplitude auto-scale.  Returns the metric
+    dict; ``value`` is the scroll p50 and ``vs_baseline`` the headroom
+    under the reference's 50 ms interactive tick (BASELINE.md design
+    constants)."""
+    from audian_tpu.app import DataBrowser
+
+    def render(b):
+        for c in b.show_channels:
+            b.trace_tile("filtered", c)
+        for c in b.show_channels:
+            b.spec_tile(c, quantize=True)
+
+    t0 = time.perf_counter()
+    b = DataBrowser([str(f) for f in files], buffer_time=30.0).open()
+    b.set_times(0.0, 2.0)
+    render(b)
+    open_s = time.perf_counter() - t0
+
+    # steady-state scrolls (the compile cache is warm after the first)
+    b.time_page_down()
+    render(b)
+    dts = []
+    for k in range(24):
+        t0 = time.perf_counter()
+        b.time_page_down() if k % 16 < 12 else b.time_page_up()
+        render(b)
+        dts.append(time.perf_counter() - t0)
+    dts = np.sort(np.asarray(dts))
+    scroll_p50 = float(dts[len(dts) // 2])
+    scroll_p95 = float(dts[int(len(dts) * 0.95)])
+
+    # cutoff scrub: redesign + full-window recompute + re-render,
+    # interactivity contract = ZERO recompiles (traced designs).  The
+    # FIRST real design replaces the pass-through program (a legitimate
+    # one-time compile, `graph/nodes.py:static_key`), so it runs before
+    # the contract snapshot.
+    b.update_filter(lowpass_cutoff=40000.0)
+    render(b)
+    ncomp0 = b.data.executor.cache_size
+    scrub = []
+    for k, lp in enumerate((30000.0, 35000.0, 32000.0, 38000.0)):
+        t0 = time.perf_counter()
+        b.update_filter(lowpass_cutoff=lp)
+        render(b)
+        scrub.append(time.perf_counter() - t0)
+    assert b.data.executor.cache_size == ncomp0, "cutoff scrub recompiled"
+    scrub_s = float(np.median(scrub))
+
+    # NFFT step across two warmed buckets
+    b.warm_resolutions(nffts=(256, 512))
+    steps = []
+    for nfft in (512, 256, 512, 256):
+        t0 = time.perf_counter()
+        b.set_resolution(nfft=nfft)
+        render(b)
+        steps.append(time.perf_counter() - t0)
+    nfft_s = float(np.median(steps))
+
+    # amplitude auto-scale (device window extrema)
+    autos = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        b.auto_ampl()
+        autos.append(time.perf_counter() - t0)
+    auto_s = float(np.median(autos))
+    b.close()
+
+    return {
+        "metric": ("interactive session latencies (30s x 8ch x 96kHz "
+                   "view on-chip: scroll p50 end-to-end incl. all trace "
+                   "+ spectrogram tiles; vs_baseline = headroom under "
+                   "the 50 ms interactive tick; components carry the "
+                   "other verbs)"),
+        "value": round(scroll_p50 * 1e3, 2),
+        "unit": "ms",
+        "vs_baseline": round(0.050 / scroll_p50, 2),
+        "components": {
+            "open_warm_s": round(open_s, 2),
+            "scroll_p50_ms": round(scroll_p50 * 1e3, 2),
+            "scroll_p95_ms": round(scroll_p95 * 1e3, 2),
+            "cutoff_scrub_s": round(scrub_s, 3),
+            "nfft_step_s": round(nfft_s, 3),
+            "autoscale_ms": round(auto_s * 1e3, 2),
+        },
+    }
+
+
+#: --slow-io emulated storage bandwidth; chosen below the measured
+#: ~27 MB/s break-even of the bench corpus (0.81x FLAC ratio at the
+#: decoder's ~150 MB/s PCM) so the compressed container's regime is
+#: actually demonstrated, not just derived
+SLOW_IO_MBPS = 12.0
+
+
+def bench_slow_io(fused):
+    """Opt-in (``--slow-io``): the FLAC-vs-WAV io legs under emulated
+    slow storage (VERDICT r4 #7 — the break-even claim was only ever
+    DERIVED because this host's virtio disk serves guest-cold reads
+    from the hypervisor cache at ~GB/s).  Reads are paced to
+    ``SLOW_IO_MBPS`` of container bytes; the FLAC leg moves 0.81x the
+    bytes, so it must WIN here (``vs_baseline > 1``) — one committed
+    measurement of the regime field storage actually lives in."""
+    flac_files = _bench_recording("flac", channels=8)
+    if flac_files is None:
+        print(json.dumps({"metric": "slow-io FLAC demo skipped "
+                          "(no FLAC encoder available)", "value": 0,
+                          "unit": "s", "vs_baseline": 0}))
+        return
+    wav_files = _bench_recording("wav", channels=8)
+    _drop_page_cache()
+    wav_s, _sec, wav_comps = bench_io(fused, wav_files,
+                                      throttle_mbps=SLOW_IO_MBPS)
+    _drop_page_cache()
+    fl_s, fl_sec, fl_comps = bench_io(fused, flac_files,
+                                      throttle_mbps=SLOW_IO_MBPS)
+    fl_comps["wav_wall_s"] = round(wav_s, 4)
+    fl_comps["wav_read_s"] = wav_comps["read_s"]
+    fl_comps["throttle_MBps"] = SLOW_IO_MBPS
+    print(json.dumps({
+        "metric": (f"io+compute FLAC->chain {fl_sec:.0f}s x 8ch x "
+                   f"96kHz wall under {SLOW_IO_MBPS:.0f} MB/s emulated "
+                   "storage (container bytes paced; vs_baseline = "
+                   "same-shape WAV wall / FLAC wall — the compressed "
+                   "container's regime, demonstrated not derived)"),
+        "value": round(fl_s, 4),
+        "unit": "s",
+        "vs_baseline": round(wav_s / fl_s, 3),
+        "components": fl_comps,
     }))
 
 
@@ -530,6 +734,10 @@ def main():
 
     if "--stress" in sys.argv[1:] or os.environ.get("AUDIAN_TPU_STRESS"):
         bench_stress()
+        return
+
+    if "--slow-io" in sys.argv[1:] or os.environ.get("AUDIAN_TPU_SLOW_IO"):
+        bench_slow_io(build_chain())
         return
 
     fused = build_chain()
@@ -577,6 +785,9 @@ def main():
             "vs_baseline": round(w8_elapsed / fl_elapsed, 3),
             "components": fl_comps,
         }))
+
+    print(json.dumps(bench_interactive(_bench_recording("wav",
+                                                        channels=8))))
 
     detect_s, detect_unfused_s = bench_detect()
     print(json.dumps({
