@@ -74,7 +74,7 @@ def available_formats():
     base = ["WAV", "FLAC", "RF64"]
     from .. import native
 
-    if native.ffm_available():
+    if native.ffm_probable():  # cheap: never triggers the g++ build
         base += sorted(native.FF_EXPORT_FORMATS)
     sf = _soundfile()
     if sf is not None:
@@ -794,8 +794,13 @@ def write_audio(path, data, rate, metadata=None, locs=None, labels=None,
                 width = arr.dtype.itemsize * 8
                 arr = arr.astype(np.float64) / float(2 ** (width - 1))
             if native.ff_audio_encode(path, arr.astype(np.float32),
-                                      rate, format=fmt):
+                                      rate, format=fmt,
+                                      metadata=metadata):
                 return Path(path)
+            raise WavError(
+                f"{path}: {fmt} export needs the system FFmpeg "
+                "libraries (libavformat/libavcodec), which are not "
+                "available; write a WAV or FLAC instead")
         raise ValueError(f"unsupported format: {format}")
     data = np.asarray(data)
     if data.ndim == 1:

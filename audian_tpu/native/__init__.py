@@ -160,7 +160,7 @@ def get_ffm():
         lib.ffp_audio_encode.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
             ctypes.c_longlong, ctypes.c_int, ctypes.c_int,
-            ctypes.c_char_p,
+            ctypes.c_char_p, ctypes.c_char_p,
         ]
         _ffm = lib
         return _ffm
@@ -168,6 +168,23 @@ def get_ffm():
 
 def ffm_available():
     return get_ffm() is not None
+
+
+def ffm_probable():
+    """Cheap availability probe for listing calls: True when the FFmpeg
+    shim is loaded, already built on disk, or the system libraries are
+    findable — WITHOUT triggering the on-demand g++ build (seconds on
+    this 1-vCPU host; `available_formats` must not stall a dialog).
+    The encode/decode paths still build lazily on first real use."""
+    if _ffm is not None:
+        return True
+    if _ffm_tried:
+        return False
+    if _FFM_PATH.exists():
+        return True
+    import ctypes.util
+
+    return ctypes.util.find_library("avformat") is not None
 
 
 def ff_audio_decode(path):
@@ -257,7 +274,7 @@ FF_EXPORT_FORMATS = {"OGG": "ogg", "AIFF": "aiff", "MP3": "mp3",
                      "OPUS": "opus"}
 
 
-def ff_audio_encode(path, samples, rate, format=None):
+def ff_audio_encode(path, samples, rate, format=None, metadata=None):
     """Encode float samples (``(n, ch)`` in [-1, 1]) into any container
     the system FFmpeg can mux — the write-side twin of
     :func:`ff_audio_decode` (OGG/Vorbis, AIFF, MP3, Opus...).  The
@@ -265,9 +282,12 @@ def ff_audio_encode(path, samples, rate, format=None):
     (`/root/reference/src/audian/databrowser.py:1875-1880`); this is how
     audian-tpu reaches the same breadth beyond its native WAV/RF64/FLAC
     writers.  ``format`` is a :data:`FF_EXPORT_FORMATS` key or an
-    FFmpeg muxer name; None guesses from the file suffix.  Returns
-    False when the FFmpeg libraries are unavailable; raises ValueError
-    on encode failure (unsupported rate/codec, unwritable path)."""
+    FFmpeg muxer name; None guesses from the file suffix.  ``metadata``
+    (a flat or nested dict) lands in the muxer's tag dictionary (vorbis
+    comments, ID3, ...) — formats store what they support, like
+    libsndfile does for the reference.  Returns False when the FFmpeg
+    libraries are unavailable; raises ValueError on encode failure
+    (unsupported rate/codec, unwritable path)."""
     lib = get_ffm()
     if lib is None:
         return False
@@ -276,11 +296,18 @@ def ff_audio_encode(path, samples, rate, format=None):
         samples = samples[:, None]
     frames, channels = samples.shape
     fmt = FF_EXPORT_FORMATS.get((format or "").upper(), format or "")
+    kv = []
+    for key, val in (metadata or {}).items():
+        if isinstance(val, dict):  # nested (e.g. BEXT): dotted keys
+            kv += [f"{key}.{k2}={v2}" for k2, v2 in val.items()
+                   if not isinstance(v2, dict)]
+        else:
+            kv.append(f"{key}={val}")
     rc = lib.ffp_audio_encode(
         str(path).encode(),
         samples.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         int(frames), int(channels), int(round(float(rate))),
-        fmt.encode())
+        fmt.encode(), "\n".join(kv).encode("utf-8", "replace"))
     if rc != 0:
         raise ValueError(
             f"FFmpeg could not encode {path} as {fmt or 'auto'} "

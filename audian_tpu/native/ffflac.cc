@@ -33,6 +33,7 @@ extern "C" {
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <string>
 #include <vector>
 
 namespace {
@@ -453,7 +454,7 @@ int ffp_flac_encode(const char* path, const int32_t* samples,
 // dependency is added.
 int ffp_audio_encode(const char* path, const float* samples,
                      long long frames, int channels, int rate,
-                     const char* format_name) {
+                     const char* format_name, const char* metadata_kv) {
   AVFormatContext* oc = nullptr;
   if (avformat_alloc_output_context2(
           &oc, nullptr,
@@ -509,6 +510,24 @@ int ffp_audio_encode(const char* path, const float* samples,
     if (!st || avcodec_parameters_from_context(st->codecpar, cc) < 0)
       break;
     st->time_base = AVRational{1, rate};
+    // metadata: newline-separated key=value pairs land in the muxer's
+    // dictionary (vorbis comments for OGG, ID3 for MP3, ...) — the
+    // formats store what they support, like libsndfile does for the
+    // reference's exports
+    if (metadata_kv && metadata_kv[0]) {
+      const char* p2 = metadata_kv;
+      while (*p2) {
+        const char* eol = strchr(p2, '\n');
+        size_t len = eol ? (size_t)(eol - p2) : strlen(p2);
+        const char* eq = (const char*)memchr(p2, '=', len);
+        if (eq && eq > p2) {
+          std::string key(p2, (size_t)(eq - p2));
+          std::string val(eq + 1, len - (size_t)(eq - p2) - 1);
+          av_dict_set(&oc->metadata, key.c_str(), val.c_str(), 0);
+        }
+        p2 += len + (eol ? 1 : 0);
+      }
+    }
     if (!(oc->oformat->flags & AVFMT_NOFILE)) {
       if (avio_open(&oc->pb, path, AVIO_FLAG_WRITE) < 0) break;
       io_open = true;
@@ -537,8 +556,11 @@ int ffp_audio_encode(const char* path, const float* samples,
           std::memcpy(fr->data[0], src,
                       sizeof(float) * (size_t)n * channels);
         } else if (want == AV_SAMPLE_FMT_FLTP) {
+          // extended_data, NOT data: data[] has only 8 slots and e.g.
+          // Vorbis accepts far more planar channels (a 16-channel
+          // export through data[] is an out-of-bounds write)
           for (int c = 0; c < channels; ++c) {
-            float* dst = reinterpret_cast<float*>(fr->data[c]);
+            float* dst = reinterpret_cast<float*>(fr->extended_data[c]);
             for (int k = 0; k < n; ++k)
               dst[k] = src[(long long)k * channels + c];
           }
@@ -551,7 +573,8 @@ int ffp_audio_encode(const char* path, const float* samples,
           }
         } else {  // S16P
           for (int c = 0; c < channels; ++c) {
-            int16_t* dst = reinterpret_cast<int16_t*>(fr->data[c]);
+            int16_t* dst =
+                reinterpret_cast<int16_t*>(fr->extended_data[c]);
             for (int k = 0; k < n; ++k) {
               float v = src[(long long)k * channels + c] * 32768.0f;
               v = v < -32768.0f ? -32768.0f

@@ -29,3 +29,15 @@ assert jax.default_backend() == "cpu" or os.environ.get(
     "AUDIAN_TPU_TESTS_ON_TPU"
 ), "tests must run on the virtual CPU mesh"
 assert jax.device_count() >= 8 or os.environ.get("AUDIAN_TPU_TESTS_ON_TPU")
+
+# Opt-in line coverage on sys.monitoring (no external deps;
+# tools/linecov.py): AUDIAN_TPU_COV=1 records executed lines and dumps
+# .linecov.json at exit for `python tools/linecov.py report`.
+if os.environ.get("AUDIAN_TPU_COV"):
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent / "tools"))
+    import linecov
+
+    linecov.start()

@@ -139,3 +139,54 @@ def test_unknown_format_still_raises(rng, tmp_path):
     x = _tone(rng, 1000, 1, 8000.0)
     with pytest.raises(ValueError, match="unsupported format"):
         wavio.write_audio(tmp_path / "x.wav", x, 8000.0, format="XYZ")
+
+
+@needs_ffm
+def test_export_many_channels_planar(rng, tmp_path):
+    """>8 channels through a planar codec (Vorbis/FLTP) — regression
+    for the extended_data indexing SIGSEGV (AVFrame.data has 8 slots)."""
+    rate = 48000.0
+    x = _tone(rng, 16000, 16, rate)
+    p = tmp_path / "wide.ogg"
+    wavio.write_audio(p, x, rate, format="OGG")
+    samples, r = native.ff_audio_decode(p)
+    assert r == rate and samples.shape[1] == 16
+    assert _lossy_matches(samples, x) > 0.85
+
+
+@needs_ffm
+def test_export_metadata_lands_in_container(rng, tmp_path):
+    """Metadata rides into the muxer's tag dictionary (vorbis comments
+    here) instead of being silently dropped."""
+    rate = 16000.0
+    x = _tone(rng, 8000, 1, rate)
+    p = tmp_path / "m.ogg"
+    wavio.write_audio(p, x, rate, format="OGG",
+                      metadata={"Artist": "the-artist-tag",
+                                "BEXT": {"Description": "bext-desc"}})
+    raw = p.read_bytes()
+    assert b"the-artist-tag" in raw
+    assert b"bext-desc" in raw
+
+
+def test_export_without_ffmpeg_names_real_cause(rng, tmp_path,
+                                                monkeypatch):
+    """When the FFmpeg libraries are absent the suffix-routed export
+    must say so, not claim WAV is unsupported."""
+    monkeypatch.setattr(native, "ff_audio_encode",
+                        lambda *a, **k: False)
+    x = _tone(rng, 1000, 1, 8000.0)
+    with pytest.raises(wavio.WavError, match="FFmpeg"):
+        wavio.write_audio(tmp_path / "cut.ogg", x, 8000.0)
+
+
+def test_available_formats_probe_is_cheap(monkeypatch):
+    """available_formats must not trigger the on-demand g++ build."""
+    import audian_tpu.native as native_mod
+
+    def boom():
+        raise AssertionError("listing must not build the FFmpeg shim")
+
+    monkeypatch.setattr(native_mod, "get_ffm", boom)
+    fmts = wavio.available_formats()
+    assert fmts[:3] == ["WAV", "FLAC", "RF64"]
