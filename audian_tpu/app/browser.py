@@ -140,6 +140,7 @@ class DataBrowser:
         self.spec_tiler = SpecTiler()
         self._resolutions_warmed = False
         self._warm_thread = None
+        self._closed = False
         self._warmed_nffts = set()   # buckets with compiled programs
         self._pending_nfft = None    # requested-but-unwarmed bucket
         self._power_level_stats = None  # (window, per-channel levels)
@@ -247,6 +248,12 @@ class DataBrowser:
         return self
 
     def close(self):
+        # stop the background warm after its in-flight bucket: a daemon
+        # thread force-killed INSIDE an XLA call at interpreter exit
+        # aborts the whole process with a C++ terminate (observed), so
+        # the warm loop polls this flag and the atexit hook below joins
+        # survivors before finalization begins
+        self._closed = True
         if self.fulltrace is not None:
             self.fulltrace.close()
         self.data.close()
@@ -512,7 +519,7 @@ class DataBrowser:
         above = sorted(n for n in FULL_NFFTS if n > max(SWEEP_NFFTS))
         return tuple(SWEEP_NFFTS) + tuple(below) + tuple(above)
 
-    def warm_resolutions(self, nffts=None, on_warm=None):
+    def warm_resolutions(self, nffts=None, on_warm=None, stop=None):
         """Precompile the interactive NFFT sweep: visit every bucket once
         through the real ``set_resolution`` + tile + power path, so later
         resolution scrubbing is compile-free (the batched-sweep contract
@@ -522,8 +529,10 @@ class DataBrowser:
         (:meth:`warm_ladder`); buckets the recording length clamps away
         are skipped.  ``on_warm(nfft)`` fires after each bucket's
         programs land (the async warm uses it to publish progress to the
-        live session's ``_warmed_nffts``).  Idempotent; returns the
-        number of buckets warmed (0 when already warm or no
+        live session's ``_warmed_nffts``).  ``stop()`` is polled
+        between buckets so a closing session abandons the remaining
+        sweep after at most one in-flight compile.  Idempotent; returns
+        the number of buckets warmed (0 when already warm or no
         spectrogram)."""
         if self._resolutions_warmed or self.spectrogram not in self.data:
             return 0
@@ -532,6 +541,8 @@ class DataBrowser:
         probe = self.show_channels[0] if self.show_channels else 0
         count = 0
         for nfft in tuple(nffts) if nffts else self.warm_ladder():
+            if stop is not None and stop():
+                break
             self.set_resolution(nfft=nfft, dispatch=False)
             if trace.nfft != int(nfft):
                 continue  # clamped away (very short recordings)
@@ -592,7 +603,8 @@ class DataBrowser:
                 # interactive steps snap to warmed buckets mid-warm and
                 # poll_pending_resolution() can swap pending ones in
                 clone.warm_resolutions(nffts,
-                                       on_warm=self._warmed_nffts.add)
+                                       on_warm=self._warmed_nffts.add,
+                                       stop=lambda: self._closed)
             except Exception:
                 pass  # best-effort prefetch; the UI path stays correct
             finally:
@@ -606,6 +618,7 @@ class DataBrowser:
                               name="audian-warm-resolutions")
         th.start()
         self._warm_thread = th
+        _live_warm_threads.add(th)
         return th
 
     # resolution step verbs (`databrowser.py:1225-1245`): a step compiles
@@ -1404,3 +1417,24 @@ class DataBrowser:
         if zmin is None:
             return (-100.0, 0.0)
         return zmin, zmax
+
+
+# background NFFT-warm threads still alive at interpreter exit: join
+# them BEFORE finalization (a daemon thread force-killed inside an XLA
+# call aborts the process with "FATAL: exception not rethrown"); the
+# warm loops poll their browser's _closed flag, so each survivor ends
+# after at most its in-flight bucket compile
+import atexit as _atexit
+import threading as _threading
+import weakref as _weakref
+
+_live_warm_threads = _weakref.WeakSet()
+
+
+def _join_warm_threads():
+    for th in list(_live_warm_threads):
+        if th.is_alive() and th is not _threading.current_thread():
+            th.join(120.0)
+
+
+_atexit.register(_join_warm_threads)

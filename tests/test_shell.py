@@ -358,3 +358,50 @@ def test_cli_preset_installs_chain(wav_files):
         sh.close()
     with pytest.raises(KeyError, match="unknown preset"):
         audian_cli(["--preset", "nope", str(wav_files[0])])
+
+
+def test_cli_qt_launch_path_with_fakeqt(wav_files, monkeypatch):
+    """The CLI's Qt launch branch (first-file preload, error report,
+    warm kickoff, run_qt handoff) executes end-to-end against the fake
+    backend — the non-Qt-only part of the coverage gap in
+    cli/audian.py (docs/testing.md)."""
+    import qtcompat as qtc
+    from audian_tpu.cli import audian as cli
+
+    qt, qt_teardown = qtc.setup_backend("fake")
+    try:
+        seen = {}
+
+        def fake_run_qt(shell):
+            # the CLI must hand over a shell with the first recording
+            # open and the rest still pending-or-loaded
+            seen["browsers"] = len(shell.browsers)
+            seen["shell"] = shell
+            shell.close()
+            return 0
+
+        monkeypatch.setattr(qt, "run_qt", fake_run_qt)
+        rc = cli.main([str(wav_files[0]), str(wav_files[1])])
+        assert rc == 0
+        assert seen["browsers"] >= 1
+    finally:
+        qt_teardown()
+
+
+def test_cli_qt_launch_no_openable_files(tmp_path, monkeypatch, capsys):
+    import qtcompat as qtc
+    from audian_tpu.cli import audian as cli
+
+    qt, qt_teardown = qtc.setup_backend("fake")
+    try:
+        monkeypatch.setattr(qt, "run_qt",
+                            lambda shell: (_ for _ in ()).throw(
+                                AssertionError("must not launch")))
+        bad = tmp_path / "junk.wav"
+        bad.write_bytes(b"not a wav")
+        rc = cli.main([str(bad)])
+        assert rc == 1
+        err = capsys.readouterr().err
+        assert "junk.wav" in err and "no recordings" in err
+    finally:
+        qt_teardown()

@@ -406,3 +406,64 @@ def test_plot_range_verbs_preserve_invariants(rng=None):
                     assert hi <= p.rmax + 1e-9
                 if p.min_dr:
                     assert hi - lo >= p.min_dr * (1 - 1e-9)
+
+
+class _FakeAx:
+    def __init__(self, visible=True):
+        self._vis = visible
+        self.data_items = []
+
+    def isVisible(self):
+        return self._vis
+
+    def setVisible(self, on):
+        self._vis = bool(on)
+
+
+def _panels_with_axes(*specs):
+    """Panels of (name, ax_spec, visible) with one fake axis each."""
+    ps = Panels()
+    for name, spec, vis in specs:
+        ps.add(name, spec)
+        ps[name].add_ax(ps[name].row, _FakeAx(vis))
+    return ps
+
+
+def test_spacer_cascade_follows_visible_panels():
+    """show_spacers: a spacer shows iff the panel above it is visible,
+    and the spacer trailing the LAST visible panel switches back off
+    (coverage-flagged cascade, docs/testing.md)."""
+    ps = _panels_with_axes(("trace", "tx", True),
+                           ("spectrogram", "tfp", True),
+                           ("envelope", "tx", True))
+    ps.insert_spacers()
+    for sp in (p for p in ps.values() if p.is_spacer()):
+        sp.add_ax(sp.row, _FakeAx(False))
+    ps.show_spacers(0)
+    spacers = [p for p in ps.values() if p.is_spacer()]
+    # every spacer sits above a visible panel: both interior, both on
+    assert [s.is_visible(0) for s in spacers] == [True, True]
+    # hide the LAST panel: its leading spacer is now trailing -> off
+    ps["envelope"].set_visible(False)
+    ps.show_spacers(0)
+    assert [s.is_visible(0) for s in spacers] == [True, False]
+    # hide the middle panel too: its leading spacer follows it off and
+    # the remaining visible panel (trace) leaves no spacer on
+    ps["spectrogram"].set_visible(False)
+    ps.show_spacers(0)
+    assert [s.is_visible(0) for s in spacers] == [False, False]
+    # hide everything: still all off
+    ps["trace"].set_visible(False)
+    ps.show_spacers(0)
+    assert [s.is_visible(0) for s in spacers] == [False, False]
+
+
+def test_spacer_helpers_no_ops():
+    """Spacer panels skip grids and report no traces."""
+    ps = _panels_with_axes(("trace", "tx", True),
+                           ("spectrogram", "tfp", True))
+    ps.insert_spacers()
+    sp = next(p for p in ps.values() if p.is_spacer())
+    sp.add_ax(sp.row, _FakeAx(False))
+    assert not sp.has_visible_traces(0)
+    sp.show_grid(3)  # must not touch the fake axis (no showGrid attr)
