@@ -451,3 +451,34 @@ def test_batch_detect_envelope_on_device(_cache):
     _y, env64 = events.detect_env_oracle(x64, step, fdesign, edesign)
     assert env.shape == env64.shape
     assert np.max(np.abs(env - env64)) < 1e-5
+
+
+def test_devicewatch_on_device(_cache):
+    """The device-loss watchdog's probe and guarded pull on the REAL
+    chip: the probe compiles once (warm path) and answers inside the
+    tight heartbeat deadline afterwards; a guarded pull of a real
+    device reduction completes without flipping the state.  (The loss
+    and recovery machinery itself is fault-injection-tested in the CPU
+    suite, tests/test_devicewatch.py — here the healthy-path timing
+    assumptions are pinned where the tunnel is real.)"""
+    import time as _time
+
+    from audian_tpu.utils.devicewatch import DeviceWatch
+
+    w = DeviceWatch()
+    t0 = _time.monotonic()
+    assert w._probe_alive(), "first (compile-inclusive) probe failed"
+    first_s = _time.monotonic() - t0
+    assert w._probe_warmed
+    # warm probes must answer well inside the 20 s heartbeat deadline
+    t0 = _time.monotonic()
+    assert w._probe_alive()
+    warm_s = _time.monotonic() - t0
+    assert warm_s < 5.0, f"warm heartbeat took {warm_s:.1f}s"
+    # a guarded pull of a real device op passes through unchanged
+    x = jnp.ones((256, 256), jnp.float32)
+    got = w.pull(lambda: float(np.asarray(jnp.sum(x))), what="test sum")
+    assert got == 65536.0
+    assert not w.lost
+    print(f"  [devicewatch] first probe {first_s:.2f}s, "
+          f"warm {warm_s * 1e3:.0f}ms", flush=True)
