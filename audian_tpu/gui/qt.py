@@ -1271,8 +1271,9 @@ if HAVE_QT:
             the incremental loader `audian.py:1325-1407`)."""
             paths, _ = QFileDialog.getOpenFileNames(
                 self, "Open recordings", "",
-                "Audio (*.wav *.WAV *.flac *.FLAC *.ogg *.OGG *.aiff"
-                " *.AIFF *.aif *.AIF *.mp3 *.MP3);;All files (*)")
+                "Audio (*.wav *.WAV *.w64 *.W64 *.flac *.FLAC *.ogg *.OGG"
+                " *.aiff *.AIFF *.aif *.AIF *.mp3 *.MP3 *.opus"
+                " *.OPUS);;All files (*)")
             if not paths:
                 return
             # non-blocking: tabs appear as the pump opens each file;
