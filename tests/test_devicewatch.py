@@ -264,3 +264,75 @@ def test_qt_status_bar_shows_device_note(tmp_path, rng, monkeypatch):
         win.close()
         qtc.process_events(qt)
         qt_teardown()
+
+
+def test_batch_detect_survives_mid_run_outage(monkeypatch):
+    """The chunked batch driver (audian-songdetector's hot loop) flips
+    to the scipy float64 oracle over the SAME chunk geometry when the
+    device dies mid-run: the run completes, and the mixed
+    device-then-host envelope matches the pure oracle within the
+    chunk-equivalence tolerance."""
+    import scipy.signal as sps
+
+    from audian_tpu.analysis import events
+
+    rng = np.random.default_rng(3)
+    rate = 96000.0
+    halo = events.detect_halo(
+        events.FilterDesign.from_sos(
+            sps.butter(1, (1000.0, 10000.0), "bandpass", fs=rate,
+                       output="sos")),
+        events.FilterDesign.from_sos(
+            sps.butter(1, 500.0, "lowpass", fs=rate, output="sos")))
+    n = 2 * events._CHUNK + 2 * halo + 12345  # three-ish chunks
+    t = np.arange(n) / rate
+    x = (0.4 * np.sin(2 * np.pi * 6500.0 * t)
+         * (np.sin(2 * np.pi * 2.0 * t) > 0)
+         + 0.02 * rng.standard_normal(n)).astype(np.float32)[:, None]
+
+    monkeypatch.setattr(watch, "patience", 0.05)
+    monkeypatch.setattr(watch, "heartbeat_timeout", 0.1)
+    monkeypatch.setattr(watch, "first_heartbeat_timeout", 0.1)
+    # the device is healthy (heartbeats answer) until the injected
+    # outage begins at chunk 2 — then probes hang like the real tunnel
+    dead = {"on": False}
+    monkeypatch.setattr(
+        watch, "_probe",
+        lambda: time.sleep(60) if dead["on"] else True)
+    monkeypatch.setattr(events, "_make_envdet",
+                        lambda *a, **k: None)  # force the 2-stage path
+    release = threading.Event()
+    calls = {"n": 0}
+    real = events._band_env_device
+
+    def flaky(fd, ed, xw):
+        calls["n"] += 1
+        if calls["n"] >= 2:  # chunk 2+: the tunnel is dead
+            dead["on"] = True
+            release.wait(30)
+            raise RuntimeError("gone")
+        return real(fd, ed, xw)
+
+    monkeypatch.setattr(events, "_band_env_device", flaky)
+    try:
+        t0 = time.monotonic()
+        _f, env, er = events.band_env(x, rate, 1000.0, 10000.0, 500.0,
+                                      return_filtered=False)
+        took = time.monotonic() - t0
+        assert took < 60.0, f"batch run hung for {took:.0f}s"
+        assert watch.lost and calls["n"] == 2
+    finally:
+        release.set()
+        watch._lost = False
+    # pure float64 oracle over the whole recording
+    step = int(round(rate / er))
+    _yo, env_ref = events.detect_env_oracle(
+        x.astype(np.float64), step, events.FilterDesign.from_sos(
+            sps.butter(1, (1000.0, 10000.0), "bandpass", fs=rate,
+                       output="sos")),
+        events.FilterDesign.from_sos(
+            sps.butter(1, 500.0, "lowpass", fs=rate, output="sos")))
+    m = min(len(env), len(env_ref))
+    scale = max(float(np.max(np.abs(env_ref))), 1e-9)
+    err = float(np.max(np.abs(env[:m, 0] - env_ref[:m, 0]))) / scale
+    assert err < 2e-5, err
