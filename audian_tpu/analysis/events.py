@@ -173,17 +173,23 @@ def _band_env_chunks(fdesign, edesign, x, step, return_filtered,
     # watchdog timeout, never a hung batch run
     host_oracle = _devwatch.lost
 
-    def chunk_oracle(a):
+    def chunk_oracle(a, want_y=False):
         xw = x[a : a + W]
         xw = (xw.astype(np.float64) / 32768.0 if xw.dtype == np.int16
               else xw.astype(np.float64))
         y = sps.sosfiltfilt(fdesign.sos, xw, axis=0)
         e = 2.0 * sps.sosfiltfilt(edesign.sos, y * y, axis=0)
         env = np.sqrt(np.maximum(e, 0.0)) * np.sqrt(2.0)
-        return y.astype(np.float32), env.astype(np.float32)
+        # the filtered stream is a full extra f32 pass over hundreds of
+        # MB per chunk on this 1-vCPU host — skip it unless asked for
+        return (y.astype(np.float32) if want_y else None,
+                env.astype(np.float32))
 
+    # _make_envdet constructs kernels whose filter banks upload eagerly
+    # — on an already-dead tunnel that would hang BEFORE the fallback
     envdet = (_make_envdet(fdesign, edesign, step, halo)
-              if fused and not return_filtered else None)
+              if fused and not return_filtered and not host_oracle
+              else None)
     Lc_eff = Lc
     if envdet is not None:
         # grid-aligned chunk stride: interior chunk starts sit ON the
@@ -222,6 +228,7 @@ def _band_env_chunks(fdesign, edesign, x, step, return_filtered,
                 if host_oracle:
                     _yh, envf = chunk_oracle(a)
                     env = envf[g0 - a :: step]
+                    del envf
                 outs_e.append(env[:cnt])
             continue
         a = min(max(pos - halo, 0), n - W)
@@ -254,7 +261,7 @@ def _band_env_chunks(fdesign, edesign, x, step, return_filtered,
             except DeviceLost:
                 host_oracle = True
         if host_oracle:
-            y_np, envf = chunk_oracle(a)
+            y_np, envf = chunk_oracle(a, want_y=return_filtered)
             env_s = envf[r::step]
         if g0 < pos + L:
             j0 = (g0 - a - r) // step

@@ -540,8 +540,10 @@ class DataBrowser:
         saved_nfft, saved_overlap = trace.nfft, trace.overlap_frac
         probe = self.show_channels[0] if self.show_channels else 0
         count = 0
+        stopped = False
         for nfft in tuple(nffts) if nffts else self.warm_ladder():
             if stop is not None and stop():
+                stopped = True
                 break
             self.set_resolution(nfft=nfft, dispatch=False)
             if trace.nfft != int(nfft):
@@ -559,7 +561,12 @@ class DataBrowser:
             count += 1
         self.set_resolution(nfft=saved_nfft, overlap_frac=saved_overlap,
                             dispatch=False)
-        self._resolutions_warmed = True
+        if not stopped:
+            # an aborted sweep must NOT record itself as complete: the
+            # flag would make every later warm a no-op and push the
+            # remaining buckets' 10-60 s compiles onto the first
+            # resolution keypress
+            self._resolutions_warmed = True
         return count
 
     def warm_resolutions_async(self, nffts=None):
@@ -602,9 +609,9 @@ class DataBrowser:
                 # publish per-bucket progress into the live session so
                 # interactive steps snap to warmed buckets mid-warm and
                 # poll_pending_resolution() can swap pending ones in
-                clone.warm_resolutions(nffts,
-                                       on_warm=self._warmed_nffts.add,
-                                       stop=lambda: self._closed)
+                clone.warm_resolutions(
+                    nffts, on_warm=self._warmed_nffts.add,
+                    stop=lambda: self._closed or _warm_stop.is_set())
             except Exception:
                 pass  # best-effort prefetch; the UI path stays correct
             finally:
@@ -1429,9 +1436,14 @@ import threading as _threading
 import weakref as _weakref
 
 _live_warm_threads = _weakref.WeakSet()
+#: set at interpreter exit: every warm loop polls it (alongside its
+#: browser's _closed), so unclosed sessions' sweeps also stop after
+#: their in-flight bucket instead of outliving the 120 s join
+_warm_stop = _threading.Event()
 
 
 def _join_warm_threads():
+    _warm_stop.set()
     for th in list(_live_warm_threads):
         if th.is_alive() and th is not _threading.current_thread():
             th.join(120.0)

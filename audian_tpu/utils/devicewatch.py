@@ -237,7 +237,11 @@ class DeviceWatch:
         device is already lost, or becomes unresponsive while the thunk
         runs (the hung worker thread is abandoned — it is blocked inside
         the runtime and will die with the process).  Exceptions from the
-        thunk propagate unchanged.
+        thunk propagate unchanged — EXCEPT a jax runtime error raised
+        while the heartbeat is also dead (the tunnel died by closing
+        the connection instead of hanging): that is the same outage in
+        a different shape, so it becomes :class:`DeviceLost` and the
+        callers' host fallbacks engage.
         """
         if self._lost:
             raise DeviceLost(f"device lost ({what})")
@@ -270,8 +274,26 @@ class DeviceWatch:
                 if done.wait(self.patience):
                     break
         if "error" in box:
-            raise box["error"]
+            err = box["error"]
+            if self._is_device_death(err):
+                self.mark_lost(f"runtime error with dead heartbeat "
+                               f"during {what}")
+                raise DeviceLost(
+                    f"device lost during {what}: {err}") from err
+            raise err
         return box["value"]
+
+    def _is_device_death(self, err):
+        """A jax/XLA RUNTIME error whose follow-up probe also fails is
+        the connection-reset flavor of an outage; a runtime error with
+        a healthy heartbeat is a program error and stays the caller's
+        problem."""
+        import jax
+
+        rte = getattr(jax.errors, "JaxRuntimeError", None)
+        if rte is None or not isinstance(err, rte):
+            return False
+        return not self._probe_alive()
 
 
 #: process-wide singleton the interactive session guards through

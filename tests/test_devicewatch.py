@@ -336,3 +336,37 @@ def test_batch_detect_survives_mid_run_outage(monkeypatch):
     scale = max(float(np.max(np.abs(env_ref))), 1e-9)
     err = float(np.max(np.abs(env[:m, 0] - env_ref[:m, 0]))) / scale
     assert err < 2e-5, err
+
+
+def test_runtime_error_with_dead_heartbeat_becomes_deviceloss(
+        fast_watch, monkeypatch):
+    """A tunnel that dies by RESETTING the connection raises a jax
+    runtime error instead of hanging; with a dead heartbeat that is the
+    same outage and must engage the host fallbacks as DeviceLost."""
+    import jax
+
+    err = jax.errors.JaxRuntimeError("socket closed")
+    monkeypatch.setattr(fast_watch, "_probe", lambda: time.sleep(60))
+
+    def boom():
+        raise err
+
+    with pytest.raises(DeviceLost):
+        fast_watch.pull(boom)
+    assert fast_watch.lost
+
+
+def test_runtime_error_with_alive_heartbeat_propagates(fast_watch,
+                                                       monkeypatch):
+    """A runtime error while the device answers is a PROGRAM error —
+    it must propagate unchanged, not silently degrade to host mode."""
+    import jax
+
+    monkeypatch.setattr(fast_watch, "_probe", lambda: True)
+
+    def boom():
+        raise jax.errors.JaxRuntimeError("bad program")
+
+    with pytest.raises(jax.errors.JaxRuntimeError, match="bad program"):
+        fast_watch.pull(boom)
+    assert not fast_watch.lost
