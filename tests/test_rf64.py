@@ -353,3 +353,69 @@ def test_wavwriter_crash_recovery_placeholder(rng, tmp_path):
     assert r == rate
     np.testing.assert_array_equal(
         np.round(d * 32768).astype(np.int16), q)
+
+
+def test_compress_cli_on_rf64(rng, tmp_path):
+    """audian-compress builds the overview artifact for an RF64 source
+    through the real CLI (the >4 GiB stress leg runs this at scale;
+    here the container handling is pinned in the default suite)."""
+    from audian_tpu.cli import compress
+
+    rate = 8000.0
+    x = _tone(rng, int(20 * rate), 2, rate)
+    p = tmp_path / "rec.wav"
+    wavio.write_audio(p, x, rate, format="RF64", encoding="PCM_16")
+    assert p.read_bytes()[:4] == b"RF64"
+    assert compress.main([str(p)]) == 0
+    art = tmp_path / "rec-fulltrace.wav"
+    assert art.exists() and art.stat().st_size > 1000
+
+
+def test_multifile_recording_mixes_rf64_and_wav(rng, tmp_path):
+    """A multi-file recording may mix RIFF and RF64 parts (a recorder
+    that crossed 4 GiB mid-take): frames concatenate and reads cross
+    the boundary exactly, raw16 path included."""
+    rate = 8000.0
+    a = _tone(rng, 4000, 2, rate)
+    b = _tone(rng, 3000, 2, rate)
+    pa = tmp_path / "part1.wav"
+    pb = tmp_path / "part2.wav"
+    wavio.write_audio(pa, a, rate, encoding="PCM_16")
+    wavio.write_audio(pb, b, rate, format="RF64", encoding="PCM_16")
+    qa = np.clip(np.round(a.astype(np.float64) * 32768), -32768,
+                 32767) / 32768.0
+    qb = np.clip(np.round(b.astype(np.float64) * 32768), -32768,
+                 32767) / 32768.0
+    ld = AudioLoader([pa, pb])
+    try:
+        assert ld.frames == 7000 and ld.raw16_capable
+        got = np.asarray(ld[3900:4100])
+        np.testing.assert_allclose(got[:100], qa[3900:], atol=1e-7)
+        np.testing.assert_allclose(got[100:], qb[:100], atol=1e-7)
+        out = np.empty((200, 2), np.int16)
+        g16 = ld.read_raw16_into(3900, 200, out)
+        np.testing.assert_allclose(g16 / 32768.0, got, atol=0)
+    finally:
+        ld.close()
+
+
+def test_browser_opens_rf64(rng, tmp_path):
+    """DataBrowser end-to-end on an RF64 source: open, scroll, tiles."""
+    from audian_tpu.app import DataBrowser
+
+    rate = 8000.0
+    x = _tone(rng, int(6 * rate), 2, rate)
+    p = tmp_path / "r.wav"
+    wavio.write_audio(p, x, rate, format="RF64", encoding="PCM_16")
+    b = DataBrowser(p, buffer_time=2.0, back_time=0.5).open()
+    try:
+        b.set_times(0.0, 1.0)
+        t, v = b.trace_tile("filtered", 0)
+        assert len(v) and np.all(np.isfinite(v))
+        b.set_times(4.5, 1.0)  # forces a window slide
+        t, v = b.trace_tile("filtered", 1)
+        assert len(v)
+        img, rect = b.spec_tile(0, quantize=True)
+        assert img.size
+    finally:
+        b.close()
