@@ -426,12 +426,9 @@ class MplBrowserWindow:
         b = self.browser
         self._redraw_serial += 1
         # fold device-loss flips in on the draw path (watchdog threads
-        # only set flags) and surface "device lost — host mode"
+        # only set flags); the note itself joins the title suptitle
+        # below (a second suptitle would just be overwritten)
         b.poll_device_state()
-        dev_note = b.device_status_text()
-        self.fig.suptitle(dev_note, color="#cc2200", fontsize=9,
-                          ha="right", x=0.99) if dev_note else \
-            self.fig.suptitle("")
         # channel verbs can grow/scroll the shown set beyond the built
         # axes — rebuild the grid when it changes, or when the
         # show_specs level moved the trace/spec height split (level 0
@@ -544,9 +541,13 @@ class MplBrowserWindow:
             title += (f"   [{f.highpass_cutoff:.0f}-"
                       f"{f.lowpass_cutoff:.0f} Hz]")
         title += f"   mode:{self.region_mode}"
+        dev_note = b.device_status_text()
+        if dev_note:
+            title += f"   !! {dev_note} !!"
         if self.status:
             title += f"\n{self.status}"
-        self.fig.suptitle(title, fontsize=10)
+        self.fig.suptitle(title, fontsize=10,
+                          color="#cc2200" if dev_note else "black")
         self.fig.canvas.draw_idle()
 
     def _bottom_data_ax(self):

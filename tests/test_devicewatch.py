@@ -370,3 +370,25 @@ def test_runtime_error_with_alive_heartbeat_propagates(fast_watch,
     with pytest.raises(jax.errors.JaxRuntimeError, match="bad program"):
         fast_watch.pull(boom)
     assert not fast_watch.lost
+
+
+def test_mpl_frontend_shows_device_note(outage_browser, monkeypatch):
+    """The matplotlib frontend surfaces "device lost — host mode" on
+    its redraw path (the Qt twin is pinned in
+    test_qt_status_bar_shows_device_note)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from audian_tpu.gui.mpl import MplBrowserWindow
+
+    win = MplBrowserWindow(outage_browser)
+    try:
+        monkeypatch.setattr(watch, "_lost", True)
+        win.redraw()
+        sup = win.fig._suptitle
+        assert sup is not None and "device lost" in sup.get_text()
+        monkeypatch.setattr(watch, "_lost", False)
+        win.redraw()
+        assert "device lost" not in win.fig._suptitle.get_text()
+    finally:
+        win.close() if hasattr(win, "close") else None

@@ -419,3 +419,39 @@ def test_browser_opens_rf64(rng, tmp_path):
         assert img.size
     finally:
         b.close()
+
+
+def test_w64_metadata_chunks_parse(rng, tmp_path):
+    """W64 carries bext/LIST chunks as GUID chunks with the same
+    bodies; the scanners must fold them into metadata like RIFF's."""
+    rate = 8000.0
+    q = np.clip(np.round(_tone(rng, 2000, 1, rate) * 32768), -32768,
+                32767).astype(np.int16)
+    sfx = bytes.fromhex("f3acd3118cd100c04f8edb8a")
+
+    def chunk(cc, body):
+        hdr = cc + sfx + struct.pack("<Q", 24 + len(body))
+        pad = b"\x00" * (-(24 + len(body)) % 8)
+        return hdr + body + pad
+
+    fmt = struct.pack("<HHIIHH", 1, 1, int(rate), int(rate) * 2, 2, 16)
+    bext = (b"a W64 description".ljust(256, b"\x00")
+            + b"orig".ljust(32, b"\x00") + b"ref".ljust(32, b"\x00")
+            + b"2026-08-21" + b"01:02:03"
+            + struct.pack("<II", 12345, 0) + struct.pack("<H", 1)
+            + b"\x00" * (64 + 10 + 180))
+    body = (chunk(b"fmt ", fmt) + chunk(b"bext", bext)
+            + chunk(b"data", q.astype("<i2").tobytes()))
+    riff = (b"riff" + bytes.fromhex("2e91cf11a5d628db04c10000")
+            + struct.pack("<Q", 40 + len(body)) + b"wave" + sfx + body)
+    p = tmp_path / "m.w64"
+    p.write_bytes(riff)
+    rate2, md, locs, labels = wavio.scan_wav(p)
+    assert rate2 == rate
+    assert md["BEXT"]["Description"] == "a W64 description"
+    assert md["BEXT"]["OriginationDate"] == "2026-08-21"
+    assert md["BEXT"]["TimeReference"] == 12345
+    assert wavio.get_datetime(md) is not None
+    # full parse carries the same metadata
+    _d, _r, md2, _l, _lb = wavio.load_wav(p)
+    assert md2["BEXT"]["Description"] == "a W64 description"
