@@ -546,8 +546,8 @@ class MplBrowserWindow:
             title += f"   !! {dev_note} !!"
         if self.status:
             title += f"\n{self.status}"
-        self.fig.suptitle(title, fontsize=10,
-                          color="#cc2200" if dev_note else "black")
+        kw = {"color": "#cc2200"} if dev_note else {}
+        self.fig.suptitle(title, fontsize=10, **kw)
         self.fig.canvas.draw_idle()
 
     def _bottom_data_ax(self):

@@ -391,4 +391,4 @@ def test_mpl_frontend_shows_device_note(outage_browser, monkeypatch):
         win.redraw()
         assert "device lost" not in win.fig._suptitle.get_text()
     finally:
-        win.close() if hasattr(win, "close") else None
+        win.close()

@@ -32,9 +32,12 @@ def _tone(rng, n, channels, rate):
         np.float32)
 
 
-def write_w64(path, q16, rate):
+def write_w64(path, q16, rate, extra_chunks=()):
     """Hand-rolled Sony Wave64 writer (PCM-16) — the repo only reads
-    W64, so the test provides its own encoder."""
+    W64, so the tests provide their own encoder.  ``extra_chunks`` is
+    ``(fourcc, body)`` pairs inserted between fmt and data (metadata
+    tests ride through here so there is exactly ONE W64 framing
+    implementation to keep correct)."""
     n, ch = q16.shape
     sfx = bytes.fromhex("f3acd3118cd100c04f8edb8a")
     def chunk(cc, body):
@@ -43,7 +46,10 @@ def write_w64(path, q16, rate):
         return hdr + body + pad
     fmt = struct.pack("<HHIIHH", 1, ch, int(rate), int(rate) * ch * 2,
                       ch * 2, 16)
-    body = chunk(b"fmt ", fmt) + chunk(b"data", q16.astype("<i2").tobytes())
+    body = chunk(b"fmt ", fmt)
+    for cc, cbody in extra_chunks:
+        body += chunk(cc, cbody)
+    body += chunk(b"data", q16.astype("<i2").tobytes())
     riff = (b"riff" + bytes.fromhex("2e91cf11a5d628db04c10000")
             + struct.pack("<Q", 40 + len(body))
             + b"wave" + sfx + body)
@@ -427,25 +433,13 @@ def test_w64_metadata_chunks_parse(rng, tmp_path):
     rate = 8000.0
     q = np.clip(np.round(_tone(rng, 2000, 1, rate) * 32768), -32768,
                 32767).astype(np.int16)
-    sfx = bytes.fromhex("f3acd3118cd100c04f8edb8a")
-
-    def chunk(cc, body):
-        hdr = cc + sfx + struct.pack("<Q", 24 + len(body))
-        pad = b"\x00" * (-(24 + len(body)) % 8)
-        return hdr + body + pad
-
-    fmt = struct.pack("<HHIIHH", 1, 1, int(rate), int(rate) * 2, 2, 16)
     bext = (b"a W64 description".ljust(256, b"\x00")
             + b"orig".ljust(32, b"\x00") + b"ref".ljust(32, b"\x00")
             + b"2026-08-21" + b"01:02:03"
             + struct.pack("<II", 12345, 0) + struct.pack("<H", 1)
             + b"\x00" * (64 + 10 + 180))
-    body = (chunk(b"fmt ", fmt) + chunk(b"bext", bext)
-            + chunk(b"data", q.astype("<i2").tobytes()))
-    riff = (b"riff" + bytes.fromhex("2e91cf11a5d628db04c10000")
-            + struct.pack("<Q", 40 + len(body)) + b"wave" + sfx + body)
     p = tmp_path / "m.w64"
-    p.write_bytes(riff)
+    write_w64(p, q, rate, extra_chunks=[(b"bext", bext)])
     rate2, md, locs, labels = wavio.scan_wav(p)
     assert rate2 == rate
     assert md["BEXT"]["Description"] == "a W64 description"
