@@ -186,10 +186,18 @@ def _band_env_chunks(fdesign, edesign, x, step, return_filtered,
                 env.astype(np.float32))
 
     # _make_envdet constructs kernels whose filter banks upload eagerly
-    # — on an already-dead tunnel that would hang BEFORE the fallback
-    envdet = (_make_envdet(fdesign, edesign, step, halo)
-              if fused and not return_filtered and not host_oracle
-              else None)
+    # — a hang site on a dead tunnel, so the construction itself runs
+    # under the watchdog too: a tunnel that dies between the lost
+    # snapshot above and the upload costs one heartbeat timeout and the
+    # run proceeds on the host oracle, it never hangs
+    envdet = None
+    if fused and not return_filtered and not host_oracle:
+        try:
+            envdet = _devwatch.pull(
+                lambda: _make_envdet(fdesign, edesign, step, halo),
+                what="detect kernel build")
+        except DeviceLost:
+            host_oracle = True
     Lc_eff = Lc
     if envdet is not None:
         # grid-aligned chunk stride: interior chunk starts sit ON the
@@ -227,7 +235,11 @@ def _band_env_chunks(fdesign, edesign, x, step, return_filtered,
                         host_oracle = True
                 if host_oracle:
                     _yh, envf = chunk_oracle(a)
-                    env = envf[g0 - a :: step]
+                    # copy: a strided VIEW would pin the whole
+                    # full-rate chunk envelope (~W frames x channels)
+                    # until the final concatenate — hundreds of chunks
+                    # of that is an OOM on this host, not a fallback
+                    env = np.ascontiguousarray(envf[g0 - a :: step])
                     del envf
                 outs_e.append(env[:cnt])
             continue
@@ -262,7 +274,8 @@ def _band_env_chunks(fdesign, edesign, x, step, return_filtered,
                 host_oracle = True
         if host_oracle:
             y_np, envf = chunk_oracle(a, want_y=return_filtered)
-            env_s = envf[r::step]
+            env_s = np.ascontiguousarray(envf[r::step])
+            del envf
         if g0 < pos + L:
             j0 = (g0 - a - r) // step
             cnt = (pos + L - 1 - g0) // step + 1

@@ -296,18 +296,26 @@ def ff_audio_encode(path, samples, rate, format=None, metadata=None):
         samples = samples[:, None]
     frames, channels = samples.shape
     fmt = FF_EXPORT_FORMATS.get((format or "").upper(), format or "")
+
+    def clean(s):
+        # records are 0x1E-separated on the wire so multi-line values
+        # (legal in BWF/INFO comments) survive intact; only the
+        # separator itself must not appear inside a key or value
+        return str(s).replace("\x1e", " ")
+
     kv = []
     for key, val in (metadata or {}).items():
         if isinstance(val, dict):  # nested (e.g. BEXT): dotted keys
-            kv += [f"{key}.{k2}={v2}" for k2, v2 in val.items()
+            kv += [f"{clean(key)}.{clean(k2)}={clean(v2)}"
+                   for k2, v2 in val.items()
                    if not isinstance(v2, dict)]
         else:
-            kv.append(f"{key}={val}")
+            kv.append(f"{clean(key)}={clean(val)}")
     rc = lib.ffp_audio_encode(
         str(path).encode(),
         samples.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         int(frames), int(channels), int(round(float(rate))),
-        fmt.encode(), "\n".join(kv).encode("utf-8", "replace"))
+        fmt.encode(), "\x1e".join(kv).encode("utf-8", "replace"))
     if rc != 0:
         raise ValueError(
             f"FFmpeg could not encode {path} as {fmt or 'auto'} "

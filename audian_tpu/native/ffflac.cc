@@ -500,8 +500,17 @@ int ffp_audio_encode(const char* path, const float* samples,
     cc->sample_rate = rate;
     av_channel_layout_default(&cc->ch_layout, channels);
     cc->sample_fmt = want;
-    if (!(enc->capabilities & AV_CODEC_CAP_VARIABLE_FRAME_SIZE) &&
-        cid != AV_CODEC_ID_PCM_S16LE && cid != AV_CODEC_ID_PCM_S16BE)
+    if (cid == AV_CODEC_ID_VORBIS) {
+      // NOT managed-bitrate mode: libvorbis' bitrate floor scales with
+      // rate x channels and rejects 64 kbps/ch outright at 96 kHz —
+      // the field-recorder rate this tool lives at.  Quality mode
+      // (what libsndfile uses for the reference's OGG exports) works
+      // at every rate libvorbis supports; q3 ~= 112 kbps for 44.1 kHz
+      // stereo and scales itself.
+      cc->flags |= AV_CODEC_FLAG_QSCALE;
+      cc->global_quality = (int)(3.0 * FF_QP2LAMBDA);
+    } else if (!(enc->capabilities & AV_CODEC_CAP_VARIABLE_FRAME_SIZE) &&
+               cid != AV_CODEC_ID_PCM_S16LE && cid != AV_CODEC_ID_PCM_S16BE)
       cc->bit_rate = 64000LL * channels;  // lossy codecs need a target
     if (oc->oformat->flags & AVFMT_GLOBALHEADER)
       cc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
@@ -510,14 +519,15 @@ int ffp_audio_encode(const char* path, const float* samples,
     if (!st || avcodec_parameters_from_context(st->codecpar, cc) < 0)
       break;
     st->time_base = AVRational{1, rate};
-    // metadata: newline-separated key=value pairs land in the muxer's
-    // dictionary (vorbis comments for OGG, ID3 for MP3, ...) — the
-    // formats store what they support, like libsndfile does for the
-    // reference's exports
+    // metadata: 0x1E (record separator)-separated key=value pairs land
+    // in the muxer's dictionary (vorbis comments for OGG, ID3 for MP3,
+    // ...) — the formats store what they support, like libsndfile does
+    // for the reference's exports.  0x1E, not '\n': multi-line values
+    // are legal in BWF/INFO comments and must survive the wire format
     if (metadata_kv && metadata_kv[0]) {
       const char* p2 = metadata_kv;
       while (*p2) {
-        const char* eol = strchr(p2, '\n');
+        const char* eol = strchr(p2, '\x1e');
         size_t len = eol ? (size_t)(eol - p2) : strlen(p2);
         const char* eq = (const char*)memchr(p2, '=', len);
         if (eq && eq > p2) {

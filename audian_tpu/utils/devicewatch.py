@@ -117,6 +117,8 @@ class DeviceWatch:
         self._lock = threading.Lock()
         self._listeners = []
         self._reprobe_thread = None
+        self._probe_lock = threading.Lock()
+        self._pending_probe = None
 
     # -- state ---------------------------------------------------------------
 
@@ -155,6 +157,10 @@ class DeviceWatch:
             if not self._lost:
                 return
             self._lost = False
+        # a probe still blocked from the outage era must not poison the
+        # healthy era's liveness checks — the next check gets a fresh op
+        with self._probe_lock:
+            self._pending_probe = None
         self._notify(False)
 
     # -- probing -------------------------------------------------------------
@@ -162,23 +168,35 @@ class DeviceWatch:
     def _probe_alive(self, timeout=None):
         """Run one probe op on a worker thread; True iff it answered
         (and answered truthfully) within the deadline.  The first probe
-        of a process gets the generous compile-inclusive deadline."""
+        of a process gets the generous compile-inclusive deadline.
+
+        At most ONE probe op is in flight at a time: while an earlier
+        probe is still blocked inside the runtime (the hung-tunnel
+        outage mode), later calls wait on IT instead of stacking fresh
+        threads — the documented 10+ hour outages would otherwise leak
+        a thread (plus one queued device op, all replayed at recovery)
+        per ~35 s reprobe cycle.  When the tunnel revives, the single
+        blocked probe completes and its answer counts."""
         if timeout is None:
             timeout = (self.heartbeat_timeout if self._probe_warmed
                        else self.first_heartbeat_timeout)
-        ok = []
+        with self._probe_lock:
+            pend = self._pending_probe
+            if pend is None or pend["done"].is_set():
+                pend = {"done": threading.Event(), "ok": False}
 
-        def run():
-            try:
-                ok.append(bool(self._probe()))
-            except Exception:
-                ok.append(False)
+                def run():
+                    try:
+                        pend["ok"] = bool(self._probe())
+                    except Exception:
+                        pend["ok"] = False
+                    finally:
+                        pend["done"].set()
 
-        t = threading.Thread(target=run, daemon=True,
-                             name="audian-heartbeat")
-        t.start()
-        t.join(timeout)
-        alive = bool(ok and ok[0])
+                threading.Thread(target=run, daemon=True,
+                                 name="audian-heartbeat").start()
+                self._pending_probe = pend
+        alive = bool(pend["done"].wait(timeout) and pend["ok"])
         if alive:
             self._probe_warmed = True
         return alive

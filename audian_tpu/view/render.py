@@ -15,6 +15,7 @@ the compile path, so nothing here dispatches eagerly).
 from __future__ import annotations
 
 import functools
+import math
 import weakref
 
 import numpy as np
@@ -28,14 +29,28 @@ from ..utils.devicewatch import DeviceLost, watch as _devwatch
 __all__ = ["TraceTiler", "SpecTiler", "pick_amplitude"]
 
 
-def _to_host_mode(trace):
+def _to_host_mode(trace, t0=None, t1=None):
     """Switch ``trace`` (and its siblings) to host-computed numpy
     windows after a mid-render device loss; True when the window is now
-    host-resident so the caller can retry its host branch."""
+    host-resident so the caller can retry its host branch.
+
+    ``t0``/``t1`` (seconds) restrict the scipy float64 recompute to the
+    visible span plus the session halos — the same restriction
+    ``Data.update_times``'s own loss path applies, because a full-buffer
+    recompute of every visible trace costs tens of seconds on the
+    1-vCPU host where the span costs ~the view width.  Without a span
+    (or when the raw loader is gone) the full window is recomputed."""
     data = getattr(trace, "_data", None)
     if data is None:
         return False
-    data._host_windows()
+    span = None
+    if t0 is not None and t1 is not None and data.data is not None:
+        r = data.data.rate
+        g0 = int(max(t0 - data.tbefore, 0.0) * r)
+        g1 = int(math.ceil((t1 + data.tafter) * r))
+        if g1 > g0:
+            span = (g0, g1)
+    data._host_windows(span=span)
     return not isinstance(trace.buffer, jax.Array)
 
 
@@ -235,7 +250,7 @@ class TraceTiler:
         try:
             return self._tile(trace, t0, t1, channel)
         except DeviceLost:
-            if _to_host_mode(trace):
+            if _to_host_mode(trace, t0, t1):
                 return self._tile(trace, t0, t1, channel)
             raise
 
@@ -360,8 +375,14 @@ def window_extrema(trace, t0, t1, channel):
                                                    i0 - start, width, wb)),
                 what="window extrema")
         except DeviceLost:
-            if not _to_host_mode(trace):
+            if not _to_host_mode(trace, t0, t1):
                 raise
+            # the span-limited host recompute moved trace.offset —
+            # re-derive the window-relative indices before reading
+            i0 = max(int(t0 * rate) - trace.offset, 0)
+            i1 = min(int(t1 * rate) - trace.offset, len(trace.buffer))
+            if i1 <= i0:
+                return 0.0, 0.0
             part = np.asarray(trace.buffer[i0:i1, channel])
             return float(part.min()), float(part.max())
         _trace.trace_event("render.pull", op="window_extrema",
@@ -412,9 +433,12 @@ def power_value(trace, i, channel, j):
                 lambda: np.asarray(_power_block(buf, start, channel, wb)),
                 what="power block")
         except DeviceLost:
-            if not _to_host_mode(trace):
+            gi = i + trace.offset  # global frame survives the re-fold
+            if not _to_host_mode(trace, gi / trace.rate,
+                                 (gi + 1) / trace.rate):
                 raise
-            return float(np.asarray(trace.buffer[i, channel, j]))
+            k = min(max(gi - trace.offset, 0), len(trace.buffer) - 1)
+            return float(np.asarray(trace.buffer[k, channel, j]))
         _trace.trace_event("render.pull", op="power_block",
                            bytes=block.nbytes)
         for k in [k for k, v in _power_block_cache.items()
@@ -578,7 +602,7 @@ class SpecTiler:
             return self._tile(trace, channel, zmin, zmax, quantize, t0,
                               t1, levels)
         except DeviceLost:
-            if _to_host_mode(trace):
+            if _to_host_mode(trace, t0, t1):
                 return self._tile(trace, channel, zmin, zmax, quantize,
                                   t0, t1, levels)
             raise

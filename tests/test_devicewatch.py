@@ -34,6 +34,7 @@ def fast_watch(monkeypatch):
     yield watch
     watch._lost = False
     watch._listeners.clear()
+    watch._pending_probe = None
 
 
 # -- unit: the watchdog ------------------------------------------------------
@@ -80,6 +81,48 @@ def test_pull_hung_thunk_dead_heartbeat_raises(fast_watch, monkeypatch):
     assert time.monotonic() - t0 < 0.5
 
 
+def test_hung_probe_does_not_stack_threads(fast_watch, monkeypatch):
+    """Only ONE probe op is ever in flight: while a probe is blocked
+    inside the hung runtime, later liveness checks wait on IT instead of
+    spawning fresh threads — a 10+ h outage (observed) would otherwise
+    leak a thread (each holding a queued device op, all replayed at
+    recovery) per reprobe cycle."""
+    started = []
+    blocker = threading.Event()
+
+    def hung_probe():
+        started.append(1)
+        blocker.wait(30)
+        return True
+
+    monkeypatch.setattr(fast_watch, "_probe", hung_probe)
+    for _ in range(5):
+        assert not fast_watch._probe_alive(timeout=0.05)
+    assert len(started) == 1, f"{len(started)} probe threads spawned"
+    blocker.set()
+
+
+def test_blocked_probe_completion_counts_as_recovery(monkeypatch):
+    """When the tunnel revives, the single long-blocked probe finally
+    answers — and that answer must flip the state back (the reprobe loop
+    waits on the pending probe rather than racing a new one)."""
+    blocker = threading.Event()
+    w = DeviceWatch(probe=lambda: blocker.wait(30))
+    w.patience = 0.05
+    w.heartbeat_timeout = 0.1
+    w.first_heartbeat_timeout = 0.1
+    w.reprobe_interval = 0.05
+    w.mark_lost("test")
+    time.sleep(0.4)  # several reprobe cycles against the blocked probe
+    assert w.lost
+    blocker.set()  # tunnel revives: the one in-flight probe answers True
+    for _ in range(100):
+        if not w.lost:
+            break
+        time.sleep(0.02)
+    assert not w.lost, "blocked probe's answer did not recover the state"
+
+
 def test_reprobe_recovers_and_notifies(monkeypatch):
     w = DeviceWatch(probe=lambda: probe_ok[0])
     w.patience = 0.05
@@ -123,6 +166,7 @@ def outage_browser(tmp_path, rng):
     yield b
     b.close()
     watch._lost = False
+    watch._pending_probe = None
 
 
 def _host_oracle_filtered(browser, t0, t1):
@@ -233,6 +277,37 @@ def test_host_mode_matches_device_values(outage_browser):
     assert img_h.size and img_h.shape == img_d.shape
     assert rect_h == rect_d
     assert np.max(np.abs(img_h.astype(int) - img_d.astype(int))) <= 2
+
+
+def test_mid_render_loss_restricts_host_recompute_to_span(
+        outage_browser, monkeypatch):
+    """A device loss caught mid-render (inside a tiler, not inside
+    ``update_times``) must hand the host fallback the VISIBLE span —
+    recomputing every visible trace over the whole buffer in scipy
+    float64 freezes the 1-vCPU host for the full buffer length where
+    the span costs ~the view width."""
+    b = outage_browser
+    b.set_times(3.0, 1.0)  # view [3, 4] s, nothing rendered yet
+    spans = []
+    real = b.data._host_windows
+
+    def spy(targets=None, span=None):
+        spans.append(span)
+        return real(targets=targets, span=span)
+
+    monkeypatch.setattr(b.data, "_host_windows", spy)
+    monkeypatch.setattr(watch, "_lost", True)
+    t, v = b.trace_tile("filtered", 0)
+    assert len(v) and np.all(np.isfinite(v))
+    assert spans and spans[0] is not None, \
+        "mid-render fallback recomputed the full buffer"
+    g0, g1 = spans[0]
+    rate = b.data.rate
+    # the span covers the view plus the session halos, like
+    # Data.update_times' own loss path
+    assert g0 <= int(3.0 * rate) and g1 >= int(4.0 * rate)
+    assert g0 >= int((3.0 - b.data.tbefore) * rate) - 1
+    assert g1 <= int((4.0 + b.data.tafter) * rate) + 2
 
 
 def test_qt_status_bar_shows_device_note(tmp_path, rng, monkeypatch):

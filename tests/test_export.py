@@ -169,6 +169,37 @@ def test_export_metadata_lands_in_container(rng, tmp_path):
     assert b"bext-desc" in raw
 
 
+@needs_ffm
+def test_export_multiline_metadata_survives(rng, tmp_path):
+    """Multi-line values (legal in BWF/INFO comments) must reach the
+    container intact — the wire format to the C shim is 0x1E-separated,
+    so an embedded newline is content, not a record boundary."""
+    rate = 16000.0
+    x = _tone(rng, 8000, 1, rate)
+    p = tmp_path / "ml.ogg"
+    wavio.write_audio(p, x, rate, format="OGG",
+                      metadata={"Comment": "first-line\nsecond-line"})
+    raw = p.read_bytes()
+    # vorbis comments store the value as raw UTF-8: both lines AND the
+    # newline between them must be present contiguously
+    assert b"first-line\nsecond-line" in raw
+
+
+@needs_ffm
+def test_export_ogg_at_field_recorder_rates(rng, tmp_path):
+    """OGG/Vorbis export must work at 96/192 kHz — the rates this tool
+    lives at (libvorbis' managed-bitrate floor rejects 64 kbps/ch
+    there; the shim uses quality mode like libsndfile does for the
+    reference's exports)."""
+    for rate in (96000.0, 192000.0):
+        x = _tone(rng, int(rate // 4), 2, rate)
+        p = tmp_path / f"r{int(rate)}.ogg"
+        wavio.write_audio(p, x, rate, format="OGG")
+        samples, r = native.ff_audio_decode(p)
+        assert r == rate and samples.shape[1] == 2
+        assert _lossy_matches(samples, x) > 0.85
+
+
 def test_export_without_ffmpeg_names_real_cause(rng, tmp_path,
                                                 monkeypatch):
     """When the FFmpeg libraries are absent the suffix-routed export
