@@ -352,6 +352,11 @@ class EnvelopeNode(Node):
     def compute(self, source, lead, n_out, params):
         if params is None:  # infeasible design -> zeros (bufferedenvelope.py:36-37)
             return jnp.zeros((n_out,) + source.shape[1:], source.dtype)
+        if source.shape[0] <= params.padlen:
+            # same short-input guard as compute_host: a window shorter
+            # than the filtfilt pad cannot be reflected — zeros, not a
+            # trace-time ValueError (shapes are static, so plain `if`)
+            return jnp.zeros((n_out,) + source.shape[1:], source.dtype)
         rect = (jnp.pi / 2) * jnp.abs(source)
         env = sosfiltfilt_fir(params.fir, rect, params.zi0, params.padlen,
                               axis=0)

@@ -66,8 +66,7 @@ def _square(v):
     return v * v
 
 
-def _round_up(x, m):
-    return -(-x // m) * m
+from ..utils import round_up as _round_up
 
 
 def _decimating_bank(g, step, block=128):

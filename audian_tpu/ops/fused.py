@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from . import design
 from .sos import _toeplitz_bank_np
-from .stft import _dft_matrices, one_sided_doubling
+from .stft import _dft_matrices, hann_window, one_sided_doubling
 from .pallas.window_matmul import window_matmul
 
 __all__ = ["FusedChainCF"]
@@ -111,9 +111,10 @@ class FusedChainCF:
                     _toeplitz_bank_np(np.asarray(g, np.float32), B).T)
         nbins = self.nfft // 2 + 1
         # periodic Hann + DFT matrices built host-side in float64 (an
-        # eager device op here costs a minutes-long remote compile)
-        win = 0.5 - 0.5 * np.cos(
-            2.0 * np.pi * np.arange(self.nfft) / self.nfft)
+        # eager device op here costs a minutes-long remote compile);
+        # ONE window definition shared with stft.spectrogram so the
+        # fused chain's PSD cannot silently diverge from it
+        win = hann_window(self.nfft, np.float64)
         W = _dft_matrices(self.nfft, nbins, np.float64)
         scale = 1.0 / (self.rate * float(np.sum(win ** 2)))
         dbl = one_sided_doubling(self.nfft)

@@ -21,6 +21,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from . import design
+from .raw16 import dequant16
 
 __all__ = ["stereo_mixdown", "heterodyne", "fade", "prepare_playback"]
 
@@ -55,8 +56,14 @@ def stereo_mixdown(x, channels=None):
 def heterodyne(x, rate, freq):
     """Multiply with a ``sin(2 pi freq t)`` carrier to shift ultrasonic
     bands down into the audible range
-    (`src/audian/databrowser.py:1718-1721`)."""
+    (`src/audian/databrowser.py:1718-1721`).
+
+    Integer input (the loader's raw int16 mirror) is dequantized to
+    float32 first — casting the [-1, 1] carrier to an int dtype would
+    silently truncate it to zeros."""
     x = jnp.asarray(x)
+    if jnp.issubdtype(x.dtype, jnp.integer):
+        x = dequant16(x) if x.dtype == jnp.int16 else x.astype(jnp.float32)
     # carrier phase in float64 on the host (chunked to bound RAM),
     # reduced mod 1 before the cast: a float32 time vector accumulates
     # ~1 rad of phase error at 40 kHz within a minute (and arange stops
@@ -77,6 +84,10 @@ def fade(x, rate, fade_time=0.1):
     """Sine-squared fade-in and fade-out over ``fade_time`` seconds
     (audioio ``fade`` semantics used at `src/audian/databrowser.py:1731`)."""
     x = jnp.asarray(x)
+    if jnp.issubdtype(x.dtype, jnp.integer):
+        # the [0, 1] ramp cannot live in an int dtype (same rule as
+        # heterodyne): dequantize rather than corrupt
+        x = dequant16(x) if x.dtype == jnp.int16 else x.astype(jnp.float32)
     n = x.shape[0]
     nf = min(int(round(fade_time * rate)), n // 2)
     if nf <= 0:

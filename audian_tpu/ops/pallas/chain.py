@@ -33,8 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["FusedChainKernel"]
 
 
-def _round_up(x, m):
-    return -(-x // m) * m
+from ...utils import round_up as _round_up
 
 
 def _shift_bank(h, D, off, block=128):
@@ -239,8 +238,11 @@ def _chain_kernel(xa, xb, wf, we, ws, yo, eo, so, po, go, qo, *, C, N, offf,
         qo[0] = psd[:, 0] if psd is not None else jnp.zeros(
             (C, nbins), jnp.float32)
     else:
-        # stats cover the computed stages only: masked stages report zero
-        po[0, 0, :] = jnp.sum(y * y * m, axis=1)
+        # stats cover the REQUESTED stages only: masked stages report
+        # zero (y is always computed internally — envelope and PSD hang
+        # off it — so the mask, not y's existence, gates the power stat)
+        po[0, 0, :] = (jnp.sum(y * y * m, axis=1) if want_f
+                       else jnp.zeros((C,), jnp.float32))
         go[0, 0, :] = (jnp.sum(e * m, axis=1) if e is not None
                        else jnp.zeros((C,), jnp.float32))
         qo[0] = (jnp.sum(psd * fm, axis=1) if psd is not None

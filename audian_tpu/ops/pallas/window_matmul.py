@@ -35,8 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["window_matmul"]
 
 
-def _round_up(x, m):
-    return -(-x // m) * m
+from ...utils import round_up as _round_up
 
 
 def _kernel(xa, xb, w_ref, out_ref, xcat=None, fv=None, *, G, S, K, C,
@@ -139,14 +138,36 @@ def window_matmul(x, w, stride, nframes, frames_per_block=32,
     C, n = x.shape
     K, O = w.shape
     S = int(stride)
+    if out_layout == "cf" and O % 128:
+        # the cf kernel's in-VMEM (G, C, O) -> (C, G*O) relayout needs a
+        # lane-aligned O on Mosaic; production cf callers are Toeplitz
+        # banks with O == 128, so an odd-O cf request (direct API use)
+        # takes the fco kernel plus one XLA transpose instead of
+        # crashing the backend compiler
+        out = window_matmul(x, w, stride, nframes, frames_per_block,
+                            precision, premap, "fco")
+        return out.transpose(1, 0, 2).reshape(C, nframes * O)
     # lane-aligned fast path: no window materialization (see _kernel)
     fast = S == 128 and (out_layout == "fco" or O == S)
-    if fast and K % 128:
+    if K % 128:
+        # pad the kernel rows to a full lane tile: Mosaic scratch/blocks
+        # want 128-multiples, and the zero rows multiply padded input
         w = jnp.pad(w, [(0, _round_up(K, 128) - K), (0, 0)])
         K = w.shape[0]
     G = int(frames_per_block)
     while (G + 1) * S < K:  # widen blocks until two spans cover a window
         G *= 2
+    # Mosaic block-shape rule: the LAST dim of every BlockSpec block must
+    # be a 128-multiple (or the whole array dim).  The primary input
+    # block is (C, G*S) and the cf output block (C, G*O), so G must make
+    # both lane-aligned — 128/gcd(128, S) is the smallest such factor
+    # (a power of two, since 128 is), likewise for O.  S=128 (the fast
+    # path) and pow2 hops >= 128 leave G untouched; odd hops (e.g. 90 %
+    # overlap spectrograms) round G up a little.
+    g_align = 128 // np.gcd(128, S)
+    if out_layout == "cf":
+        g_align = max(g_align, 128 // np.gcd(128, O))
+    G = _round_up(G, g_align)
     # stay inside the ~16 MB VMEM budget (F + xcat + double-buffered
     # inputs + W + outputs)
     def _vmem(g):
@@ -154,17 +175,20 @@ def window_matmul(x, w, stride, nframes, frames_per_block=32,
                     + 6 * C * g * S      # xcat + 2x double-buffered spans
                     + K * O              # W
                     + 3 * g * C * O)     # out block (+pipelining)
-    while G > 1 and _vmem(G) > 14 * (1 << 20) and (G // 2 + 1) * S >= K:
+    while (G > g_align and _vmem(G) > 14 * (1 << 20)
+           and (G // 2 + 1) * S >= K):
         G //= 2
     nprog = -(-nframes // G)
     span = G * S
     # program i reads span i in full plus a thin halo block after it: the
-    # halo block is the smallest 128*d (d | G) covering a window tail, so
-    # read traffic is ~(1 + K/span)x the input instead of 2x — this chip
-    # is HBM-bound (~140 GB/s effective), so the thin view is pure win
+    # halo block is the smallest lane-aligned d*S (d | G) covering a
+    # window tail, so read traffic is ~(1 + K/span)x the input instead of
+    # 2x — this chip is HBM-bound (~140 GB/s effective), so the thin view
+    # is pure win.  The 128-multiple condition is the same Mosaic rule as
+    # above (span itself is always aligned, so d = G always qualifies).
     bspan = span
     for d in range(1, G + 1):
-        if G % d == 0 and d * S >= K - S:
+        if G % d == 0 and d * S >= K - S and (d * S) % 128 == 0:
             bspan = d * S
             break
     need = nprog * span + bspan

@@ -43,8 +43,9 @@ def map_files(fn, files, devices=None, max_workers=None, verbose=0):
     Returns the list of results in input order.  Exceptions propagate
     after all submitted work finishes; like the reference's per-file error
     handling (`src/audian/audian.py:1349-1356`), a failing file does not
-    abort the others — its slot holds the exception object, and the first
-    one is re-raised unless ``fn`` itself catches it.
+    abort the others — failures are gathered and the first is re-raised
+    once every file has run.  A failure is something ``fn`` RAISES; an
+    exception object ``fn`` returns as a value is an ordinary result.
     """
     files = list(files)
     if devices is None:
@@ -53,39 +54,36 @@ def map_files(fn, files, devices=None, max_workers=None, verbose=0):
         return []
     nw = max_workers or len(devices)
     nw = max(1, min(nw, len(files)))
+
+    def guarded(path):
+        # private failure sentinel (not the raw Exception type, which a
+        # per-file error-report fn could legitimately RETURN)
+        try:
+            return (True, fn(path))
+        except Exception as exc:
+            return (False, exc)
+
     if nw == 1:
         # same gather-then-reraise semantics as the threaded path: a
         # failing file must not abort the others
-        results = []
-        for f in files:
-            try:
-                results.append(fn(f))
-            except Exception as exc:
-                results.append(exc)
-        for r in results:
-            if isinstance(r, Exception):
-                raise r
-        return results
-    counter = itertools.count()
-    lock = threading.Lock()
-    slot = threading.local()
+        results = [guarded(f) for f in files]
+    else:
+        counter = itertools.count()
+        lock = threading.Lock()
+        slot = threading.local()
 
-    def worker(idx_path):
-        idx, path = idx_path
-        if not hasattr(slot, "dev"):
-            with lock:
-                slot.dev = devices[next(counter) % len(devices)]
-        if verbose:
-            print(f"  [{slot.dev}] {path}", flush=True)
-        with jax.default_device(slot.dev):
-            try:
-                return fn(path)
-            except Exception as exc:  # gather, re-raise after the batch
-                return exc
+        def worker(path):
+            if not hasattr(slot, "dev"):
+                with lock:
+                    slot.dev = devices[next(counter) % len(devices)]
+            if verbose:
+                print(f"  [{slot.dev}] {path}", flush=True)
+            with jax.default_device(slot.dev):
+                return guarded(path)
 
-    with ThreadPoolExecutor(max_workers=nw) as pool:
-        results = list(pool.map(worker, enumerate(files)))
-    for r in results:
-        if isinstance(r, Exception):
+        with ThreadPoolExecutor(max_workers=nw) as pool:
+            results = list(pool.map(worker, files))
+    for ok, r in results:
+        if not ok:
             raise r
-    return results
+    return [r for _ok, r in results]

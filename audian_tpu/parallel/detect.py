@@ -87,8 +87,12 @@ def _program(mesh, L, C, halo, step, fdesign, edesign, dtype):
         local, mesh=mesh,
         in_specs=(P("seq", None), (P(), P(), P(), P())),
         out_specs=P("seq", None)))
-    if len(_PROGRAMS) > 32:
-        _PROGRAMS.clear()
+    while len(_PROGRAMS) > 32:
+        # evict the OLDEST entry (insertion order), never the whole
+        # cache: each program is a 10-60 s remote XLA compile, and a
+        # 33rd geometry mid-batch must not force still-hot ones to
+        # recompile on the very next file
+        _PROGRAMS.pop(next(iter(_PROGRAMS)))
     _PROGRAMS[key] = fn
     return fn
 

@@ -38,8 +38,7 @@ from .shard import halo_exchange
 __all__ = ["ShardedPipeline"]
 
 
-def _round_up(x, m):
-    return -(-x // m) * m
+from ..utils import round_up as _round_up
 
 
 class ShardedPipeline:

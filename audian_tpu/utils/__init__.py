@@ -4,7 +4,15 @@ from .trace import (trace_event, events, clear, enable, disable, summary,
                     timed, device_profile)
 
 __all__ = ["trace_event", "events", "clear", "enable", "disable",
-           "summary", "timed", "device_profile", "pow2_at_least"]
+           "summary", "timed", "device_profile", "pow2_at_least",
+           "round_up"]
+
+
+def round_up(x, m):
+    """Smallest multiple of ``m`` >= ``x``: THE alignment rule shared by
+    the Pallas block geometry, the halo math, and the sharded pipeline
+    (one definition so their 128-lane alignments cannot drift)."""
+    return -(-int(x) // int(m)) * int(m)
 
 
 def pow2_at_least(n):

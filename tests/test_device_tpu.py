@@ -453,6 +453,35 @@ def test_batch_detect_envelope_on_device(_cache):
     assert np.max(np.abs(env - env64)) < 1e-5
 
 
+def test_window_matmul_odd_geometries_on_device(_cache):
+    """Non-pow2 hops / kernel rows / output widths compile through REAL
+    Mosaic (the CPU mesh interprets Pallas and cannot see the
+    block-shape rules): G*S, the halo span, and the padded K must all
+    be lane-aligned, and odd-O cf layouts must take the fco fallback.
+    Regression for the Mosaic rejection of S=26/20/32 geometries."""
+    from audian_tpu.ops.pallas.window_matmul import window_matmul
+
+    rng = np.random.default_rng(11)
+    for S, K, O, layout in ((26, 256, 129, "fco"), (32, 64, 32, "cf"),
+                            (26, 256, 129, "cf")):
+        Cc, n = 3, 4000
+        x = jnp.asarray(rng.standard_normal((Cc, n)).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal((K, O)).astype(np.float32))
+        nframes = (n - K) // S + 1
+        out = np.asarray(window_matmul(x, w, S, nframes,
+                                       out_layout=layout))
+        xn = np.asarray(x, np.float64)
+        wn = np.asarray(w, np.float64)
+        ref = np.stack([xn[:, f * S : f * S + K] @ wn
+                        for f in range(nframes)])
+        if layout == "cf":
+            out = (out[:, : nframes * O].reshape(Cc, nframes, O)
+                   .transpose(1, 0, 2))
+        scale = max(np.max(np.abs(ref)), 1e-9)
+        err = np.max(np.abs(out - ref)) / scale
+        assert err < 1e-5, f"S={S} K={K} O={O} {layout}: {err}"
+
+
 def test_devicewatch_on_device(_cache):
     """The device-loss watchdog's probe and guarded pull on the REAL
     chip: the probe compiles once (warm path) and answers inside the

@@ -59,6 +59,56 @@ def test_window_matmul_single_frame():
     np.testing.assert_allclose(y[0], want, atol=1e-4)
 
 
+def test_window_matmul_odd_geometries(rng):
+    """Non-pow2 hops / kernel rows / output widths (90 % overlap
+    spectrograms, truncated banks): the block geometry stays
+    Mosaic-lane-aligned — G*S, the halo span, and the padded K are all
+    128-multiples on device — while matching the dense float64 oracle;
+    odd-O cf layouts route through the fco kernel plus one transpose
+    (the cf relayout needs lane-aligned O)."""
+    for S, K, O, layout in ((26, 256, 129, "fco"), (20, 250, 65, "fco"),
+                            (32, 64, 32, "cf"), (90, 512, 129, "cf"),
+                            (7, 130, 17, "fco")):
+        C, n = 3, 4000
+        x = jnp.asarray(rng.standard_normal((C, n)).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal((K, O)).astype(np.float32))
+        nframes = (n - K) // S + 1
+        out = np.asarray(window_matmul(x, w, S, nframes,
+                                       out_layout=layout))
+        xn = np.asarray(x, np.float64)
+        wn = np.asarray(w, np.float64)
+        ref = np.stack([xn[:, f * S : f * S + K] @ wn
+                        for f in range(nframes)])
+        if layout == "cf":
+            out = (out[:, : nframes * O].reshape(C, nframes, O)
+                   .transpose(1, 0, 2))
+        np.testing.assert_allclose(out, ref, atol=2e-4,
+                                   err_msg=f"S={S} K={K} O={O} {layout}")
+
+
+def test_envelope_window_shorter_than_padlen(rng):
+    """A source window shorter than the filtfilt pad must yield zeros on
+    BOTH the device and host paths (the reference clamps likewise) —
+    not a trace-time ValueError from sosfiltfilt."""
+    from audian_tpu.graph import EnvelopeNode
+
+    g = TraceGraph([FilterNode("filtered"),
+                    EnvelopeNode("envelope", "filtered")])
+    n = 9  # <= the default design's padlen
+    g.open(TraceSpec(rate=RATE, channels=2, frames=n))
+    g["envelope"].update(envelope_cutoff=500.0)
+    g.refold()
+    x = rng.standard_normal((n, 2)).astype(np.float32)
+    ex = GraphExecutor(g)
+    out_d = ex.run(jnp.asarray(x), 0, targets=["envelope"])
+    out_h = ex.run_host(x, 0, targets=["envelope"])
+    env_d = np.asarray(out_d["envelope"][1])
+    env_h = np.asarray(out_h["envelope"][1])
+    assert env_d.shape == env_h.shape
+    np.testing.assert_array_equal(env_d, 0.0)
+    np.testing.assert_array_equal(env_h, 0.0)
+
+
 def test_graph_window_at_recording_end(rng):
     g = TraceGraph([FilterNode("filtered"),
                     SpectrogramNode("spectrogram", "filtered")])

@@ -314,9 +314,8 @@ def test_single_pass_chain_output_mask(chain, signal):
                         err_msg=f"{name} with outputs={outputs}")
                 else:
                     assert val is None, (name, outputs)
-            np.testing.assert_array_equal(np.asarray(st["power"]),
-                                          np.asarray(st0["power"]))
-            for key, name in (("env_sum", "envelope"),
+            for key, name in (("power", "filtered"),
+                              ("env_sum", "envelope"),
                               ("psd_sum", "spectrogram")):
                 if name in outputs:
                     np.testing.assert_array_equal(np.asarray(st[key]),

@@ -54,6 +54,28 @@ def test_fade_ramps(rng):
     assert np.all(np.diff(got[:100, 0]) >= 0)
 
 
+def test_heterodyne_and_fade_dequantize_int16(rng):
+    """int16 input (the loader's raw device mirror) must be dequantized
+    to f32, not used as the carrier/ramp dtype — an int16 carrier
+    truncates the [-1, 1] sine to zeros and silently corrupts the mix."""
+    from audian_tpu.ops.raw16 import RAW16_SCALE
+
+    xf = _signal(rng, nch=2)
+    q = np.clip(np.round(xf / RAW16_SCALE), -32768, 32767).astype(np.int16)
+    f = 40000.0
+    got = np.asarray(heterodyne(q, RATE, f))
+    assert got.dtype == np.float32
+    het = np.sin(2 * np.pi * f * np.arange(len(q)) / RATE)
+    want = ((q.astype(np.float64) * RAW16_SCALE).T * het).T
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+    ones = np.full((1000, 2), 16384, np.int16)  # 0.5 in raw16 codes
+    faded = np.asarray(fade(ones, rate=1000.0, fade_time=0.1))
+    assert faded.dtype == np.float32
+    np.testing.assert_allclose(faded[100:900], 0.5, atol=1e-7)
+    assert faded[0, 0] == 0.0 and np.all(np.diff(faded[:100, 0]) >= 0)
+
+
 def test_prepare_playback_heterodyne_pipeline(rng):
     """Full pipeline: mix, heterodyne, 20 kHz zero-phase lowpass, decimate,
     fade — against a numpy/scipy transcription of the reference."""

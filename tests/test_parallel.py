@@ -143,6 +143,22 @@ def test_map_files_propagates_errors():
     assert map_files(fn, ["a", "b"], max_workers=1) == ["a", "b"]
 
 
+def test_map_files_returned_exception_is_a_result():
+    """An exception object ``fn`` RETURNS (a per-file error-report
+    value) is an ordinary result — only raised exceptions are gathered
+    and re-raised after the batch."""
+    from audian_tpu.parallel import map_files
+
+    err = ValueError("report, not failure")
+
+    def fn(path):
+        return err if path == "b" else path
+
+    for workers in (1, None):
+        got = map_files(fn, ["a", "b", "c"], max_workers=workers)
+        assert got == ["a", err, "c"]
+
+
 def test_songdetector_cli_parallel(tmp_path, rng):
     from audian_tpu.cli import songdetector
     from audian_tpu.data import wavio
