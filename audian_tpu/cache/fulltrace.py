@@ -35,6 +35,11 @@ from .. import native
 
 __all__ = ["FullTraceData"]
 
+#: bytes of source frames per native min/max call on the single-file
+#: path — the cancellation granularity of a background overview scan
+#: (~2-3 s of disk time per slice on this host's cold reads)
+_NATIVE_SLICE_BYTES = 16 << 20
+
 
 
 def _read_index(index_path):
@@ -194,14 +199,34 @@ class FullTraceData:
         if len(self.data.file_paths) == 1:
             info = self.data._infos[0]
             rate, channels, frames, enc, data_off = info
-            part = None
-            if self.data.unwrap_thresh <= 1e-3 and data_off is not None:
-                part = native.file_minmax(self.data.file_paths[0], data_off,
-                                          enc, channels, frames, step)
-            if part is None:
+            native_ok = (self.data.unwrap_thresh <= 1e-3
+                         and data_off is not None)
+            if native_ok:
+                # step-aligned ~16 MiB slices so close()'s stop flag is
+                # honored between calls: ONE whole-file native call on a
+                # multi-GB recording (the 11 GB RF64 case) would keep
+                # the C++ read threads hammering the 1-vCPU host's disk
+                # for the rest of the scan after the session moved on
+                tb = native._TAGS.get(enc)
+                bpf = max(channels * ((tb[1] if tb else 16) // 8), 1)
+                seg = max(step, _NATIVE_SLICE_BYTES // bpf // step * step)
+                row = 0
+                for s0 in range(0, frames, seg):
+                    if self._stop.is_set():
+                        return
+                    part = native.file_minmax(
+                        self.data.file_paths[0], data_off, enc, channels,
+                        min(seg, frames - s0), step, start=s0)
+                    if part is None:
+                        native_ok = False
+                        break
+                    n = min(len(part), len(out) - row)
+                    out[row : row + n] = part[:n]
+                    row += n
+            if not native_ok:
                 part = self._compute_python(0, step)
-            n = min(len(part), len(out))
-            out[:n] = part[:n]
+                n = min(len(part), len(out))
+                out[:n] = part[:n]
         else:
             # multi-file recordings: segments belong to the CONCATENATED
             # stream — per-file decimation would restart the segment grid
@@ -342,7 +367,9 @@ class FullTraceData:
     def save_data_local(self):
         """Persist next to the data file
         (`src/audian/compresseddata.py:147-155`)."""
-        if self.short_data or self.datas is None:
+        if self.short_data or self.datas is None or len(self.times) < 2:
+            # < 2 samples covers the zero/near-zero-frame recording the
+            # CLI force-persists (short_data=False): nothing to compress
             return None
         rate = 1.0 / (self.times[1] - self.times[0])
         path = self._local_path()
@@ -357,7 +384,7 @@ class FullTraceData:
     def save_data(self):
         """Persist into the JSON-indexed LRU user cache
         (`src/audian/compresseddata.py:157-202`)."""
-        if self.short_data or self.datas is None:
+        if self.short_data or self.datas is None or len(self.times) < 2:
             return None
         cache = Path(audian_dirs.user_cache_path)
         cache.mkdir(parents=True, exist_ok=True)

@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import functools
 import math
+from collections import deque
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -565,7 +567,8 @@ class Data:
     def _put_raw(self, hbuf, gstart=None):
         """Upload a host raw-window slice to the device.
 
-        PCM-16 sources cross the link as int16 — half the bytes, and
+        16-bit sources (PCM-16 WAV, 16-bit FLAC) cross the link as
+        int16 — half the bytes, and
         audio int16 compresses well in the tunnel (measured ~17 MB/s for
         f32 noise vs ~44+ MB/s for int16) — and dequantize on device.
         This is exact: every PCM-16 sample is k/2^15, representable
@@ -581,19 +584,32 @@ class Data:
         """
         put = self._device_put
         infos = getattr(self.data, "_infos", None)
-        all_pcm16 = bool(infos) and all(i[3] == "PCM_16" for i in infos)
-        if (hbuf.dtype == np.float32 and all_pcm16
+        # 16-bit sources: PCM-16 WAV and 16-bit FLAC both store k/2^15
+        # codes (the loader's raw16 convention), so both take the
+        # half-the-bytes int16 upload
+        all_i16 = bool(infos) and all(i[3] in ("PCM_16", "FLAC_16")
+                                      for i in infos)
+        if (hbuf.dtype == np.float32 and all_i16
                 and getattr(self.data, "unwrap_thresh", 0.0) <= 1e-3):
             if gstart is not None and getattr(self.data, "raw16_capable",
                                               False):
-                # small LRU of staging buffers by shape (pop+reinsert
-                # keeps the hit most-recent in dict order)
-                q = self._q_staging.pop(hbuf.shape, None)
-                if q is None:
-                    q = np.empty(hbuf.shape, np.int16)
-                self._q_staging[hbuf.shape] = q
+                # small LRU of per-shape staging buffer PAIRS
+                # (pop+reinsert keeps the hit most-recent in dict
+                # order).  Two buffers in rotation per shape: a
+                # device_put may read its host source asynchronously
+                # (and aliases it outright on the CPU backend), so the
+                # buffer of upload N is only reused at upload N+2 — by
+                # then upload N's dequant has executed (device work runs
+                # in order and upload N+1's render pull fenced it)
+                bucket = self._q_staging.pop(hbuf.shape, None)
+                if bucket is None:
+                    bucket = deque(maxlen=2)
+                self._q_staging[hbuf.shape] = bucket
                 while len(self._q_staging) > 4:
                     self._q_staging.pop(next(iter(self._q_staging)))
+                q = (bucket.popleft() if len(bucket) == 2
+                     else np.empty(hbuf.shape, np.int16))
+                bucket.append(q)
                 self.data.read_raw16_into(int(gstart), len(hbuf), q)
                 return _dequant16(put(q))
             q = np.round(np.ascontiguousarray(hbuf) * 32768.0
@@ -901,9 +917,9 @@ class Data:
         a = self._range_align
         q0 = max(((r0 - hb) // a) * a, 0)
         want = r1 + ha - q0
-        n = a
-        while n < want:
-            n *= 2
+        # the shared bucketing rule (utils.pow2_at_least), floored at
+        # one alignment unit — a private copy here could drift
+        n = max(_pow2ceil(want), a)
         if q0 + n > self.frames:
             q0 = max(0, ((self.frames - n) // a) * a)
             n = min(n, self.frames - q0)

@@ -47,6 +47,7 @@ _ENCODINGS = {
     "PCM_16": (1, 16),
     "PCM_24": (1, 24),
     "PCM_32": (1, 32),
+    "PCM_U8": (1, 8),  # WAV 8-bit is unsigned with a 128 offset
     "FLOAT": (3, 32),
     "DOUBLE": (3, 64),
 }
@@ -435,31 +436,42 @@ def load_wav(path, return_buffer=False):
 
 
 def _collect_meta(cid, buf, off, size, md, cues, lengths, names, notes):
-    """Fold one non-data chunk into the metadata/marker accumulators."""
-    if cid == b"bext":
-        md["BEXT"] = _parse_bext(buf, off, size)
-    elif cid == b"LIST":
-        kind, entries = _parse_list(buf, off, size)
-        if kind == b"INFO":
-            for tag4, bodies in entries.items():
-                key = _INFO_TAGS.get(tag4, tag4)
-                md[key] = _cstr(bodies[0])
-        elif kind == b"adtl":
-            for body in entries.get("labl", []):
-                (cue_id,) = struct.unpack_from("<I", body, 0)
-                names[cue_id] = _cstr(body[4:])
-            for body in entries.get("note", []):
-                (cue_id,) = struct.unpack_from("<I", body, 0)
-                notes[cue_id] = _cstr(body[4:])
-            for body in entries.get("ltxt", []):
-                cue_id, length = struct.unpack_from("<II", body, 0)
-                lengths[cue_id] = length
-    elif cid == b"cue ":
-        (ncues,) = struct.unpack_from("<I", buf, off)
-        for k in range(ncues):
-            base = off + 4 + 24 * k
-            cue_id, _, _, _, _, pos = struct.unpack_from("<IIIIII", buf, base)
-            cues[cue_id] = pos
+    """Fold one non-data chunk into the metadata/marker accumulators.
+
+    Tolerant of corrupt bodies: metadata and markers are auxiliary, so
+    a truncated ``cue ``/``labl``/``note``/``ltxt``/``bext`` body keeps
+    whatever parsed so far and skips the rest instead of failing the
+    whole open with a bare ``struct.error`` (every malformed-HEADER
+    path in this module raises :class:`WavError`; a malformed side
+    chunk should not be fatal at all)."""
+    try:
+        if cid == b"bext":
+            md["BEXT"] = _parse_bext(buf, off, size)
+        elif cid == b"LIST":
+            kind, entries = _parse_list(buf, off, size)
+            if kind == b"INFO":
+                for tag4, bodies in entries.items():
+                    key = _INFO_TAGS.get(tag4, tag4)
+                    md[key] = _cstr(bodies[0])
+            elif kind == b"adtl":
+                for body in entries.get("labl", []):
+                    (cue_id,) = struct.unpack_from("<I", body, 0)
+                    names[cue_id] = _cstr(body[4:])
+                for body in entries.get("note", []):
+                    (cue_id,) = struct.unpack_from("<I", body, 0)
+                    notes[cue_id] = _cstr(body[4:])
+                for body in entries.get("ltxt", []):
+                    cue_id, length = struct.unpack_from("<II", body, 0)
+                    lengths[cue_id] = length
+        elif cid == b"cue ":
+            (ncues,) = struct.unpack_from("<I", buf, off)
+            for k in range(ncues):
+                base = off + 4 + 24 * k
+                cue_id, _, _, _, _, pos = struct.unpack_from("<IIIIII",
+                                                             buf, base)
+                cues[cue_id] = pos
+    except struct.error:
+        return
 
 
 def _marker_arrays(cues, lengths, names, notes):
@@ -578,7 +590,8 @@ def wav_info(path):
                 avail = max(p.stat().st_size - off, 0)
                 frames = min(size, avail) // (channels * (bits // 8))
                 enc = {(1, 16): "PCM_16", (1, 24): "PCM_24",
-                       (1, 32): "PCM_32", (3, 32): "FLOAT",
+                       (1, 32): "PCM_32", (1, 8): "PCM_U8",
+                       (3, 32): "FLOAT",
                        (3, 64): "DOUBLE"}.get((tag, bits), f"tag{tag}/{bits}")
                 return float(rate), channels, frames, enc, off
     raise WavError(f"{path}: missing fmt/data chunk")
@@ -699,6 +712,9 @@ def _encode(data, encoding):
         b[..., 1] = (ints >> 8) & 0xFF
         b[..., 2] = (ints >> 16) & 0xFF
         return b.tobytes(), tag, bits
+    if bits == 8:  # unsigned, 128 offset (the _decode inverse)
+        return (np.clip(scaled + 128, 0, 255).astype(np.uint8).tobytes(),
+                tag, bits)
     raise WavError(f"unsupported encoding {encoding}")
 
 

@@ -435,10 +435,13 @@ def minmax(x, step):
 
 
 def file_minmax(path, data_off, encoding, channels, frames, step,
-                nthreads=None):
-    """Threaded whole-file min/max overview (the reference's
-    `down_sample_worker` pool, `src/audian/compresseddata.py:25-53`, as
-    lock-free C++ threads).  Returns (2*nseg, channels) float64 or None."""
+                nthreads=None, start=0):
+    """Threaded min/max overview of ``frames`` frames from frame
+    ``start`` (the reference's `down_sample_worker` pool,
+    `src/audian/compresseddata.py:25-53`, as lock-free C++ threads).
+    Returns (2*nseg, channels) float64 or None.  ``start`` lets callers
+    slice a huge file into cancellable pieces — fixed-size PCM frames
+    make it a pure data-offset shift."""
     lib = get_lib()
     tb = _TAGS.get(encoding)
     if lib is None or tb is None:
@@ -448,7 +451,9 @@ def file_minmax(path, data_off, encoding, channels, frames, step,
     nseg = -(-frames // step)
     out = np.zeros((2 * nseg, channels), np.float64)
     rc = lib.an_file_minmax(
-        str(path).encode(), int(data_off), tb[0], tb[1], int(channels),
+        str(path).encode(),
+        int(data_off) + int(start) * channels * (tb[1] // 8),
+        tb[0], tb[1], int(channels),
         int(frames), int(step), int(nthreads),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
     )

@@ -102,7 +102,8 @@ int64_t an_read_frames(const char* path, int64_t data_off, int tag, int bits,
     // `long`, which truncates offsets past 2 GiB where long is 32 bits
     if (fseeko(f, off_t(data_off + start * bpf), SEEK_SET) != 0) {
         std::fclose(f);
-        return 0;
+        return -1;  // I/O error, not "zero frames": callers must fall
+                    // back or surface it, never render silence
     }
     const int64_t frames_per_piece = std::max<int64_t>(kScratch / bpf, 1);
     raw.resize(size_t(std::min(nframes, frames_per_piece) * bpf));

@@ -58,6 +58,7 @@ class BlockPrefetcher:
         self._pool = ThreadPoolExecutor(max_workers=1,
                                         thread_name_prefix="audian-prefetch")
         self._pending = set()
+        self._inflight = {}  # block -> Future of its background read
         self._epoch = 0          # bumped by invalidate(); stale loads drop
         self._last_block = None  # previous request start block (direction)
         self.hits = 0
@@ -187,25 +188,39 @@ class BlockPrefetcher:
                 return
             self._pending.add(b)
         try:
-            self._pool.submit(self._load_block, b)
+            fut = self._pool.submit(self._load_block, b)
         except RuntimeError:
             # close() (or a racing drain()) shut the pool down: read-ahead
             # is best-effort, and synchronous reads must keep working —
             # just un-mark the block so a later rescheduling can retry
             with self._lock:
                 self._pending.discard(b)
+            return
+        with self._lock:
+            self._inflight[b] = fut
+        fut.add_done_callback(
+            lambda _f, b=b: self._inflight.pop(b, None))
 
     def _get_block(self, b):
         with self._lock:
             cached = self._cache.get(b)
             if cached is not None:
                 self._cache.move_to_end(b)
-        if cached is None:
-            self.misses += 1
-            cached = self._load_block(b)
-        else:
-            self.hits += 1
-        return cached
+                self.hits += 1
+                return cached
+            fut = self._inflight.get(b)
+        self.misses += 1
+        if fut is not None:
+            # a background prefetch of this very block is already
+            # reading it: wait for THAT read instead of issuing a second
+            # full-block disk read in parallel (two competing ~10 s
+            # reads of the same bytes on the ~6 MB/s disk — slower
+            # together than either alone, and two freelist buffers)
+            try:
+                return fut.result()
+            except Exception:
+                pass  # fall through: read synchronously, raise its error
+        return self._load_block(b)
 
     def _schedule_around(self, b0, b1):
         """Read-ahead mostly in the direction this request moved relative

@@ -640,3 +640,30 @@ def test_wav_data_chunk_before_fmt_raises_waverror(tmp_path):
     p.write_bytes(riff)
     with pytest.raises(wavio.WavError):
         wavio.load_wav(p)
+
+
+def test_flac16_device_upload_uses_raw16_path(tmp_path, rng):
+    """16-bit FLAC sources take the same int16 upload fast path as
+    PCM-16 WAV (half the tunnel bytes): the gate used to demand
+    all-PCM_16-WAV and silently fall back to f32 uploads for FLAC."""
+    rate = 8000.0
+    x = np.clip(0.4 * rng.standard_normal((int(20.0 * rate), 2)), -1, 0.99)
+    p = tmp_path / "p16.flac"
+    wavio.write_audio(p, x, rate, format="FLAC", encoding="PCM_16")
+    d = Data(p, buffer_time=6.0, back_time=2.0)
+    for node in default_traces():
+        d.add_trace(node)
+    d.setup_traces()
+    d.open()
+    d.update_times(0.0, 2.0)
+    dev = d._device_raw()
+    host = d.data.buffer
+    assert np.array_equal(np.asarray(dev), host.astype(np.float32))
+    assert d.data.raw16_capable and len(d._q_staging) > 0, \
+        "FLAC_16 upload did not stage through the raw16 path"
+    for k in range(1, 4):
+        d.update_times(1.5 * k, 1.5 * k + 3.0)
+    dev = d._device_raw()
+    assert np.array_equal(np.asarray(dev),
+                          d.data.buffer.astype(np.float32))
+    d.close()

@@ -422,3 +422,56 @@ def test_stale_caches_recompute_when_source_changes(wav, tmp_path,
     ft6.save_data()
     ft7 = FullTraceData(AudioLoader(p))
     assert not ft7.load_data()
+
+
+def test_single_file_native_scan_is_sliced_and_cancellable(
+        wav, monkeypatch):
+    """The single-file native overview runs in step-aligned slices with
+    a stop check between them: close() used to be unable to cancel the
+    dominant whole-file native call (30 min of disk on a multi-GB
+    recording), and the slices must agree with the unsliced scan."""
+    import audian_tpu.cache.fulltrace as ftmod
+
+    p, x = wav
+    monkeypatch.setattr(ftmod, "_NATIVE_SLICE_BYTES", 4096)
+    calls = []
+    real = ftmod.native.file_minmax
+
+    def spy(*a, **k):
+        calls.append(k.get("start", 0))
+        return real(*a, **k)
+
+    monkeypatch.setattr(ftmod.native, "file_minmax", spy)
+    ld = AudioLoader(p, buffer_time=0.1, back_time=0.0)
+    ft = FullTraceData(ld)
+    ft.start(100, background=False)
+    assert len(calls) > 1, "scan did not slice"
+    want = reduceat_like(x.astype(np.float64), ft.step)
+    np.testing.assert_allclose(ft.datas[: len(want)], want, atol=2e-7)
+
+    # cancellation between slices: stop after the first call
+    ft2 = FullTraceData(ld)
+    calls2 = []
+
+    def stopping(*a, **k):
+        calls2.append(k.get("start", 0))
+        ft2._stop.set()
+        return real(*a, **k)
+
+    monkeypatch.setattr(ftmod.native, "file_minmax", stopping)
+    ft2.start(100, background=False)
+    assert len(calls2) == 1, "stop flag not honored between slices"
+    assert ft2._cancelled
+    ld.close()
+
+
+def test_compress_cli_zero_frame_recording(tmp_path, capsys):
+    """audian-compress on an empty recording exits cleanly with nothing
+    to persist — the CLI's forced short_data=False used to push a
+    zero-sample overview into save_data_local and crash on times[1]."""
+    p = tmp_path / "empty.wav"
+    wavio.write_audio(p, np.zeros((0, 1), np.float32), 8000.0,
+                      encoding="PCM_16")
+    rc = compress.main([str(p)])
+    assert rc == 0
+    assert not p.with_name("empty-fulltrace.wav").exists()

@@ -51,3 +51,21 @@ def test_native_file_minmax(wav):
     ref = wavio.read_frames(p, 0, info[2], info)
     want = reduceat_like(ref, 100)
     np.testing.assert_allclose(got, want, atol=2e-7)
+
+
+def test_native_file_minmax_start_slices(wav):
+    """file_minmax(start=...) slices reproduce the whole-file scan —
+    the cancellation granularity of the background overview on
+    multi-GB single-file recordings."""
+    p, x, enc = wav
+    info = wavio.wav_info(p)
+    step = 100
+    whole = native.file_minmax(p, info[4], enc, info[1], info[2], step)
+    if whole is None:
+        pytest.skip("native library unavailable")
+    seg = 7 * step
+    parts = [native.file_minmax(p, info[4], enc, info[1],
+                                min(seg, info[2] - s), step, start=s)
+             for s in range(0, info[2], seg)]
+    got = np.concatenate(parts)
+    np.testing.assert_allclose(got, whole, atol=0)

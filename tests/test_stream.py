@@ -295,3 +295,46 @@ def test_read_after_close_serves_synchronously():
     out2 = pf.read(3000, 100)  # uncached block + read-ahead attempts
     np.testing.assert_array_equal(out1, src.data[:100])
     np.testing.assert_array_equal(out2, src.data[3000:3100])
+
+
+def test_miss_on_pending_block_waits_instead_of_rereading():
+    """A cache miss on a block whose background prefetch is already in
+    flight must wait on THAT read, not issue a second full read of the
+    same block in parallel (two competing multi-second reads of the
+    same bytes on a slow disk)."""
+    import threading
+
+    class SlowSource(FakeSource):
+        def __init__(self):
+            super().__init__()
+            self.release = threading.Event()
+            self.reads_of = []
+
+        def _read(self, start, nframes):
+            self.reads_of.append(start)
+            if start == 2000:  # the prefetched block
+                self.release.wait(10)
+            return super()._read(start, nframes)
+
+    src = SlowSource()
+    pf = BlockPrefetcher(src, block_frames=1000, max_blocks=4,
+                         read_ahead=1)
+    pf.read(500, 1000)  # blocks 0+1; schedules block 2 (slow)
+    for _ in range(100):
+        if 2000 in src.reads_of:
+            break
+        import time
+        time.sleep(0.01)
+    assert 2000 in src.reads_of, "prefetch of block 2 never started"
+    got = []
+    t = threading.Thread(
+        target=lambda: got.append(pf.read(2000, 500)))
+    t.start()
+    import time
+    time.sleep(0.2)  # the miss must be blocked on the pending read...
+    src.release.set()
+    t.join(10)
+    assert got and np.array_equal(got[0], src.data[2000:2500])
+    # ...and block 2 was read from the source exactly once
+    assert src.reads_of.count(2000) == 1
+    pf.close()

@@ -344,3 +344,50 @@ def test_integer_input_is_pcm_codes(tmp_path):
     # unsigned input is ambiguous and refused
     with pytest.raises(wavio.WavError):
         wavio.write_audio(tmp_path / "u.wav", q.astype(np.uint16), rate)
+
+
+def test_pcm_u8_round_trip_and_windowed_reads(tmp_path, rng):
+    """8-bit PCM WAVs (unsigned, 128 offset) read AND write: wav_info
+    maps (tag 1, 8 bit) to PCM_U8 so the windowed loader serves them —
+    they used to open fine and then crash every read with the
+    pseudo-encoding 'tag1/8'."""
+    import struct
+
+    x = np.clip(0.5 * rng.standard_normal((500, 2)), -1.0, 0.99)
+    p = tmp_path / "u8.wav"
+    wavio.write_audio(p, x, 8000.0, encoding="PCM_U8")
+    info = wavio.wav_info(p)
+    assert info[3] == "PCM_U8" and info[2] == 500
+    got = wavio.read_frames(p, 0, 500, info)
+    assert np.max(np.abs(got - x)) <= 1.0 / 128 + 1e-9  # 8-bit quantum
+    data, rate, *_ = wavio.load_wav(p)
+    np.testing.assert_array_equal(data, got)
+    from audian_tpu.data.loader import AudioLoader
+
+    ld = AudioLoader(p, buffer_time=0.02, back_time=0.0)
+    np.testing.assert_allclose(np.asarray(ld[100:200]), got[100:200],
+                               atol=1e-7)
+    ld.close()
+
+
+def test_corrupt_marker_chunk_does_not_fail_open(tmp_path, rng):
+    """A truncated cue/adtl body keeps what parsed and skips the rest —
+    markers are auxiliary, so a corrupt side chunk must not crash the
+    open with a bare struct.error (headers still raise WavError)."""
+    import struct
+
+    p = tmp_path / "c.wav"
+    wavio.write_audio(p, (0.1 * rng.standard_normal((100, 1)))
+                      .astype(np.float32), 8000.0, encoding="PCM_16")
+    raw = bytearray(p.read_bytes())
+    # append a cue chunk claiming 1000 entries with a 4-byte body, and
+    # a labl entry shorter than its 4-byte cue-id
+    raw += b"cue " + struct.pack("<I", 4) + struct.pack("<I", 1000)
+    raw += b"LIST" + struct.pack("<I", 14) + b"adtl" + b"labl" \
+        + struct.pack("<I", 2) + b"ab"
+    struct.pack_into("<I", raw, 4, len(raw) - 8)
+    p.write_bytes(bytes(raw))
+    rate, md, locs, labels = wavio.scan_wav(p)
+    assert rate == 8000.0 and len(locs) == 0
+    data, _r, _md, locs2, _l = wavio.load_wav(p)
+    assert len(data) == 100 and len(locs2) == 0
