@@ -331,6 +331,12 @@ class DataBrowser:
         (`databrowser.py:1162-1167`), then dispatch."""
         if self.setting:
             return
+        if amplitudefunc == "auto":
+            # `auto` alone among the verbs needs the visible time span
+            # (PlotRange.auto(t0, t1, channels)) — route it through
+            # auto_ampl, which supplies it; the generic broadcast below
+            # would bind the channel list to t0 and TypeError
+            return self.auto_ampl(axspec)
         self.setting = True
         try:
             getattr(self.plot_ranges, amplitudefunc)(axspec,
@@ -791,13 +797,12 @@ class DataBrowser:
         """Jump the view window to ``time`` within the named source file
         (`databrowser.py:1108-1123`; used by screenshot drag-drop
         navigation)."""
-        rate = self.data.rate
-        starts = np.concatenate(([0], self.data.data.end_indices[:-1]))
+        starts = self.data.data.file_start_times()
         for start, fp in zip(starts, self.data.data.file_paths):
             fp = Path(fp)
             if (fp.name == file_name if "." in file_name
                     else fp.stem.replace("-", "") == file_name):
-                self.set_times(start / rate + time)
+                self.set_times(start + time)
                 return True
         return False
 
@@ -1223,18 +1228,42 @@ class DataBrowser:
         md = deepcopy(self.data.meta_data)
         md.pop("Format", None)
         wavio.update_starttime(md, t0, rate)
+        encoding = self.data.data.encoding
+        to_flac = str(file_path).lower().endswith(".flac")
+        # preserve the source depth: a FLAC_24 recording saves as
+        # PCM_24, not a silent 16-bit quantization (reference: region
+        # export at source depth via libsndfile, databrowser.py:1860);
+        # depths without a WAV/FLAC integer encoding round up
+        if encoding.upper().startswith("FLAC_"):
+            depth = int(encoding.split("_", 1)[1])
+            encoding = ("PCM_16" if depth <= 16 else
+                        "PCM_24" if depth <= 24 else "PCM_32")
+        if to_flac and encoding.upper() in ("FLOAT", "DOUBLE"):
+            # FLAC is integer-only: a float recording exported to a
+            # .flac target quantizes at 24 bits (the full f32 mantissa;
+            # write_audio itself refuses float encodings loudly so the
+            # depth choice stays an explicit caller decision)
+            encoding = "PCM_24"
+        # validate against the TARGET format's encodings (a WAV-only
+        # encoding like PCM_U8 must not leak into a .flac export)
+        if encoding not in wavio.available_encodings(
+                "FLAC" if to_flac else "WAV"):
+            encoding = "PCM_16"
         hkey = "CodingHistory"
         if "BEXT" in md:
             hkey = "BEXT.CodingHistory"
-        encoding = self.data.data.encoding
+        # the history line describes the file being WRITTEN: post-remap
+        # encoding, the selected channel count — not the source
         bext_code = wavio.bext_history_str(encoding, rate,
-                                           self.data.channels)
+                                           len(self.selected_channels))
         wavio.add_history(
             md,
             bext_code + f",T=cut out {secs_to_str(t0)}-"
             f"{secs_to_str(i1 / rate)}: {Path(file_path).name}",
             hkey,
-            bext_code + f",T={self.data.file_path}",
+            wavio.bext_history_str(self.data.data.encoding, rate,
+                                   self.data.channels)
+            + f",T={self.data.file_path}",
         )
         locs, labels = self.marker_data.get_markers(rate)
         if len(locs):
@@ -1253,25 +1282,8 @@ class DataBrowser:
             locs[head, 0] = 0
             locs[:, 1] = np.clip(locs[:, 1], 0, (i1 - i0) - locs[:, 0])
         raw = np.asarray(self.data.data[i0:i1, self.selected_channels])
-        # preserve the source depth: a FLAC_24 recording saves as
-        # PCM_24, not a silent 16-bit quantization (reference: region
-        # export at source depth via libsndfile, databrowser.py:1860);
-        # depths without a WAV/FLAC integer encoding round up
-        if encoding.upper().startswith("FLAC_"):
-            depth = int(encoding.split("_", 1)[1])
-            encoding = ("PCM_16" if depth <= 16 else
-                        "PCM_24" if depth <= 24 else "PCM_32")
-        if (str(file_path).lower().endswith(".flac")
-                and encoding.upper() in ("FLOAT", "DOUBLE")):
-            # FLAC is integer-only: a float recording exported to a
-            # .flac target quantizes at 24 bits (the full f32 mantissa;
-            # write_audio itself refuses float encodings loudly so the
-            # depth choice stays an explicit caller decision)
-            encoding = "PCM_24"
         wavio.write_audio(file_path, raw, rate, metadata=md, locs=locs,
-                          labels=labels, encoding=encoding
-                          if encoding in wavio.available_encodings()
-                          else "PCM_16")
+                          labels=labels, encoding=encoding)
         self.save_path = Path(file_path).parent
         return Path(file_path)
 
@@ -1313,10 +1325,14 @@ class DataBrowser:
         trace = self.data[self.spectrogram] if self.spectrogram else None
         if trace is None:
             return np.zeros((0, 0)), (0.0, 0.0, 0.0, 0.0)
+        # the visible span bounds a mid-tile device loss's host
+        # recompute (the tile itself still covers the whole window)
+        vis = (self.toffset, self.toffset + self.twindow)
         buf = trace.buffer
         if buf is None or len(buf) == 0:
             return self.spec_tiler.tile(trace, channel, zmin or -100.0,
-                                        zmax or 0.0, quantize=quantize)
+                                        zmax or 0.0, quantize=quantize,
+                                        loss_span=vis)
         # full per-channel level vector (cheap via the cached device
         # stats) so the tiler can serve every channel from one batched
         # device pull; explicit levels override the requested channel
@@ -1328,7 +1344,7 @@ class DataBrowser:
             levels[channel, 1] = zmax
         return self.spec_tiler.tile(trace, channel, levels[channel, 0],
                                     levels[channel, 1], quantize=quantize,
-                                    levels=levels)
+                                    levels=levels, loss_span=vis)
 
     def power_spectrum(self, channel, t0=None, t1=None):
         """Mean power spectrum (dB) over the visible window — the data

@@ -1077,8 +1077,12 @@ def update_starttime(md, deltat, rate):
 def bext_history_str(encoding, rate, channels, text=None):
     """One BWF CodingHistory line, ``A=PCM,F=...,W=...,M=...``."""
     enc = str(encoding or "PCM_16").upper()
-    bits = {"PCM_16": 16, "PCM_24": 24, "PCM_32": 32,
-            "FLOAT": 32, "DOUBLE": 64}.get(enc, 16)
+    bits = {"FLOAT": 32, "DOUBLE": 64}.get(enc)
+    if bits is None:
+        # PCM_16/24/32, PCM_U8, FLAC_16/24/... — the trailing digits
+        # are the word length
+        tail = "".join(c for c in enc.rsplit("_", 1)[-1] if c.isdigit())
+        bits = int(tail) if tail else 16
     mode = {1: "mono", 2: "stereo"}.get(int(channels), f"{channels}ch")
     s = f"A=PCM,F={int(round(rate))},W={bits},M={mode}"
     if text:

@@ -29,7 +29,7 @@ from ..utils.devicewatch import DeviceLost, watch as _devwatch
 __all__ = ["TraceTiler", "SpecTiler", "pick_amplitude"]
 
 
-def _to_host_mode(trace, t0=None, t1=None):
+def _to_host_mode(trace, t0=None, t1=None, targets=None):
     """Switch ``trace`` (and its siblings) to host-computed numpy
     windows after a mid-render device loss; True when the window is now
     host-resident so the caller can retry its host branch.
@@ -39,7 +39,11 @@ def _to_host_mode(trace, t0=None, t1=None):
     ``Data.update_times``'s own loss path applies, because a full-buffer
     recompute of every visible trace costs tens of seconds on the
     1-vCPU host where the span costs ~the view width.  Without a span
-    (or when the raw loader is gone) the full window is recomputed."""
+    (or when the raw loader is gone) the full window is recomputed.
+    ``targets`` restricts the recompute to named traces (a one-off
+    readout like a hover must not truncate every OTHER visible trace's
+    window to its tiny span — the siblings flip to host mode with their
+    own spans when their next render touches them)."""
     data = getattr(trace, "_data", None)
     if data is None:
         return False
@@ -50,7 +54,7 @@ def _to_host_mode(trace, t0=None, t1=None):
         g1 = int(math.ceil((t1 + data.tafter) * r))
         if g1 > g0:
             span = (g0, g1)
-    data._host_windows(span=span)
+    data._host_windows(targets=targets, span=span)
     return not isinstance(trace.buffer, jax.Array)
 
 
@@ -434,8 +438,13 @@ def power_value(trace, i, channel, j):
                 what="power block")
         except DeviceLost:
             gi = i + trace.offset  # global frame survives the re-fold
-            if not _to_host_mode(trace, gi / trace.rate,
-                                 (gi + 1) / trace.rate):
+            # a hover readout is a one-off: recompute ONLY this trace
+            # (full window, so no sibling window is truncated to a
+            # one-frame span) — other traces flip with their own spans
+            # when their next tile render touches them
+            name = getattr(getattr(trace, "_node", None), "name", None)
+            if not _to_host_mode(trace,
+                                 targets=[name] if name else None):
                 raise
             k = min(max(gi - trace.offset, 0), len(trace.buffer) - 1)
             return float(np.asarray(trace.buffer[k, channel, j]))
@@ -595,14 +604,21 @@ class SpecTiler:
         self._cache = {}
 
     def tile(self, trace, channel, zmin, zmax, quantize=False, t0=None,
-             t1=None, levels=None):
+             t1=None, levels=None, loss_span=None):
         """dB image tile; device loss mid-render degrades to the host
-        path like :meth:`TraceTiler.tile`."""
+        path like :meth:`TraceTiler.tile`.  ``loss_span`` (seconds)
+        bounds the host-fallback recompute for full-window tile
+        requests (``t0``/``t1`` None) without cropping the tile."""
         try:
             return self._tile(trace, channel, zmin, zmax, quantize, t0,
                               t1, levels)
         except DeviceLost:
-            if _to_host_mode(trace, t0, t1):
+            # loss_span (browser-visible seconds) limits the host
+            # recompute without changing the tile extent the way t0/t1
+            # would — without it a full-window tile request triggers the
+            # whole-buffer scipy recompute the span mechanism avoids
+            s0, s1 = loss_span if loss_span is not None else (t0, t1)
+            if _to_host_mode(trace, s0, s1):
                 return self._tile(trace, channel, zmin, zmax, quantize,
                                   t0, t1, levels)
             raise

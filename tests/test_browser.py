@@ -704,3 +704,23 @@ def test_scroll_delta_tile_pulls(tmp_path, rng):
     assert rect_a == rect_b
     np.testing.assert_array_equal(img_a, img_b)
     b.close()
+
+
+def test_save_region_flac_target_from_u8_source(tmp_path, rng):
+    """A WAV-only encoding (PCM_U8) must not leak into a .flac region
+    export — the encoding validates against the TARGET format's list —
+    and the CodingHistory line describes the WRITTEN file (post-remap
+    encoding, selected channel count), not the source."""
+    rate = 8000.0
+    x = np.clip(0.4 * rng.standard_normal((8000, 4)), -1, 0.99)
+    p = tmp_path / "u8.wav"
+    wavio.write_audio(p, x, rate, encoding="PCM_U8")
+    b = DataBrowser(p, buffer_time=0.5).open()
+    b.select_channels([0, 1])
+    out = b.save_region(0.2, 0.6, tmp_path / "cut.flac")
+    data, r2, md, _locs, _labels = wavio.load_wav(out)
+    assert r2 == rate and data.shape == (int(0.4 * rate), 2)
+    hist = md.get("CodingHistory") or md.get("BEXT", {}).get(
+        "CodingHistory", "")
+    assert "W=16" in hist and "M=stereo" in hist.splitlines()[-1]
+    b.close()

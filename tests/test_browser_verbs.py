@@ -441,3 +441,17 @@ def test_shell_misc_verbs(wav6):
         assert shell.current is a
     finally:
         shell.close()
+
+
+def test_apply_ranges_auto_verb(browser):
+    """`auto` via the generic verb surface (its broadcast signature
+    differs — it needs the visible span) must behave like auto_ampl,
+    not TypeError."""
+    browser.set_times(0.0, 0.5)
+    browser.apply_ranges("reset", "x")
+    r0, r1 = browser.get_range("x", 0)
+    browser.apply_ranges("auto", "x")
+    a0, a1 = browser.get_range("x", 0)
+    assert (a0, a1) != (r0, r1), "auto verb did not fit the range"
+    browser.auto_ampl("x")
+    assert browser.get_range("x", 0) == pytest.approx((a0, a1))

@@ -467,3 +467,83 @@ def test_mpl_frontend_shows_device_note(outage_browser, monkeypatch):
         assert "device lost" not in win.fig._suptitle.get_text()
     finally:
         win.close()
+
+
+def test_hover_loss_does_not_truncate_sibling_windows(outage_browser,
+                                                      monkeypatch):
+    """A device loss caught in the power hover readout (a one-off)
+    recomputes ONLY the spectrogram trace — it must not replace every
+    visible trace's window with a one-frame sliver (which blanked the
+    whole view until the next scroll)."""
+    import jax
+
+    b = outage_browser
+    b.set_times(2.0, 1.0)
+    filt_before = b.data["filtered"].buffer
+    assert isinstance(filt_before, jax.Array)
+    monkeypatch.setattr(watch, "_lost", True)
+    ro = b.hover_readout(2.5, y=1000.0, kind="spec", channel=0)
+    assert ro is not None
+    # the spectrogram (and its upstream dependency, recomputed as a
+    # byproduct) flipped to host mode over the FULL window — nothing
+    # was truncated to the hover's one-frame span
+    spec = b.data[b.spectrogram]
+    assert isinstance(spec.buffer, np.ndarray)
+    assert len(spec.buffer) > 2, "spectrogram window truncated to a sliver"
+    filt = b.data["filtered"]
+    assert len(filt.buffer) == len(filt_before), \
+        "hover loss truncated the filtered window"
+    # a later tile render of the sibling takes its own span-limited flip
+    t, v = b.trace_tile("filtered", 0)
+    assert len(v) and np.all(np.isfinite(v))
+
+
+def test_spec_tile_loss_recompute_is_bounded(outage_browser,
+                                             monkeypatch):
+    """A loss during the spectrogram tile path never triggers an
+    UNBOUNDED host recompute: every fallback carries either a target
+    list (the levels path recomputes only the spec trace) or a span
+    (the tiler's loss_span), and the sibling traces keep their device
+    windows."""
+    import jax
+
+    b = outage_browser
+    b.set_times(4.0, 1.0)
+    calls = []
+    real = b.data._host_windows
+
+    def spy(targets=None, span=None):
+        calls.append((targets, span))
+        return real(targets=targets, span=span)
+
+    monkeypatch.setattr(b.data, "_host_windows", spy)
+    monkeypatch.setattr(watch, "_lost", True)
+    img, rect = b.spec_tile(0, quantize=True)
+    assert img.size
+    assert calls
+    for targets, span in calls:
+        assert targets is not None or span is not None, \
+            "unbounded full-buffer recompute of every visible trace"
+
+
+def test_spec_tiler_loss_span_limits_host_recompute(outage_browser,
+                                                    monkeypatch):
+    """The tiler-level loss_span: a loss inside SpecTiler.tile on a
+    device-resident window hands _host_windows the visible span."""
+    b = outage_browser
+    b.set_times(4.0, 1.0)
+    trace = b.data[b.spectrogram]
+    spans = []
+    real = b.data._host_windows
+
+    def spy(targets=None, span=None):
+        spans.append(span)
+        return real(targets=targets, span=span)
+
+    monkeypatch.setattr(b.data, "_host_windows", spy)
+    monkeypatch.setattr(watch, "_lost", True)
+    img, rect = b.spec_tiler.tile(trace, 0, -100.0, -20.0,
+                                  quantize=True, loss_span=(4.0, 5.0))
+    assert img.size
+    assert spans and spans[0] is not None, \
+        "loss_span was not forwarded to the host fallback"
