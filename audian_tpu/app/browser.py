@@ -443,6 +443,32 @@ class DataBrowser:
             self.setting = False
         self.sigFilterChanged.emit()
 
+    def step_filter(self, hp_fac=None, lp_fac=None):
+        """Step the filter cutoffs by multiplicative factors — the
+        keyboard verb both frontends bind (f/F and l/L).
+
+        Single-sourced semantics so the frontends cannot diverge: a
+        rising highpass lifts off the 0 Hz default at a 10 Hz floor and
+        stepping below 10 Hz turns it off again; the lowpass steps from
+        (and clamps back to) Nyquist.  Both cutoffs clamp to Nyquist so
+        repeated up-steps never run away into stored values the
+        opposite verb must silently unwind before anything audible
+        changes."""
+        if "filtered" not in self.data:
+            return
+        f = self.data["filtered"]
+        nyq = self.data.rate / 2
+        hp = lp = None
+        if hp_fac:
+            hp = f.highpass_cutoff * hp_fac
+            if hp_fac > 1:
+                hp = min(max(hp, 10.0), nyq)
+            elif hp < 10.0:
+                hp = 0.0
+        if lp_fac:
+            lp = min((f.lowpass_cutoff or nyq) * lp_fac, nyq)
+        self.update_filter(hp, lp)
+
     def set_resolution(self, nfft=None, overlap_frac=None, dispatch=True,
                        step_frac=None):
         """NFFT / overlap changes (`databrowser.py:1188-1222`).

@@ -59,7 +59,10 @@ class MplBrowserWindow:
 
         self.plt = plt
         self.browser = browser
-        self.show_spec = show_spec and "spectrogram" in browser.data
+        # gate on the browser's RESOLVED spectrogram trace name —
+        # plugin presets may name it something other than "spectrogram"
+        # (the Qt frontend already resolves it this way)
+        self.show_spec = show_spec and browser.spectrogram in browser.data
         self.fig = plt.figure(figsize=figsize)
         self._artists = {}  # persistent per-axes artists (see _ax_artists)
         self._built_channels = None
@@ -320,6 +323,32 @@ class MplBrowserWindow:
             if now - self._hover_drawn > 0.1:
                 self._hover_drawn = now
                 self.fig.canvas.draw_idle()
+            else:
+                self._arm_hover_flush()
+
+    def _arm_hover_flush(self):
+        """Trailing-edge flush for the hover throttle: when the mouse
+        stops INSIDE the 10 Hz window, a one-shot backend timer repaints
+        the last readout — otherwise it stays up to ~100 ms stale until
+        some unrelated redraw."""
+        if getattr(self, "_hover_timer", None) is not None:
+            return
+        try:
+            tm = self.fig.canvas.new_timer(interval=120)
+            tm.single_shot = True
+        except Exception:
+            return  # backend without timers: throttle-only behavior
+
+        def flush():
+            import time
+
+            self._hover_timer = None
+            self._hover_drawn = time.monotonic()
+            self.fig.canvas.draw_idle()
+
+        tm.add_callback(flush)
+        tm.start()
+        self._hover_timer = tm
 
     # string ↔ DataBrowser region-mode constants
     _mode_consts = {"zoom": DataBrowser.zoom_region,
@@ -718,23 +747,16 @@ class MplBrowserWindow:
         }
         if key in actions:
             actions[key]()
-        elif key in "fF" and "filtered" in b.data:
-            f = b.data["filtered"]
-            hp = f.highpass_cutoff * (1.25 if key == "f" else 0.8)
-            if key == "f":
-                hp = max(hp, 10.0)  # lift off the 0 Hz default
-            elif hp < 10.0:
-                hp = 0.0            # stepping below 10 Hz turns it off
-            b.update_filter(highpass_cutoff=hp)
-        elif key in "lL" and "filtered" in b.data:
-            f = b.data["filtered"]
-            lp = (f.lowpass_cutoff or b.data.rate / 2)
-            lp *= 0.8 if key == "l" else 1.25
-            b.update_filter(lowpass_cutoff=min(lp, b.data.rate / 2))
+        elif key in "fF":
+            # headless verb: 10 Hz lift-off floor, below-10 turn-off,
+            # Nyquist clamps — shared with the Qt frontend
+            b.step_filter(hp_fac=1.25 if key == "f" else 0.8)
+        elif key in "lL":
+            b.step_filter(lp_fac=0.8 if key == "l" else 1.25)
         elif key in "eE" and "envelope" in b.data:
             cut = b.data["envelope"].envelope_cutoff
             b.update_envelope(cut * (2.0 if key == "E" else 0.5))
-        elif key in "rR" and "spectrogram" in b.data:
+        elif key in "rR" and b.spectrogram in b.data:
             # a step compiles only its own bucket (the sweep warms in
             # the background — warm_resolutions_async); plain 'r'
             # decreases like the reference and the Qt frontend
@@ -778,7 +800,9 @@ class MplBrowserWindow:
         elif key == "pageup":
             b.select_previous_channel()
         elif key is not None and len(key) == 1 and key.isdigit():
-            b.show_channel(int(key) - 1 if key != "0" else 9)
+            # digit c toggles channel c — 0-based and toggle semantics
+            # like the reference's and the Qt frontend's bare digits
+            b.toggle_channel(int(key))
         elif key == "!":
             b.auto_scroll()
             self._update_timer()
@@ -865,6 +889,9 @@ class MplBrowserWindow:
             sounddevice.play(np.asarray(data), int(rate), blocking=False)
         except Exception as e:  # no module, no device, PortAudio errors
             print(f"cannot play audio: {e}")
+            # disarm playback state: a stale audio_time >= 0 would eat
+            # the next Space press and animate a silent cursor
+            self.browser.audio_time = -1.0
         self._update_timer()
 
     def savefig(self, path, **kwargs):

@@ -381,6 +381,20 @@ if HAVE_QT:
         # -- drawing ---------------------------------------------------------
 
         def refresh(self):
+            # reentrancy guard (the mpl frontend's _in_redraw twin):
+            # poll_device_state's recovery path calls set_times, whose
+            # sigTimesChanged slot is refresh itself — unguarded, a
+            # recovery would re-enter mid-pass (and a flapping tunnel
+            # could recurse to a qFatal under real PyQt5)
+            if getattr(self, "_in_refresh", False):
+                return
+            self._in_refresh = True
+            try:
+                self._refresh_body()
+            finally:
+                self._in_refresh = False
+
+        def _refresh_body(self):
             b = self.browser
             # fold device-loss state flips in (watchdog threads only set
             # flags; GUI work happens here on the event thread) and
@@ -436,6 +450,11 @@ if HAVE_QT:
                     continue
                 # u8 tiles: 4x fewer tunnel bytes than normalized f32
                 tile, rect = b.spec_tile(c, quantize=True)
+                # an empty tile must HIDE the image: leaving the old
+                # one visible freezes a spectrogram strip at its stale
+                # rect while the view scrolls on (the mpl frontend's
+                # set_visible twin)
+                img.setVisible(bool(tile.size))
                 if tile.size:
                     img.setImage(tile, levels=(0, 255))
                     img.setRect(QRectF(rect[0], rect[1], rect[2], rect[3]))
@@ -711,7 +730,20 @@ if HAVE_QT:
                 self._play(*result)
             elif verb == "ask":
                 self._ask_region(channel, kind, x0, x1, y0, y1)
+            else:
+                self._region_feedback(verb, result, x0, x1)
             self.refresh()
+
+        def _region_feedback(self, verb, result, x0, x1):
+            """Status-bar acknowledgement for the non-visual region
+            verbs (the mpl frontend's status twin): analyze results land
+            in the hidden table, save writes a file the user must be
+            able to find."""
+            if verb == "analyze":
+                self.on_status(f"analyzed region {x0:.3f}-{x1:.3f} s "
+                               "(Alt+R shows the results)")
+            elif verb == "save" and result is not None:
+                self.on_status(f"saved region to {result}")
 
         def _ask_region(self, channel, kind, x0, x1, y0, y1):
             """Ask mode pops a context menu offering the region verbs
@@ -743,6 +775,8 @@ if HAVE_QT:
                 self._play(*result)
             elif verb == "zoom" and kind == "spec":
                 b.set_ranges("f", y0, y1)
+            else:
+                self._region_feedback(verb, result, x0, x1)
 
         def crosshair_at(self, channel, kind, x, y):
             b = self.browser
@@ -784,6 +818,10 @@ if HAVE_QT:
                 self.audio_timer.start(50)
             except Exception as e:  # no module/device, PortAudio errors
                 print(f"cannot play audio: {e}")
+                # disarm the browser's playback state: leaving
+                # audio_time >= 0 makes the NEXT Space press a phantom
+                # "audio-stopped" instead of a play, forever alternating
+                self.browser.audio_time = -1.0
 
         def _tick_audio(self):
             t = self.browser.mark_audio()
@@ -1174,11 +1212,13 @@ if HAVE_QT:
                       lambda: sh.select_channels("all_channels"))
             self._act(chm, "&Hide deselected", "Del",
                       sh.hide_deselected_channels)
+            # reference bindings (audian.py:1024-1025): the bare digit
+            # TOGGLES channel c, Ctrl+digit SHOWS only channel c
             for c in range(10):
                 self._act(chm, f"Channel &{c}", str(c),
-                          lambda c=c: sh.show_channel(c))
-                self._act(chm, f"Toggle channel {c}", f"Ctrl+{c}",
                           lambda c=c: sh.toggle_channel(c))
+                self._act(chm, f"Show channel {c}", f"Ctrl+{c}",
+                          lambda c=c: sh.show_channel(c))
             self._act(chm, "Link &channels", "Alt+C",
                       sh.toggle_link_channels,
                       checked=lambda: sh.link_channels)
@@ -1213,12 +1253,14 @@ if HAVE_QT:
             self._act(audm, "Heterodyne frequency down", None,
                       lambda: B().set_audio(heterodyne_freq=max(
                           B().audio_heterodyne_freq / 2, 100.0)))
+            # rate_fac is a SLOW-DOWN factor (prepare_playback divides
+            # the output rate by it), so "rate up" must shrink it
             self._act(audm, "Playback rate up", None,
                       lambda: B().set_audio(
-                          rate_fac=B().audio_rate_fac * 2))
+                          rate_fac=B().audio_rate_fac / 2))
             self._act(audm, "Playback rate down", None,
                       lambda: B().set_audio(
-                          rate_fac=B().audio_rate_fac / 2))
+                          rate_fac=B().audio_rate_fac * 2))
             self._act(audm, "Link audio", None, sh.toggle_link_audio,
                       checked=lambda: sh.link_audio)
 
@@ -1460,21 +1502,10 @@ if HAVE_QT:
         # -- verbs needing Qt glue --------------------------------------------------
 
         def _filter(self, hp_fac, lp_fac):
-            b = self.browser()
-            if "filtered" not in b.data:
-                return
-            f = b.data["filtered"]
-            # raising floors at 10 Hz so the keyboard can lift a highpass
-            # off the 0 Hz default (0 * fac would stay 0 forever);
-            # lowering below 10 Hz turns the highpass off again
-            hp = None
-            if hp_fac:
-                hp = f.highpass_cutoff * hp_fac
-                hp = max(hp, 10.0) if hp_fac > 1 else (
-                    hp if hp >= 10.0 else 0.0)
-            lp = ((f.lowpass_cutoff or b.data.rate / 2) * lp_fac
-                  if lp_fac else None)
-            b.update_filter(hp, lp)
+            # semantics live in the headless verb (10 Hz lift-off floor,
+            # below-10 turn-off, Nyquist clamps) — single-sourced so the
+            # two frontends cannot diverge
+            self.browser().step_filter(hp_fac, lp_fac)
 
         def _envelope(self, fac):
             b = self.browser()

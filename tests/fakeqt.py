@@ -690,6 +690,7 @@ class FakeImageItem:
         self.levels = None
         self.rect = None
         self.cmap = None
+        self.visible = True
 
     def setImage(self, image, levels=None):
         self.image = image
@@ -700,6 +701,12 @@ class FakeImageItem:
 
     def setColorMap(self, cmap):
         self.cmap = cmap
+
+    def setVisible(self, v):
+        self.visible = bool(v)
+
+    def isVisible(self):
+        return self.visible
 
 
 class _BarAxis:

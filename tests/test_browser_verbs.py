@@ -455,3 +455,26 @@ def test_apply_ranges_auto_verb(browser):
     assert (a0, a1) != (r0, r1), "auto verb did not fit the range"
     browser.auto_ampl("x")
     assert browser.get_range("x", 0) == pytest.approx((a0, a1))
+
+
+def test_step_filter_clamps_and_lift_off(browser):
+    """The shared keyboard filter verb (both frontends bind it): the
+    lowpass never runs away past Nyquist (five up-steps then ONE
+    down-step must respond immediately), the highpass lifts off the
+    0 Hz default at 10 Hz, and stepping it below 10 Hz turns it off."""
+    nyq = browser.data.rate / 2
+    f = browser.data["filtered"]
+    for _ in range(5):
+        browser.step_filter(lp_fac=1.25)
+    assert f.lowpass_cutoff <= nyq
+    browser.step_filter(lp_fac=0.8)
+    assert f.lowpass_cutoff == pytest.approx(nyq * 0.8)
+    # highpass lift-off and turn-off
+    browser.update_filter(highpass_cutoff=0.0)
+    browser.step_filter(hp_fac=1.25)
+    assert f.highpass_cutoff == pytest.approx(10.0)
+    browser.step_filter(hp_fac=0.8)
+    assert f.highpass_cutoff == 0.0
+    for _ in range(40):
+        browser.step_filter(hp_fac=1.25)
+    assert f.highpass_cutoff <= nyq

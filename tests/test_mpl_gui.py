@@ -352,16 +352,23 @@ def test_auto_scroll_and_audio_ticks(win, browser):
     assert browser.toffset > t0
     win.on_key(K(" "))  # space stops the scroll first
     assert not browser.scroll_active
-    win.on_key(K(" "))  # then plays the window
-    assert browser.audio_time >= 0
-    win._tick()
-    marker = win._artists[("trace", browser.show_channels[0])]["audio"]
-    assert marker.get_visible()
-    # space again stops audio; the next tick hides the marker
-    win.on_key(K(" "))
-    assert browser.audio_time < 0
-    win._tick()
-    assert not marker.get_visible()
+    import fakesounddevice
+
+    fakesounddevice.install()  # a failed play now DISARMS audio_time
+    try:
+        win.on_key(K(" "))  # then plays the window
+        assert browser.audio_time >= 0
+        win._tick()
+        marker = win._artists[("trace",
+                               browser.show_channels[0])]["audio"]
+        assert marker.get_visible()
+        # space again stops audio; the next tick hides the marker
+        win.on_key(K(" "))
+        assert browser.audio_time < 0
+        win._tick()
+        assert not marker.get_visible()
+    finally:
+        fakesounddevice.uninstall()
 
 
 def test_selection_borders_on_spines(win, browser):

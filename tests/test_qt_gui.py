@@ -386,9 +386,15 @@ def test_channel_actions(qt, win):
     assert b.current_channel == 1
     trigger(win, "Shift+Up")
     assert b.current_channel == 0
-    trigger(win, "1")
+    trigger(win, "1")  # bare digit TOGGLES channel 1 (reference keys)
+    assert b.show_channels == [0]
+    trigger(win, "1")  # toggling it back restores both
+    assert b.show_channels == [0, 1]
+    trigger(win, "Ctrl+1")  # Ctrl+digit shows ONLY channel 1
     assert b.show_channels == [1]
-    trigger(win, "1")  # second press restores all channels
+    trigger(win, "1")  # hiding the solo channel reveals the complement
+    assert b.show_channels == [0]
+    trigger(win, "1")  # and toggling it back shows both again
     assert b.show_channels == [0, 1]
 
 
@@ -491,7 +497,8 @@ def test_audio_menu(qt, win):
     for act in qtc.all_actions(win):
         if act.text() == "Playback rate down":
             act.trigger()
-    assert b.audio_rate_fac == pytest.approx(rf / 2)
+    # rate_fac is a slow-down factor: "rate down" doubles it
+    assert b.audio_rate_fac == pytest.approx(rf * 2)
 
 
 def test_open_and_close_tab(qt, win, wav2, tmp_path):
@@ -722,10 +729,12 @@ def test_many_channel_window(qt, tmp_path_factory, rng):
         # channel focus drives across all four
         trigger(win, "Shift+Down")
         assert b.current_channel == 1
-        trigger(win, "3")
+        trigger(win, "Ctrl+3")  # show ONLY channel 3
         assert b.show_channels == [3]
-        trigger(win, "3")
-        assert b.show_channels == [0, 1, 2, 3]
+        trigger(win, "3")  # hiding the solo channel falls back to ch 0
+        assert b.show_channels == [0]
+        trigger(win, "3")  # toggling it back adds it
+        assert b.show_channels == [0, 3]
     finally:
         shell.close()
 
